@@ -1,0 +1,161 @@
+"""Scalar text functions (SURVEY.md §2.7, A2/A3 + LLM text analysis).
+
+Everything here is a pure Column expression — JVM-side, inside
+whole-stage codegen. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- reference-parity functions -----------------------------------------
+
+# Mention regex, semantics of reference MENTION_RE
+# (src/farmrpg_etl/firestore/chat.py:13): "@name" optionally terminated
+# by ":"; a name containing spaces is only recognized when it ends with
+# ":" (max 30 chars). Java regex supports the lookahead form directly.
+MENTION_PATTERN = r"@([^:\s]+(?:[^:]{0,29}?[^:\s](?=:))?)"
+
+# Simple mention form — RE2-compatible (used where the oracle engine
+# cannot express lookaheads); word chars only, ":" terminator optional.
+SIMPLE_MENTION_PATTERN = r"@([A-Za-z0-9_]+)"
+
+
+def mentions(content: Column) -> Column:
+    """A2 mention extraction → array<string>.
+
+    Reference: firestore/chat.py:13,48 (MENTION_RE.findall), semantics
+    pinned by test/firestore/test_chat.py:6-23.
+    """
+    return F.regexp_extract_all(content, F.lit(MENTION_PATTERN), 1)
+
+
+def simple_mentions(content: Column) -> Column:
+    return F.regexp_extract_all(content, F.lit(SIMPLE_MENTION_PATTERN), 1)
+
+
+def flags_count(text_col: Column) -> Column:
+    """A3: '^(\\d+) flags?$' → int (reference scrapers/chat.py:20,106)."""
+    return F.regexp_extract(text_col, r"^(\d+) flags?$", 1).cast("int")
+
+
+def censor_bypass_rewrite(content: Column) -> Column:
+    """P3: '<strong>*path</strong>' → 'Forcepath'
+    (reference scrapers/chat.py:21,73)."""
+    return F.regexp_replace(content, r"<strong>\w+path</strong>", "Forcepath")
+
+
+def profile_link_rewrite(content: Column) -> Column:
+    """P3: '<a ... href="profile.php?user_name=X">@X</a>' → '@X:'
+    (reference scrapers/chat.py:22-25,74)."""
+    return F.regexp_replace(
+        content,
+        r"""<a href="profile.php\?user_name=[^"]*">@([^<]+)</a>""",
+        "@$1:",
+    )
+
+
+def emblem_basename(src: Column) -> Column:
+    """basename of emblem img src (reference scrapers/chat.py:79)."""
+    return F.element_at(F.split(src, "/"), -1)
+
+
+def first_line(content: Column) -> Column:
+    """<br>-aware first line (reference bots/base.py:10,56-57)."""
+    return F.element_at(
+        F.split(F.regexp_replace(content, r"<br\s*/?>", "\n"), "\n"), 1
+    )
+
+
+def command_word(line: Column) -> Column:
+    """lowercased first word of a bot command (reference bots/base.py:37-44)."""
+    return F.lower(F.element_at(F.split(F.trim(line), " ", 2), 1))
+
+
+# --- LLM-pipeline text analysis ------------------------------------------
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic; chosen to be discriminative between the five
+# langs present in the synthetic corpus.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "y"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _marker_hits(text_col: Column, words: list[str]) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    hits = None
+    for w in words:
+        # count of " w " occurrences; size(split)-1 is portable arithmetic
+        c = F.size(F.split(padded, f"\\s{w}\\s")) - F.lit(1)
+        hits = c if hits is None else hits + c
+    return hits
+
+
+def lang_id(text_col: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-marker hit counts,
+    deterministic tie-break by language code order; 'und' if no hits."""
+    scores = [(lang, _marker_hits(text_col, ws)) for lang, ws in sorted(LANG_MARKERS.items())]
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # forward order + strictly-greater → alphabetically-first language
+    # wins ties (mirrors the SQL CASE chain in the oracle)
+    for lang, score in scores:
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """BPE-ish token estimate: count of word-piece matches
+    (letter runs, digit runs, single punctuation)."""
+    return F.size(
+        F.regexp_extract_all(text_col, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    )
+
+
+def punct_ratio(text_col: Column) -> Column:
+    n = F.length(text_col)
+    p = F.length(F.regexp_replace(text_col, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
+    tokens = token_count(text_col)
+    hits = _marker_hits(text_col, LANG_MARKERS[lang])
+    return F.when(tokens == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / tokens.cast("double")
+    )
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite quality score in [0,1]: length band + low punctuation +
+    stopword presence. Deterministic, rounded to 6 decimals."""
+    n = F.length(text_col)
+    len_score = F.when((n >= 100) & (n <= 4000), F.lit(1.0)).otherwise(
+        F.when(n < 100, n.cast("double") / 100.0).otherwise(F.lit(4000.0) / n.cast("double"))
+    )
+    punct_score = 1.0 - F.least(punct_ratio(text_col) * 5.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text_col) * 10.0, F.lit(1.0))
+    return F.round((len_score * 0.5 + punct_score * 0.25 + stop_score * 0.25), 6)
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    Stand-in for a rolling hash; stable across engines (md5 hex is
+    identical in Spark and DuckDB, unlike xxhash64/hash())."""
+    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    return F.md5(norm.cast("binary"))

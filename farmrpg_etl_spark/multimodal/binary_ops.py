@@ -1,0 +1,125 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images / audio / video are opaque ``binary`` columns with typed
+metadata (schemas.MEDIA). The Spark-side plumbing — schema handling,
+Arrow batch shape, ``mapInPandas`` signatures, partitioning — is real
+and tested; the actual codec step is stubbed (image/audio libraries
+are not available in this environment) behind ``_decode_stub``, which
+is a clearly-marked deterministic fake.
+
+Scale notes: binary payloads ride in Arrow record batches; keep
+``spark.sql.files.maxPartitionBytes`` small enough that a partition
+of blobs fits executor memory, and use ``mapInPandas`` (streaming
+iterator of batches) rather than collect-style UDFs so one oversized
+partition never materializes at once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = "media_id long, n_bytes long, digest string"
+
+
+def extract_binary_meta(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Byte-level metadata over opaque blobs via Arrow-batched
+    mapInPandas: (media_id, n_bytes, digest=md5 hex).
+
+    This is the real distributed code path a decode/feature-extract
+    step plugs into; md5 here matches Spark's built-in ``F.md5`` so
+    results are independently checkable.
+    """
+    id_name, data_name = id_col, data_col
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf[id_name].astype("int64"),
+                    "n_bytes": pdf[data_name].map(len).astype("int64"),
+                    "digest": pdf[data_name].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+            yield out
+
+    return df.select(id_col, data_col).mapInPandas(batches, schema=META_SCHEMA)
+
+
+def _decode_stub(data: bytes, kind: str) -> dict:
+    """STUB decoder — deterministic fake.
+
+    Real deployments replace this with PIL / torchaudio / pyav decode.
+    The fake derives plausible dimensions from the payload hash so the
+    downstream schema/partitioning logic is fully exercised."""
+    h = hashlib.md5(data).digest()
+    if kind == "image":
+        return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "duration_ms": None}
+    if kind in ("audio", "video"):
+        return {"width": None, "height": None, "duration_ms": 1000 + int.from_bytes(h[2:4], "big") % 60000}
+    raise NotImplementedError(f"unknown media kind: {kind}")
+
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, duration_ms int"
+)
+
+
+def decode_media_meta(df: DataFrame) -> DataFrame:
+    """Decode/feature-extract stage over MEDIA rows (stubbed codec)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                _decode_stub(bytes(d), k) for d, k in zip(pdf["data"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["data"].map(len).astype("int64"),
+                    "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                    "height": pd.array([m["height"] for m in metas], dtype="Int32"),
+                    "duration_ms": pd.array(
+                        [m["duration_ms"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select("media_id", "kind", "data").mapInPandas(
+        batches, schema=DECODED_SCHEMA
+    )
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
+    """Frame-sampling plumbing: explode each blob into per-"frame"
+    rows (offset, frame_digest) every ``every_n_bytes``. Stand-in for
+    video frame extraction; demonstrates the 1→N mapInPandas shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, offsets, digests = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(blob)
+                for off in range(0, max(len(b), 1), every_n_bytes):
+                    ids.append(int(mid))
+                    offsets.append(off)
+                    digests.append(hashlib.md5(b[off : off + every_n_bytes]).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": pd.array(ids, dtype="int64"),
+                 "frame_offset": pd.array(offsets, dtype="int64"),
+                 "frame_digest": digests}
+            )
+
+    return df.select("media_id", "data").mapInPandas(
+        batches, schema="media_id long, frame_offset long, frame_digest string"
+    )

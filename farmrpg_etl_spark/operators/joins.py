@@ -1,0 +1,102 @@
+"""Join operators (SURVEY.md §2.5, J1-J4).
+
+All reference joins are equi-joins on small keys; we add the physical
+strategy Spark-side: broadcast for small dimensions (J3), shuffle
+hash/sort-merge with AQE for fact-fact (J1), and MERGE-shaped
+upserts (J2/J4) expressed as batch joins here and as foreachBatch
+writers in ``farmrpg_etl_spark.sinks``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_join(
+    facts: DataFrame,
+    lookup: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """J1 batch form — flags↔message id resolution.
+
+    Reference (firestore/chat.py:59-78): flags rows lack the message
+    id; resolve via (room, ts, username) against the chat stream;
+    unresolved rows are dropped-with-log (inner join). Streaming form
+    with watermarks lives in streaming/flags_join.py.
+    """
+    return facts.join(lookup, on=list(on), how=how)
+
+
+def fk_lookup(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """J3 — FK hydrate (select_related): child ⋈ parent on the FK.
+
+    Reference db/core/models.py:115-126. The parent (user table) is
+    small → broadcast; Catalyst prunes parent columns not selected
+    downstream."""
+    p = F.broadcast(parent) if broadcast_parent else parent
+    return child.join(p, child[child_key] == p[parent_key], "inner")
+
+
+def correlated_update(
+    target: DataFrame,
+    updates: DataFrame,
+    on: Sequence[str],
+    set_cols: Sequence[str],
+) -> DataFrame:
+    """J2 batch form — MERGE WHEN MATCHED THEN UPDATE.
+
+    Reference (db/chat.py:22-26): UPDATE message SET flags=? WHERE
+    room=? AND username=? AND ts=?. Returns the post-merge target:
+    matched rows take ``set_cols`` from updates, others unchanged.
+    ``updates`` must be unique on ``on``.
+    """
+    upd = updates.select(
+        *on, *[F.col(c).alias(f"__new_{c}") for c in set_cols]
+    )
+    joined = target.join(upd, on=list(on), how="left")
+    out = joined
+    for c in set_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+    return out.select(*target.columns)
+
+
+def upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: Sequence[str],
+    update_cols: Sequence[str] = (),
+) -> DataFrame:
+    """J4 batch form — get_or_create / MERGE.
+
+    Reference db/user.py:34, bots/firebase.py:17-21. Incoming rows
+    matching an existing key update ``update_cols`` (when given) and
+    keep other existing columns; unmatched incoming rows are inserted.
+    ``incoming`` must be unique on ``key``.
+    """
+    e = existing.alias("e")
+    i = incoming.alias("i")
+    cond = [F.col(f"e.{k}") == F.col(f"i.{k}") for k in key]
+    joined = e.join(i, cond, "full_outer")
+    cols = []
+    for c in existing.columns:
+        kcol = F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}")) if c in key else None
+        if c in key:
+            cols.append(kcol.alias(c))
+        elif c in update_cols and c in incoming.columns:
+            cols.append(F.coalesce(F.col(f"i.{c}"), F.col(f"e.{c}")).alias(c))
+        elif c in incoming.columns:
+            # insert-only column: existing wins, incoming fills new rows
+            cols.append(F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}")).alias(c))
+        else:
+            cols.append(F.col(f"e.{c}").alias(c))
+    return joined.select(*cols)

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (north-star extension).
+
+* ``cosine_pairs`` — near-duplicate pairs above a cosine threshold,
+  blocked by a coarse partition (IVF-style): only vectors sharing a
+  block are compared. With a uniform block (cluster id / LSH bucket)
+  the pair count is |block|² · n_blocks instead of n², and the join
+  shuffles on the block key only.
+* ``ann_topk_bruteforce`` — exact top-k neighbors for a (small) query
+  set: broadcast the queries, score every corpus vector, take top-k
+  per query. The corpus-side scan is embarrassingly parallel; the
+  only shuffle is the final per-query top-k (k rows per partition
+  per query survive the partial sort).
+* ``ann_topk_ivf`` — scale path: restrict scoring to corpus vectors
+  in the query's block(s).
+
+All vector math is Catalyst expressions (functions/vectors.py) —
+JVM-side, no UDF, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions import vectors as V
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("__block"),
+        V.as_double(F.col(vec_col)).alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("__block"),
+        V.as_double(F.col(vec_col)).alias("vb"),
+    )
+    return (
+        a.join(b, on="__block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(V.cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (query_id, neighbor_id,
+    cosine, rank). Excludes self-matches. Queries should be small —
+    they are broadcast."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-style ANN: score only corpus vectors sharing the query's
+    block (coarse quantization cell). Recall < 1 by design; at scale
+    probe multiple neighboring cells."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(block_col).alias("__block"),
+            V.as_double(F.col(vec_col)).alias("qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(block_col).alias("__block"),
+        V.as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.join(q, on="__block")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
