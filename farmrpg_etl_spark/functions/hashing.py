@@ -9,6 +9,13 @@ encodes, so ``min(md5(...))`` is a valid minwise hash and salted
 
 At 100 TB scale these all stay inside whole-stage codegen (md5 is a
 JVM intrinsic); no Python is involved.
+
+NOTE on lambdas: PySpark's higher-order functions count a lambda's
+*parameters* to decide whether to pass the element index — a default
+arg (``lambda s, i=i``) reads as two parameters and silently receives
+the array index instead of the captured value. Every closure below is
+therefore built by a factory function so the lambda has exactly the
+arity Spark expects.
 """
 
 from __future__ import annotations
@@ -33,7 +40,9 @@ def shingles(text_col: Column, k: int = 3) -> Column:
     as a single shingle so no document is silently dropped.
     """
     toks = words(text_col)
-    n = F.size(toks)
+    # size(NULL) is NULL, not -1 — coalesce so NULL text takes the
+    # empty branch instead of hashing a phantom '' shingle.
+    n = F.coalesce(F.size(toks), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
@@ -45,6 +54,11 @@ def salted_md5(col: Column, salt: int) -> Column:
     return F.md5(F.concat(F.lit(f"{salt}|"), col).cast("binary"))
 
 
+def _salted_hasher(salt: int):
+    """Factory → one-parameter lambda (see module NOTE on arity)."""
+    return lambda s: salted_md5(s, salt)
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: array of ``num_hashes`` lexicographic-min
     salted md5 hex strings over the shingle set.
@@ -53,7 +67,7 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     sig = F.array(
         *[
             F.coalesce(
-                F.array_min(F.transform(shingle_col, lambda s, i=i: salted_md5(s, i))),
+                F.array_min(F.transform(shingle_col, _salted_hasher(i))),
                 F.lit("z"),
             )
             for i in range(num_hashes)
@@ -84,32 +98,62 @@ def hex_digit_value(digit: Column) -> Column:
     return F.instr(F.lit(HEX_DIGITS), digit) - F.lit(1)
 
 
-def simhash16(tokens: Column) -> Column:
-    """16-bit SimHash over a token array.
+SIMHASH_BITS = 64
 
-    Bit b of the fingerprint is set iff the sum over tokens of
-    (bit b of md5(token)'s first 16 bits ? +1 : -1) is positive.
-    16 bits (first 4 hex digits of md5) keeps the portable-SQL oracle
-    tractable; semantics are identical to the usual 64-bit form.
+
+def _token_bits(tok: Column) -> Column:
+    """array<int> of the first 64 bits (MSB-first) of md5(token)."""
+    h = F.md5(tok.cast("binary"))
+    bits = []
+    for nibble in range(SIMHASH_BITS // 4):
+        d = hex_digit_value(F.substring(h, nibble + 1, 1))
+        for shift in (3, 2, 1, 0):  # MSB first within the nibble
+            bits.append(F.floor(d / F.lit(2**shift)).cast("int") % 2)
+    return F.array(*bits)
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash over a token array, returned as a 16-char
+    lowercase hex string (string avoids int64 sign overflow and is
+    directly comparable across engines).
+
+    Bit b is set iff the count of tokens whose md5 has bit b set
+    exceeds half the token count (strict majority). Single pass:
+    one ``aggregate`` accumulating an array<int> of 64 bit-counts —
+    no per-bit re-scan of the token array, no shuffle.
     """
+    zero = F.array(*[F.lit(0) for _ in range(SIMHASH_BITS)])
+    counts = F.aggregate(
+        tokens,
+        zero,
+        lambda acc, t: F.zip_with(acc, _token_bits(t), lambda a, b: a + b),
+    )
     total = F.size(tokens)
-    fp = F.lit(0)
-    for nibble in range(4):  # hex digits 1..4
-        digit_vals = F.transform(
-            tokens, lambda t, j=nibble: hex_digit_value(F.substring(F.md5(t.cast("binary")), j + 1, 1))
-        )
-        for bit_in_nibble in range(4):
-            shift = 3 - bit_in_nibble  # MSB first within the nibble
-            ones = F.aggregate(
-                digit_vals,
-                F.lit(0),
-                lambda acc, v, s=shift: acc + F.floor(v / F.lit(2 ** s)).cast("int") % 2,
-            )
-            # sum of (+1/-1) > 0  <=>  2*ones > total
-            bit_pos = nibble * 4 + bit_in_nibble  # 0 = MSB
-            bit_set = (F.lit(2) * ones) > total
-            fp = fp + F.when(bit_set, F.lit(2 ** (15 - bit_pos))).otherwise(F.lit(0))
-    return fp
+    hex_chars = []
+    for nibble in range(SIMHASH_BITS // 4):
+        val = F.lit(0)
+        for j, shift in enumerate((3, 2, 1, 0)):
+            bit_set = (F.lit(2) * F.element_at(counts, nibble * 4 + j + 1)) > total
+            val = val + F.when(bit_set, F.lit(2**shift)).otherwise(F.lit(0))
+        hex_chars.append(F.lit(HEX_DIGITS).substr(val + 1, F.lit(1)))
+    return F.concat(*hex_chars)
+
+
+def hamming_hex(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two hex-string fingerprints."""
+    dist = F.lit(0)
+    for nibble in range(bits // 4):
+        da = hex_digit_value(F.substring(a, nibble + 1, 1))
+        db = hex_digit_value(F.substring(b, nibble + 1, 1))
+        # popcount(xor) without a column bitwise op:
+        # sum over bit positions of (bit(da) != bit(db))
+        d = F.lit(0)
+        for shift in (3, 2, 1, 0):
+            ba = F.floor(da / F.lit(2**shift)) % 2
+            bb = F.floor(db / F.lit(2**shift)) % 2
+            d = d + F.when(ba != bb, F.lit(1)).otherwise(F.lit(0))
+        dist = dist + d
+    return dist
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -119,3 +163,17 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )
+
+
+def minhash_jaccard_estimate(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """Jaccard estimate from two MinHash signatures: fraction of
+    positions that agree. At 100 TB this replaces shipping full
+    shingle arrays through the LSH verification join — signatures are
+    fixed-width (num_hashes × 32 chars) regardless of document size."""
+    agree = F.size(
+        F.filter(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return agree.cast("double") / F.lit(float(num_hashes))

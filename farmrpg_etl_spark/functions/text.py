@@ -36,22 +36,31 @@ def simple_mentions(content: Column) -> Column:
 
 
 def flags_count(text_col: Column) -> Column:
-    """A3: '^(\\d+) flags?$' → int (reference scrapers/chat.py:20,106)."""
-    return F.regexp_extract(text_col, r"^(\d+) flags?$", 1).cast("int")
+    """A3: '^(\\d+) flags?$' → int, defaulting to 0 on no-match
+    (reference scrapers/chat.py:106-115: ``int(m[1]) if m else 0``)."""
+    # regexp_extract yields '' on no-match; ANSI mode makes ''.cast(int)
+    # throw, so try_cast → NULL → coalesce to the reference's default 0.
+    return F.coalesce(
+        F.regexp_extract(text_col, r"^(\d+) flags?$", 1).try_cast("int"), F.lit(0)
+    )
 
 
 def censor_bypass_rewrite(content: Column) -> Column:
-    """P3: '<strong>*path</strong>' → 'Forcepath'
-    (reference scrapers/chat.py:21,73)."""
-    return F.regexp_replace(content, r"<strong>\w+path</strong>", "Forcepath")
+    """P3: '<strong>Xpath</strong>' → '<strong>Forcepath</strong>'
+    (reference FORCEPATH_RE, scrapers/chat.py:21,73 — the tags are
+    kept; only the word is replaced)."""
+    return F.regexp_replace(
+        content, r"<strong>\w+path</strong>", "<strong>Forcepath</strong>"
+    )
 
 
 def profile_link_rewrite(content: Column) -> Column:
-    """P3: '<a ... href="profile.php?user_name=X">@X</a>' → '@X:'
-    (reference scrapers/chat.py:22-25,74)."""
+    """P3: '<a class="close-panel" href="profile.php?user_name=X"
+    style="color:teal">@X</a>' → '@X:' (reference AT_LINK_RE,
+    scrapers/chat.py:22-25,74)."""
     return F.regexp_replace(
         content,
-        r"""<a href="profile.php\?user_name=[^"]*">@([^<]+)</a>""",
+        r"""<a class="close-panel" href="profile\.php\?user_name=[^">]+" style="color:teal">@([^">]+)</a>""",
         "@$1:",
     )
 
@@ -87,14 +96,29 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _tokens(text_col: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed (portable: the
+    DuckDB oracle tokenizes identically with string_split_regex)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
 def _marker_hits(text_col: Column, words: list[str]) -> Column:
-    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    """Count of tokens equal to any marker word. Token-equality (not
+    substring scanning) so consecutive markers all count — 'the the
+    the' is 3 hits, not 2."""
+    toks = _tokens(text_col)
     hits = None
     for w in words:
-        # count of " w " occurrences; size(split)-1 is portable arithmetic
-        c = F.size(F.split(padded, f"\\s{w}\\s")) - F.lit(1)
+        c = F.size(F.filter(toks, _eq_token(w)))
         hits = c if hits is None else hits + c
     return hits
+
+
+def _eq_token(w: str):
+    # factory → one-parameter lambda (Spark counts lambda params)
+    return lambda t: t == F.lit(w)
 
 
 def lang_id(text_col: Column) -> Column:
@@ -113,9 +137,12 @@ def lang_id(text_col: Column) -> Column:
 
 
 def token_count(text_col: Column) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count (0 for NULL/empty)."""
     t = F.trim(text_col)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.coalesce(
+        F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))),
+        F.lit(0),
+    )
 
 
 def bpe_ish_token_count(text_col: Column) -> Column:

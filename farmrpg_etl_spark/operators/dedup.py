@@ -13,8 +13,14 @@ Scale notes (100 TB):
   no skew by construction.
 * minhash: signature computation is embarrassingly parallel
   (per-row); the LSH bucket join shuffles on (band_key) which is
-  uniform; candidate verification touches only bucket-collision
-  pairs, never the cross product.
+  uniform; candidate verification joins only the *fixed-width
+  signatures* (num_hashes × 32-char strings), never the
+  document-sized shingle arrays — candidate pairs are a tiny
+  fraction of the corpus and the verify payload is O(num_hashes)
+  per row regardless of document length.
+* n-gram Jaccard blocking composes the caller's block with a
+  length band, so a skewed block (e.g. 80%-English `lang`) cannot
+  degenerate to |block|² pairs.
 * never collect(); candidate pair sets remain DataFrames.
 """
 
@@ -22,11 +28,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from farmrpg_etl_spark.functions import hashing as H
-from farmrpg_etl_spark.operators.latest import latest_per_key
 
 
 def keep_first_per_key(
@@ -37,8 +42,6 @@ def keep_first_per_key(
     violation, db/chat.py:13-19). Unlike dropDuplicates this is
     deterministic under retries/reordering."""
     ordering = [F.col(order_col).asc()] + [F.col(t).asc() for t in tiebreak]
-    from pyspark.sql import Window
-
     w = Window.partitionBy(*keys).orderBy(*ordering)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -70,20 +73,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature → (id, sig: array<string>)."""
     sh = H.shingles(F.col(text_col), shingle_k)
-    return df.select(
-        F.col(id_col),
-        H.minhash_signature(sh, num_hashes).alias("sig"),
-        sh.alias("__shingles"),
-    )
+    return df.select(F.col(id_col), H.minhash_signature(sh, num_hashes).alias("sig"))
 
 
 def lsh_buckets(
     sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Explode signatures into (band_id, band_key, id) bucket rows."""
+    """Explode signatures into (band_id, band_key, id, sig) bucket rows.
+
+    The fixed-width signature rides along so the verification step
+    needs no join back to the (document-sized) corpus."""
     keys = H.lsh_band_keys(F.col("sig"), bands, rows_per_band)
     return sigs.select(
-        F.col(id_col), F.posexplode(keys).alias("band_id", "band_key")
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(keys).alias("band_id", "band_key"),
     )
 
 
@@ -95,12 +99,20 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    exact_verify: bool = False,
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    """MinHash+LSH near-duplicate pairs.
 
     shingle → minhash → band → bucket self-join (candidates) →
-    array_intersect Jaccard filter. Output: (id_a, id_b, jaccard)
-    with id_a < id_b, distinct.
+    verification. Output: (id_a, id_b, jaccard) with id_a < id_b,
+    distinct.
+
+    Verification is the *signature-overlap estimate* by default: the
+    signatures are already in the bucket rows, fixed-width, so no
+    document-sized payload is ever shuffled (the 100 TB path). With
+    ``exact_verify=True`` candidates are joined back to recomputed
+    shingle sets for exact Jaccard — costs two wide joins shipping
+    shingle arrays; only for small corpora or validation runs.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -115,27 +127,50 @@ def minhash_lsh_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
-        .distinct()
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sh = sigs.select(F.col(id_col), F.col("__shingles"))
-    pairs = (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__shingles", "sh_b"), "id_b")
-        .withColumn("jaccard", F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return pairs
+    if exact_verify:
+        sh = df.select(
+            F.col(id_col), H.shingles(F.col(text_col), shingle_k).alias("__sh")
+        )
+        pairs = (
+            cand.select("id_a", "id_b")
+            .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+            .withColumn("jaccard", F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        )
+    else:
+        pairs = cand.withColumn(
+            "jaccard",
+            F.round(
+                H.minhash_jaccard_estimate(F.col("sig_a"), F.col("sig_b"), num_hashes), 6
+            ),
+        )
+    return pairs.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, simhash) 16-bit fingerprints; identical fingerprints are
-    near-duplicate candidates (group or self-join on the value)."""
+    """(id, simhash) 64-bit fingerprints as 16-char hex strings;
+    identical fingerprints are near-duplicate candidates (group or
+    self-join on the value); Hamming-close fingerprints via
+    ``functions.hashing.hamming_hex`` after a band join."""
     return df.select(
-        F.col(id_col), H.simhash16(H.words(F.col(text_col))).alias("simhash")
+        F.col(id_col), H.simhash64(H.words(F.col(text_col))).alias("simhash")
     )
+
+
+def length_band(text_col, band_width_log2: float = 0.5):
+    """Secondary blocking key: floor(log2(token_count)/w). Documents
+    whose lengths differ by more than ~2^w can't clear a meaningful
+    Jaccard threshold anyway, so banding by length both bounds block
+    size and loses (almost) no true pairs."""
+    n = F.size(H.words(text_col))
+    return F.floor(F.log2(F.greatest(n, F.lit(1)).cast("double")) / F.lit(band_width_log2)).cast("int")
 
 
 def ngram_jaccard_pairs(
@@ -145,16 +180,23 @@ def ngram_jaccard_pairs(
     block_col: str,
     shingle_k: int = 3,
     threshold: float = 0.0,
+    use_length_band: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard within a blocking key (e.g. language).
 
-    Blocking bounds the pair count; at scale choose a block with
-    near-uniform sizes or add a secondary length-band block. Output
-    (id_a, id_b, jaccard) with id_a < id_b.
+    The caller's block is composed with a token-length band
+    (``use_length_band``) so a skewed block (one dominant language)
+    cannot produce |block|² pairs: two docs in different length bands
+    have bounded-above Jaccard, and the band key splits the dominant
+    block into near-uniform sub-blocks. Output (id_a, id_b, jaccard)
+    with id_a < id_b.
     """
+    block = F.col(block_col).cast("string")
+    if use_length_band:
+        block = F.concat_ws("#", block, length_band(F.col(text_col)).cast("string"))
     sh = df.select(
         F.col(id_col),
-        F.col(block_col).alias("__block"),
+        block.alias("__block"),
         H.shingles(F.col(text_col), shingle_k).alias("__sh"),
     )
     a = sh.alias("a")

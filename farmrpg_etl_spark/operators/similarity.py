@@ -19,10 +19,46 @@ JVM-side, no UDF, no collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from farmrpg_etl_spark.functions import vectors as V
+
+
+def lsh_hyperplanes(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH blocking.
+
+    Components derive from md5 (no RNG, no seed state), so any engine
+    — and the DuckDB oracle — reproduces the identical planes from
+    (dim, planes) alone: h[p][j] = int(md5(f"{p}|{j}")[:8], 16) / 2^32 - 0.5.
+    """
+    return [
+        [
+            int(hashlib.md5(f"{p}|{j}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+            for j in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_block(vec_col: Column, dim: int, planes: int = 3) -> Column:
+    """Sign-LSH coarse-quantization block id ('101'-style bit string).
+
+    This is the block assigner feeding :func:`ann_topk_ivf` — the
+    IVF "coarse quantizer" expressed as pure Catalyst expressions.
+    2^planes cells; nearby vectors (small angle) land in the same
+    cell with high probability. At scale, raise ``planes`` so cells
+    stay executor-sized, and probe neighboring cells (Hamming-1 on
+    the bit string) for recall.
+    """
+    v = V.as_double(vec_col)
+    bits = []
+    for plane in lsh_hyperplanes(dim, planes):
+        h = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(V.dot(v, h) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
 
 
 def cosine_pairs(

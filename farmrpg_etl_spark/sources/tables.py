@@ -7,6 +7,14 @@ accordingly (verify with ``df.explain('formatted')`` →
 ``PushedFilters`` / ``ReadSchema``). At cluster scale, big fact
 tables (lineitem/orders/events) should be written partitioned by
 date and bucketed by join key; see ``farmrpg_etl_spark.sinks``.
+
+Nanosecond timestamps: Spark rejects parquet TIMESTAMP(NANOS)
+columns outright ([PARQUET_TYPE_ILLEGAL]). We read them as raw int64
+(``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+microsecond timestamps with exact integer arithmetic (``DIV 1000``
+— never float division, which loses ulps above 2^53 and can flip
+the floor at boundaries). Detection is schema-driven via pyarrow,
+so any table with nano columns is normalized, not just `events`.
 """
 
 from __future__ import annotations
@@ -14,12 +22,38 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from farmrpg_etl_spark.schemas import TESTDATA_TABLES
 
 
+def _nano_timestamp_cols(path: str) -> list[str]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    first = path
+    if os.path.isdir(path):
+        members = [m for m in sorted(os.listdir(path)) if m.endswith(".parquet")]
+        if not members:
+            return []
+        first = os.path.join(path, members[0])
+    schema = pq.read_schema(first)
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nano_cols = _nano_timestamp_cols(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
