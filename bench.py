@@ -1,0 +1,71 @@
+"""Headline benchmark — one JSON line for the driver.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is executed to completion with a count-style action
+(``df.write.format("noop")`` would skip result materialization;
+``collect`` on large outputs would bottleneck the driver — we use
+``df.foreach(lambda _: None)``-free ``count()`` after a cache-less run,
+which forces the full plan including the final projection).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: relational core + reference ops + LLM-pipeline ops
+HEADLINE = [
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "regional_revenue",
+    "top_customers_per_nation",
+    "a1_latest_event_per_user_agg",
+    "d1_changes_events",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs_docs",
+    "text_metrics_docs",
+    "ann_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from farmrpg_etl_spark.queries import QUERIES
+    from farmrpg_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with a trivial action
+    QUERIES["j3_fk_hydrate"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

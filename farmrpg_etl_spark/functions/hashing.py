@@ -63,17 +63,20 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: array of ``num_hashes`` lexicographic-min
     salted md5 hex strings over the shingle set.
 
+    Single pass over the shingles: one ``aggregate`` whose accumulator
+    is the running elementwise-min signature (``zip_with`` + ``least``)
+    — evaluates the shingle array once instead of ``num_hashes`` times
+    (higher-order functions are interpreted, so repeated evaluation of
+    the shingle expression dominated the naive per-salt form).
+
     Empty shingle sets yield the sentinel 'z' (sorts after all hex)."""
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(shingle_col, _salted_hasher(i))),
-                F.lit("z"),
-            )
-            for i in range(num_hashes)
-        ]
-    )
-    return sig
+    init = F.array(*[F.lit("z") for _ in range(num_hashes)])
+
+    def _step(acc: Column, s: Column) -> Column:
+        hashes = F.array(*[salted_md5(s, i) for i in range(num_hashes)])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    return F.aggregate(shingle_col, init, _step)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:

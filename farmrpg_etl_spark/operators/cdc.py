@@ -110,9 +110,9 @@ def change_pairs(
     out = df
     for c in compare_cols:
         out = out.withColumn(f"prev_{c}", F.lag(F.col(c)).over(w))
-    pred = None
+    # window exprs can't live in a WHERE clause — materialize first
+    out = out.withColumn("__prev_order", F.lag(F.col(order_col)).over(w))
+    pred = F.col("__prev_order").isNull()
     for c in compare_cols:
-        diff = ~F.col(c).eqNullSafe(F.col(f"prev_{c}"))
-        pred = diff if pred is None else pred | diff
-    first = F.lag(F.col(order_col)).over(w).isNull()
-    return out.filter(first | pred)
+        pred = pred | ~F.col(c).eqNullSafe(F.col(f"prev_{c}"))
+    return out.filter(pred).drop("__prev_order")

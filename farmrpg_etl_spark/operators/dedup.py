@@ -116,6 +116,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # Materialize signatures before the self-join: both join sides and
+    # every band key would otherwise re-derive the (expensive, interpreted
+    # higher-order-function) minhash from the raw text. Signatures are
+    # fixed-width (num_hashes × 32 chars), so checkpoint storage is tiny
+    # relative to the corpus — the right trade at 100 TB too.
+    sigs = sigs.localCheckpoint(eager=False)
     buckets = lsh_buckets(sigs, id_col, bands, rows_per_band)
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -1,0 +1,570 @@
+"""DuckDB oracle SQL — one entry per key in ``farmrpg_etl_spark.queries``.
+
+Each SQL string reproduces the matching Spark query's semantics on the
+driver's pre-registered DuckDB views (region nation customer supplier
+part orders lineitem events documents embeddings), with identical
+column aliases, so the driver's row-count / schema / value-hash compare
+is meaningful.
+
+Cross-engine float discipline mirrors ``queries.py``: unordered SUMs go
+through DECIMAL(25,10) (exact, order-independent), averages are
+floor-truncated on bit-identical doubles, and all vector math is
+written as explicit left-associated term chains matching Spark's
+``F.aggregate`` fold order, so doubles agree bit-for-bit.
+
+Hash/minhash/simhash oracles replicate the md5-based primitives of
+``functions.hashing`` — md5 hex strings are bit-identical across
+engines, which is exactly why the engine uses them.
+"""
+
+from __future__ import annotations
+
+from farmrpg_etl_spark.operators.similarity import lsh_hyperplanes
+
+# --------------------------------------------------------------------------
+# shared SQL fragments
+# --------------------------------------------------------------------------
+
+# lowercased whitespace tokens, empties removed (== functions.hashing.words)
+_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)"
+
+# word 3-gram shingles (== functions.hashing.shingles, k=3)
+_SHINGLES = (
+    "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(generate_series(1, greatest(len(toks) - 2, 1)), "
+    "i -> array_to_string(toks[i:i+2], ' ')) END"
+)
+
+
+def _sig_elem(salt: int) -> str:
+    """One MinHash signature element (== hashing.minhash_signature)."""
+    return (
+        f"coalesce(list_min(list_transform(sh, g -> md5('{salt}|' || g))), 'z')"
+    )
+
+
+def _sig_list(num_hashes: int = 16) -> str:
+    return "[" + ", ".join(_sig_elem(i) for i in range(num_hashes)) + "]"
+
+
+def _band_key(b: int, rows: int) -> str:
+    lo, hi = b * rows + 1, b * rows + rows
+    return f"md5('band{b}|' || array_to_string(sig[{lo}:{hi}], ','))"
+
+
+def _money(expr: str, digits: int = 2) -> str:
+    return f"CAST(round(SUM(CAST({expr} AS DECIMAL(25,10))), {digits}) AS DOUBLE)"
+
+
+def _avg4(expr: str) -> str:
+    return (
+        f"floor((CAST(SUM(CAST({expr} AS DECIMAL(25,10))) AS DOUBLE)"
+        f" / COUNT(*)) * 10000.0) / 10000.0"
+    )
+
+
+def _dot(a: str, b: str, dim: int = 64) -> str:
+    """Explicit left-associated dot product == Spark's aggregate fold."""
+    return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1))
+
+
+def _dot_lits(a: str, plane: list[float]) -> str:
+    return " + ".join(f"{a}[{i}]*({plane[i-1]!r})" for i in range(1, len(plane) + 1))
+
+
+def _sq(a: str, dim: int = 64) -> str:
+    return " + ".join(f"{a}[{i}]*{a}[{i}]" for i in range(1, dim + 1))
+
+
+# embeddings CTE with per-row double vectors and norms
+_EMB = (
+    "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    f"n AS (SELECT vec_id, label, v, sqrt({_sq('v')}) AS nrm FROM e)"
+)
+
+_LANGS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "y"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _hits(lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in _LANGS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{lits}], t)))"
+
+
+# punctuation class used by text.punct_ratio (single quote doubled for SQL)
+_PUNCT = "[^.,;:!?''\"()\\[\\]{}-]"
+
+ORACLES: dict[str, str] = {}
+
+# --------------------------------------------------------------------------
+# relational core
+# --------------------------------------------------------------------------
+
+ORACLES["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  {_money('l_quantity')} AS sum_qty,
+  {_money('l_extendedprice')} AS sum_base_price,
+  {_money('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {_avg4('l_quantity')} AS avg_qty,
+  {_avg4('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["revenue_by_nation"] = f"""
+SELECT n_name,
+  {_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+ORACLES["regional_revenue"] = f"""
+SELECT r_name, n_name,
+  {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+ORACLES["top_customers_per_nation"] = f"""
+WITH rev AS (
+  SELECT o_custkey, {_money('o_totalprice')} AS rev
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT n_name, c_custkey, rev
+  FROM rev JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_custkey, rev, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY n_name ORDER BY rev DESC, c_custkey ASC) AS rank
+  FROM j
+) WHERE rank <= 3
+"""
+
+ORACLES["rollup_revenue"] = f"""
+SELECT r_name, n_name,
+  COUNT(*) AS n_customers,
+  {_money('c_acctbal')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+ORACLES["running_total_orders"] = """
+SELECT o_custkey, o_orderkey,
+  round(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+FROM orders WHERE o_custkey <= 200
+"""
+
+# --------------------------------------------------------------------------
+# reference operators on events
+# --------------------------------------------------------------------------
+
+ORACLES["f1_http_guard"] = """
+SELECT event_id, status FROM (
+  SELECT event_id,
+         CASE WHEN value < 150 THEN 200 ELSE 404 END AS status,
+         event_type
+  FROM events
+) WHERE status = 200 AND event_type <> 'no access'
+"""
+
+ORACLES["f_filters_combined"] = """
+SELECT event_id, ts, props FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND event_type = 'click' AND len(props) = 9
+"""
+
+_A1 = """
+SELECT user_id, ts, event_id, event_type, value FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+ORACLES["a1_latest_event_per_user"] = _A1
+ORACLES["a1_latest_event_per_user_agg"] = _A1
+
+ORACLES["first_event_per_user_type"] = """
+SELECT user_id, event_type, ts, event_id FROM (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+_D1_CHANGES = """
+SELECT user_id, ts, event_id, event_type FROM (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS p, lag(ts) OVER w AS pts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+) WHERE pts IS NULL OR event_type IS DISTINCT FROM p
+"""
+ORACLES["d1_changes_events"] = _D1_CHANGES
+
+ORACLES["d1_deleted_transitions"] = """
+WITH base AS (
+  SELECT user_id, ts, event_id, (event_type = 'error') AS deleted FROM events
+), st AS (
+  SELECT *, CASE WHEN deleted AND NOT lag(deleted, 1, false) OVER w
+                 THEN ts END AS flip_ts
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+)
+SELECT user_id, ts, event_id, deleted,
+  CASE WHEN deleted THEN last_value(flip_ts IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS deleted_ts
+FROM st
+"""
+
+ORACLES["d4_noop_eliminate"] = """
+SELECT user_id, ts, event_type, value FROM (
+  SELECT user_id, ts, event_type, value,
+         lag(event_type) OVER w AS pt, lag(value) OVER w AS pv,
+         lag(ts) OVER w AS pts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+) WHERE pts IS NULL
+   OR event_type IS DISTINCT FROM pt OR value IS DISTINCT FROM pv
+"""
+
+ORACLES["d5_change_pairs"] = """
+SELECT user_id, ts, event_type, prev_event_type FROM (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER w AS prev_event_type, lag(ts) OVER w AS pts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+) WHERE pts IS NULL OR event_type IS DISTINCT FROM prev_event_type
+"""
+
+ORACLES["j2_correlated_update"] = """
+WITH u AS (
+  SELECT c_custkey AS o_custkey, '0-UPDATED' AS np
+  FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT o.o_orderkey, o.o_custkey,
+       coalesce(u.np, o.o_orderpriority) AS o_orderpriority
+FROM orders o LEFT JOIN u USING (o_custkey)
+"""
+
+ORACLES["j3_fk_hydrate"] = """
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+ORACLES["j4_upsert"] = """
+WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+u AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS c_acctbal
+  FROM c WHERE c_custkey <= 100
+), i AS (
+  SELECT c_custkey + 3000000 AS c_custkey,
+         'ins_' || CAST(c_custkey AS VARCHAR) AS c_name,
+         0.0 AS c_acctbal
+  FROM c WHERE c_custkey <= 50
+), inc AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+SELECT coalesce(e.c_custkey, inc.c_custkey) AS c_custkey,
+       coalesce(e.c_name, inc.c_name) AS c_name,
+       coalesce(inc.c_acctbal, e.c_acctbal) AS c_acctbal
+FROM c e FULL OUTER JOIN inc ON e.c_custkey = inc.c_custkey
+"""
+
+# --------------------------------------------------------------------------
+# scalar semantics on crafted literals (must mirror queries.SCALAR_ROWS)
+# --------------------------------------------------------------------------
+
+_SCALAR_VALUES = """VALUES
+  (1, 'hi @bob and @alice: hello'),
+  (2, '<strong>Xpath</strong> test'),
+  (3, '<a class="close-panel" href="profile.php?user_name=Ryber" style="color:teal">@Ryber</a> hi'),
+  (4, '3 flags'),
+  (5, '1 flag'),
+  (6, 'no flags here'),
+  (7, 'line one<br>line two<br/>three'),
+  (8, '  REGISTER abc123  '),
+  (9, '/img/emblems/farmer.png')"""
+
+_FIRST_LINE = r"str_split(regexp_replace(txt, '<br\s*/?>', chr(10), 'g'), chr(10))[1]"
+
+ORACLES["scalar_text_functions"] = rf"""
+WITH t(id, txt) AS ({_SCALAR_VALUES})
+SELECT id,
+  coalesce(array_to_string(regexp_extract_all(txt, '@([A-Za-z0-9_]+)', 1), ','), '') AS mentions,
+  regexp_replace(txt, '<strong>\w+path</strong>',
+                 '<strong>Forcepath</strong>', 'g') AS censored,
+  regexp_replace(txt,
+    '<a class="close-panel" href="profile\.php\?user_name=[^">]+" style="color:teal">@([^">]+)</a>',
+    '@\1:', 'g') AS profile_rw,
+  coalesce(TRY_CAST(regexp_extract(txt, '^(\d+) flags?$', 1) AS INTEGER), 0) AS flags,
+  {_FIRST_LINE} AS first_line,
+  lower(str_split(trim({_FIRST_LINE}), ' ')[1]) AS cmd,
+  str_split(txt, '/')[-1] AS emblem
+FROM t
+"""
+
+_DT_VALUES = """VALUES
+  (1, '01:23:45 PM', 'Jan 15, 08:05:01 AM', '2024-06-01 12:00:00',
+   'https://farmrpg.com/profile.php?user_name=Bob%20Jr&x=1'),
+  (2, '12:00:00 AM', 'Dec 31, 11:59:59 PM', '2024-01-15 03:30:00',
+   'https://x/p.php?a=1&user_name=Alice')"""
+
+ORACLES["datetime_semantics"] = f"""
+WITH t(id, t12, tmd, tiso, url) AS ({_DT_VALUES})
+SELECT id,
+  hour(strptime(t12, '%I:%M:%S %p')) AS h12,
+  minute(strptime(t12, '%I:%M:%S %p')) AS m12,
+  second(strptime(t12, '%I:%M:%S %p'))::INTEGER AS s12,
+  month(strptime(tmd, '%b %d, %I:%M:%S %p')) AS mo,
+  day(strptime(tmd, '%b %d, %I:%M:%S %p')) AS dom,
+  hour(strptime(tmd, '%b %d, %I:%M:%S %p')) AS hmd,
+  CAST(epoch(timezone('America/Chicago', CAST(tiso AS TIMESTAMP))) AS BIGINT) AS utc_epoch,
+  CAST(CAST(tiso AS TIMESTAMP) - INTERVAL 1 DAY AS VARCHAR) AS day_rollover,
+  CAST(CAST(tiso AS TIMESTAMP) - INTERVAL 12 MONTH AS VARCHAR) AS year_rollover,
+  regexp_extract(url, '[?&]user_name=([^&]*)', 1) AS uname,
+  replace(regexp_extract(url, '[?&]user_name=([^&]*)', 1), '%20', ' ') AS uname_dec
+FROM t
+"""
+
+# --------------------------------------------------------------------------
+# LLM pipeline: dedup / similarity / text analysis / multimodal
+# --------------------------------------------------------------------------
+
+ORACLES["exact_dedup_docs"] = r"""
+WITH d AS (SELECT doc_id, substr(text, 1, 60) AS text FROM documents)
+SELECT doc_id, text FROM d
+QUALIFY doc_id = min(doc_id) OVER (
+  PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+"""
+
+_SHINGLE_CTE = f"""
+d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, {_SHINGLES} AS sh FROM d)
+"""
+
+ORACLES["minhash_signatures_docs"] = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id, array_to_string({_sig_list(16)}, ',') AS sig FROM s
+"""
+
+_BUCKETS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, sig, {b} AS band_id, {_band_key(b, 4)} AS band_key FROM sigs"
+    for b in range(4)
+)
+
+ORACLES["minhash_lsh_pairs_docs"] = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (SELECT doc_id, {_sig_list(16)} AS sig FROM s),
+buckets AS ({_BUCKETS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+    round(list_sum(list_transform(generate_series(1, 16),
+      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS jaccard
+  FROM cand
+) WHERE jaccard >= 0.3
+"""
+
+
+def _simhash_sql() -> str:
+    sums = []
+    for nibble in range(16):
+        for j, shift in enumerate((3, 2, 1, 0)):
+            idx = nibble * 4 + j
+            sums.append(
+                f"SUM(((strpos('0123456789abcdef', substr(h, {nibble + 1}, 1)) - 1)"
+                f" // {2 ** shift}) % 2) AS c{idx}"
+            )
+    chars = []
+    for nibble in range(16):
+        val = " + ".join(
+            f"(CASE WHEN 2 * c{nibble * 4 + j} > total THEN {2 ** shift} ELSE 0 END)"
+            for j, shift in enumerate((3, 2, 1, 0))
+        )
+        chars.append(f"substr('0123456789abcdef', 1 + ({val}), 1)")
+    concat = " || ".join(chars)
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+hh AS (SELECT doc_id, md5(tok) AS h FROM t),
+c AS (SELECT doc_id, COUNT(*) AS total, {', '.join(sums)} FROM hh GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN c.doc_id IS NULL THEN '0000000000000000' ELSE {concat} END AS simhash
+FROM d LEFT JOIN c ON d.doc_id = c.doc_id
+"""
+
+
+ORACLES["simhash_docs"] = _simhash_sql()
+
+_JACC = (
+    "CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 "
+    "ELSE CAST(len(list_distinct(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END"
+)
+
+ORACLES["ngram_jaccard_docs"] = f"""
+WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    lang || '#' || CAST(CAST(floor(
+      log2(CAST(greatest(len(toks), 1) AS DOUBLE)) / 0.5) AS INTEGER) AS VARCHAR)
+      AS block,
+    {_SHINGLES} AS sh
+  FROM d
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({_JACC}, 6) AS jaccard
+  FROM s a JOIN s b ON a.block = b.block AND a.doc_id < b.doc_id
+) WHERE jaccard > 0.15
+"""
+
+_LANG_MAX = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(_LANGS)) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_MAX + " IS NULL OR " + _LANG_MAX + " = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = {_LANG_MAX} THEN '{lang}'" for lang in sorted(_LANGS))
+    + " END"
+)
+
+ORACLES["text_metrics_docs"] = rf"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, text, toks,
+    {', '.join(f'{_hits(lang)} AS s_{lang}' for lang in sorted(_LANGS))},
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE CAST(len(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+              / len(text) END AS praw
+  FROM d
+), q AS (
+  SELECT *,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE CAST(s_en AS DOUBLE) / n_tok END AS sraw,
+    CASE WHEN len(text) >= 100 AND len(text) <= 4000 THEN 1.0
+         WHEN len(text) < 100 THEN CAST(len(text) AS DOUBLE) / 100.0
+         ELSE 4000.0 / CAST(len(text) AS DOUBLE) END AS len_score
+  FROM m
+)
+SELECT doc_id,
+  {_LANG_CASE} AS lang_pred,
+  n_tok AS n_tokens,
+  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe,
+  round(praw, 6) AS punct_ratio,
+  round(sraw, 6) AS stop_ratio,
+  round(len_score * 0.5 + (1.0 - least(praw * 5.0, 1.0)) * 0.25
+        + least(sraw * 10.0, 1.0) * 0.25, 6) AS quality,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM q
+"""
+
+ORACLES["multimodal_meta_docs"] = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+
+_COS = "CASE WHEN a.nrm * b.nrm = 0.0 THEN 0.0 ELSE ({dot}) / (a.nrm * b.nrm) END"
+
+ORACLES["cosine_pairs_embeddings"] = f"""
+WITH {_EMB}
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_COS.format(dot=_dot('a.v', 'b.v'))}, 6) AS cosine
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.25
+"""
+
+_QCOS = (
+    "CASE WHEN q.nrm * c.nrm = 0.0 THEN 0.0 "
+    f"ELSE ({_dot('q.v', 'c.v')}) / (q.nrm * c.nrm) END"
+)
+
+ORACLES["ann_topk_bruteforce"] = f"""
+WITH {_EMB},
+q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_QCOS}, 6) AS cosine
+  FROM n c, q WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _ivf_sql() -> str:
+    planes = lsh_hyperplanes(64, 3)
+    bits = " || ".join(
+        f"(CASE WHEN ({_dot_lits('v', p)}) >= 0.0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH {_EMB},
+blocked AS (SELECT vec_id, v, nrm, {bits} AS block FROM n),
+q AS (SELECT vec_id, v, nrm, block FROM blocked WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_QCOS}, 6) AS cosine
+  FROM blocked c JOIN q ON c.block = q.block
+  WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+ORACLES["ann_topk_ivf"] = _ivf_sql()
+
+# --------------------------------------------------------------------------
+# streaming (deterministic on this data: event_id unique, (user_id, ts)
+# unique → streaming results equal their batch analogs)
+# --------------------------------------------------------------------------
+
+ORACLES["streaming_dedup_events"] = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+ORACLES["streaming_latest_per_user"] = """
+SELECT user_id, ts, event_id, event_type FROM (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+ORACLES["streaming_cdc_events"] = _D1_CHANGES

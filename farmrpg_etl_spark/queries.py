@@ -1,0 +1,515 @@
+"""The engine's registered query surface — one callable per operator
+from SURVEY.md §2 plus the LLM-pipeline extensions.
+
+Every entry here has a matching DuckDB oracle in
+``farmrpg_etl_spark.oracles`` (same name) so the driver can
+hash-compare results; streaming entries are deterministic by
+construction so even they are oracle-checkable.
+
+Conventions:
+* callables take ``(spark, sf_dir)`` and return a DataFrame;
+* every computed column is aliased identically to the oracle SQL;
+* no arrays in outputs (joined to strings) — keeps the comparer
+  engine-agnostic;
+* double aggregates are rounded (2 for money, 6 for ratios) so
+  summation-order ulps can't break the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions import hashing as H
+from farmrpg_etl_spark.functions import text as T
+from farmrpg_etl_spark.functions import vectors as V
+from farmrpg_etl_spark.operators import cdc, dedup, filters, joins, latest, rollup, similarity
+from farmrpg_etl_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Cross-engine numeric discipline
+#
+# Double SUMs are order-dependent (parallel partial aggregation), so a
+# Spark sum and a DuckDB sum of the same column differ in ulps and can
+# round differently. Every unordered aggregate below therefore:
+#   1. casts the per-row double to DECIMAL(25,10) — per-row, deterministic,
+#      identical in both engines;
+#   2. sums in decimal — exact, order-independent;
+#   3. rounds in decimal (HALF_UP in both engines) and casts to double.
+# Averages divide the (exact→double) sum by the count and truncate at 4
+# decimals with floor() — floor on bit-identical doubles is engine-agnostic.
+# --------------------------------------------------------------------------
+
+
+def _dec_sum(col):
+    return F.sum(col.cast("decimal(25,10)"))
+
+
+def _money(col, digits: int = 2):
+    """Order-independent SUM rounded in decimal, output as double."""
+    return F.round(_dec_sum(col), digits).cast("double")
+
+
+def _avg4(col):
+    """Truncated-to-4-decimals average from the exact decimal sum."""
+    x = (_dec_sum(col).cast("double") / F.count(F.lit(1))) * F.lit(10000.0)
+    return F.floor(x) / F.lit(10000.0)
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped relational core (scan → filter → join → agg → window)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): full-scan groupBy with
+    partial (map-side) aggregation; the canonical bench headliner."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.col("l_quantity")).alias("sum_qty"),
+            _money(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money(disc_price).alias("sum_disc_price"),
+            _money(charge).alias("sum_charge"),
+            _avg4(F.col("l_quantity")).alias("avg_qty"),
+            _avg4(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship join-agg: lineitem ⋈ orders ⋈ customer ⋈ nation.
+
+    Scale shape: the two fact joins shuffle on their keys (AQE picks
+    broadcast when a side is small); nation is explicitly broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with the supplier-nation =
+    customer-nation correlation, grouped by nation within one region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order revenue per nation (window top-k)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = o.groupBy("o_custkey").agg(_money(F.col("o_totalprice")).alias("rev"))
+    joined = (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "rev")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_name").orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_custkey", "rev", "rank")
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) subtotal/grand-total aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return rollup.rollup_agg(
+        joined,
+        ["r_name", "n_name"],
+        {
+            "n_customers": F.count(F.lit(1)),
+            "total_acctbal": _money(F.col("c_acctbal")),
+        },
+    )
+
+
+def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue (window cumulative sum)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    out = rollup.running_total(
+        o, ["o_custkey"], "o_orderkey", "o_totalprice", "running_rev"
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round(F.col("running_rev"), 2).alias("running_rev")
+    )
+
+
+# --------------------------------------------------------------------------
+# Reference operator semantics (F/A/D/J) on the events table
+# --------------------------------------------------------------------------
+
+
+def f1_http_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 guard filters over a payload frame derived from events."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = ev.select(
+        "event_id",
+        F.when(F.col("value") < 150, 200).otherwise(404).alias("status"),
+        F.encode(F.col("event_type"), "UTF-8").alias("body"),
+    )
+    return filters.http_guard(payload).select("event_id", "status")
+
+
+def f_filters_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (pre-start suppression) + F4 (equality lookup) + F5 (length
+    validation) composed; all push down to the parquet scan."""
+    ev = load_table(spark, sf_dir, "events")
+    out = filters.not_before(ev, "ts", "2024-01-10 00:00:00")
+    out = filters.equality_lookup(out, event_type="click")
+    out = filters.exact_length(out, "props", 9)
+    return out.select("event_id", "ts", "props")
+
+
+def a1_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 window strategy: row_number()==1 per user by ts desc."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    return latest.latest_per_key(ev, ["user_id"], "ts", tiebreak=["event_id"])
+
+
+def a1_latest_event_per_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 aggregation strategy: max(struct(...)) — partial-agg, no
+    per-partition sort; preferred at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    return latest.latest_per_key_agg(ev, ["user_id"], "ts", tiebreak=["event_id"])
+
+
+def first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 batch dedup: deterministic keep-first per key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return dedup.keep_first_per_key(ev, ["user_id", "event_type"], "ts", ["event_id"])
+
+
+def d1_changes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 batch CDC: emit rows whose event_type differs from the
+    previous observation of the same user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return cdc.changes(ev, ["user_id"], "ts", ["event_type"])
+
+
+def d1_deleted_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 transition stamping: deleted flip False→True stamps
+    deleted_ts with the observation ts, carried forward."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", (F.col("event_type") == "error").alias("deleted")
+    )
+    return cdc.deleted_transitions(ev, ["user_id"], "ts")
+
+
+def d4_noop_eliminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 snapshot no-op elimination: drop rows identical to the
+    previous row of the key on all non-volatile columns."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    return cdc.noop_eliminate(ev, ["user_id"], "ts", volatile_cols=())
+
+
+def d5_change_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (new, previous) change pairs exposing prev_* columns."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return cdc.change_pairs(ev, ["user_id"], "ts", ["event_type"])
+
+
+def j2_correlated_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 MERGE-MATCHED-UPDATE batch form: stamp a new priority onto
+    orders of every 100th customer."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 100 == 0)
+        .select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.lit("0-UPDATED").alias("o_orderpriority"),
+        )
+    )
+    merged = joins.correlated_update(o, updates, ["o_custkey"], ["o_orderpriority"])
+    return merged.select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
+def j3_fk_hydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 select_related: customer ⋈ broadcast(nation)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return joins.fk_lookup(c, n, "c_nationkey", "n_nationkey").select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+def j4_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 get_or_create / MERGE: update acctbal for custkey<=100,
+    insert synthetic customers 3000001..3000050."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = c.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal")
+    )
+    inserts = c.filter(F.col("c_custkey") <= 50).select(
+        (F.col("c_custkey") + 3000000).alias("c_custkey"),
+        F.concat(F.lit("ins_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    incoming = updates.unionByName(inserts)
+    return joins.upsert(c, incoming, ["c_custkey"], update_cols=["c_acctbal"])
+
+
+# --------------------------------------------------------------------------
+# Scalar function parity on crafted literals (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+SCALAR_ROWS = [
+    (1, "hi @bob and @alice: hello"),
+    (2, "<strong>Xpath</strong> test"),
+    (
+        3,
+        '<a class="close-panel" href="profile.php?user_name=Ryber" style="color:teal">@Ryber</a> hi',
+    ),
+    (4, "3 flags"),
+    (5, "1 flag"),
+    (6, "no flags here"),
+    (7, "line one<br>line two<br/>three"),
+    (8, "  REGISTER abc123  "),
+    (9, "/img/emblems/farmer.png"),
+]
+
+
+def scalar_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(SCALAR_ROWS, "id int, txt string")
+    return df.select(
+        "id",
+        F.concat_ws(",", T.simple_mentions(F.col("txt"))).alias("mentions"),
+        T.censor_bypass_rewrite(F.col("txt")).alias("censored"),
+        T.profile_link_rewrite(F.col("txt")).alias("profile_rw"),
+        T.flags_count(F.col("txt")).alias("flags"),
+        T.first_line(F.col("txt")).alias("first_line"),
+        T.command_word(T.first_line(F.col("txt"))).alias("cmd"),
+        T.emblem_basename(F.col("txt")).alias("emblem"),
+    )
+
+
+DT_ROWS = [
+    (1, "01:23:45 PM", "Jan 15, 08:05:01 AM", "2024-06-01 12:00:00",
+     "https://farmrpg.com/profile.php?user_name=Bob%20Jr&x=1"),
+    (2, "12:00:00 AM", "Dec 31, 11:59:59 PM", "2024-01-15 03:30:00",
+     "https://x/p.php?a=1&user_name=Alice"),
+]
+
+
+def datetime_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 date/time semantics: strptime forms, Chicago→UTC convert,
+    day/year rollover subtraction, URL query parsing."""
+    df = spark.createDataFrame(DT_ROWS, "id int, t12 string, tmd string, tiso string, url string")
+    ts = F.to_timestamp(F.col("tiso"), "yyyy-MM-dd HH:mm:ss")
+    t12 = F.to_timestamp(F.col("t12"), "hh:mm:ss a")
+    tmd = F.to_timestamp(F.col("tmd"), "MMM d, hh:mm:ss a")
+    return df.select(
+        "id",
+        F.hour(t12).alias("h12"),
+        F.minute(t12).alias("m12"),
+        F.second(t12).alias("s12"),
+        F.month(tmd).alias("mo"),
+        F.dayofmonth(tmd).alias("dom"),
+        F.hour(tmd).alias("hmd"),
+        F.unix_timestamp(F.to_utc_timestamp(ts, "America/Chicago")).alias("utc_epoch"),
+        (ts - F.expr("INTERVAL 1 DAY")).cast("string").alias("day_rollover"),
+        # month-interval arithmetic keeps time-of-day (add_months truncates
+        # to DATE)
+        (ts - F.expr("INTERVAL 12 MONTH")).cast("string").alias("year_rollover"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("user_name")).alias("uname"),
+        F.url_decode(
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("user_name"))
+        ).alias("uname_dec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: dedup / similarity / text analysis / multimodal
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.col("text"), 1, 60).alias("text")
+    )
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "text", "doc_id", num_hashes=16, shingle_k=3)
+    return sigs.select("doc_id", F.concat_ws(",", F.col("sig")).alias("sig"))
+
+
+def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3, shingle_k=3
+    )
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(d, "text", "doc_id")
+
+
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", "lang", shingle_k=3, threshold=0.15
+    )
+
+
+def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.lang_id(t).alias("lang_pred"),
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("n_bpe"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(t), 6).alias("stop_ratio"),
+        T.quality_score(t).alias("quality"),
+        T.fingerprint(t).alias("fp"),
+    )
+
+
+def multimodal_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text bytes as opaque blobs through the
+    Arrow mapInPandas metadata extractor."""
+    from farmrpg_etl_spark.multimodal.binary_ops import extract_binary_meta
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    return extract_binary_meta(d)
+
+
+def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, "embedding", "vec_id", "label", threshold=0.25)
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_bruteforce(e, q, "embedding", "vec_id", k=5)
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    blocked = e.withColumn("block", similarity.lsh_block(F.col("embedding"), 64, 3))
+    q = blocked.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_ivf(blocked, q, "embedding", "vec_id", "block", k=5)
+
+
+# --------------------------------------------------------------------------
+# Streaming (deterministic → oracle-checkable)
+# --------------------------------------------------------------------------
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from farmrpg_etl_spark.streaming import ops
+
+    return ops.streaming_dedup(spark, sf_dir)
+
+
+def streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from farmrpg_etl_spark.streaming import ops
+
+    return ops.streaming_latest_per_key(spark, sf_dir)
+
+
+def streaming_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from farmrpg_etl_spark.streaming import ops
+
+    return ops.streaming_cdc(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # relational core
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "regional_revenue": regional_revenue,
+    "top_customers_per_nation": top_customers_per_nation,
+    "rollup_revenue": rollup_revenue,
+    "running_total_orders": running_total_orders,
+    # reference operators
+    "f1_http_guard": f1_http_guard,
+    "f_filters_combined": f_filters_combined,
+    "a1_latest_event_per_user": a1_latest_event_per_user,
+    "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
+    "first_event_per_user_type": first_event_per_user_type,
+    "d1_changes_events": d1_changes_events,
+    "d1_deleted_transitions": d1_deleted_transitions,
+    "d4_noop_eliminate": d4_noop_eliminate,
+    "d5_change_pairs": d5_change_pairs,
+    "j2_correlated_update": j2_correlated_update,
+    "j3_fk_hydrate": j3_fk_hydrate,
+    "j4_upsert": j4_upsert,
+    # scalar semantics
+    "scalar_text_functions": scalar_text_functions,
+    "datetime_semantics": datetime_semantics,
+    # LLM pipeline
+    "exact_dedup_docs": exact_dedup_docs,
+    "minhash_signatures_docs": minhash_signatures_docs,
+    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+    "simhash_docs": simhash_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "text_metrics_docs": text_metrics_docs,
+    "multimodal_meta_docs": multimodal_meta_docs,
+    "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_ivf": ann_topk_ivf,
+    # streaming
+    "streaming_dedup_events": streaming_dedup_events,
+    "streaming_latest_per_user": streaming_latest_per_user,
+    "streaming_cdc_events": streaming_cdc_events,
+}

@@ -1,0 +1,174 @@
+"""Streaming operators over the events table.
+
+Design notes (scale): each of these runs identically on a real
+multi-executor cluster — the file source is replaced by Kafka/landing
+files, ``availableNow`` by a continuous trigger. State is keyed by
+high-cardinality uniform keys (user_id / event_id), so the state
+store shards evenly; watermarks bound state exactly like the
+reference's FIFO caches (SURVEY §2.4 D2).
+
+Determinism: results are made order-independent (per-key sorts inside
+the stateful function, max-struct aggregation) so the driver can
+hash-compare them against batch SQL oracles even though micro-batch
+composition is nondeterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over events.parquet with the nano-ts fix.
+
+    Mirrors sources/tables.load_table but as ``readStream`` — the
+    schema is pinned from the batch footer (never inferred), and the
+    raw int64 nanosecond column is cast with exact integer division.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    # the file stream source requires a directory basePath; point it at
+    # sf_dir and glob just this table's file
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(sdf.schema["ts"].dataType, LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return sdf
+
+
+def run_available_now(
+    sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 120
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the currently
+    available input (one bounded run) and return the materialized
+    result as a batch DataFrame (memory sink)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name)
+
+
+def streaming_dedup(
+    spark: SparkSession, sf_dir: str, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """D2 streaming form — watermarked dropDuplicates on the natural
+    key (reference FIFO seen-cache, scrapers/mailbox.py:101). The
+    watermark bounds the dedup state store just like the cache's
+    fixed capacity; events older than the watermark can no longer
+    create duplicates and their state is evicted."""
+    sdf = stream_events(spark, sf_dir)
+    deduped = sdf.withWatermark("ts", watermark_delay).dropDuplicates(["event_id"])
+    return run_available_now(
+        deduped.select("event_id", "user_id", "event_type"), "append"
+    )
+
+
+def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/D4 streaming base — latest event per user as a streaming
+    ``max(struct(ts, tiebreak, payload))`` aggregation: incremental,
+    partial-aggregatable, order-independent (same plan shape as the
+    batch ``latest_per_key_agg``)."""
+    sdf = stream_events(spark, sf_dir)
+    packed = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    agg = sdf.groupBy("user_id").agg(F.max(packed).alias("top"))
+    out = agg.select(
+        "user_id",
+        F.col("top.ts").alias("ts"),
+        F.col("top.event_id").alias("event_id"),
+        F.col("top.event_type").alias("event_type"),
+    )
+    return run_available_now(out, "complete")
+
+
+CDC_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("event_type", StringType(), True),
+    ]
+)
+
+CDC_STATE = StructType(
+    [
+        StructField("last_type", StringType(), True),
+        StructField("has_state", LongType(), True),
+    ]
+)
+
+
+def _cdc_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """D1 per-key change detection (reference scrapers/chat.py:158-171):
+    hold the last observed value per key across micro-batches; emit
+    only rows whose compared column differs from the previous
+    observation. Rows are processed in (ts, event_id) order inside
+    the function so output is batch-composition-independent."""
+    (user_id,) = key
+    last_type, has_state = state.get if state.exists else (None, 0)
+    out_rows: list[dict] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for r in pdf.itertuples(index=False):
+            if not has_state or r.event_type != last_type:
+                out_rows.append(
+                    {
+                        "user_id": user_id,
+                        "ts": r.ts,
+                        "event_id": r.event_id,
+                        "event_type": r.event_type,
+                    }
+                )
+            last_type, has_state = r.event_type, 1
+    state.update((last_type, has_state))
+    if out_rows:
+        yield pd.DataFrame(out_rows)
+
+
+def streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 true streaming form — ``applyInPandasWithState`` keyed by
+    user_id, emitting only new-or-changed event_type observations.
+    Equivalent batch semantics: ``operators.cdc.changes(events,
+    ['user_id'], 'ts', ['event_type'])`` — which is exactly what the
+    DuckDB oracle pins."""
+    sdf = stream_events(spark, sf_dir)
+    changes = (
+        sdf.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cdc_fn, CDC_OUTPUT, CDC_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    return run_available_now(changes, "append")
