@@ -1,0 +1,73 @@
+"""Reference-pinned scalar text semantics.
+
+The 11 mention cases are ported verbatim from
+/root/reference/test/firestore/test_chat.py:6-23 (MENTION_RE.findall);
+the rewrites pin scrapers/chat.py:21-25,72-74 and bots/base.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions import text as T
+
+MENTION_CASES = [
+    ("@Hnr: hmmm perhaps", ["Hnr"]),
+    ("@caption oblivious: me ROPE", ["caption oblivious"]),
+    ("@Rattea um, can you speed type 4 in a row then?", ["Rattea"]),
+    ("Can someone @ me please?", []),
+    ("A longer and weirder @ embedded with a : later", []),
+    ("A longer and weirder @embedded with a : later", ["embedded"]),
+    ("Two embedded @one and later @two", ["one", "two"]),
+    ("@Rattea: &gt;:( sleep is important. you need some.", ["Rattea"]),
+    ("Embedded next to each other @one @two", ["one", "two"]),
+    ("Embedded and terminated @one: @two:", ["one", "two"]),
+    ("@coderanger: one at the start and @Ffff later", ["coderanger", "Ffff"]),
+]
+
+
+def test_mentions_reference_cases(spark):  # noqa: F811
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(MENTION_CASES)], "i int, content string"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", T.mentions(F.col("content")).alias("m")).collect()
+    }
+    for i, (_, expected) in enumerate(MENTION_CASES):
+        assert got[i] == expected, f"case {i}: {MENTION_CASES[i][0]!r}"
+
+
+@pytest.mark.parametrize(
+    "content,expected",
+    [
+        ("<strong>Xpath</strong>", "<strong>Forcepath</strong>"),
+        ("<strong>Ypath</strong> ok", "<strong>Forcepath</strong> ok"),
+        ("no rewrite", "no rewrite"),
+    ],
+)
+def test_censor_bypass(spark, content, expected):  # noqa: F811
+    df = spark.createDataFrame([(content,)], "c string")
+    assert df.select(T.censor_bypass_rewrite(F.col("c")).alias("o")).first()["o"] == expected
+
+
+def test_profile_link_rewrite(spark):  # noqa: F811
+    src = (
+        '<a class="close-panel" href="profile.php?user_name=Ryber"'
+        ' style="color:teal">@Ryber</a> hello'
+    )
+    df = spark.createDataFrame([(src,)], "c string")
+    assert (
+        df.select(T.profile_link_rewrite(F.col("c")).alias("o")).first()["o"]
+        == "@Ryber: hello"
+    )
+
+
+@pytest.mark.parametrize(
+    "txt,n", [("3 flags", 3), ("1 flag", 1), ("no flags", 0), ("12 flags", 12)]
+)
+def test_flags_count(spark, txt, n):  # noqa: F811
+    df = spark.createDataFrame([(txt,)], "c string")
+    assert df.select(T.flags_count(F.col("c")).alias("o")).first()["o"] == n
