@@ -550,6 +550,36 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ORACLES["ann_topk_ivf"] = _ivf_sql()
 
 # --------------------------------------------------------------------------
+# parse round-trip: recompute what the chat parser must produce for the
+# generated payloads (fetch wall-time 2024-06-01 07:00:00 Chicago; AM
+# times past it roll to the previous day; Chicago → UTC)
+# --------------------------------------------------------------------------
+
+ORACLES["parse_chat_roundtrip"] = """
+WITH d AS (
+  SELECT doc_id,
+         make_timestamp(2024, 6, 1,
+           CAST(doc_id % 11 + 1 AS INT),
+           CAST(doc_id % 60 AS INT),
+           CAST(doc_id * 7 % 60 AS DOUBLE)) AS wall,
+         source AS username,
+         regexp_replace(substr(text, 1, 40), '[<>&]', '', 'g') AS content,
+         (doc_id % 5 = 0) AS deleted
+  FROM documents
+), r AS (
+  SELECT *, CASE WHEN wall > TIMESTAMP '2024-06-01 07:00:00'
+                 THEN wall - INTERVAL 1 DAY ELSE wall END AS rolled
+  FROM d
+)
+SELECT 'help' AS room,
+       CAST(doc_id AS VARCHAR) AS id,
+       timezone('UTC', timezone('America/Chicago', rolled)) AS ts,
+       'e.png' AS emblem,
+       username, content, deleted
+FROM r
+"""
+
+# --------------------------------------------------------------------------
 # streaming (deterministic on this data: event_id unique, (user_id, ts)
 # unique → streaming results equal their batch analogs)
 # --------------------------------------------------------------------------

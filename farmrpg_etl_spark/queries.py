@@ -449,6 +449,52 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Parse stage round-trip (P1-P3/P9 through real HTML, oracle-checkable)
+# --------------------------------------------------------------------------
+
+# chat payload shaped like the game's markup (fixture structure):
+# ts span first, chip + sibling delChat link, emblem img, icons, content
+_CHAT_TEMPLATE = (
+    '<div class="chat-txt%s"><span>%02d:%02d:%02d AM</span>'
+    '<div class="chip"><div class="chip-media">'
+    '<img data-username="%s" src="/img/emblems/e.png"></div></div>'
+    '<a href="javascript:delChat(%s)">x</a>'
+    '<i class="f7-icons">flag</i><span>%s</span></div>'
+)
+
+
+def parse_chat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate deterministic chat HTML from ``documents`` rows, push it
+    through the real mapInPandas parse stage (P1 structure walk, P2
+    day-rollover repair vs the 07:00 Chicago fetch wall-time, Chicago→UTC
+    convert), and return the parsed rows. The DuckDB oracle recomputes
+    the expected output from the same columns — a full round-trip proof
+    of the parser, not just its scaffolding."""
+    from farmrpg_etl_spark.parse.stage import parse_payloads, parsed_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    html = F.format_string(
+        _CHAT_TEMPLATE,
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" redstripes")).otherwise(F.lit("")),
+        (F.col("doc_id") % 11 + 1).cast("int"),
+        (F.col("doc_id") % 60).cast("int"),
+        (F.col("doc_id") * 7 % 60).cast("int"),
+        F.col("source"),
+        F.col("doc_id").cast("string"),
+        F.regexp_replace(F.substring(F.col("text"), 1, 40), "[<>&]", ""),
+    )
+    payloads = d.select(
+        F.lit("chat").alias("source"),
+        F.lit("help").alias("key"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.encode(html, "UTF-8").alias("body"),
+    )
+    out = parsed_rows(parse_payloads(payloads, "chat"))
+    return out.select("room", "id", "ts", "emblem", "username", "content", "deleted")
+
+
+# --------------------------------------------------------------------------
 # Streaming (deterministic → oracle-checkable)
 # --------------------------------------------------------------------------
 
@@ -508,6 +554,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
+    # parse stage round-trip
+    "parse_chat_roundtrip": parse_chat_roundtrip,
     # streaming
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_latest_per_user": streaming_latest_per_user,

@@ -1,0 +1,256 @@
+"""MERGE-shaped batch sink writers (SURVEY §2.8, K1-K8).
+
+The reference leans on Postgres unique indexes + swallowed violations
+(db/chat.py:13-19), correlated UPDATEs (db/chat.py:22-26), an
+upsert+append pair (db/user.py:34-40), and partial Firestore document
+writes (firestore/chat.py:40-50). In Spark every one of these becomes
+a MERGE against sink state executed inside ``foreachBatch`` — and
+because ``foreachBatch`` may re-run a batch after failure, every
+writer here is idempotent under replay (MERGE-shaped, never blind
+append).
+
+Storage: a versioned parquet table (`ParquetTable`) — a directory of
+immutable version snapshots plus a pointer file, giving atomic
+replace-on-commit and replay safety without external dependencies. On
+a production cluster the same writers target Delta/Iceberg tables
+(real MERGE INTO); the logic is identical, only `_commit` changes.
+
+Scale notes: every merge is a single join keyed on the table's natural
+key (broadcast when the incoming batch is small — the common case for
+micro-batches), and rewrite cost is bounded by partition pruning when
+the table is partitioned (messages by room/date). No collect() on the
+data path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetTable:
+    """Tiny versioned parquet table with atomic pointer commits."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def exists(self) -> bool:
+        return self.current_version() >= 0
+
+    def read(self) -> DataFrame | None:
+        v = self.current_version()
+        if v < 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def last_batch_id(self) -> int:
+        try:
+            with open(os.path.join(self.path, "_LAST_BATCH")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _commit(self, df: DataFrame, batch_id: int | None) -> None:
+        v = self.current_version() + 1
+        out = os.path.join(self.path, f"v{v}")
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)  # atomic pointer swap
+        if batch_id is not None:
+            with open(os.path.join(self.path, "_LAST_BATCH"), "w") as f:
+                f.write(str(batch_id))
+        old = os.path.join(self.path, f"v{v - 2}")
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def _already_committed(self, batch_id: int | None) -> bool:
+        return batch_id is not None and batch_id <= self.last_batch_id()
+
+
+def insert_if_absent(
+    table: ParquetTable,
+    batch: DataFrame,
+    key: Sequence[str],
+    batch_id: int | None = None,
+) -> None:
+    """K1/D3 — MERGE WHEN NOT MATCHED THEN INSERT.
+
+    Reference: INSERT ignoring the unique violation on ``id``
+    (db/chat.py:13-19). Replaying the same batch inserts nothing."""
+    if table._already_committed(batch_id):
+        return
+    existing = table.read()
+    if existing is None:
+        merged = batch.dropDuplicates(list(key))
+    else:
+        new_rows = batch.dropDuplicates(list(key)).join(
+            existing.select(*key), on=list(key), how="left_anti"
+        )
+        merged = existing.unionByName(new_rows)
+    table._commit(merged, batch_id)
+
+
+def merge_update(
+    table: ParquetTable,
+    updates: DataFrame,
+    on: Sequence[str],
+    set_cols: Sequence[str],
+    batch_id: int | None = None,
+) -> None:
+    """K2/J2 — MERGE WHEN MATCHED THEN UPDATE (correlated update).
+
+    Reference: UPDATE message SET flags=? WHERE room/username/ts match
+    (db/chat.py:22-26). Unmatched update rows are dropped (the
+    reference logs-and-drops them, firestore/chat.py:72-78)."""
+    if table._already_committed(batch_id):
+        return
+    existing = table.read()
+    if existing is None:
+        return
+    upd = updates.dropDuplicates(list(on)).select(
+        *on, *[F.col(c).alias(f"__new_{c}") for c in set_cols]
+    )
+    joined = existing.join(F.broadcast(upd), on=list(on), how="left")
+    for c in set_cols:
+        joined = joined.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+    table._commit(joined.select(*existing.columns), batch_id)
+
+
+def upsert(
+    table: ParquetTable,
+    batch: DataFrame,
+    key: Sequence[str],
+    update_cols: Sequence[str] = (),
+    batch_id: int | None = None,
+) -> None:
+    """K3/J4 — MERGE MATCHED UPDATE / NOT MATCHED INSERT (get_or_create,
+    db/user.py:34, bots/firebase.py:17-21)."""
+    if table._already_committed(batch_id):
+        return
+    incoming = batch.dropDuplicates(list(key))
+    existing = table.read()
+    if existing is None:
+        table._commit(incoming, batch_id)
+        return
+    e, i = existing.alias("e"), incoming.alias("i")
+    cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"i.{k}")) for k in key]
+    joined = e.join(i, cond, "full_outer")
+    cols = []
+    for c in existing.columns:
+        if c in key:
+            cols.append(F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}")).alias(c))
+        elif c in update_cols and c in incoming.columns:
+            cols.append(F.coalesce(F.col(f"i.{c}"), F.col(f"e.{c}")).alias(c))
+        elif c in incoming.columns:
+            cols.append(F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}")).alias(c))
+        else:
+            cols.append(F.col(f"e.{c}").alias(c))
+    table._commit(joined.select(*cols), batch_id)
+
+
+def append_snapshots_with_noop_elimination(
+    snapshots: ParquetTable,
+    batch: DataFrame,
+    key: Sequence[str],
+    order_col: str,
+    volatile_cols: Sequence[str] = (),
+    batch_id: int | None = None,
+) -> None:
+    """K3's append half with D4 write elimination: a snapshot equal to
+    the key's latest stored snapshot on all non-volatile columns is
+    skipped (db/user.py:12-40)."""
+    if snapshots._already_committed(batch_id):
+        return
+    from farmrpg_etl_spark.operators.cdc import noop_eliminate
+    from farmrpg_etl_spark.operators.latest import latest_per_key
+
+    existing = snapshots.read()
+    candidates = noop_eliminate(batch, key, order_col, volatile_cols)
+    if existing is None:
+        snapshots._commit(candidates, batch_id)
+        return
+    compare = [
+        c for c in batch.columns
+        if c not in key and c != order_col and c not in volatile_cols
+    ]
+    last = latest_per_key(existing, key, order_col).select(
+        *key, *[F.col(c).alias(f"__last_{c}") for c in compare]
+    )
+    joined = candidates.join(F.broadcast(last), on=list(key), how="left")
+    changed = None
+    for c in compare:
+        diff = ~F.col(c).eqNullSafe(F.col(f"__last_{c}"))
+        changed = diff if changed is None else changed | diff
+    new_rows = joined.filter(
+        F.col(f"__last_{compare[0]}").isNull() | changed
+    ).select(*batch.columns)
+    snapshots._commit(existing.unionByName(new_rows), batch_id)
+
+
+def partial_document_update(
+    table: ParquetTable,
+    batch: DataFrame,
+    key: Sequence[str],
+    always_cols: Sequence[str],
+    conditional_cols: dict[str, object],
+    batch_id: int | None = None,
+) -> None:
+    """K4 — partial-document writer: update only ``always_cols``, plus
+    each ``conditional_cols[col]`` only where its predicate column is
+    true — deliberately never clobbering the rest (the reference omits
+    ``flags`` always and ``deleted_ts`` unless deleted,
+    firestore/chat.py:40-50)."""
+    if table._already_committed(batch_id):
+        return
+    existing = table.read()
+    incoming = batch.dropDuplicates(list(key))
+    if existing is None:
+        existing = incoming.limit(0)
+    upd_cols = list(always_cols) + list(conditional_cols)
+    upd = incoming.select(
+        *key,
+        F.lit(True).alias("__present"),
+        *[F.col(c).alias(f"__new_{c}") for c in upd_cols],
+        *[
+            (F.expr(pred) if isinstance(pred, str) else pred).alias(f"__cond_{c}")
+            for c, pred in conditional_cols.items()
+        ],
+    )
+    joined = existing.join(F.broadcast(upd), on=list(key), how="full_outer")
+    present = F.coalesce(F.col("__present"), F.lit(False))
+    cols = []
+    for c in existing.columns:
+        if c in key:
+            cols.append(F.col(c))
+        elif c in always_cols:
+            cols.append(F.when(present, F.col(f"__new_{c}")).otherwise(F.col(c)).alias(c))
+        elif c in conditional_cols:
+            cond = present & F.coalesce(F.col(f"__cond_{c}"), F.lit(False))
+            cols.append(F.when(cond, F.col(f"__new_{c}")).otherwise(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))  # never clobbered (e.g. flags, K4)
+    table._commit(joined.select(*cols), batch_id)
+
+
+def console_sink(batch: DataFrame, n: int = 20) -> None:
+    """K8 — debug console sink (reference __main__.py:37-50)."""
+    batch.show(n, truncate=False)

@@ -1,0 +1,109 @@
+"""Sink writer semantics: MERGE shapes + idempotency under batch replay
+(foreachBatch may re-run a batch; every writer must converge)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from farmrpg_etl_spark.sinks.writers import (
+    ParquetTable,
+    append_snapshots_with_noop_elimination,
+    insert_if_absent,
+    merge_update,
+    partial_document_update,
+    upsert,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_insert_if_absent_replay_idempotent(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "messages"))
+    b1 = spark.createDataFrame([("m1", "hello"), ("m2", "world")], "id string, content string")
+    insert_if_absent(t, b1, ["id"], batch_id=0)
+    # replay of batch 0: batch-id guard short-circuits
+    insert_if_absent(t, b1, ["id"], batch_id=0)
+    # same rows again under a new batch id: MERGE inserts nothing
+    insert_if_absent(t, b1, ["id"], batch_id=1)
+    b2 = spark.createDataFrame([("m2", "changed"), ("m3", "new")], "id string, content string")
+    insert_if_absent(t, b2, ["id"], batch_id=2)
+    rows = {r["id"]: r["content"] for r in t.read().collect()}
+    assert rows == {"m1": "hello", "m2": "world", "m3": "new"}  # m2 not clobbered
+
+
+def test_merge_update_correlated(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "messages"))
+    base = spark.createDataFrame(
+        [("r1", "alice", 0), ("r1", "bob", 0)], "room string, username string, flags int"
+    )
+    insert_if_absent(t, base, ["room", "username"], batch_id=0)
+    upd = spark.createDataFrame(
+        [("r1", "alice", 3), ("r1", "nobody", 9)], "room string, username string, flags int"
+    )
+    merge_update(t, upd, ["room", "username"], ["flags"], batch_id=1)
+    rows = {r["username"]: r["flags"] for r in t.read().collect()}
+    assert rows == {"alice": 3, "bob": 0}  # unmatched update dropped
+
+
+def test_upsert_get_or_create(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "users"))
+    upsert(t, spark.createDataFrame([(1, None)], "id long, firebase_uid string"), ["id"])
+    upsert(
+        t,
+        spark.createDataFrame([(1, "u" * 28), (2, None)], "id long, firebase_uid string"),
+        ["id"],
+        update_cols=["firebase_uid"],
+    )
+    rows = {r["id"]: r["firebase_uid"] for r in t.read().collect()}
+    assert rows == {1: "u" * 28, 2: None}
+
+
+def test_snapshot_noop_elimination(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "snaps"))
+    schema = "user_id long, ts timestamp, username string, is_ranger boolean"
+    b1 = spark.createDataFrame([(1, ts("2024-01-01 00:00:00"), "alice", False)], schema)
+    append_snapshots_with_noop_elimination(t, b1, ["user_id"], "ts", batch_id=0)
+    # identical except ts → no-op, skipped (D4, db/user.py:18-33)
+    b2 = spark.createDataFrame([(1, ts("2024-01-01 01:00:00"), "alice", False)], schema)
+    append_snapshots_with_noop_elimination(t, b2, ["user_id"], "ts", batch_id=1)
+    assert t.read().count() == 1
+    # role flip → appended
+    b3 = spark.createDataFrame([(1, ts("2024-01-01 02:00:00"), "alice", True)], schema)
+    append_snapshots_with_noop_elimination(t, b3, ["user_id"], "ts", batch_id=2)
+    got = sorted((r["ts"], r["is_ranger"]) for r in t.read().collect())
+    assert got == [(ts("2024-01-01 00:00:00"), False), (ts("2024-01-01 02:00:00"), True)]
+
+
+def test_partial_document_update(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "docs"))
+    schema = (
+        "room string, id string, content string, deleted boolean,"
+        " deleted_ts timestamp, flags int"
+    )
+    base = spark.createDataFrame(
+        [("r", "1", "hi", False, None, 7)], schema
+    )
+    insert_if_absent(t, base, ["room", "id"], batch_id=0)
+    # K4: content/deleted always written, deleted_ts only when deleted,
+    # flags NEVER written by this sink (concurrent writer owns it)
+    upd = spark.createDataFrame(
+        [("r", "1", "hi2", True, ts("2024-01-01 00:00:00"), 99),
+         ("r", "2", "new", False, ts("2024-01-01 00:00:00"), 99)],
+        schema,
+    )
+    partial_document_update(
+        t, upd, ["room", "id"],
+        always_cols=["content", "deleted"],
+        conditional_cols={"deleted_ts": "deleted"},
+        batch_id=1,
+    )
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows["1"]["content"] == "hi2"
+    assert rows["1"]["deleted"] is True
+    assert rows["1"]["deleted_ts"] == ts("2024-01-01 00:00:00")
+    assert rows["1"]["flags"] == 7  # not clobbered
+    assert rows["2"]["content"] == "new"
+    assert rows["2"]["deleted_ts"] is None  # not deleted → withheld
+    assert rows["2"]["flags"] is None  # this sink never writes flags
