@@ -97,6 +97,37 @@ def noop_eliminate(
     return changes(df, keys, order_col, compare)
 
 
+def message_cdc(
+    df: DataFrame,
+    keys: Sequence[str] = ("room", "id"),
+    order_col: str = "obs_ts",
+    deleted_col: str = "deleted",
+) -> DataFrame:
+    """D1 full reference semantics, batch form (scrapers/chat.py:158-171).
+
+    Per key (room, id), over observations ordered by ``order_col``:
+
+    1. ``deleted_ts`` is stamped with the observation time of each
+       False→True flip of ``deleted_col`` and carried forward while
+       deleted (the reference carries it from prior state *before* the
+       equality compare, so it never causes a spurious change);
+    2. a row is emitted iff it is the key's first observation or any
+       payload column other than ``deleted_ts`` changed — ``deleted``
+       itself participates (a flip emits), ``deleted_ts`` never does.
+
+    Documented divergence: the reference replaces its per-poll state
+    wholesale (chat.py:171), so a message that drops out of a payload
+    and later reappears unchanged re-emits. Keyed CDC state never
+    forgets, so reappearing unchanged rows do NOT re-emit here.
+    """
+    stamped = deleted_transitions(df, keys, order_col, deleted_col)
+    compare = [
+        c for c in stamped.columns
+        if c not in keys and c != order_col and c != "deleted_ts"
+    ]
+    return changes(stamped, keys, order_col, compare)
+
+
 def change_pairs(
     df: DataFrame,
     keys: Sequence[str],

@@ -239,6 +239,30 @@ SELECT user_id, ts, event_id, deleted,
 FROM st
 """
 
+ORACLES["d1_message_cdc"] = """
+WITH base AS (
+  SELECT 'r' AS room, CAST(user_id AS VARCHAR) AS id, ts AS obs_ts,
+         props AS content, (event_type = 'error') AS deleted
+  FROM events
+), st AS (
+  SELECT *, CASE WHEN deleted AND NOT lag(deleted, 1, false) OVER w
+                 THEN obs_ts END AS flip_ts
+  FROM base WINDOW w AS (PARTITION BY room, id ORDER BY obs_ts ASC)
+), stamped AS (
+  SELECT room, id, obs_ts, content, deleted,
+    CASE WHEN deleted THEN last_value(flip_ts IGNORE NULLS) OVER (
+      PARTITION BY room, id ORDER BY obs_ts ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS deleted_ts
+  FROM st
+)
+SELECT room, id, obs_ts, content, deleted, deleted_ts FROM (
+  SELECT *, lag(content) OVER w AS pc, lag(deleted) OVER w AS pd,
+         lag(obs_ts) OVER w AS pts
+  FROM stamped
+  WINDOW w AS (PARTITION BY room, id ORDER BY obs_ts ASC)
+) WHERE pts IS NULL OR content IS DISTINCT FROM pc OR deleted IS DISTINCT FROM pd
+"""
+
 ORACLES["d4_noop_eliminate"] = """
 SELECT user_id, ts, event_type, value FROM (
   SELECT user_id, ts, event_type, value,

@@ -1,0 +1,181 @@
+"""Pipeline topology (SURVEY §3, E1-E3) — composes sources → parse →
+CDC → enrich → sinks into runnable dataflows.
+
+The reference wires these with an asyncio event bus
+(__main__.py:53-70, events.py:13-50); here each path is a declarative
+DataFrame composition. Every pipeline has a batch form (payload frame
+in, sink tables out) and the chat path also has the streaming form
+(``readStream`` landing zone → stateful CDC → ``foreachBatch``
+writers), which is the same composition applied to an unbounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions import text as T
+from farmrpg_etl_spark.operators import cdc, dedup, latest
+from farmrpg_etl_spark.parse.stage import parse_payloads, parsed_rows
+from farmrpg_etl_spark.sinks.writers import (
+    ParquetTable,
+    append_snapshots_with_noop_elimination,
+    insert_if_absent,
+    merge_update,
+    partial_document_update,
+    upsert,
+)
+from farmrpg_etl_spark.streaming.flags_join import flags_resolution_join
+
+
+def chat_observations(payloads: DataFrame) -> DataFrame:
+    """E1 front half: raw chat payloads → per-poll message observations
+    keyed for CDC (obs_ts = the poll's fetch_ts)."""
+    parsed = parsed_rows(parse_payloads(payloads, "chat"))
+    return parsed.select(
+        F.col("room"),
+        F.col("id"),
+        F.col("_fetch_ts").alias("obs_ts"),
+        "pos", "ts", "username", "emblem", "content", "flags", "deleted",
+    )
+
+
+def chat_pipeline_batch(
+    payloads: DataFrame,
+    messages: ParquetTable,
+    chat_docs: ParquetTable,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """E1: chat payloads → parse → D1 CDC → K1 insert + K4 doc write.
+
+    Returns the CDC change events (with A2 mention enrichment) so
+    callers/tests can observe the emitted stream."""
+    events = cdc.message_cdc(
+        chat_observations(payloads).drop("pos"), ["room", "id"], "obs_ts"
+    )
+    enriched = events.withColumn("mentions", T.mentions(F.col("content")))
+    # a CDC batch can carry several observations of one key — the insert
+    # sink takes the first (unique-index semantics), the document sink
+    # the latest (set-with-merge semantics)
+    first_obs = dedup.keep_first_per_key(enriched, ["id"], "obs_ts")
+    latest_obs = latest.latest_per_key(enriched, ["room", "id"], "obs_ts")
+    # K1: Postgres-style insert-if-absent keyed by the unique message id
+    insert_if_absent(
+        messages,
+        first_obs.select(
+            "room", "id", "ts", "emblem", "username", "content",
+            "flags", "deleted", "deleted_ts",
+        ),
+        ["id"],
+        batch_id=batch_id,
+    )
+    # K4: partial document write — never clobbers flags; deleted_ts only
+    # when deleted (firestore/chat.py:40-50)
+    partial_document_update(
+        chat_docs,
+        latest_obs.select(
+            "room", "id", "ts", "username",
+            F.concat_ws(",", F.col("mentions")).alias("mentions"),
+            "content", "deleted", "deleted_ts",
+            F.lit(None).cast("int").alias("flags"),
+        ),
+        ["room", "id"],
+        always_cols=["ts", "username", "mentions", "content", "deleted"],
+        conditional_cols={"deleted_ts": "deleted"},
+        batch_id=batch_id,
+    )
+    return enriched
+
+
+def flags_pipeline_batch(
+    payloads: DataFrame,
+    messages: ParquetTable,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """E2: flags payloads → parse → J1 resolve id against the messages
+    sink state → K2 correlated flags update. Returns resolved rows."""
+    flags_rows = parsed_rows(parse_payloads(payloads, "flags")).select(
+        "room", "ts", "username", "flags"
+    )
+    existing = messages.read()
+    if existing is None:
+        return flags_rows.limit(0).withColumn("id", F.lit(None).cast("string"))
+    resolved = flags_resolution_join(
+        existing.select("room", "id", "ts", "username"), flags_rows
+    )
+    merge_update(messages, resolved, ["id"], ["flags"], batch_id=batch_id)
+    return resolved
+
+
+def user_pipeline_batch(
+    payloads: DataFrame,
+    users: ParquetTable,
+    snapshots: ParquetTable,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """E3: profile payloads → parse → J4 user upsert + D4/K3 snapshot
+    append with no-op elimination. Returns parsed snapshots."""
+    snaps = parsed_rows(parse_payloads(payloads, "profile")).select(
+        "user_id", "ts", "username", "is_farmhand", "is_ranger"
+    )
+    upsert(
+        users,
+        snaps.select(F.col("user_id").alias("id"), F.lit(None).cast("string").alias("firebase_uid")),
+        ["id"],
+        batch_id=batch_id,
+    )
+    append_snapshots_with_noop_elimination(
+        snapshots, snaps, ["user_id"], "ts", batch_id=batch_id
+    )
+    return snaps
+
+
+def chat_pipeline_streaming(
+    spark: SparkSession,
+    landing_dir: str,
+    messages: ParquetTable,
+    chat_docs: ParquetTable,
+):
+    """E1 streaming form: payload landing zone (parquet file stream) →
+    parse → stateful CDC → foreachBatch MERGE writers. Returns the
+    started StreamingQuery; callers own its lifecycle."""
+    from farmrpg_etl_spark.streaming.chat_cdc import chat_cdc_stream
+
+    schema = spark.read.parquet(landing_dir).schema
+    payloads = spark.readStream.schema(schema).parquet(landing_dir)
+    observations = chat_observations(payloads)
+    changes = chat_cdc_stream(observations)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = batch_df.withColumn("mentions", T.mentions(F.col("content")))
+        first_obs = dedup.keep_first_per_key(enriched, ["id"], "obs_ts")
+        latest_obs = latest.latest_per_key(enriched, ["room", "id"], "obs_ts")
+        insert_if_absent(
+            messages,
+            first_obs.select(
+                "room", "id", "ts", F.lit("").alias("emblem"), "username",
+                "content", "flags", "deleted", "deleted_ts",
+            ),
+            ["id"],
+            batch_id=batch_id,
+        )
+        partial_document_update(
+            chat_docs,
+            latest_obs.select(
+                "room", "id", "ts", "username",
+                F.concat_ws(",", F.col("mentions")).alias("mentions"),
+                "content", "deleted", "deleted_ts",
+                F.lit(None).cast("int").alias("flags"),
+            ),
+            ["room", "id"],
+            always_cols=["ts", "username", "mentions", "content", "deleted"],
+            conditional_cols={"deleted_ts": "deleted"},
+            batch_id=batch_id,
+        )
+
+    return (
+        changes.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -242,6 +242,21 @@ def d1_deleted_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.deleted_transitions(ev, ["user_id"], "ts")
 
 
+def d1_message_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 full reference semantics on a message-shaped frame derived
+    from events: carry-forward + flip stamping + change detection with
+    deleted_ts excluded from the compare set."""
+    ev = load_table(spark, sf_dir, "events")
+    msgs = ev.select(
+        F.lit("r").alias("room"),
+        F.col("user_id").cast("string").alias("id"),
+        F.col("ts").alias("obs_ts"),
+        F.col("props").alias("content"),
+        (F.col("event_type") == "error").alias("deleted"),
+    )
+    return cdc.message_cdc(msgs, ["room", "id"], "obs_ts")
+
+
 def d4_noop_eliminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 snapshot no-op elimination: drop rows identical to the
     previous row of the key on all non-volatile columns."""
@@ -535,6 +550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_event_per_user_type": first_event_per_user_type,
     "d1_changes_events": d1_changes_events,
     "d1_deleted_transitions": d1_deleted_transitions,
+    "d1_message_cdc": d1_message_cdc,
     "d4_noop_eliminate": d4_noop_eliminate,
     "d5_change_pairs": d5_change_pairs,
     "j2_correlated_update": j2_correlated_update,

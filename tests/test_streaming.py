@@ -1,0 +1,118 @@
+"""Streaming operator tests: stateful chat CDC transitions, the
+watermarked flags↔chat join, and batch/stream agreement — driven by
+deterministic file-source micro-batches (availableNow)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from farmrpg_etl_spark.operators import cdc
+from farmrpg_etl_spark.streaming.chat_cdc import chat_cdc_stream
+from farmrpg_etl_spark.streaming.flags_join import flags_resolution_join
+from farmrpg_etl_spark.streaming.ops import run_available_now
+
+OBS_SCHEMA = (
+    "room string, id string, obs_ts timestamp, pos int, ts timestamp,"
+    " username string, content string, flags int, deleted boolean,"
+    " deleted_ts timestamp"
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def obs(room, id_, obs_ts, pos, content, deleted=False, flags=0):
+    return (room, id_, ts(obs_ts), pos, ts("2024-01-01 00:00:00"), "u", content,
+            flags, deleted, None)
+
+
+OBSERVATIONS = [
+    # poll 1: two messages
+    obs("help", "1", "2024-01-01 10:00:00", 0, "hello"),
+    obs("help", "2", "2024-01-01 10:00:00", 1, "world"),
+    # poll 2: m1 unchanged (suppressed), m2 edited (emitted)
+    obs("help", "1", "2024-01-01 10:00:01", 0, "hello"),
+    obs("help", "2", "2024-01-01 10:00:01", 1, "world!"),
+    # poll 3: m1 deleted (emitted, deleted_ts stamped = obs time)
+    obs("help", "1", "2024-01-01 10:00:02", 0, "hello", deleted=True),
+    obs("help", "2", "2024-01-01 10:00:02", 1, "world!"),
+    # poll 4: m1 still deleted, unchanged (suppressed, carry-forward)
+    obs("help", "1", "2024-01-01 10:00:03", 0, "hello", deleted=True),
+    # poll 5: m1 deleted with a flags bump (emitted, deleted_ts carried)
+    obs("help", "1", "2024-01-01 10:00:04", 0, "hello", deleted=True, flags=2),
+]
+
+EXPECTED = {
+    # (id, obs_ts) → (content, deleted, deleted_ts)
+    ("1", ts("2024-01-01 10:00:00")): ("hello", False, None),
+    ("2", ts("2024-01-01 10:00:00")): ("world", False, None),
+    ("2", ts("2024-01-01 10:00:01")): ("world!", False, None),
+    ("1", ts("2024-01-01 10:00:02")): ("hello", True, ts("2024-01-01 10:00:02")),
+    ("1", ts("2024-01-01 10:00:04")): ("hello", True, ts("2024-01-01 10:00:02")),
+}
+
+
+def test_message_cdc_batch(spark):
+    df = spark.createDataFrame(OBSERVATIONS, OBS_SCHEMA).drop("deleted_ts")
+    got = {
+        (r["id"], r["obs_ts"]): (r["content"], r["deleted"], r["deleted_ts"])
+        for r in cdc.message_cdc(df, ["room", "id"], "obs_ts").collect()
+    }
+    assert got == EXPECTED
+
+
+def test_message_cdc_streaming_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "obs")
+    spark.createDataFrame(OBSERVATIONS, OBS_SCHEMA).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = run_available_now(chat_cdc_stream(sdf), "append")
+    got = {
+        (r["id"], r["obs_ts"]): (r["content"], r["deleted"], r["deleted_ts"])
+        for r in out.collect()
+    }
+    assert got == EXPECTED
+
+
+def test_flags_resolution_join_streaming(spark, tmp_path):
+    chat_rows = [
+        ("help", "10", ts("2024-01-01 10:00:00"), "alice"),
+        ("help", "11", ts("2024-01-01 10:01:00"), "bob"),
+    ]
+    flags_rows = [
+        ("help", ts("2024-01-01 10:00:00"), "alice", 3),
+        ("help", ts("2024-01-01 10:59:00"), "nobody", 9),  # unresolved → dropped
+    ]
+    chat_path, flags_path = str(tmp_path / "chat"), str(tmp_path / "flags")
+    spark.createDataFrame(
+        chat_rows, "room string, id string, ts timestamp, username string"
+    ).write.parquet(chat_path)
+    spark.createDataFrame(
+        flags_rows, "room string, ts timestamp, username string, flags int"
+    ).write.parquet(flags_path)
+    chat_sdf = spark.readStream.schema(
+        spark.read.parquet(chat_path).schema
+    ).parquet(chat_path)
+    flags_sdf = spark.readStream.schema(
+        spark.read.parquet(flags_path).schema
+    ).parquet(flags_path)
+    out = run_available_now(
+        flags_resolution_join(chat_sdf, flags_sdf), "append"
+    ).collect()
+    assert [(r["id"], r["flags"]) for r in out] == [("10", 3)]
+
+
+def test_flags_resolution_join_batch(spark):
+    chat = spark.createDataFrame(
+        [("help", "10", ts("2024-01-01 10:00:00"), "alice")],
+        "room string, id string, ts timestamp, username string",
+    )
+    flags = spark.createDataFrame(
+        [("help", ts("2024-01-01 10:00:00"), "alice", 3)],
+        "room string, ts timestamp, username string, flags int",
+    )
+    out = flags_resolution_join(chat, flags).collect()
+    assert [(r["id"], r["flags"]) for r in out] == [("10", 3)]
