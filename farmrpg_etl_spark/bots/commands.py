@@ -1,0 +1,156 @@
+"""Bot command parsing/dispatch and side-effect sinks (K6/K7).
+
+Reference: mail text's first ``<br>``-split line is a command word plus
+args (bots/base.py:36-61); handlers are ``ping`` (bots/ping.py:5-12)
+and ``register <28-char-uid>`` / ``userinfo`` (bots/firebase.py:8-31);
+replies POST back with subject fallback ``RE: ...`` (bots/base.py:23-33);
+the Firebase claims sink fires only when claims changed
+(firestore/user.py:6-13, D5).
+
+Spark form: command parsing is pure column expressions; dispatch is a
+``when`` chain producing reply rows; the actual send is a
+``foreachBatch`` side-effect behind a pluggable callable (stubbed here
+— no network), guarded for replay idempotency.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions import text as T
+
+KNOWN_COMMANDS = ["ping", "userinfo", "register"]
+
+
+def parse_commands(mail: DataFrame) -> DataFrame:
+    """Mail rows (id, username, ts, subject, content) → command rows
+    (cmd, args, + originals). Unknown commands yield cmd='unknown'."""
+    first = T.first_line(F.col("content"))
+    cmd = T.command_word(first)
+    args = F.ltrim(
+        F.expr("substring(lf, length(cw) + 1, length(lf))")
+    )
+    out = (
+        mail.withColumn("lf", F.trim(first))
+        .withColumn("cw", cmd)
+        .withColumn("args", args)
+        .withColumn(
+            "cmd",
+            F.when(F.col("cw").isin(KNOWN_COMMANDS), F.col("cw")).otherwise(
+                F.lit("unknown")
+            ),
+        )
+        .drop("lf", "cw")
+    )
+    return out
+
+
+def dispatch_commands(commands: DataFrame, users: DataFrame | None = None) -> DataFrame:
+    """Produce reply rows (reply_to_id, username, subject, body).
+
+    * ping → "pong" (bots/ping.py:5-12)
+    * register → F5 28-char UID validation; ok/error body
+      (bots/firebase.py:8-21)
+    * userinfo → latest registered uid for the sender, joined from
+      ``users`` (id, firebase_uid) when provided (bots/firebase.py:23-31)
+    * unknown → usage hint
+    """
+    c = commands
+    if users is not None:
+        c = c.join(
+            F.broadcast(users.select(F.col("firebase_uid"), F.col("username").alias("__u"))),
+            c["username"] == F.col("__u"),
+            "left",
+        ).drop("__u")
+    else:
+        c = c.withColumn("firebase_uid", F.lit(None).cast("string"))
+    uid_ok = F.length(F.trim(F.col("args"))) == 28  # F5 validation
+    body = (
+        F.when(F.col("cmd") == "ping", F.lit("pong"))
+        .when(
+            (F.col("cmd") == "register") & uid_ok,
+            F.concat(F.lit("registered "), F.trim(F.col("args"))),
+        )
+        .when(
+            F.col("cmd") == "register",
+            F.lit("error: firebase uid must be exactly 28 characters"),
+        )
+        .when(
+            F.col("cmd") == "userinfo",
+            F.coalesce(
+                F.concat(F.lit("uid: "), F.col("firebase_uid")),
+                F.lit("not registered"),
+            ),
+        )
+        .otherwise(F.lit("unknown command; try ping, userinfo, register <uid>"))
+    )
+    subject = F.when(
+        F.trim(F.col("subject")) != "", F.concat(F.lit("RE: "), F.col("subject"))
+    ).otherwise(F.lit("RE: (no subject)"))
+    return commands.select("id", "username", "subject").join(
+        c.select("id", body.alias("body")), "id"
+    ).select(
+        F.col("id").alias("reply_to_id"),
+        "username",
+        subject.alias("subject"),
+        "body",
+    )
+
+
+def reply_sink(
+    replies: DataFrame,
+    send: Callable[[int, str, str, str], None],
+    sent_log: set[int] | None = None,
+) -> int:
+    """K7 — side-effect reply sink.
+
+    ``send(reply_to_id, username, subject, body)`` is the network call
+    (reference POSTs worker.php?go=sendmessage, bots/base.py:23-33) —
+    stub or real client. ``sent_log`` provides replay idempotency (the
+    reference's dedup comes from mail-id FIFO caching upstream, D2).
+
+    The reply set is small (bounded by inbound DMs), so collecting to
+    the driver for the side-effect loop is the correct pattern — the
+    data path never collects.
+    """
+    n = 0
+    for r in replies.collect():
+        if sent_log is not None and r["reply_to_id"] in sent_log:
+            continue
+        send(r["reply_to_id"], r["username"], r["subject"], r["body"])
+        if sent_log is not None:
+            sent_log.add(r["reply_to_id"])
+        n += 1
+    return n
+
+
+def claims_changes(change_pairs: DataFrame) -> DataFrame:
+    """K6 gate — emit claims payloads only when the claims projection
+    changed between consecutive snapshots (D5 → firestore/user.py:7-13).
+
+    Input: change-pair rows with is_farmhand/is_ranger and their
+    ``prev_`` columns (operators.cdc.change_pairs output).
+    """
+    claims = F.to_json(
+        F.struct(
+            F.col("is_farmhand").cast("string").alias("farmhand"),
+            F.col("is_ranger").cast("string").alias("ranger"),
+        )
+    )
+    prev_claims = F.to_json(
+        F.struct(
+            F.col("prev_is_farmhand").cast("string").alias("farmhand"),
+            F.col("prev_is_ranger").cast("string").alias("ranger"),
+        )
+    )
+    return (
+        change_pairs.withColumn("claims", claims)
+        .withColumn("__prev", prev_claims)
+        .filter(
+            F.col("prev_is_farmhand").isNull() | (F.col("claims") != F.col("__prev"))
+        )
+        .drop("__prev")
+    )

@@ -65,6 +65,12 @@ def profile_link_rewrite(content: Column) -> Column:
     )
 
 
+def delchat_id(href: Column) -> Column:
+    """§2.7: message id from a ``javascript:delChat(N)`` /
+    ``undelChat(N)`` href (reference MESSAGE_ID_RE, scrapers/chat.py:19,59)."""
+    return F.regexp_extract(href, r"^javascript:(?:un)?delChat\((\d+)\)$", 1)
+
+
 def emblem_basename(src: Column) -> Column:
     """basename of emblem img src (reference scrapers/chat.py:79)."""
     return F.element_at(F.split(src, "/"), -1)

@@ -47,3 +47,15 @@ def exact_length(df: DataFrame, col: str, n: int) -> DataFrame:
     """F5: UID shape validation — exactly-n-chars filter
     (reference bots/firebase.py:12-14)."""
     return df.filter(F.length(F.col(col)) == n)
+
+
+def absent_from(df: DataFrame, sink_state: DataFrame, on) -> DataFrame:
+    """D6: existence-cache — keep only rows whose key is absent from the
+    sink state (reference seeds an in-memory room-doc id set at startup
+    and skips re-creates, firestore/chat.py:28,31-36,52-56).
+
+    Spark form: left-anti join against the sink-state table. At scale
+    the sink-state side is projected to the key columns only (column
+    pruning) and broadcast when small."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return df.join(sink_state.select(*keys).distinct(), on=keys, how="left_anti")

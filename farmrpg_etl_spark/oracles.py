@@ -283,6 +283,12 @@ SELECT user_id, ts, event_type, prev_event_type FROM (
 ) WHERE pts IS NULL OR event_type IS DISTINCT FROM prev_event_type
 """
 
+ORACLES["d6_absent_from_sink"] = """
+SELECT event_id, user_id FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey > 50 AND c.c_custkey = e.user_id)
+"""
+
 ORACLES["j2_correlated_update"] = """
 WITH u AS (
   SELECT c_custkey AS o_custkey, '0-UPDATED' AS np
@@ -320,6 +326,8 @@ FROM c e FULL OUTER JOIN inc ON e.c_custkey = inc.c_custkey
 # --------------------------------------------------------------------------
 
 _SCALAR_VALUES = """VALUES
+  (0, 'javascript:delChat(5364278)'),
+  (10, 'javascript:undelChat(99)'),
   (1, 'hi @bob and @alice: hello'),
   (2, '<strong>Xpath</strong> test'),
   (3, '<a class="close-panel" href="profile.php?user_name=Ryber" style="color:teal">@Ryber</a> hi'),
@@ -344,7 +352,8 @@ SELECT id,
   coalesce(TRY_CAST(regexp_extract(txt, '^(\d+) flags?$', 1) AS INTEGER), 0) AS flags,
   {_FIRST_LINE} AS first_line,
   lower(str_split(trim({_FIRST_LINE}), ' ')[1]) AS cmd,
-  str_split(txt, '/')[-1] AS emblem
+  str_split(txt, '/')[-1] AS emblem,
+  regexp_extract(txt, '^javascript:(?:un)?delChat\((\d+)\)$', 1) AS delchat
 FROM t
 """
 
@@ -513,6 +522,21 @@ SELECT doc_id AS media_id,
        octet_length(encode(text)) AS n_bytes,
        md5(text) AS digest
 FROM documents
+"""
+
+ORACLES["frame_sample_docs"] = r"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS clean
+  FROM documents
+)
+SELECT media_id,
+       CAST(unnest(generate_series(0, greatest(len(clean) - 1, 0), 256)) AS BIGINT)
+         AS frame_offset,
+       md5(substr(clean,
+         CAST(unnest(generate_series(0, greatest(len(clean) - 1, 0), 256)) AS INT) + 1,
+         256)) AS frame_digest
+FROM d
 """
 
 _COS = "CASE WHEN a.nrm * b.nrm = 0.0 THEN 0.0 ELSE ({dot}) / (a.nrm * b.nrm) END"

@@ -272,6 +272,18 @@ def d5_change_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.change_pairs(ev, ["user_id"], "ts", ["event_type"])
 
 
+def d6_absent_from_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 existence cache: events rows whose user has no customer row
+    (left-anti vs sink state; reference room-doc cache)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    sink = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") > 50)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return filters.absent_from(ev, sink, "user_id")
+
+
 def j2_correlated_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 MERGE-MATCHED-UPDATE batch form: stamp a new priority onto
     orders of every 100th customer."""
@@ -318,6 +330,8 @@ def j4_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 SCALAR_ROWS = [
+    (0, "javascript:delChat(5364278)"),
+    (10, "javascript:undelChat(99)"),
     (1, "hi @bob and @alice: hello"),
     (2, "<strong>Xpath</strong> test"),
     (
@@ -344,6 +358,7 @@ def scalar_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.first_line(F.col("txt")).alias("first_line"),
         T.command_word(T.first_line(F.col("txt"))).alias("cmd"),
         T.emblem_basename(F.col("txt")).alias("emblem"),
+        T.delchat_id(F.col("txt")).alias("delchat"),
     )
 
 
@@ -443,6 +458,21 @@ def multimodal_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("data")
     )
     return extract_binary_meta(d)
+
+
+def frame_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: 1→N mapInPandas explosion of
+    blobs into per-frame digests. Input bytes are ASCII-sanitized so
+    the DuckDB oracle can recompute digests with character offsets."""
+    from farmrpg_etl_spark.multimodal.binary_ops import frame_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""), "UTF-8"
+        ).alias("data"),
+    )
+    return frame_sample(d, every_n_bytes=256)
 
 
 def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,6 +583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d1_message_cdc": d1_message_cdc,
     "d4_noop_eliminate": d4_noop_eliminate,
     "d5_change_pairs": d5_change_pairs,
+    "d6_absent_from_sink": d6_absent_from_sink,
     "j2_correlated_update": j2_correlated_update,
     "j3_fk_hydrate": j3_fk_hydrate,
     "j4_upsert": j4_upsert,
@@ -567,6 +598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "text_metrics_docs": text_metrics_docs,
     "multimodal_meta_docs": multimodal_meta_docs,
+    "frame_sample_docs": frame_sample_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
