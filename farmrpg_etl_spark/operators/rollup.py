@@ -43,3 +43,33 @@ def running_total(
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, F.Column]) -> DataFrame:
     """ROLLUP over keys (subtotals + grand total)."""
     return df.rollup(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    out_col: str,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed low-cardinality keys.
+
+    A plain ``groupBy(key).sum`` on a key with few distinct values
+    funnels each key's rows through one reducer. Salting splits every
+    key into ``salt_buckets`` sub-keys for the first (parallel) phase,
+    then combines the per-salt partials in a second, tiny shuffle —
+    the classic skew mitigation when AQE's skew-join splitting doesn't
+    apply (aggregation, not join). Result is identical to the direct
+    aggregation; the value is summed in DECIMAL so the two-phase
+    regrouping cannot change the result (exact, order-independent).
+    """
+    salt = (F.rand(seed=7) * salt_buckets).cast("int")
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.sum(F.col(value_col).cast("decimal(25,10)")).alias("__partial"))
+    )
+    return (
+        phase1.groupBy(*keys)
+        .agg(F.round(F.sum("__partial"), 2).cast("double").alias(out_col))
+    )

@@ -167,6 +167,11 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
 """
 
+ORACLES["salted_sum_returnflag"] = f"""
+SELECT l_returnflag, {_money('l_extendedprice')} AS total_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
 ORACLES["running_total_orders"] = """
 SELECT o_custkey, o_orderkey,
   round(SUM(o_totalprice) OVER (
@@ -539,6 +544,25 @@ SELECT media_id,
 FROM d
 """
 
+ORACLES["decode_media_docs"] = """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         md5(text) AS h,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT media_id, kind, n_bytes,
+  CASE WHEN kind = 'image'
+       THEN 64 + CAST('0x' || substr(h, 1, 2) AS INT) % 192 END AS width,
+  CASE WHEN kind = 'image'
+       THEN 64 + CAST('0x' || substr(h, 3, 2) AS INT) % 192 END AS height,
+  CASE WHEN kind <> 'image'
+       THEN 1000 + CAST('0x' || substr(h, 5, 4) AS INT) % 60000 END AS duration_ms
+FROM d
+"""
+
 _COS = "CASE WHEN a.nrm * b.nrm = 0.0 THEN 0.0 ELSE ({dot}) / (a.nrm * b.nrm) END"
 
 ORACLES["cosine_pairs_embeddings"] = f"""
@@ -596,6 +620,43 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 ORACLES["ann_topk_ivf"] = _ivf_sql()
+
+
+def _ivf_probe_sql() -> str:
+    planes = lsh_hyperplanes(64, 3)
+    bits = [
+        f"(CASE WHEN ({_dot_lits('v', p)}) >= 0.0 THEN '1' ELSE '0' END)"
+        for p in planes
+    ]
+    flip = [f"(CASE WHEN b{i} = '1' THEN '0' ELSE '1' END)" for i in range(3)]
+    probes = ", ".join(
+        [
+            "b0 || b1 || b2",
+            f"{flip[0]} || b1 || b2",
+            f"b0 || {flip[1]} || b2",
+            f"b0 || b1 || {flip[2]}",
+        ]
+    )
+    return f"""
+WITH {_EMB},
+bl AS (SELECT vec_id, v, nrm, {bits[0]} AS b0, {bits[1]} AS b1, {bits[2]} AS b2 FROM n),
+c AS (SELECT vec_id, v, nrm, b0 || b1 || b2 AS block FROM bl),
+q AS (SELECT vec_id, v, nrm, unnest([{probes}]) AS probe
+      FROM bl WHERE vec_id < 10),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_QCOS}, 6) AS cosine
+  FROM c JOIN q ON c.block = q.probe WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+ORACLES["ann_topk_ivf_probe"] = _ivf_probe_sql()
 
 # --------------------------------------------------------------------------
 # parse round-trip: recompute what the chat parser must produce for the

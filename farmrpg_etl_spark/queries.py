@@ -162,6 +162,16 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_sum_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: l_returnflag has 3 distinct values, so a
+    direct groupBy funnels ~200k rows/key through single reducers at
+    sf0.1 (and ~200M at 100 TB). Two-phase salted aggregation keeps the
+    heavy phase parallel; decimal summation makes the regrouping
+    result-identical to the direct plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return rollup.salted_sum(li, ["l_returnflag"], "l_extendedprice", "total_price")
+
+
 def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer running revenue (window cumulative sum)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
@@ -475,6 +485,24 @@ def frame_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(d, every_n_bytes=256)
 
 
+def decode_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract stage (stub codec, real
+    plumbing): text bytes as opaque blobs with a kind column; the
+    deterministic fake derives dimensions from the payload md5, which
+    the DuckDB oracle recomputes independently."""
+    from farmrpg_etl_spark.multimodal.binary_ops import decode_media_meta
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    return decode_media_meta(d)
+
+
 def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(e, "embedding", "vec_id", "label", threshold=0.25)
@@ -491,6 +519,12 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = e.withColumn("block", similarity.lsh_block(F.col("embedding"), 64, 3))
     q = blocked.filter(F.col("vec_id") < 10)
     return similarity.ann_topk_ivf(blocked, q, "embedding", "vec_id", "block", k=5)
+
+
+def ann_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_ivf_probe(e, q, "embedding", "vec_id", k=5)
 
 
 # --------------------------------------------------------------------------
@@ -571,6 +605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regional_revenue": regional_revenue,
     "top_customers_per_nation": top_customers_per_nation,
     "rollup_revenue": rollup_revenue,
+    "salted_sum_returnflag": salted_sum_returnflag,
     "running_total_orders": running_total_orders,
     # reference operators
     "f1_http_guard": f1_http_guard,
@@ -599,9 +634,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_metrics_docs": text_metrics_docs,
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,
+    "decode_media_docs": decode_media_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivf_probe": ann_topk_ivf_probe,
     # parse stage round-trip
     "parse_chat_roundtrip": parse_chat_roundtrip,
     # streaming

@@ -1,0 +1,96 @@
+"""Property-based invariants (hypothesis) over the core operators.
+
+Few examples per property — each example runs real Spark jobs — but
+randomized inputs catch the classes unit fixtures miss: ties, nulls,
+empty groups, duplicate rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from farmrpg_etl_spark.operators import dedup, latest
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # key
+        st.integers(0, 5),                      # order
+        st.integers(0, 10**6),                  # unique-ish tiebreak
+        st.sampled_from(["a", "b", None]),      # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_latest_strategies_agree(sp, rows):
+    # make (order, tiebreak) unique per key so top-1 is well-defined
+    seen: set[tuple] = set()
+    uniq = []
+    for k, o, tb, v in rows:
+        if (k, o, tb) not in seen:
+            seen.add((k, o, tb))
+            uniq.append((k, o, tb, v))
+    df = sp.createDataFrame(uniq, "k long, o long, tb long, v string")
+    w = {
+        (r["k"], r["o"], r["tb"], r["v"])
+        for r in latest.latest_per_key(df, ["k"], "o", ["tb"]).collect()
+    }
+    a = {
+        (r["k"], r["o"], r["tb"], r["v"])
+        for r in latest.latest_per_key_agg(df, ["k"], "o", ["tb"]).collect()
+    }
+    assert w == a
+    assert len(w) == len({k for k, *_ in uniq})
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_keep_first_is_deterministic_subset(sp, rows):
+    df = sp.createDataFrame(rows, "k long, o long, tb long, v string")
+    out1 = sorted(map(tuple, dedup.keep_first_per_key(df, ["k"], "o", ["tb", "v"]).collect()))
+    out2 = sorted(map(tuple, dedup.keep_first_per_key(df, ["k"], "o", ["tb", "v"]).collect()))
+    assert out1 == out2  # deterministic under re-execution
+    assert set(out1) <= set(map(tuple, rows))
+    assert len(out1) == len({k for k, *_ in rows})
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12), min_size=1, max_size=12
+    )
+)
+@SETTINGS
+def test_exact_dedup_idempotent(sp, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = sp.createDataFrame(rows, "doc_id long, text string")
+    once = dedup.exact_dedup(df, "text", "doc_id")
+    twice = dedup.exact_dedup(once, "text", "doc_id")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    # survivors are minimal ids of their normalization class
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    expect = {}
+    for i, t in rows:
+        expect.setdefault(norm(t), i)
+    assert {r[0] for r in a} == set(expect.values())
