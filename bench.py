@@ -5,11 +5,10 @@ Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}``.
 
-Each query is executed to completion with a count-style action
-(``df.write.format("noop")`` would skip result materialization;
-``collect`` on large outputs would bottleneck the driver — we use
-``df.foreach(lambda _: None)``-free ``count()`` after a cache-less run,
-which forces the full plan including the final projection).
+Each query is executed to completion with the ``noop`` batch sink —
+it materializes every output column (a bare ``count()`` would let
+Catalyst prune computed columns and under-measure) without paying
+driver-side collection.
 """
 
 from __future__ import annotations
@@ -48,13 +47,16 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run(name: str) -> None:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # warm the JVM + parquet footers with a trivial action
-    QUERIES["j3_fk_hydrate"](spark, sf_dir).count()
+    run("j3_fk_hydrate")
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
+        run(name)
         times[name] = round(time.time() - t0, 3)
 
     out = {

@@ -59,35 +59,66 @@ def _salted_hasher(salt: int):
     return lambda s: salted_md5(s, salt)
 
 
+# Universal-hash family parameters for minhash: h_i(x) = (A[i]*x1 +
+# B[i]*x2 + C[i]) mod 2^31, where (x1, x2) are two 32-bit words of
+# md5(x). Multipliers are LARGE md5-derived odd constants (< 2^28):
+# large, so multiplication mod 2^31 scrambles order — small multipliers
+# would be order-preserving and every family would pick the same argmin
+# shingle, collapsing the signature; < 2^28, so A*x1 + B*x2 + C stays
+# below 2^61 — no overflow in Spark's ANSI mode or DuckDB int64, and
+# the arithmetic is bit-identical across engines.
+_MOD = 2**31
+
+
+def _family(i: int) -> tuple[int, int, int]:
+    import hashlib
+
+    def _const(tag: str) -> int:
+        return int(hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:7], 16) | 1
+
+    return (_const("a"), _const("b"), _const("c"))
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: array of ``num_hashes`` lexicographic-min
-    salted md5 hex strings over the shingle set.
+    """MinHash signature: array of ``num_hashes`` minimum universal-hash
+    values (as longs) over the shingle set.
+
+    One md5 per shingle (not per shingle×family): the digest's first
+    two 32-bit words seed ``num_hashes`` affine families computed with
+    plain integer arithmetic — whole-stage-codegen'd, overflow-safe,
+    and reproducible in DuckDB via the same hex-substring casts.
 
     Single pass over the shingles: one ``aggregate`` whose accumulator
-    is the running elementwise-min signature (``zip_with`` + ``least``)
-    — evaluates the shingle array once instead of ``num_hashes`` times
-    (higher-order functions are interpreted, so repeated evaluation of
-    the shingle expression dominated the naive per-salt form).
-
-    Empty shingle sets yield the sentinel 'z' (sorts after all hex)."""
-    init = F.array(*[F.lit("z") for _ in range(num_hashes)])
+    is the running elementwise-min signature (``zip_with`` + ``least``).
+    Empty shingle sets yield the sentinel 2^31 (above every hash value).
+    """
+    init = F.array(*[F.lit(_MOD).cast("long") for _ in range(num_hashes)])
 
     def _step(acc: Column, s: Column) -> Column:
-        hashes = F.array(*[salted_md5(s, i) for i in range(num_hashes)])
-        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+        h = F.md5(s.cast("binary"))
+        x1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        x2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+        hashes = F.array(
+            *[
+                (F.lit(a) * x1 + F.lit(b) * x2 + F.lit(c)) % F.lit(_MOD)
+                for a, b, c in (_family(i) for i in range(num_hashes))
+            ]
+        )
+        return F.zip_with(acc, hashes, lambda p, q: F.least(p, q))
 
     return F.aggregate(shingle_col, init, _step)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Band the signature: array of ``bands`` md5(band_id | joined rows)."""
+    as_str = F.transform(signature, lambda v: v.cast("string"))
     return F.array(
         *[
             F.md5(
                 F.concat(
                     F.lit(f"band{b}|"),
                     F.concat_ws(
-                        ",", F.slice(signature, b * rows_per_band + 1, rows_per_band)
+                        ",", F.slice(as_str, b * rows_per_band + 1, rows_per_band)
                     ),
                 ).cast("binary")
             )

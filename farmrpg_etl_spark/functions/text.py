@@ -113,18 +113,17 @@ def _tokens(text_col: Column) -> Column:
 def _marker_hits(text_col: Column, words: list[str]) -> Column:
     """Count of tokens equal to any marker word. Token-equality (not
     substring scanning) so consecutive markers all count — 'the the
-    the' is 3 hits, not 2."""
+    the' is 3 hits, not 2. One membership filter per language (marker
+    words are distinct, so membership count == summed equality counts)
+    instead of one pass per word — higher-order filters are interpreted,
+    so pass count is the cost driver."""
     toks = _tokens(text_col)
-    hits = None
-    for w in words:
-        c = F.size(F.filter(toks, _eq_token(w)))
-        hits = c if hits is None else hits + c
-    return hits
+    return F.size(F.filter(toks, _in_tokens(words)))
 
 
-def _eq_token(w: str):
+def _in_tokens(words: list[str]):
     # factory → one-parameter lambda (Spark counts lambda params)
-    return lambda t: t == F.lit(w)
+    return lambda t: t.isin(*words)
 
 
 def lang_id(text_col: Column) -> Column:

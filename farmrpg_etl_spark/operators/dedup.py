@@ -71,9 +71,39 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature → (id, sig: array<string>)."""
-    sh = H.shingles(F.col(text_col), shingle_k)
-    return df.select(F.col(id_col), H.minhash_signature(sh, num_hashes).alias("sig"))
+    """Per-document MinHash signature → (id, sig: array<long>).
+
+    Relational formulation: explode shingles → project the two md5
+    words → ``groupBy(id).agg(min(h_i) …)``. Unlike the array-fold form
+    (``functions.hashing.minhash_signature``), every expression here is
+    a plain projection/aggregate — whole-stage codegen'd, with map-side
+    partial mins, so the shuffle carries only ``num_hashes`` longs per
+    document. ~10× faster than the interpreted higher-order-function
+    fold, and the plan scales: explode parallelism is row-wise, the
+    aggregation is partial-aggregatable.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode_outer(H.shingles(F.col(text_col), shingle_k)).alias("__g"),
+    )
+    h = F.md5(F.col("__g").cast("binary"))
+    proj = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("__x1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("__x2"),
+    )
+    mins = []
+    for i in range(num_hashes):
+        a, b, c = H._family(i)
+        expr = (F.lit(a) * F.col("__x1") + F.lit(b) * F.col("__x2") + F.lit(c)) % F.lit(
+            H._MOD
+        )
+        mins.append(F.min(expr).alias(f"__h{i}"))
+    agg = proj.groupBy(id_col).agg(*mins)
+    sig = F.array(
+        *[F.coalesce(F.col(f"__h{i}"), F.lit(H._MOD).cast("long")) for i in range(num_hashes)]
+    )
+    return agg.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_buckets(
@@ -117,11 +147,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     # Materialize signatures before the self-join: both join sides and
-    # every band key would otherwise re-derive the (expensive, interpreted
-    # higher-order-function) minhash from the raw text. Signatures are
-    # fixed-width (num_hashes × 32 chars), so checkpoint storage is tiny
-    # relative to the corpus — the right trade at 100 TB too.
-    sigs = sigs.localCheckpoint(eager=False)
+    # every band key would otherwise re-derive the minhash from the raw
+    # text (two extra corpus scans at 100 TB). Columnar cache + eager
+    # count is the cheap barrier (localCheckpoint's row serialization
+    # costs more than recomputing); signatures are fixed-width
+    # (num_hashes longs), so cache footprint is tiny vs the corpus.
+    sigs = sigs.persist()
+    sigs.count()
     buckets = lsh_buckets(sigs, id_col, bands, rows_per_band)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -164,10 +196,40 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     """(id, simhash) 64-bit fingerprints as 16-char hex strings;
     identical fingerprints are near-duplicate candidates (group or
     self-join on the value); Hamming-close fingerprints via
-    ``functions.hashing.hamming_hex`` after a band join."""
-    return df.select(
-        F.col(id_col), H.simhash64(H.words(F.col(text_col))).alias("simhash")
+    ``functions.hashing.hamming_hex`` after a band join.
+
+    Relational formulation (same values as ``functions.hashing.
+    simhash64``): explode tokens → project the 64 md5 bits →
+    ``groupBy(id)`` with 64 partial-aggregated bit-count sums →
+    majority vote per bit → hex. All codegen'd projections/aggregates;
+    the shuffle carries 64 small ints per document."""
+    toks = df.select(
+        F.col(id_col), F.explode_outer(H.words(F.col(text_col))).alias("__t")
     )
+    h = F.md5(F.col("__t").cast("binary"))
+    bit_cols = []
+    for nibble in range(H.SIMHASH_BITS // 4):
+        d = H.hex_digit_value(F.substring(h, nibble + 1, 1))
+        for shift in (3, 2, 1, 0):
+            bit_cols.append(
+                (F.floor(d / F.lit(2**shift)).cast("int") % 2).alias(
+                    f"__b{len(bit_cols)}"
+                )
+            )
+    proj = toks.select(F.col(id_col), F.col("__t").isNotNull().cast("int").alias("__n"), *bit_cols)
+    aggs = [F.sum("__n").alias("__total")] + [
+        F.sum(f"__b{i}").alias(f"__c{i}") for i in range(H.SIMHASH_BITS)
+    ]
+    agg = proj.groupBy(id_col).agg(*aggs)
+    total = F.col("__total")
+    hex_chars = []
+    for nibble in range(H.SIMHASH_BITS // 4):
+        val = F.lit(0)
+        for j, shift in enumerate((3, 2, 1, 0)):
+            c = F.coalesce(F.col(f"__c{nibble * 4 + j}"), F.lit(0))
+            val = val + F.when((F.lit(2) * c) > total, F.lit(2**shift)).otherwise(F.lit(0))
+        hex_chars.append(F.lit(H.HEX_DIGITS).substr(val + 1, F.lit(1)))
+    return agg.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
 
 
 def length_band(text_col, band_width_log2: float = 0.5):

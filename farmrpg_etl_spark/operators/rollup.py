@@ -67,7 +67,7 @@ def salted_sum(
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
-        .agg(F.sum(F.col(value_col).cast("decimal(25,10)")).alias("__partial"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__partial"))
     )
     return (
         phase1.groupBy(*keys)

@@ -36,11 +36,20 @@ _SHINGLES = (
 )
 
 
-def _sig_elem(salt: int) -> str:
-    """One MinHash signature element (== hashing.minhash_signature)."""
-    return (
-        f"coalesce(list_min(list_transform(sh, g -> md5('{salt}|' || g))), 'z')"
+from farmrpg_etl_spark.functions.hashing import _MOD, _family  # same constants
+
+
+def _sig_elem(i: int) -> str:
+    """One MinHash signature element (== hashing.minhash_signature):
+    min over shingles of (A*x1 + B*x2 + C) mod 2^31, where x1/x2 are
+    the first two 32-bit words of md5(shingle)."""
+    a, b, c = _family(i)
+    h = (
+        f"({a} * CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)"
+        f" + {b} * CAST('0x' || substr(md5(g), 9, 8) AS BIGINT)"
+        f" + {c}) % {_MOD}"
     )
+    return f"coalesce(list_min(list_transform(sh, g -> {h})), {_MOD})"
 
 
 def _sig_list(num_hashes: int = 16) -> str:
@@ -53,12 +62,12 @@ def _band_key(b: int, rows: int) -> str:
 
 
 def _money(expr: str, digits: int = 2) -> str:
-    return f"CAST(round(SUM(CAST({expr} AS DECIMAL(25,10))), {digits}) AS DOUBLE)"
+    return f"CAST(round(SUM(CAST({expr} AS DECIMAL(18,6))), {digits}) AS DOUBLE)"
 
 
 def _avg4(expr: str) -> str:
     return (
-        f"floor((CAST(SUM(CAST({expr} AS DECIMAL(25,10))) AS DOUBLE)"
+        f"floor((CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT(*)) * 10000.0) / 10000.0"
     )
 

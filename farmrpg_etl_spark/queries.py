@@ -34,8 +34,10 @@ from farmrpg_etl_spark.sources.tables import load_table
 # Double SUMs are order-dependent (parallel partial aggregation), so a
 # Spark sum and a DuckDB sum of the same column differ in ulps and can
 # round differently. Every unordered aggregate below therefore:
-#   1. casts the per-row double to DECIMAL(25,10) — per-row, deterministic,
-#      identical in both engines;
+#   1. casts the per-row double to DECIMAL(18,6) — per-row, deterministic,
+#      identical in both engines, and compact (fits a long, so Spark's
+#      Decimal stays on the fast unscaled-long path; money-shaped values
+#      have ≤6 true decimals, so scale 6 loses nothing);
 #   2. sums in decimal — exact, order-independent;
 #   3. rounds in decimal (HALF_UP in both engines) and casts to double.
 # Averages divide the (exact→double) sum by the count and truncate at 4
@@ -44,7 +46,7 @@ from farmrpg_etl_spark.sources.tables import load_table
 
 
 def _dec_sum(col):
-    return F.sum(col.cast("decimal(25,10)"))
+    return F.sum(col.cast("decimal(18,6)"))
 
 
 def _money(col, digits: int = 2):
@@ -422,7 +424,8 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(d, "text", "doc_id", num_hashes=16, shingle_k=3)
-    return sigs.select("doc_id", F.concat_ws(",", F.col("sig")).alias("sig"))
+    sig_str = F.concat_ws(",", F.transform(F.col("sig"), lambda v: v.cast("string")))
+    return sigs.select("doc_id", sig_str.alias("sig"))
 
 
 def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
