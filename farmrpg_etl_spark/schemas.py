@@ -11,6 +11,15 @@ declared StructType; nothing is ever inferred.
 
 from __future__ import annotations
 
+import re
+
+
+def camel_to_snake(name: str) -> str:
+    """Table-naming convention (reference db/core/models.py:21,177
+    derives SQL table names from class names): 'UserSnapshot' →
+    'user_snapshot'. Engine-side convention, not a data op."""
+    return re.sub(r"(?<=[a-z0-9])([A-Z])", r"_\1", name).lower()
+
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
