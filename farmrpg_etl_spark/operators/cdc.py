@@ -57,13 +57,19 @@ def deleted_transitions(
 ) -> DataFrame:
     """D1's deleted-transition stamping, batch form.
 
-    Reference (scrapers/chat.py:161-169): on a deleted False→True
-    transition, stamp deleted_ts with the observation time. Batch
-    analog: deleted_ts = order_col of the first row where deleted
-    flips to true; carried forward on later rows of the key.
+    Reference (scrapers/chat.py:158-169): on a deleted False→True
+    transition, stamp deleted_ts with the observation time; once
+    stamped, deleted_ts is carried forward on every later observation
+    of the key — including un-deleted ones (the reference copies
+    ``last_msg.deleted_ts`` unconditionally before comparing), and a
+    re-delete flip re-stamps. Batch analog: deleted_ts = most recent
+    flip observation time, carried unconditionally.
     """
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
-    prev_deleted = F.lag(F.col(deleted_col), 1, False).over(w)
+    # no default: a key whose FIRST observation is already deleted is
+    # not a transition we witnessed — the reference leaves deleted_ts
+    # null there (stamp requires prior state, chat.py:163-168)
+    prev_deleted = F.lag(F.col(deleted_col)).over(w)
     flip = F.col(deleted_col) & ~prev_deleted
     stamped = df.withColumn(
         "__flip_ts", F.when(flip, F.col(order_col)).cast("timestamp")
@@ -72,8 +78,7 @@ def deleted_transitions(
         Window.unboundedPreceding, Window.currentRow
     )
     return stamped.withColumn(
-        "deleted_ts",
-        F.when(F.col(deleted_col), F.last(F.col("__flip_ts"), ignorenulls=True).over(carry)),
+        "deleted_ts", F.last(F.col("__flip_ts"), ignorenulls=True).over(carry)
     ).drop("__flip_ts")
 
 

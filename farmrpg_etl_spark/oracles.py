@@ -7,7 +7,7 @@ column aliases, so the driver's row-count / schema / value-hash compare
 is meaningful.
 
 Cross-engine float discipline mirrors ``queries.py``: unordered SUMs go
-through DECIMAL(25,10) (exact, order-independent), averages are
+through DECIMAL(18,6) (exact, order-independent), averages are
 floor-truncated on bit-identical doubles, and all vector math is
 written as explicit left-associated term chains matching Spark's
 ``F.aggregate`` fold order, so doubles agree bit-for-bit.
@@ -127,6 +127,30 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
 
+ORACLES["q6_forecast_revenue"] = f"""
+SELECT {_money('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["q3_shipping_priority"] = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1995-03-15'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
 ORACLES["revenue_by_nation"] = f"""
 SELECT n_name,
   {_money('l_extendedprice * (1 - l_discount)')} AS revenue,
@@ -242,14 +266,14 @@ ORACLES["d1_deleted_transitions"] = """
 WITH base AS (
   SELECT user_id, ts, event_id, (event_type = 'error') AS deleted FROM events
 ), st AS (
-  SELECT *, CASE WHEN deleted AND NOT lag(deleted, 1, false) OVER w
+  SELECT *, CASE WHEN deleted AND NOT lag(deleted) OVER w
                  THEN ts END AS flip_ts
   FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
 )
 SELECT user_id, ts, event_id, deleted,
-  CASE WHEN deleted THEN last_value(flip_ts IGNORE NULLS) OVER (
+  last_value(flip_ts IGNORE NULLS) OVER (
     PARTITION BY user_id ORDER BY ts ASC
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS deleted_ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS deleted_ts
 FROM st
 """
 
@@ -259,14 +283,14 @@ WITH base AS (
          props AS content, (event_type = 'error') AS deleted
   FROM events
 ), st AS (
-  SELECT *, CASE WHEN deleted AND NOT lag(deleted, 1, false) OVER w
+  SELECT *, CASE WHEN deleted AND NOT lag(deleted) OVER w
                  THEN obs_ts END AS flip_ts
   FROM base WINDOW w AS (PARTITION BY room, id ORDER BY obs_ts ASC)
 ), stamped AS (
   SELECT room, id, obs_ts, content, deleted,
-    CASE WHEN deleted THEN last_value(flip_ts IGNORE NULLS) OVER (
+    last_value(flip_ts IGNORE NULLS) OVER (
       PARTITION BY room, id ORDER BY obs_ts ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS deleted_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS deleted_ts
   FROM st
 )
 SELECT room, id, obs_ts, content, deleted, deleted_ts FROM (
@@ -697,6 +721,32 @@ SELECT 'help' AS room,
 FROM r
 """
 
+ORACLES["parse_flags_roundtrip"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 11 + 1 AS INT) AS h,
+         CAST(doc_id % 60 AS INT) AS mi,
+         CAST(doc_id * 7 % 60 AS INT) AS s,
+         source AS username,
+         'x' || regexp_replace(substr(text, 1, 30), '[^A-Za-z0-9]', '', 'g')
+           AS content,
+         CAST(doc_id % 7 + 1 AS INT) AS flags
+  FROM documents
+), p AS (
+  SELECT *,
+    'Apr 17, ' || lpad(CAST(h AS VARCHAR), 2, '0') || ':'
+      || lpad(CAST(mi AS VARCHAR), 2, '0') || ':'
+      || lpad(CAST(s AS VARCHAR), 2, '0') || ' AM' AS ts_str
+  FROM d
+)
+SELECT 'help' AS room,
+       md5(ts_str || chr(31) || username || chr(31) || '- ' || content) AS id,
+       timezone('UTC', timezone('America/Chicago',
+         make_timestamp(2024, 4, 17, h, mi, CAST(s AS DOUBLE)))) AS ts,
+       username, content, flags
+FROM p
+"""
+
 # --------------------------------------------------------------------------
 # streaming (deterministic on this data: event_id unique, (user_id, ts)
 # unique → streaming results equal their batch analogs)
@@ -716,3 +766,31 @@ SELECT user_id, ts, event_id, event_type FROM (
 """
 
 ORACLES["streaming_cdc_events"] = _D1_CHANGES
+
+# batch message-CDC SQL plus the query's constant columns
+ORACLES["streaming_message_cdc"] = """
+WITH base AS (
+  SELECT 'r' AS room, CAST(user_id AS VARCHAR) AS id, ts AS obs_ts,
+         props AS content, (event_type = 'error') AS deleted
+  FROM events
+), st AS (
+  SELECT *, CASE WHEN deleted AND NOT lag(deleted) OVER w
+                 THEN obs_ts END AS flip_ts
+  FROM base WINDOW w AS (PARTITION BY room, id ORDER BY obs_ts ASC)
+), stamped AS (
+  SELECT room, id, obs_ts, content, deleted,
+    last_value(flip_ts IGNORE NULLS) OVER (
+      PARTITION BY room, id ORDER BY obs_ts ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS deleted_ts
+  FROM st
+)
+SELECT room, id, obs_ts,
+       TIMESTAMP '2024-01-01 00:00:00' AS ts, 'u' AS username,
+       content, 0 AS flags, deleted, deleted_ts
+FROM (
+  SELECT *, lag(content) OVER w AS pc, lag(deleted) OVER w AS pd,
+         lag(obs_ts) OVER w AS pts
+  FROM stamped
+  WINDOW w AS (PARTITION BY room, id ORDER BY obs_ts ASC)
+) WHERE pts IS NULL OR content IS DISTINCT FROM pc OR deleted IS DISTINCT FROM pd
+"""

@@ -164,6 +164,48 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + aggregate. The three range
+    predicates push down to the parquet row groups (verify:
+    PushedFilters in explain) — at 100 TB this is the pattern where
+    scan pruning, not compute, decides the runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return out.agg(
+        _money(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both fact sides, join,
+    group, top-10 by revenue."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return joined.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
+
+
 def salted_sum_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: l_returnflag has 3 distinct values, so a
     direct groupBy funnels ~200k rows/key through single reducers at
@@ -576,6 +618,46 @@ def parse_chat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("room", "id", "ts", "emblem", "username", "content", "deleted")
 
 
+_FLAGS_TEMPLATE = (
+    '<li><div class="item-title">Apr 17, %02d:%02d:%02d AM<br><b>%s</b>'
+    '<br>- %s</div><div class="item-after">%s flags</div></li>'
+)
+
+
+def parse_flags_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 round-trip: generated staff-log HTML through the real flags
+    parser (stripped-strings walk, %b %d strptime, Chicago→UTC,
+    deterministic md5 synthetic id); oracle recomputes every field
+    including the synthetic id."""
+    from farmrpg_etl_spark.parse.stage import parse_payloads, parsed_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    # strictly alphanumeric so Python's strip() and SQL trim can't
+    # disagree about exotic whitespace at the node boundaries
+    content = F.concat(
+        F.lit("x"),
+        F.regexp_replace(F.substring(F.col("text"), 1, 30), "[^A-Za-z0-9]", ""),
+    )
+    html = F.format_string(
+        _FLAGS_TEMPLATE,
+        (F.col("doc_id") % 11 + 1).cast("int"),
+        (F.col("doc_id") % 60).cast("int"),
+        (F.col("doc_id") * 7 % 60).cast("int"),
+        F.col("source"),
+        content,
+        (F.col("doc_id") % 7 + 1).cast("int").cast("string"),
+    )
+    payloads = d.select(
+        F.lit("flags").alias("source"),
+        F.lit("help").alias("key"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.encode(html, "UTF-8").alias("body"),
+    )
+    out = parsed_rows(parse_payloads(payloads, "flags"))
+    return out.select("room", "id", "ts", "username", "content", "flags")
+
+
 # --------------------------------------------------------------------------
 # Streaming (deterministic → oracle-checkable)
 # --------------------------------------------------------------------------
@@ -599,11 +681,36 @@ def streaming_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.streaming_cdc(spark, sf_dir)
 
 
+def streaming_message_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1's full streaming form (applyInPandasWithState keyed (room,id)
+    with carry-forward + flip stamping) on a message frame derived from
+    events; oracle = the batch message-CDC SQL plus constant columns."""
+    from farmrpg_etl_spark.streaming import ops
+    from farmrpg_etl_spark.streaming.chat_cdc import chat_cdc_stream
+
+    sdf = ops.stream_events(spark, sf_dir)
+    msgs = sdf.select(
+        F.lit("r").alias("room"),
+        F.col("user_id").cast("string").alias("id"),
+        F.col("ts").alias("obs_ts"),
+        F.lit(0).alias("pos"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("u").alias("username"),
+        F.col("props").alias("content"),
+        F.lit(0).alias("flags"),
+        (F.col("event_type") == "error").alias("deleted"),
+        F.lit(None).cast("timestamp").alias("deleted_ts"),
+    )
+    return ops.run_available_now(chat_cdc_stream(msgs), "append")
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational core
     "q1_pricing_summary": q1_pricing_summary,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q3_shipping_priority": q3_shipping_priority,
     "revenue_by_nation": revenue_by_nation,
     "regional_revenue": regional_revenue,
     "top_customers_per_nation": top_customers_per_nation,
@@ -642,10 +749,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_probe": ann_topk_ivf_probe,
-    # parse stage round-trip
+    # parse stage round-trips
     "parse_chat_roundtrip": parse_chat_roundtrip,
+    "parse_flags_roundtrip": parse_flags_roundtrip,
     # streaming
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_latest_per_user": streaming_latest_per_user,
     "streaming_cdc_events": streaming_cdc_events,
+    "streaming_message_cdc": streaming_message_cdc,
 }

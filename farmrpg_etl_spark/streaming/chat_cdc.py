@@ -94,8 +94,8 @@ def _chat_cdc_fn(
                 != (content, flags, bool(deleted), ts, username)
             )
             if changed:
-                if has_state and not deleted and bool(r.deleted) and r_deleted_ts is None:
-                    r_deleted_ts = r.obs_ts  # stamp the flip
+                if has_state and not deleted and bool(r.deleted):
+                    r_deleted_ts = r.obs_ts  # stamp the flip (re-delete re-stamps)
                 out.append(
                     {
                         "room": room,

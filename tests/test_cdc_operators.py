@@ -56,7 +56,9 @@ def test_deleted_transition_stamps_and_carries_forward(spark):
         ("m1", ts("2024-01-01 00:00:00"), False),
         ("m1", ts("2024-01-01 00:01:00"), True),   # flip → stamp 00:01
         ("m1", ts("2024-01-01 00:02:00"), True),   # carried forward
-        ("m2", ts("2024-01-01 00:00:00"), True),   # first obs deleted → stamp
+        # first obs already deleted: no transition witnessed → NO stamp
+        # (reference requires prior state, chat.py:163-168)
+        ("m2", ts("2024-01-01 00:00:00"), True),
         ("m3", ts("2024-01-01 00:00:00"), False),  # never deleted → null
     ]
     df = spark.createDataFrame(rows, "id string, ts timestamp, deleted boolean")
@@ -67,24 +69,28 @@ def test_deleted_transition_stamps_and_carries_forward(spark):
     assert got[("m1", ts("2024-01-01 00:00:00"))] is None
     assert got[("m1", ts("2024-01-01 00:01:00"))] == ts("2024-01-01 00:01:00")
     assert got[("m1", ts("2024-01-01 00:02:00"))] == ts("2024-01-01 00:01:00")
-    assert got[("m2", ts("2024-01-01 00:00:00"))] == ts("2024-01-01 00:00:00")
+    assert got[("m2", ts("2024-01-01 00:00:00"))] is None
     assert got[("m3", ts("2024-01-01 00:00:00"))] is None
 
 
 def test_deleted_restamps_after_undelete(spark):
+    # reference carries deleted_ts unconditionally once stamped
+    # (scrapers/chat.py:160-162) and a re-delete flip re-stamps
     rows = [
-        ("m", ts("2024-01-01 00:00:00"), True),
-        ("m", ts("2024-01-01 00:01:00"), False),  # undeleted → null again
-        ("m", ts("2024-01-01 00:02:00"), True),   # re-flip → new stamp
+        ("m", ts("2024-01-01 00:00:00"), False),
+        ("m", ts("2024-01-01 00:01:00"), True),   # flip → stamp
+        ("m", ts("2024-01-01 00:02:00"), False),  # undeleted → stamp carried
+        ("m", ts("2024-01-01 00:03:00"), True),   # re-flip → new stamp
     ]
     df = spark.createDataFrame(rows, "id string, ts timestamp, deleted boolean")
     got = {
         r["ts"]: r["deleted_ts"]
         for r in cdc.deleted_transitions(df, ["id"], "ts").collect()
     }
-    assert got[ts("2024-01-01 00:00:00")] == ts("2024-01-01 00:00:00")
-    assert got[ts("2024-01-01 00:01:00")] is None
-    assert got[ts("2024-01-01 00:02:00")] == ts("2024-01-01 00:02:00")
+    assert got[ts("2024-01-01 00:00:00")] is None
+    assert got[ts("2024-01-01 00:01:00")] == ts("2024-01-01 00:01:00")
+    assert got[ts("2024-01-01 00:02:00")] == ts("2024-01-01 00:01:00")
+    assert got[ts("2024-01-01 00:03:00")] == ts("2024-01-01 00:03:00")
 
 
 def test_noop_eliminate_ignores_volatile(spark):
