@@ -555,6 +555,44 @@ SELECT doc_id,
 FROM q
 """
 
+ORACLES["corpus_curation"] = rf"""
+WITH d AS (SELECT doc_id, text, source, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, text, source,
+    {', '.join(f'{_hits(lang)} AS s_{lang}' for lang in sorted(_LANGS))},
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE CAST(len(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+              / len(text) END AS praw
+  FROM d
+), q AS (
+  SELECT *,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE CAST(s_en AS DOUBLE) / n_tok END AS sraw,
+    CASE WHEN len(text) >= 100 AND len(text) <= 4000 THEN 1.0
+         WHEN len(text) < 100 THEN CAST(len(text) AS DOUBLE) / 100.0
+         ELSE 4000.0 / CAST(len(text) AS DOUBLE) END AS len_score
+  FROM m
+), scored AS (
+  SELECT doc_id, text, source, n_tok,
+    {_LANG_CASE} AS lang_pred,
+    round(len_score * 0.5 + (1.0 - least(praw * 5.0, 1.0)) * 0.25
+          + least(sraw * 10.0, 1.0) * 0.25, 6) AS quality
+  FROM q
+), kept AS (
+  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5
+), deduped AS (
+  SELECT * FROM kept
+  QUALIFY doc_id = min(doc_id) OVER (
+    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  floor(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*) * 10000.0) / 10000.0 AS avg_quality
+FROM deduped GROUP BY source
+"""
+
 ORACLES["multimodal_meta_docs"] = """
 SELECT doc_id AS media_id,
        octet_length(encode(text)) AS n_bytes,

@@ -504,6 +504,34 @@ def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation: language-ID gate → quality
+    threshold → exact near-dup removal → per-source corpus stats. The
+    composition a 100 TB data pipeline runs nightly; every stage is a
+    Catalyst expression or a single keyed shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "source",
+        T.lang_id(t).alias("lang_pred"),
+        T.quality_score(t).alias("quality"),
+        T.token_count(t).alias("n_tokens"),
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    )
+    deduped = dedup.exact_dedup(kept, "text", "doc_id")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.floor(_dec_sum(F.col("quality")).cast("double")
+                 / F.count(F.lit(1)) * F.lit(10000.0)) / F.lit(10000.0)
+         ).alias("avg_quality"),
+    )
+
+
 def multimodal_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes as opaque blobs through the
     Arrow mapInPandas metadata extractor."""
@@ -742,6 +770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_docs": simhash_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "text_metrics_docs": text_metrics_docs,
+    "corpus_curation": corpus_curation,
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,
     "decode_media_docs": decode_media_docs,
