@@ -232,6 +232,75 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     return agg.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
 
 
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate_pct: int, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic hash-based sampling: keep rows where the md5 of
+    (salt|id) falls under ``rate_pct`` of the hash space.
+
+    Unlike ``df.sample()`` this is reproducible across runs, engines,
+    partitionings, and retries — the property a training-data pipeline
+    needs for auditable subsets. Pure per-row expression: no shuffle,
+    no RNG state."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long") % 100
+    return df.filter(bucket < rate_pct)
+
+
+def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    (id, cluster_id) with cluster_id = min member id.
+
+    Iterative min-label propagation: each round joins every node's
+    label with its neighbors' labels and keeps the minimum, until a
+    fixpoint. Rounds are O(diameter); near-dup clusters are shallow
+    (pairs come from LSH buckets), so a handful of rounds suffices —
+    ``max_iters`` bounds the worst case. Each round is one shuffle on
+    the node id; labels are checkpointed per round to keep lineage flat
+    (the standard Spark iterative-algorithm pattern).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select("src").distinct().withColumnRenamed("src", "id")
+        .withColumn("cluster_id", F.col("id"))
+    )
+    labels = labels.persist()
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def length_band(text_col, band_width_log2: float = 0.5):
     """Secondary blocking key: floor(log2(token_count)/w). Documents
     whose lengths differ by more than ~2^w can't clear a meaningful

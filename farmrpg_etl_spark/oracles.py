@@ -555,6 +555,52 @@ SELECT doc_id,
 FROM q
 """
 
+ORACLES["deterministic_sample_docs"] = """
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) % 100 < 20
+"""
+
+ORACLES["vocab_topk_docs"] = f"""
+WITH d AS (SELECT {_TOKS} AS toks FROM documents),
+t AS (SELECT unnest(toks) AS tok FROM d)
+SELECT tok, COUNT(*) AS n FROM t GROUP BY tok
+ORDER BY n DESC, tok ASC LIMIT 50
+"""
+
+# connected components over the LSH pair graph via recursive reachability
+ORACLES["neardup_clusters_docs"] = f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip()},
+sigs AS (SELECT doc_id, {_sig_list(16)} AS sig FROM s),
+buckets AS ({_BUCKETS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+      round(list_sum(list_transform(generate_series(1, 16),
+        i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0, 6)
+        AS jaccard
+    FROM cand
+  ) WHERE jaccard >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
 ORACLES["corpus_curation"] = rf"""
 WITH d AS (SELECT doc_id, text, source, {_TOKS} AS toks FROM documents),
 m AS (

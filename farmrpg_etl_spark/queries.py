@@ -504,6 +504,32 @@ def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash-based 20% sample of documents."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return dedup.deterministic_sample(d, "doc_id", 20)
+
+
+def vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 tokens by total frequency
+    (explode → partial-agg count → global top-k)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(H.words(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(50)
+
+
+def neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph →
+    (id, cluster_id). The cluster assignment a dedup pipeline uses to
+    keep one representative per near-dup family."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3, shingle_k=3
+    )
+    return dedup.neardup_clusters(pairs)
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation: language-ID gate → quality
     threshold → exact near-dup removal → per-source corpus stats. The
@@ -771,6 +797,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "text_metrics_docs": text_metrics_docs,
     "corpus_curation": corpus_curation,
+    "deterministic_sample_docs": deterministic_sample_docs,
+    "vocab_topk_docs": vocab_topk_docs,
+    "neardup_clusters_docs": neardup_clusters_docs,
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,
     "decode_media_docs": decode_media_docs,
