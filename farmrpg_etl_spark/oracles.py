@@ -151,6 +151,25 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
+ORACLES["q14_promo_revenue"] = f"""
+WITH agg AS (
+  SELECT p_brand,
+    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+         THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+         AS DECIMAL(18,6))) AS DOUBLE) AS promo,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+         AS DECIMAL(18,6))) AS DOUBLE) AS total,
+    {_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+    COUNT(*) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand,
+       floor(promo / total * 1000000.0) / 1000000.0 AS promo_share,
+       revenue, n_items
+FROM agg
+"""
+
 ORACLES["revenue_by_nation"] = f"""
 SELECT n_name,
   {_money('l_extendedprice * (1 - l_discount)')} AS revenue,

@@ -206,6 +206,27 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem ⋈ part with a conditional aggregate —
+    promo revenue share per part brand. Part is dimension-sized →
+    broadcast; the conditional sum is map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = joined.groupBy("p_brand").agg(
+        _dec_sum(promo).cast("double").alias("__promo"),
+        _dec_sum(disc).cast("double").alias("__total"),
+        _money(disc).alias("revenue"),  # rounded in decimal, not on a double
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    share = F.floor(F.col("__promo") / F.col("__total") * F.lit(1000000.0)) / F.lit(
+        1000000.0
+    )
+    return agg.select("p_brand", share.alias("promo_share"), "revenue", "n_items")
+
+
 def salted_sum_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: l_returnflag has 3 distinct values, so a
     direct groupBy funnels ~200k rows/key through single reducers at
@@ -765,6 +786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q3_shipping_priority": q3_shipping_priority,
+    "q14_promo_revenue": q14_promo_revenue,
     "revenue_by_nation": revenue_by_nation,
     "regional_revenue": regional_revenue,
     "top_customers_per_nation": top_customers_per_nation,
