@@ -68,6 +68,7 @@ def chat_pipeline_batch(
         ),
         ["id"],
         batch_id=batch_id,
+        writer="chat_insert",
     )
     # K4: partial document write — never clobbers flags; deleted_ts only
     # when deleted (firestore/chat.py:40-50)
@@ -83,6 +84,7 @@ def chat_pipeline_batch(
         always_cols=["ts", "username", "mentions", "content", "deleted"],
         conditional_cols={"deleted_ts": "deleted"},
         batch_id=batch_id,
+        writer="chat_docs",
     )
     return enriched
 
@@ -103,7 +105,8 @@ def flags_pipeline_batch(
     resolved = flags_resolution_join(
         existing.select("room", "id", "ts", "username"), flags_rows
     )
-    merge_update(messages, resolved, ["id"], ["flags"], batch_id=batch_id)
+    merge_update(messages, resolved, ["id"], ["flags"], batch_id=batch_id,
+                 writer="flags_update")
     return resolved
 
 
@@ -123,6 +126,7 @@ def user_pipeline_batch(
         snaps.select(F.col("user_id").alias("id"), F.lit(None).cast("string").alias("firebase_uid")),
         ["id"],
         batch_id=batch_id,
+        writer="users_upsert",
     )
     append_snapshots_with_noop_elimination(
         snapshots, snaps, ["user_id"], "ts", batch_id=batch_id
@@ -158,6 +162,7 @@ def chat_pipeline_streaming(
             ),
             ["id"],
             batch_id=batch_id,
+            writer="chat_insert",
         )
         partial_document_update(
             chat_docs,
@@ -171,10 +176,49 @@ def chat_pipeline_streaming(
             always_cols=["ts", "username", "mentions", "content", "deleted"],
             conditional_cols={"deleted_ts": "deleted"},
             batch_id=batch_id,
+            writer="chat_docs",
         )
 
     return (
         changes.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def flags_pipeline_streaming(
+    spark: SparkSession,
+    landing_dir: str,
+    messages: ParquetTable,
+):
+    """E2 streaming form: flags payload stream → parse → resolve ids
+    against the messages sink state → K2 correlated flags update.
+
+    The reference warms its id-map 30 s before starting flags pollers
+    (__main__.py:64-65); here resolution joins the *sink state* inside
+    each micro-batch, so ordering needs no warm-up. (The pure
+    stream-stream form is ``streaming.flags_join.flags_resolution_join``;
+    joining sink state instead matches the reference's Postgres path,
+    db/chat.py:22-26.)"""
+    schema = spark.read.parquet(landing_dir).schema
+    payloads = spark.readStream.schema(schema).parquet(landing_dir)
+    flags_rows = parsed_rows(parse_payloads(payloads, "flags")).select(
+        "room", "ts", "username", "flags"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        existing = messages.read()
+        if existing is None:
+            return
+        resolved = flags_resolution_join(
+            existing.select("room", "id", "ts", "username"), batch_df
+        )
+        merge_update(messages, resolved, ["id"], ["flags"], batch_id=batch_id,
+                     writer="flags_update")
+
+    return (
+        flags_rows.writeStream.foreachBatch(write_batch)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

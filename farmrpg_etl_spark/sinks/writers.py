@@ -60,14 +60,16 @@ class ParquetTable:
             return None
         return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
-    def last_batch_id(self) -> int:
+    def last_batch_id(self, writer: str = "default") -> int:
         try:
-            with open(os.path.join(self.path, "_LAST_BATCH")) as f:
+            with open(os.path.join(self.path, f"_LAST_BATCH_{writer}")) as f:
                 return int(f.read().strip())
         except FileNotFoundError:
             return -1
 
-    def _commit(self, df: DataFrame, batch_id: int | None) -> None:
+    def _commit(
+        self, df: DataFrame, batch_id: int | None, writer: str = "default"
+    ) -> None:
         v = self.current_version() + 1
         out = os.path.join(self.path, f"v{v}")
         df.write.mode("overwrite").parquet(out)
@@ -76,14 +78,17 @@ class ParquetTable:
             f.write(str(v))
         os.replace(tmp, self._pointer)  # atomic pointer swap
         if batch_id is not None:
-            with open(os.path.join(self.path, "_LAST_BATCH"), "w") as f:
+            with open(os.path.join(self.path, f"_LAST_BATCH_{writer}"), "w") as f:
                 f.write(str(batch_id))
         old = os.path.join(self.path, f"v{v - 2}")
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
 
-    def _already_committed(self, batch_id: int | None) -> bool:
-        return batch_id is not None and batch_id <= self.last_batch_id()
+    def _already_committed(self, batch_id: int | None, writer: str = "default") -> bool:
+        """Replay guard, namespaced per logical writer — different
+        streaming queries writing one table have independent batch-id
+        sequences."""
+        return batch_id is not None and batch_id <= self.last_batch_id(writer)
 
 
 def insert_if_absent(
@@ -91,12 +96,13 @@ def insert_if_absent(
     batch: DataFrame,
     key: Sequence[str],
     batch_id: int | None = None,
+    writer: str = "default",
 ) -> None:
     """K1/D3 — MERGE WHEN NOT MATCHED THEN INSERT.
 
     Reference: INSERT ignoring the unique violation on ``id``
     (db/chat.py:13-19). Replaying the same batch inserts nothing."""
-    if table._already_committed(batch_id):
+    if table._already_committed(batch_id, writer):
         return
     existing = table.read()
     if existing is None:
@@ -106,7 +112,7 @@ def insert_if_absent(
             existing.select(*key), on=list(key), how="left_anti"
         )
         merged = existing.unionByName(new_rows)
-    table._commit(merged, batch_id)
+    table._commit(merged, batch_id, writer)
 
 
 def merge_update(
@@ -115,13 +121,14 @@ def merge_update(
     on: Sequence[str],
     set_cols: Sequence[str],
     batch_id: int | None = None,
+    writer: str = "default",
 ) -> None:
     """K2/J2 — MERGE WHEN MATCHED THEN UPDATE (correlated update).
 
     Reference: UPDATE message SET flags=? WHERE room/username/ts match
     (db/chat.py:22-26). Unmatched update rows are dropped (the
     reference logs-and-drops them, firestore/chat.py:72-78)."""
-    if table._already_committed(batch_id):
+    if table._already_committed(batch_id, writer):
         return
     existing = table.read()
     if existing is None:
@@ -132,7 +139,7 @@ def merge_update(
     joined = existing.join(F.broadcast(upd), on=list(on), how="left")
     for c in set_cols:
         joined = joined.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
-    table._commit(joined.select(*existing.columns), batch_id)
+    table._commit(joined.select(*existing.columns), batch_id, writer)
 
 
 def upsert(
@@ -141,15 +148,16 @@ def upsert(
     key: Sequence[str],
     update_cols: Sequence[str] = (),
     batch_id: int | None = None,
+    writer: str = "default",
 ) -> None:
     """K3/J4 — MERGE MATCHED UPDATE / NOT MATCHED INSERT (get_or_create,
     db/user.py:34, bots/firebase.py:17-21)."""
-    if table._already_committed(batch_id):
+    if table._already_committed(batch_id, writer):
         return
     incoming = batch.dropDuplicates(list(key))
     existing = table.read()
     if existing is None:
-        table._commit(incoming, batch_id)
+        table._commit(incoming, batch_id, writer)
         return
     e, i = existing.alias("e"), incoming.alias("i")
     cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"i.{k}")) for k in key]
@@ -164,7 +172,7 @@ def upsert(
             cols.append(F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}")).alias(c))
         else:
             cols.append(F.col(f"e.{c}").alias(c))
-    table._commit(joined.select(*cols), batch_id)
+    table._commit(joined.select(*cols), batch_id, writer)
 
 
 def append_snapshots_with_noop_elimination(
@@ -174,11 +182,12 @@ def append_snapshots_with_noop_elimination(
     order_col: str,
     volatile_cols: Sequence[str] = (),
     batch_id: int | None = None,
+    writer: str = "default",
 ) -> None:
     """K3's append half with D4 write elimination: a snapshot equal to
     the key's latest stored snapshot on all non-volatile columns is
     skipped (db/user.py:12-40)."""
-    if snapshots._already_committed(batch_id):
+    if snapshots._already_committed(batch_id, writer):
         return
     from farmrpg_etl_spark.operators.cdc import noop_eliminate
     from farmrpg_etl_spark.operators.latest import latest_per_key
@@ -186,7 +195,7 @@ def append_snapshots_with_noop_elimination(
     existing = snapshots.read()
     candidates = noop_eliminate(batch, key, order_col, volatile_cols)
     if existing is None:
-        snapshots._commit(candidates, batch_id)
+        snapshots._commit(candidates, batch_id, writer)
         return
     compare = [
         c for c in batch.columns
@@ -203,7 +212,7 @@ def append_snapshots_with_noop_elimination(
     new_rows = joined.filter(
         F.col(f"__last_{compare[0]}").isNull() | changed
     ).select(*batch.columns)
-    snapshots._commit(existing.unionByName(new_rows), batch_id)
+    snapshots._commit(existing.unionByName(new_rows), batch_id, writer)
 
 
 def partial_document_update(
@@ -213,13 +222,14 @@ def partial_document_update(
     always_cols: Sequence[str],
     conditional_cols: dict[str, object],
     batch_id: int | None = None,
+    writer: str = "default",
 ) -> None:
     """K4 — partial-document writer: update only ``always_cols``, plus
     each ``conditional_cols[col]`` only where its predicate column is
     true — deliberately never clobbering the rest (the reference omits
     ``flags`` always and ``deleted_ts`` unless deleted,
     firestore/chat.py:40-50)."""
-    if table._already_committed(batch_id):
+    if table._already_committed(batch_id, writer):
         return
     existing = table.read()
     incoming = batch.dropDuplicates(list(key))
@@ -248,7 +258,7 @@ def partial_document_update(
             cols.append(F.when(cond, F.col(f"__new_{c}")).otherwise(F.col(c)).alias(c))
         else:
             cols.append(F.col(c))  # never clobbered (e.g. flags, K4)
-    table._commit(joined.select(*cols), batch_id)
+    table._commit(joined.select(*cols), batch_id, writer)
 
 
 def console_sink(batch: DataFrame, n: int = 20) -> None:

@@ -119,6 +119,46 @@ def test_user_pipeline(spark, tmp_path):
     assert snaps.read().count() == 1
 
 
+def test_full_service_cycle_from_landing_zone(spark, tmp_path):
+    """land a poll sweep (fixture HTML via a fake fetcher) → chat
+    streaming pipeline → flags streaming pipeline → user batch
+    pipeline; the __main__ composition end-to-end."""
+    from farmrpg_etl_spark.plans.topology import (
+        chat_pipeline_streaming as chat_stream,
+        flags_pipeline_streaming,
+    )
+    from farmrpg_etl_spark.sources.landing import PollSpec, land_poll_sweep
+
+    landing = str(tmp_path / "landing")
+    chat_body = chat_html(
+        [{"cls": "", "t": "09:00:01 AM", "u": "alice", "i": "1", "c": "spam"}]
+    )
+    flags_body = (
+        '<li><div class="item-title">Apr 17, 09:00:01 AM<br><b>alice</b>'
+        '<br>- spam</div><div class="item-after">4 flags</div></li>'
+    ).encode()
+
+    def fetcher(spec: PollSpec):
+        if spec.source == "chat" and spec.key == "help":
+            return 200, chat_body
+        if spec.source == "flags" and spec.key == "help":
+            return 200, flags_body
+        return 200, b""
+
+    n = land_poll_sweep(spark, landing, fetcher=fetcher, fetch_ts=T0)
+    assert n == 17
+    messages = ParquetTable(spark, str(tmp_path / "messages"))
+    docs = ParquetTable(spark, str(tmp_path / "docs"))
+    q = chat_stream(spark, landing, messages, docs)
+    q.awaitTermination(120)
+    q.stop()
+    assert messages.read().count() == 1
+    q = flags_pipeline_streaming(spark, landing, messages)
+    q.awaitTermination(120)
+    q.stop()
+    assert messages.read().first()["flags"] == 4
+
+
 def test_chat_pipeline_streaming(spark, tmp_path):
     landing = str(tmp_path / "landing")
     messages = ParquetTable(spark, str(tmp_path / "messages"))
