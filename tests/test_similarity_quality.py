@@ -1,0 +1,80 @@
+"""Similarity-operator quality sanity: the hash machinery must actually
+separate duplicates from non-duplicates, and the two minhash
+implementations (relational explode+agg vs Column-expression fold) must
+agree exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions import hashing as H
+from farmrpg_etl_spark.operators import dedup, similarity
+
+
+def test_minhash_lsh_separates_dups_from_disjoint(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely unrelated words about spark catalyst tungsten arrow"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5, shingle_k=3
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_implementations_agree(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    relational = {
+        r["doc_id"]: r["sig"]
+        for r in dedup.minhash_signatures(df, "text", "doc_id", 8, 3).collect()
+    }
+    fold = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id",
+            H.minhash_signature(H.shingles(F.col("text"), 3), 8).alias("sig"),
+        ).collect()
+    }
+    assert relational == fold
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup
+        (3, "granite weather ocean piano seventeen bicycle"),  # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in
+          dedup.simhash_fingerprints(df, "text", "doc_id").collect()}
+    assert all(len(v) == 16 for v in fp.values())
+    d = spark.createDataFrame(
+        [(fp[1], fp[2]), (fp[1], fp[3])], "a string, b string"
+    ).select(H.hamming_hex(F.col("a"), F.col("b")).alias("h")).collect()
+    near, far = d[0]["h"], d[1]["h"]
+    assert near < far  # near-dup closer in hamming space than unrelated
+
+
+def test_ann_probe_recall_at_least_single_cell(spark):
+    import random
+
+    random.seed(13)
+    rows = [(i, [random.gauss(0, 1) for _ in range(64)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 5)
+    blocked = df.withColumn("block", similarity.lsh_block(F.col("embedding"), 64, 3))
+    qb = blocked.filter(F.col("vec_id") < 5)
+    single = similarity.ann_topk_ivf(blocked, qb, "embedding", "vec_id", "block", k=5)
+    probe = similarity.ann_topk_ivf_probe(df, q, "embedding", "vec_id", k=5)
+    exact = similarity.ann_topk_bruteforce(df, q, "embedding", "vec_id", k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    rec_single = len({(r["query_id"], r["neighbor_id"]) for r in single.collect()} & truth)
+    rec_probe = len({(r["query_id"], r["neighbor_id"]) for r in probe.collect()} & truth)
+    assert rec_probe >= rec_single  # multi-probe never hurts recall
