@@ -236,6 +236,29 @@ FROM orders WHERE o_custkey <= 200
 # reference operators on events
 # --------------------------------------------------------------------------
 
+ORACLES["window_panel_events"] = """
+SELECT user_id, event_id,
+  lag(event_type) OVER w AS prev_type,
+  lead(event_type) OVER w AS next_type,
+  dense_rank() OVER wr AS value_rank,
+  ntile(4) OVER wr AS value_quartile,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+FROM events WHERE user_id <= 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC),
+       wr AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+"""
+
+ORACLES["set_ops_events"] = """
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click' AND value > 198
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error' AND value > 195
+)
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
 ORACLES["f1_http_guard"] = """
 SELECT event_id, status FROM (
   SELECT event_id,

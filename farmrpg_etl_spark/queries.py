@@ -253,6 +253,42 @@ def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def window_panel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: lag/lead/dense_rank/ntile/cume count in
+    one pass over a single per-user window ordering."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    wr = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.dense_rank().over(wr).alias("value_rank"),
+        F.ntile(4).over(wr).alias("value_quartile"),
+        F.count(F.lit(1)).over(cum).alias("n_so_far"),
+    )
+
+
+def set_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: users who clicked EXCEPT users who errored,
+    INTERSECTed with purchase users → (user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 198))
+        .select("user_id").distinct()
+    )
+    errors = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 195))
+        .select("user_id").distinct()
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.exceptAll(errors).intersect(buys)
+
+
 def f1_http_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 guard filters over a payload frame derived from events."""
     ev = load_table(spark, sf_dir, "events")
@@ -793,6 +829,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": rollup_revenue,
     "salted_sum_returnflag": salted_sum_returnflag,
     "running_total_orders": running_total_orders,
+    "window_panel_events": window_panel_events,
+    "set_ops_events": set_ops_events,
     # reference operators
     "f1_http_guard": f1_http_guard,
     "f_filters_combined": f_filters_combined,
