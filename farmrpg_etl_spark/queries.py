@@ -484,6 +484,9 @@ DT_ROWS = [
 def datetime_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 date/time semantics: strptime forms, Chicago→UTC convert,
     day/year rollover subtraction, URL query parsing."""
+    # unix_timestamp interprets naive timestamps in the session tz — pin
+    # UTC here so results don't depend on who built the SparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.createDataFrame(DT_ROWS, "id int, t12 string, tmd string, tiso string, url string")
     ts = F.to_timestamp(F.col("tiso"), "yyyy-MM-dd HH:mm:ss")
     t12 = F.to_timestamp(F.col("t12"), "hh:mm:ss a")
