@@ -236,6 +236,41 @@ FROM orders WHERE o_custkey <= 200
 # reference operators on events
 # --------------------------------------------------------------------------
 
+ORACLES["sessionize_events"] = """
+WITH e AS (SELECT user_id, ts, event_id FROM events),
+g AS (
+  SELECT *, date_diff('second', lag(ts) OVER w, ts) AS gap
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS ns FROM g
+), sid AS (
+  SELECT *, CAST(SUM(ns) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM sid GROUP BY user_id, session_id
+"""
+
+ORACLES["pivot_event_counts"] = """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+ORACLES["median_value_by_type"] = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS median_value,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
 ORACLES["window_panel_events"] = """
 SELECT user_id, event_id,
   lag(event_type) OVER w AS prev_type,

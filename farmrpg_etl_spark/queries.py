@@ -253,6 +253,49 @@ def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-user session
+    ids via lag + cumulative sum of session starts — one shuffle on
+    user_id, no UDF. The batch analog of the streaming session-window
+    operator."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sid = ev.withColumn("session_id", F.sum(new_session).over(cum))
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: per-user event counts, one column per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median of value per event_type (Spark
+    percentile == DuckDB quantile_cont on identical doubles)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def window_panel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface: lag/lead/dense_rank/ntile/cume count in
     one pass over a single per-user window ordering."""
@@ -834,6 +877,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total_orders": running_total_orders,
     "window_panel_events": window_panel_events,
     "set_ops_events": set_ops_events,
+    "sessionize_events": sessionize_events,
+    "pivot_event_counts": pivot_event_counts,
+    "median_value_by_type": median_value_by_type,
     # reference operators
     "f1_http_guard": f1_http_guard,
     "f_filters_combined": f_filters_combined,
