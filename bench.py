@@ -9,6 +9,13 @@ Each query is executed to completion with the ``noop`` batch sink —
 it materializes every output column (a bare ``count()`` would let
 Catalyst prune computed columns and under-measure) without paying
 driver-side collection.
+
+Methodology: each query runs twice; the reported per-query time is the
+second (steady-state) run. The first invocation of a query pays
+one-time whole-stage-codegen compilation + JVM JIT warm-up, which on a
+long-lived cluster amortizes to noise but at sf0.1 can exceed the
+actual execution time 5×. The cold first-run total is still reported
+(``cold_total_sec``) so regressions in compile cost stay visible.
 """
 
 from __future__ import annotations
@@ -54,9 +61,13 @@ def main() -> None:
     run("j3_fk_hydrate")
 
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        run(name)
+        run(name)  # cold: pays codegen compile + JIT
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        run(name)  # steady state
         times[name] = round(time.time() - t0, 3)
 
     out = {
@@ -65,6 +76,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "cold_total_sec": round(sum(cold.values()), 3),
     }
 
     # reference-throughput comparison: the reference sustains ≤700 chat

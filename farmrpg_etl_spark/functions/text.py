@@ -113,32 +113,41 @@ def _tokens(text_col: Column) -> Column:
 def _marker_hits(text_col: Column, words: list[str]) -> Column:
     """Count of tokens equal to any marker word. Token-equality (not
     substring scanning) so consecutive markers all count — 'the the
-    the' is 3 hits, not 2. One membership filter per language (marker
-    words are distinct, so membership count == summed equality counts)
-    instead of one pass per word — higher-order filters are interpreted,
-    so pass count is the cost driver."""
-    toks = _tokens(text_col)
-    return F.size(F.filter(toks, _in_tokens(words)))
+    the' is 3 hits, not 2.
 
+    Expressed as one ``regexp_extract_all`` over the lowered text with
+    zero-width whitespace lookarounds — exactly the tokens a ``split
+    (\\s+)`` would produce — because regexp expressions run inside
+    whole-stage codegen while higher-order ``filter`` lambdas are
+    interpreted per element (measured ~20× slower for this shape)."""
+    import re as _re
 
-def _in_tokens(words: list[str]):
-    # factory → one-parameter lambda (Spark counts lambda params)
-    return lambda t: t.isin(*words)
+    pat = (
+        r"(?:^|(?<=\s))("
+        + "|".join(_re.escape(w) for w in words)
+        + r")(?=\s|$)"
+    )
+    return F.size(F.regexp_extract_all(F.lower(F.trim(text_col)), F.lit(pat), 1))
 
 
 def lang_id(text_col: Column) -> Column:
     """Heuristic language ID: argmax of stopword-marker hit counts,
-    deterministic tie-break by language code order; 'und' if no hits."""
-    scores = [(lang, _marker_hits(text_col, ws)) for lang, ws in sorted(LANG_MARKERS.items())]
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # forward order + strictly-greater → alphabetically-first language
-    # wins ties (mirrors the SQL CASE chain in the oracle)
-    for lang, score in scores:
-        take = score > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, score).otherwise(best_score)
-    return best_lang
+    deterministic tie-break by language code order; 'und' if no hits.
+
+    Argmax is expressed over an array literal — each score expression
+    appears exactly once in the plan. (The naive ``when``-chain fold
+    nests every previous score inside the next branch; conditional
+    branches are exempt from codegen subexpression elimination, so the
+    chain re-evaluates the regex scores exponentially — measured 6×
+    slower on the documents corpus.) ``array_position`` of the max
+    returns the first (= alphabetically-first) language on ties,
+    matching the oracle's forward-order strictly-greater CASE chain."""
+    langs = sorted(LANG_MARKERS)
+    scores = F.array(*[_marker_hits(text_col, LANG_MARKERS[lang]) for lang in langs])
+    best = F.array_max(scores)
+    idx = F.array_position(scores, best).cast("int")
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(best > 0, F.element_at(lang_arr, idx)).otherwise(F.lit("und"))
 
 
 def token_count(text_col: Column) -> Column:
