@@ -955,3 +955,123 @@ FROM (
   WINDOW w AS (PARTITION BY room, id ORDER BY obs_ts ASC)
 ) WHERE pts IS NULL OR content IS DISTINCT FROM pc OR deleted IS DISTINCT FROM pd
 """
+
+
+# --------------------------------------------------------------------------
+# TPC-H subquery/semi/anti shapes
+# --------------------------------------------------------------------------
+
+ORACLES["q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate < TIMESTAMP '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q13_customer_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+ORACLES["q18_large_volume_orders"] = """
+WITH qty AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+FROM qty JOIN orders ON l_orderkey = o_orderkey
+WHERE total_qty > 150.0
+"""
+
+ORACLES["q22_idle_balances"] = f"""
+WITH a AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, COUNT(*) AS numcust, {_money('c_acctbal')} AS totacctbal
+FROM customer CROSS JOIN a
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name
+"""
+
+# --------------------------------------------------------------------------
+# temporal joins — the oracle runs the naive inequality-join formulation
+# the Spark operators exist to avoid
+# --------------------------------------------------------------------------
+
+ORACLES["asof_click_attribution"] = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id
+                    AND c.click_ts <= p.purchase_ts
+)
+SELECT user_id, purchase_id, purchase_ts, click_id, click_ts,
+       epoch_us(purchase_ts) - epoch_us(click_ts) AS gap_us
+FROM j WHERE rn = 1
+"""
+
+ORACLES["range_join_prior_events"] = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT purchase_id, COUNT(*) AS n_prior_1h
+  FROM p JOIN events e
+    ON p.user_id = e.user_id
+   AND e.ts >= p.purchase_ts - INTERVAL 3600 SECONDS
+   AND e.ts < p.purchase_ts
+  GROUP BY purchase_id
+)
+SELECT p.user_id, p.purchase_id, p.purchase_ts,
+       coalesce(c.n_prior_1h, 0) AS n_prior_1h
+FROM p LEFT JOIN c USING (purchase_id)
+"""
+
+# --------------------------------------------------------------------------
+# TF-IDF (rational BM25-style idf — no transcendental ulp risk)
+# --------------------------------------------------------------------------
+
+ORACLES["tfidf_top_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), s AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf AS DOUBLE) * ((n_docs - df + 0.5) / (df + 0.5)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df, score, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM s
+) WHERE rn <= 3
+"""

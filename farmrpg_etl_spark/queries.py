@@ -874,6 +874,189 @@ def streaming_message_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.run_available_now(chat_cdc_stream(msgs), "append")
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style left-semi join — orders in a quarter
+    with at least one returned lineitem, counted by priority. The semi
+    join never duplicates order rows, so no post-join distinct."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li_r = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    sel = o.join(li_r, o.o_orderkey == li_r.l_orderkey, "left_semi")
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join + two-level aggregation —
+    distribution of customers by how many non-urgent orders they have
+    (including zero, which an inner join would silently drop)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left").groupBy(
+        "c_custkey"
+    ).agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING then hydrate — orders whose total
+    lineitem quantity exceeds a threshold, joined back for order
+    attributes. The HAVING filter runs on the aggregated (small) side
+    before the join, so only qualifying keys are shuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_orderkey").agg(
+        _dec_sum(F.col("l_quantity")).cast("double").alias("total_qty")
+    )
+    big = qty.filter(F.col("total_qty") > 150.0)
+    o = load_table(spark, sf_dir, "orders")
+    return big.join(o, big.l_orderkey == o.o_orderkey).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty"
+    )
+
+
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti join — richer-
+    than-average customers with no order since 1999, rolled up by
+    nation. The scalar average is a broadcast single-row cross join;
+    the NOT EXISTS is a left-anti join (no row explosion, no
+    distinct)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (_dec_sum(F.col("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    cand = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = cand.join(o, cand.c_custkey == o.o_custkey, "left_anti")
+    n = load_table(spark, sf_dir, "nation")
+    return idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey).groupBy(
+        "n_name"
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _money(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's latest click at
+    or before it (ties broken by highest click id). Purchases with no
+    prior click keep NULLs. One shuffle + one running-last window —
+    never the |purchases|×|clicks| intermediate of the naive
+    inequality-join formulation (which is exactly what the oracle
+    runs)."""
+    from farmrpg_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        tiebreak="click_id",
+        how="left",
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("gap_us"),
+    )
+
+
+def range_join_prior_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: per purchase, how many events the same user
+    produced in the hour strictly before it. Bucketed band join — each
+    event lands in one time bucket, each purchase probes ≤2 buckets —
+    so candidate pairs are bounded, never |user-block|²."""
+    from farmrpg_etl_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    others = ev.select(
+        "user_id",
+        F.col("event_id").alias("prior_id"),
+        F.col("ts").alias("prior_ts"),
+    )
+    pairs = range_join(
+        purchases, others, "user_id", "purchase_ts", "prior_ts", -3600.0, 0.0
+    )
+    counts = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_prior_1h")
+    )
+    return purchases.join(counts, "purchase_id", "left").select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        F.coalesce(F.col("n_prior_1h"), F.lit(0)).alias("n_prior_1h"),
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. IDF is the rational
+    ``(N - df + 0.5) / (df + 0.5)`` (BM25-style) rather than a log —
+    integer-derived doubles with one IEEE divide/multiply, so scores
+    are bit-identical across engines with no transcendental-function
+    ulp risk. TF/DF are partial-aggregated counts; the tf⋈df join
+    shuffles on term (AQE handles stopword skew; at corpus scale the
+    df side exceeds broadcast range)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(H.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(ndocs)).withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -893,6 +1076,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": sessionize_events,
     "pivot_event_counts": pivot_event_counts,
     "median_value_by_type": median_value_by_type,
+    "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q22_idle_balances": q22_idle_balances,
+    "asof_click_attribution": asof_click_attribution,
+    "range_join_prior_events": range_join_prior_events,
     # reference operators
     "f1_http_guard": f1_http_guard,
     "f_filters_combined": f_filters_combined,
@@ -921,6 +1110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": corpus_curation,
     "deterministic_sample_docs": deterministic_sample_docs,
     "vocab_topk_docs": vocab_topk_docs,
+    "tfidf_top_terms": tfidf_top_terms,
     "neardup_clusters_docs": neardup_clusters_docs,
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,
