@@ -40,6 +40,8 @@ HEADLINE = [
     "minhash_lsh_pairs_docs",
     "text_metrics_docs",
     "ann_topk_bruteforce",
+    "asof_click_attribution",
+    "tfidf_top_terms",
 ]
 
 
