@@ -224,6 +224,33 @@ def fingerprint(text_col: Column) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+# PII patterns — conservative, engine-portable (Java regex + RE2 both
+# support these verbatim). Order matters: emails first so their local
+# part can't be half-eaten by the id pattern.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+HEXID_RE = r"\b[0-9a-f]{16,}\b"
+
+
+def redact_pii(text_col: Column) -> Column:
+    """Replace emails, phone-shaped numbers, and long hex identifiers
+    with typed placeholder tokens. Three chained ``regexp_replace``
+    passes (global, codegen'd) — the standard scrubbing step before
+    text enters a training corpus."""
+    out = F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, HEXID_RE, "<ID>")
+
+
+def pii_count(text_col: Column) -> Column:
+    """How many PII spans :func:`redact_pii` would replace."""
+    return (
+        F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0))
+        + F.size(F.regexp_extract_all(text_col, F.lit(HEXID_RE), 0))
+    )
+
+
 def text_metrics(df, text_col: str = "text"):
     """All text-analysis metrics in one pass, with shared intermediates
     staged as explicit projection columns. Adds ``lang_pred n_tokens

@@ -1075,3 +1075,57 @@ SELECT doc_id, term, tf, df, score, rn FROM (
   FROM s
 ) WHERE rn <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# chunking / PII / semi-structured extraction
+# --------------------------------------------------------------------------
+
+ORACLES["chunk_documents"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM base
+), e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           0, CAST((greatest(n - 32, 0) + 23) // 24 AS INT))) AS chunk_id
+  FROM sized
+)
+SELECT doc_id, chunk_id,
+       len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+         AS chunk
+FROM e
+"""
+
+ORACLES["pii_redaction"] = """
+WITH raw AS (
+  SELECT doc_id,
+    'contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+    || CASE WHEN doc_id % 2 = 0 THEN ' call +1 555-123-4567' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' token deadbeefcafebabe1234' ELSE '' END
+    || ' | ' || substr(text, 1, 80) AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+  + len(regexp_extract_all(t, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}'))
+  + len(regexp_extract_all(t, '\\b[0-9a-f]{16,}\\b')) AS n_pii,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g'),
+    '\\b[0-9a-f]{16,}\\b', '<ID>', 'g') AS redacted
+FROM raw
+"""
+
+ORACLES["json_props_stats"] = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""

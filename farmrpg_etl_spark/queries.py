@@ -1057,6 +1057,55 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token windows every 24 tokens per document — the
+    pre-tokenization chunking step of a training pipeline. Narrow 1→N
+    explode, no shuffle."""
+    from farmrpg_etl_spark.operators.chunking import chunk_by_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_by_tokens(d, "text", "doc_id", size=32, stride=24)
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministic synthetic contact line (the
+    corpus itself is PII-free) prepended to each document: emails,
+    phone numbers, and long hex ids become typed placeholders, with a
+    per-row count of replaced spans."""
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    raw = F.concat(
+        F.lit("contact u"),
+        sid.cast("string"),
+        F.lit("@example.com"),
+        F.when(sid % 2 == 0, F.lit(" call +1 555-123-4567")).otherwise(F.lit("")),
+        F.when(sid % 3 == 0, F.lit(" token deadbeefcafebabe1234")).otherwise(
+            F.lit("")
+        ),
+        F.lit(" | "),
+        F.substring(F.col("text"), 1, 80),
+    )
+    return d.select(
+        "doc_id",
+        T.pii_count(raw).alias("n_pii"),
+        T.redact_pii(raw).alias("redacted"),
+    )
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    JSON ``props`` column (JVM-side ``get_json_object``, no UDF) and
+    aggregate per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1111,6 +1160,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deterministic_sample_docs": deterministic_sample_docs,
     "vocab_topk_docs": vocab_topk_docs,
     "tfidf_top_terms": tfidf_top_terms,
+    "chunk_documents": chunk_documents,
+    "pii_redaction": pii_redaction,
+    "json_props_stats": json_props_stats,
     "neardup_clusters_docs": neardup_clusters_docs,
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,

@@ -1,0 +1,75 @@
+"""Chunking window arithmetic and PII redaction semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions.text import pii_count, redact_pii
+from farmrpg_etl_spark.operators.chunking import chunk_by_tokens
+
+
+def _chunks(spark, text, size, stride):
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    out = chunk_by_tokens(df, "text", "id", size=size, stride=stride)
+    return [(r.chunk_id, r.n_chunk_tokens, r.chunk) for r in
+            out.orderBy("chunk_id").collect()]
+
+
+def test_short_doc_single_chunk(spark):
+    assert _chunks(spark, "a b c", 32, 24) == [(0, 3, "a b c")]
+
+
+def test_exact_size_single_chunk(spark):
+    toks = " ".join(f"t{i}" for i in range(32))
+    got = _chunks(spark, toks, 32, 24)
+    assert len(got) == 1 and got[0][1] == 32
+
+
+def test_overlap_and_tail(spark):
+    toks = [f"t{i}" for i in range(40)]
+    got = _chunks(spark, " ".join(toks), 32, 24)
+    # starts at 0 and 24; second window is the 16-token tail
+    assert [(g[0], g[1]) for g in got] == [(0, 32), (1, 16)]
+    assert got[0][2].split(" ") == toks[0:32]
+    assert got[1][2].split(" ") == toks[24:40]
+    # consecutive windows share size - stride = 8 tokens
+    assert got[0][2].split(" ")[24:] == got[1][2].split(" ")[:8]
+
+
+def test_chunk_ids_dense(spark):
+    toks = " ".join(f"t{i}" for i in range(100))
+    got = _chunks(spark, toks, 32, 24)
+    assert [g[0] for g in got] == [0, 1, 2, 3]
+
+
+def test_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "text", "id", size=0, stride=8)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "text", "id", size=8, stride=0)
+
+
+@pytest.mark.parametrize(
+    "raw,expect,n",
+    [
+        ("mail bob.smith+x@foo-bar.example.org now",
+         "mail <EMAIL> now", 1),
+        ("call 555-123-4567 or +1 555 000 1111",
+         "call <PHONE> or +1 <PHONE>", 2),
+        ("id deadbeefcafebabe1234 ok", "id <ID> ok", 1),
+        ("short beef1234 stays", "short beef1234 stays", 0),
+        ("a@b.co 555-123-4567 deadbeefdeadbeef",
+         "<EMAIL> <PHONE> <ID>", 3),
+        ("nothing here", "nothing here", 0),
+    ],
+)
+def test_redact_pii_pinned(spark, raw, expect, n):
+    row = (
+        spark.createDataFrame([(raw,)], "t string")
+        .select(redact_pii(F.col("t")).alias("r"), pii_count(F.col("t")).alias("n"))
+        .first()
+    )
+    assert row.r == expect
+    assert row.n == n
