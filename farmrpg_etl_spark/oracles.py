@@ -1129,3 +1129,27 @@ FROM (SELECT event_type,
       FROM events)
 GROUP BY event_type
 """
+
+
+# streaming session_window: [first, last+gap) windows, >= gap starts new
+ORACLES["streaming_sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM g
+), sid AS (
+  SELECT *, SUM(ns) OVER (
+    PARTITION BY user_id ORDER BY ts ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sid GROUP BY user_id, session_id
+"""

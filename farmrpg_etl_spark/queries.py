@@ -845,6 +845,14 @@ def streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.streaming_latest_per_key(spark, sf_dir)
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming aggregation (complete mode over
+    a bounded availableNow run)."""
+    from farmrpg_etl_spark.streaming import ops
+
+    return ops.streaming_sessionize(spark, sf_dir)
+
+
 def streaming_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from farmrpg_etl_spark.streaming import ops
 
@@ -1177,6 +1185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_latest_per_user": streaming_latest_per_user,
+    "streaming_sessionize": streaming_sessionize,
     "streaming_cdc_events": streaming_cdc_events,
     "streaming_message_cdc": streaming_message_cdc,
 }

@@ -172,3 +172,32 @@ def streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(changes, "append")
+
+
+def streaming_sessionize(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Native Structured Streaming sessionization: ``session_window``
+    merges per-user event windows with a 30-minute inactivity gap as
+    data arrives — the streaming twin of the batch lag+cumsum
+    ``sessionize_events``. Run in complete mode here so the bounded
+    availableNow run emits the final merged sessions; a production
+    deployment uses a watermark + append and emits each session when
+    it closes (state per open session, evicted at watermark).
+
+    Boundary semantics: a session's window is ``[first_ts,
+    last_ts + gap)``, so an event exactly ``gap`` after the last one
+    starts a NEW session — the oracle's lag test is ``>= gap``, not
+    ``>`` (the batch query's ``>`` convention differs; both are pinned
+    by their own oracles)."""
+    sdf = stream_events(spark, sf_dir)
+    agg = sdf.groupBy(
+        F.session_window(F.col("ts"), gap), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+    return run_available_now(out, "complete")
