@@ -1153,3 +1153,18 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM sid GROUP BY user_id, session_id
 """
+
+
+# per-label centroids: 6-decimal per-row quantization -> exact decimal mean
+ORACLES["embedding_centroids"] = """
+WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+x AS (
+  SELECT label, g.i - 1 AS pos,
+         floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) / 1000000.0 AS q
+  FROM embeddings CROSS JOIN g
+)
+SELECT label, pos,
+       CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid,
+       COUNT(*) AS n_vecs
+FROM x GROUP BY label, pos
+"""

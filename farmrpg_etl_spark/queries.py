@@ -1065,6 +1065,27 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, pos,
+    centroid, n_vecs) — the M-step of k-means / the centroid table an
+    IVF index probes. posexplode → one keyed aggregation; the shuffle
+    carries (label, pos, value) triples, never whole vectors.
+
+    Determinism: components are quantized to 6 decimals per row
+    (floor on bit-identical doubles) before the exact decimal sum, so
+    the mean is reproducible across engines and partitionings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    q = F.floor(F.col("val") * F.lit(1000000.0)) / F.lit(1000000.0)
+    return x.groupBy("label", "pos").agg(
+        (_dec_sum(q).cast("double") / F.count(F.lit(1))).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 32-token windows every 24 tokens per document — the
     pre-tokenization chunking step of a training pipeline. Narrow 1→N
@@ -1176,6 +1197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample_docs": frame_sample_docs,
     "decode_media_docs": decode_media_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    "embedding_centroids": embedding_centroids,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_probe": ann_topk_ivf_probe,
