@@ -26,6 +26,17 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def dist2(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a left fold over (aᵢ-bᵢ)² — the same
+    association order as an explicit SQL term chain, so results are
+    bit-identical to the DuckDB oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     d = norm(a) * norm(b)
     return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)

@@ -1168,3 +1168,34 @@ SELECT label, pos,
        COUNT(*) AS n_vecs
 FROM x GROUP BY label, pos
 """
+
+
+# k-means E-step: nearest quantized centroid by squared L2 (explicit
+# left-associated term chain == Spark's aggregate fold)
+ORACLES["kmeans_assign_embeddings"] = """
+WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+x AS (
+  SELECT label, g.i - 1 AS pos,
+         floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) / 1000000.0 AS q
+  FROM embeddings CROSS JOIN g
+), cl AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid
+  FROM x GROUP BY label, pos
+), cv AS (
+  SELECT label, list(centroid ORDER BY pos ASC) AS cvec FROM cl GROUP BY label
+), ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sc AS (
+  SELECT vec_id, label,
+         (v[1]-cvec[1])*(v[1]-cvec[1]) + (v[2]-cvec[2])*(v[2]-cvec[2]) + (v[3]-cvec[3])*(v[3]-cvec[3]) + (v[4]-cvec[4])*(v[4]-cvec[4]) + (v[5]-cvec[5])*(v[5]-cvec[5]) + (v[6]-cvec[6])*(v[6]-cvec[6]) + (v[7]-cvec[7])*(v[7]-cvec[7]) + (v[8]-cvec[8])*(v[8]-cvec[8]) + (v[9]-cvec[9])*(v[9]-cvec[9]) + (v[10]-cvec[10])*(v[10]-cvec[10]) + (v[11]-cvec[11])*(v[11]-cvec[11]) + (v[12]-cvec[12])*(v[12]-cvec[12]) + (v[13]-cvec[13])*(v[13]-cvec[13]) + (v[14]-cvec[14])*(v[14]-cvec[14]) + (v[15]-cvec[15])*(v[15]-cvec[15]) + (v[16]-cvec[16])*(v[16]-cvec[16]) + (v[17]-cvec[17])*(v[17]-cvec[17]) + (v[18]-cvec[18])*(v[18]-cvec[18]) + (v[19]-cvec[19])*(v[19]-cvec[19]) + (v[20]-cvec[20])*(v[20]-cvec[20]) + (v[21]-cvec[21])*(v[21]-cvec[21]) + (v[22]-cvec[22])*(v[22]-cvec[22]) + (v[23]-cvec[23])*(v[23]-cvec[23]) + (v[24]-cvec[24])*(v[24]-cvec[24]) + (v[25]-cvec[25])*(v[25]-cvec[25]) + (v[26]-cvec[26])*(v[26]-cvec[26]) + (v[27]-cvec[27])*(v[27]-cvec[27]) + (v[28]-cvec[28])*(v[28]-cvec[28]) + (v[29]-cvec[29])*(v[29]-cvec[29]) + (v[30]-cvec[30])*(v[30]-cvec[30]) + (v[31]-cvec[31])*(v[31]-cvec[31]) + (v[32]-cvec[32])*(v[32]-cvec[32]) + (v[33]-cvec[33])*(v[33]-cvec[33]) + (v[34]-cvec[34])*(v[34]-cvec[34]) + (v[35]-cvec[35])*(v[35]-cvec[35]) + (v[36]-cvec[36])*(v[36]-cvec[36]) + (v[37]-cvec[37])*(v[37]-cvec[37]) + (v[38]-cvec[38])*(v[38]-cvec[38]) + (v[39]-cvec[39])*(v[39]-cvec[39]) + (v[40]-cvec[40])*(v[40]-cvec[40]) + (v[41]-cvec[41])*(v[41]-cvec[41]) + (v[42]-cvec[42])*(v[42]-cvec[42]) + (v[43]-cvec[43])*(v[43]-cvec[43]) + (v[44]-cvec[44])*(v[44]-cvec[44]) + (v[45]-cvec[45])*(v[45]-cvec[45]) + (v[46]-cvec[46])*(v[46]-cvec[46]) + (v[47]-cvec[47])*(v[47]-cvec[47]) + (v[48]-cvec[48])*(v[48]-cvec[48]) + (v[49]-cvec[49])*(v[49]-cvec[49]) + (v[50]-cvec[50])*(v[50]-cvec[50]) + (v[51]-cvec[51])*(v[51]-cvec[51]) + (v[52]-cvec[52])*(v[52]-cvec[52]) + (v[53]-cvec[53])*(v[53]-cvec[53]) + (v[54]-cvec[54])*(v[54]-cvec[54]) + (v[55]-cvec[55])*(v[55]-cvec[55]) + (v[56]-cvec[56])*(v[56]-cvec[56]) + (v[57]-cvec[57])*(v[57]-cvec[57]) + (v[58]-cvec[58])*(v[58]-cvec[58]) + (v[59]-cvec[59])*(v[59]-cvec[59]) + (v[60]-cvec[60])*(v[60]-cvec[60]) + (v[61]-cvec[61])*(v[61]-cvec[61]) + (v[62]-cvec[62])*(v[62]-cvec[62]) + (v[63]-cvec[63])*(v[63]-cvec[63]) + (v[64]-cvec[64])*(v[64]-cvec[64]) AS d2
+  FROM ev CROSS JOIN cv
+)
+SELECT vec_id, label AS assigned_label,
+       floor(d2 * 1000000.0) / 1000000.0 AS dist2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, label ASC) AS rn
+  FROM sc
+) WHERE rn = 1
+"""

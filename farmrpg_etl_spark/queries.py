@@ -1086,6 +1086,47 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step: assign every embedding to its nearest per-label
+    centroid by squared L2 distance (deterministic label tie-break).
+    Centroids come from :func:`embedding_centroids` reshaped to arrays
+    and broadcast — the corpus is scanned once, never shuffled; one
+    E-step over 100 TB is a map-side broadcast join + local top-1."""
+    cents = (
+        embedding_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))).alias("pc")
+        )
+        .select(
+            "label",
+            F.transform(F.col("pc"), lambda s: s.centroid).alias("cvec"),
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", V.dist2(F.col("v"), F.col("cvec"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").alias("assigned_label"),
+            (F.floor(F.col("d2") * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
+                "dist2"
+            ),
+        )
+    )
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 32-token windows every 24 tokens per document — the
     pre-tokenization chunking step of a training pipeline. Narrow 1→N
@@ -1198,6 +1239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_media_docs": decode_media_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "embedding_centroids": embedding_centroids,
+    "kmeans_assign_embeddings": kmeans_assign_embeddings,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_probe": ann_topk_ivf_probe,
