@@ -29,6 +29,15 @@ def get_spark(app_name: str = "farmrpg-etl-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan split size. 128m (the Spark default) is right when files
+        # are ≥ hundreds of MB — at 100 TB the scan parallelism comes
+        # from file count. Local sf0.1 testdata is single ~10 MB files,
+        # which 128m reads as ~1 task on 32 cores; bench.py pins this
+        # to 1m so scans fan out (measured ~25% on scan-bound aggs).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata stores TIMESTAMP(NANOS); read as long + cast
         # (sources/tables.py normalizes) instead of PARQUET_TYPE_ILLEGAL
