@@ -249,6 +249,34 @@ def deterministic_sample(
     return df.filter(bucket < rate_pct)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    percentage of rows, selected by the same engine-portable md5 bucket
+    as :func:`deterministic_sample` — the up/down-sampling mix step of
+    corpus curation (e.g. keep 80% of books, 10% of crawl).
+
+    Still a pure per-row filter: no shuffle, no RNG state, stable
+    under retries and repartitioning; strata skew is irrelevant because
+    nothing groups by the stratum."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long") % 100
+    rate: Column = F.lit(default_pct)
+    for value, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == F.lit(value), F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
 def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair graph →
     (id, cluster_id) with cluster_id = min member id.

@@ -1199,3 +1199,24 @@ FROM (
   FROM sc
 ) WHERE rn = 1
 """
+
+
+ORACLES["stratified_sample_docs"] = """
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) % 100
+      < CASE WHEN source = 'src0' THEN 80
+             WHEN source = 'src1' THEN 10
+             WHEN source = 'src2' THEN 50
+             ELSE 20 END
+"""
+
+ORACLES["cube_revenue"] = f"""
+SELECT r_name, n_name,
+  COUNT(*) AS n_customers,
+  {_money('c_acctbal')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE(r_name, n_name)
+"""

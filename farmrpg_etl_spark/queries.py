@@ -632,6 +632,31 @@ def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.deterministic_sample(d, "doc_id", 20)
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source up/down-sampling mix: 80% of src0, 10% of src1,
+    50% of src2, 20% of everything else — deterministic md5 buckets."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return dedup.stratified_sample(
+        d, "doc_id", "source", {"src0": 80, "src1": 10, "src2": 50}, default_pct=20
+    )
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(region, nation) — all four grouping combinations in one
+    pass (partial-aggregated expansion, same single shuffle as the
+    ROLLUP form)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    return j.cube("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _money(F.col("c_acctbal")).alias("total_acctbal"),
+    )
+
+
 def vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: top-50 tokens by total frequency
     (explode → partial-agg count → global top-k)."""
@@ -1188,6 +1213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regional_revenue": regional_revenue,
     "top_customers_per_nation": top_customers_per_nation,
     "rollup_revenue": rollup_revenue,
+    "cube_revenue": cube_revenue,
     "salted_sum_returnflag": salted_sum_returnflag,
     "running_total_orders": running_total_orders,
     "window_panel_events": window_panel_events,
@@ -1228,6 +1254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_metrics_docs": text_metrics_docs,
     "corpus_curation": corpus_curation,
     "deterministic_sample_docs": deterministic_sample_docs,
+    "stratified_sample_docs": stratified_sample_docs,
     "vocab_topk_docs": vocab_topk_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents": chunk_documents,

@@ -94,3 +94,78 @@ def test_exact_dedup_idempotent(sp, texts):
     for i, t in rows:
         expect.setdefault(norm(t), i)
     assert {r[0] for r in a} == set(expect.values())
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 10**6)),
+    min_size=1, max_size=12,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 10**6)),
+    min_size=0, max_size=12,
+)
+
+
+@given(lrows=ASOF_LEFT, rrows=ASOF_RIGHT)
+@SETTINGS
+def test_asof_join_matches_naive(sp, lrows, rrows):
+    """asof_join (union + running-last window) == naive inequality join
+    + row_number, on random keys/times/ties, including empty right
+    sides and duplicate timestamps."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.operators.asof import asof_join
+
+    luniq = list({(k, t): i for k, t, i in lrows}.items())
+    left = sp.createDataFrame(
+        [(k, t, i) for (k, t), i in luniq], "k long, lts long, lid long"
+    ).withColumn("lts", F.timestamp_seconds(F.col("lts")))
+    right = sp.createDataFrame(
+        rrows or [(99, 0, 0)], "k long, rts long, rid long"
+    ).withColumn("rts", F.timestamp_seconds(F.col("rts")))
+
+    fast = asof_join(left, right, "k", "lts", "rts", tiebreak="rid")
+    naive = (
+        left.join(right.withColumnRenamed("k", "rk"),
+                  (F.col("k") == F.col("rk")) & (F.col("rts") <= F.col("lts")),
+                  "left")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k", "lid").orderBy(
+                    F.col("rts").desc_nulls_last(), F.col("rid").desc_nulls_last()
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .select("k", "lts", "lid", "rts", "rid")
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+@given(lrows=ASOF_LEFT, rrows=ASOF_RIGHT)
+@SETTINGS
+def test_range_join_matches_naive(sp, lrows, rrows):
+    """bucketed range_join == plain inequality join over the same
+    half-open band, for random data and a band much wider than the
+    bucket."""
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.operators.asof import range_join
+
+    left = sp.createDataFrame(
+        [(k, t, i) for k, t, i in lrows], "k long, lts long, lid long"
+    ).withColumn("lts", F.timestamp_seconds(F.col("lts")))
+    right = sp.createDataFrame(
+        rrows or [(99, 0, 0)], "k long, rts long, rid long"
+    ).withColumn("rts", F.timestamp_seconds(F.col("rts")))
+
+    fast = range_join(left, right, "k", "lts", "rts", -7.0, 3.0, bucket_sec=2.0)
+    naive = left.join(right.withColumnRenamed("k", "rk"),
+                      (F.col("k") == F.col("rk"))
+                      & (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 7 SECONDS"))
+                      & (F.col("rts") < F.col("lts") + F.expr("INTERVAL 3 SECONDS")))
+    a = sorted((r.k, r.lid, r.rid) for r in fast.collect())
+    b = sorted((r.k, r.lid, r.rid) for r in naive.collect())
+    assert a == b
