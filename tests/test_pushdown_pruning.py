@@ -1,0 +1,98 @@
+"""Scan-efficiency proofs on the real query surface: predicates must
+reach the parquet scan (PushedFilters), projections must narrow the
+read schema (ReadSchema), and whole-stage codegen must cover the hot
+expressions. A scan that reads all columns for a two-column projection
+is wrong at any scale; at 100 TB it is the difference between reading
+2 columns' pages and the whole corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _filescan_lines(df) -> list[str]:
+    return [l for l in _plan(df).splitlines() if "FileScan" in l]
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    scans = _filescan_lines(QUERIES["q6_forecast_revenue"](spark, SF))
+    li = next(s for s in scans if "lineitem" in s)
+    pushed = li.split("PushedFilters:")[1].split("]")[0]
+    # range predicates on shipdate/discount/quantity reach the reader
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q6_reads_only_needed_columns(spark):
+    scans = _filescan_lines(QUERIES["q6_forecast_revenue"](spark, SF))
+    li = next(s for s in scans if "lineitem" in s)
+    schema = li.split("ReadSchema:")[1]
+    # 4 of lineitem's 11 columns — never the full row
+    for col in ("l_extendedprice", "l_discount", "l_shipdate", "l_quantity"):
+        assert col in schema
+    for col in ("l_comment", "l_returnflag", "l_partkey", "l_tax"):
+        assert col not in schema
+
+
+def test_flagship_scans_are_column_pruned(spark):
+    scans = _filescan_lines(QUERIES["revenue_by_nation"](spark, SF))
+    li = next(s for s in scans if "lineitem" in s)
+    schema = li.split("ReadSchema:")[1]
+    assert "l_extendedprice" in schema and "l_discount" in schema
+    assert "l_quantity" not in schema and "l_shipdate" not in schema
+
+
+def test_flagship_uses_whole_stage_codegen_and_broadcast(spark):
+    df = QUERIES["revenue_by_nation"](spark, SF)
+    df.collect()  # finalize the adaptive plan on this same Dataset
+    plan = _plan(df)
+    # '*(n)' prefixes mark operators inside whole-stage-codegen spans
+    assert "isFinalPlan=true" in plan and "*(" in plan
+    assert "BroadcastHashJoin" in plan  # nation/customer dims broadcast
+
+
+def test_aqe_splits_skewed_join(spark):
+    """A 90%-one-key join must trigger AQE's skew-join splitting
+    (isSkew=true partitions) instead of one straggler task."""
+    # Fact side: 99% of rows share key 1; dim side: one row per key, so
+    # the join output stays |fact| while the key distribution is skewed.
+    # The payload must be non-compressible AND survive column pruning
+    # (consumed by the aggregate) — a constant-key-only shuffle
+    # compresses to a few KB and no partition ever *looks* skewed.
+    big = spark.range(0, 1_000_000).select(
+        F.when(F.col("id") % 100 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.xxhash64(F.col("id")).alias("payload"),
+    )
+    dim = (
+        spark.range(0, 1_000_000, 100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("p2"))
+        .union(spark.sql("SELECT 1 AS k, -1 AS p2"))
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = big.join(dim, "k").groupBy().agg(
+            F.max("payload").alias("m"), F.count(F.lit(1)).alias("n")
+        )
+        [row] = agg.collect()  # collect() finalizes THIS Dataset's plan
+        assert row.n == 1_000_000
+        plan = _plan(agg)
+        assert "skew=true" in plan
+        assert "AQEShuffleRead" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
