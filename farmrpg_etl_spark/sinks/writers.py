@@ -84,6 +84,29 @@ class ParquetTable:
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
 
+    def compact(
+        self, target_partitions: int, sort_by: Sequence[str] | None = None
+    ) -> None:
+        """Rewrite the current version into ``target_partitions`` files,
+        optionally sorted within each file — the periodic maintenance
+        job every incrementally-written 100 TB table needs. Each MERGE
+        commit writes as many files as its shuffle had partitions;
+        thousands of small files degrade scan planning (footer reads,
+        task scheduling) and kill row-group min/max pruning. Sorting by
+        the common filter column makes each file's row-group stats
+        tight, so predicate pushdown skips whole files.
+
+        Same atomic version-pointer commit as every writer: readers see
+        the old version until the pointer swaps, and a crashed
+        compaction leaves the table untouched."""
+        cur = self.read()
+        if cur is None:
+            return
+        out = cur.repartition(target_partitions)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        self._commit(out, None)
+
     def _already_committed(self, batch_id: int | None, writer: str = "default") -> bool:
         """Replay guard, namespaced per logical writer — different
         streaming queries writing one table have independent batch-id

@@ -107,3 +107,38 @@ def test_partial_document_update(spark, tmp_path):
     assert rows["2"]["content"] == "new"
     assert rows["2"]["deleted_ts"] is None  # not deleted → withheld
     assert rows["2"]["flags"] is None  # this sink never writes flags
+
+
+def test_compact_rewrites_to_target_files_preserving_data(spark, tmp_path):
+    import glob
+
+    t = ParquetTable(spark, str(tmp_path / "events"))
+    # 8 incremental commits → the version dir accumulates many files
+    for b in range(8):
+        batch = spark.createDataFrame(
+            [(f"e{b}-{i}", b * 100 + i) for i in range(50)], "id string, v int"
+        ).repartition(4)
+        insert_if_absent(t, batch, ["id"], batch_id=b)
+    before = t.read()
+    n_files_before = len(
+        glob.glob(f"{t.path}/v{t.current_version()}/part-*.parquet")
+    )
+    rows_before = sorted((r.id, r.v) for r in before.collect())
+
+    t.compact(target_partitions=2, sort_by=["v"])
+
+    vdir = f"{t.path}/v{t.current_version()}"
+    n_files_after = len(glob.glob(f"{vdir}/part-*.parquet"))
+    assert n_files_after == 2 < n_files_before
+    after = t.read()
+    assert sorted((r.id, r.v) for r in after.collect()) == rows_before
+    # sortWithinPartitions → each file is internally ordered by v
+    for f in glob.glob(f"{vdir}/part-*.parquet"):
+        vals = [r.v for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals)
+
+
+def test_compact_on_empty_table_is_noop(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "nothing"))
+    t.compact(target_partitions=1)
+    assert not t.exists()
