@@ -37,7 +37,9 @@ def chunk_by_tokens(
     window). ``chunk_id`` is 0-based and dense per document."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
-    toks = words(F.col(text_col))
+    # NULL text behaves like an empty document (one empty window),
+    # not a dropped row — curation pipelines count every input.
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
     n = F.size(toks)
     # n_chunks = ceil(max(n - size, 0) / stride) + 1, via exact integer math
     last_idx = F.floor(

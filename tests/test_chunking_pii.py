@@ -73,3 +73,10 @@ def test_redact_pii_pinned(spark, raw, expect, n):
     )
     assert row.r == expect
     assert row.n == n
+
+
+def test_null_and_empty_text_yield_one_empty_chunk(spark):
+    df = spark.createDataFrame([(1, None), (2, "")], "id int, text string")
+    out = chunk_by_tokens(df, "text", "id", size=8, stride=4)
+    rows = sorted((r.id, r.chunk_id, r.n_chunk_tokens, r.chunk) for r in out.collect())
+    assert rows == [(1, 0, 0, ""), (2, 0, 0, "")]
