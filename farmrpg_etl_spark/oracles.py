@@ -1220,3 +1220,14 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY CUBE(r_name, n_name)
 """
+
+
+# time-RANGE window frame (trailing hour, inclusive), exact decimal sum
+ORACLES["trailing_1h_sum_events"] = """
+SELECT event_id, user_id, ts,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+  COUNT(*) OVER w AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""

@@ -294,6 +294,33 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trailing_1h_sum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the sum/count of the same
+    user's values in the trailing hour (inclusive). RANGE frames are
+    value-based — peers at the same timestamp join the frame in both
+    engines — and the windowed sum runs in DECIMAL so the result is
+    order-independent."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot surface: per-user event counts, one column per type."""
     ev = load_table(spark, sf_dir, "events")
@@ -1217,6 +1244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_sum_returnflag": salted_sum_returnflag,
     "running_total_orders": running_total_orders,
     "window_panel_events": window_panel_events,
+    "trailing_1h_sum_events": trailing_1h_sum_events,
     "set_ops_events": set_ops_events,
     "sessionize_events": sessionize_events,
     "pivot_event_counts": pivot_event_counts,
