@@ -1010,6 +1010,139 @@ WHERE c_acctbal > avg_bal
 GROUP BY n_name
 """
 
+ORACLES["q7_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+ORACLES["q8_market_share"] = """
+SELECT year(o_orderdate) AS o_year,
+       floor((CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+              / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+              * 1000000.0)) / 1000000.0 AS mkt_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n ON c_nationkey = n.n_nationkey
+JOIN region   ON n.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+GROUP BY year(o_orderdate)
+"""
+
+ORACLES["q9_profit_by_nation_year"] = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(round(SUM(CAST(floor((l_extendedprice * (1 - l_discount)
+                                  - p_retailprice * l_quantity * 0.1)
+                                 * 1000000.0) / 1000000.0
+                           AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+ORACLES["q10_returned_items"] = f"""
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate < TIMESTAMP '1995-10-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {_money('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+), m AS (SELECT MAX(total_revenue) AS max_revenue FROM rev)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev CROSS JOIN m
+JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = max_revenue
+"""
+
+ORACLES["q17_small_quantity_revenue"] = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1' AND p_size < 10
+), thresh AS (
+  SELECT l_partkey AS t_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) * 0.2 AS qty_threshold
+  FROM li GROUP BY l_partkey
+)
+SELECT floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 7.0 * 10000.0) / 10000.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM li JOIN thresh ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+ORACLES["q19_disjunctive_revenue"] = f"""
+SELECT {_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["q21_waiting_suppliers"] = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND date_diff('day', o_orderdate, l_shipdate) > 100
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
 # --------------------------------------------------------------------------
 # temporal joins — the oracle runs the naive inequality-join formulation
 # the Spark operators exist to avoid
