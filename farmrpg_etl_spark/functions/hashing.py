@@ -50,6 +50,23 @@ def shingles(text_col: Column, k: int = 3) -> Column:
     return F.when(n <= 0, F.array().cast("array<string>")).otherwise(grams)
 
 
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Strict word n-grams as array<string> (space-joined).
+
+    Unlike :func:`shingles`, documents shorter than ``n`` words yield an
+    EMPTY array — decontamination semantics require full-length n-grams
+    only (a short document cannot leak a benchmark 13-gram)."""
+    toks = words(text_col)
+    cnt = F.coalesce(F.size(toks), F.lit(0))
+    # sequence(1, 0) would count DOWN, so clamp the stop at 1 and let
+    # the outer when() discard the short-document branch.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(grams)
+
+
 def salted_md5(col: Column, salt: int) -> Column:
     return F.md5(F.concat(F.lit(f"{salt}|"), col).cast("binary"))
 

@@ -1,0 +1,142 @@
+"""Corpus-quality operators a large-scale training-data pipeline needs:
+benchmark decontamination and repetition (duplication-within-document)
+signals in the spirit of the Gopher/MassiveText quality filters.
+
+No reference-repo counterpart — these extend the engine's LLM-pipeline
+surface (like operators.dedup / operators.similarity).
+
+Scale design
+------------
+Both operators avoid per-row higher-order array scans (interpreted, and
+O(tokens²) for distinct-counting) in favor of explode → partial-agg
+pipelines: every shuffle is keyed by the high-cardinality ``(doc_id)``
+or ``(doc_id, gram)`` pair, so there is no skew pivot, and the
+benchmark side of the contamination join — thousands of eval docs vs a
+100 TB train corpus — is broadcast, never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions.hashing import word_ngrams, words
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 style): per train document, the
+    number of distinct word ``n``-grams it shares with ANY eval
+    document, so contaminated documents can be dropped or flagged.
+
+    Per-row ``array_distinct`` dedups grams BEFORE the explode, so the
+    train side never shuffles raw gram multiplicity; the distinct eval
+    gram set is collected once and broadcast (eval benchmarks are
+    dimension-sized — thousands of docs — next to a 100 TB corpus).
+    The only full-width shuffle is the final per-document count, keyed
+    by the unique ``id_col``.
+    """
+    tgrams = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    egrams = (
+        eval_docs.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
+        )
+        .distinct()
+    )
+    return (
+        tgrams.join(F.broadcast(egrams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
+def _floor6(col: Column) -> Column:
+    """Engine-agnostic 6-decimal truncation of a deterministic double."""
+    return F.floor(col * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality
+    filters): duplicate-word fraction, duplicate-2-gram fraction, and
+    the character share of the single most frequent 2-gram
+    (ties broken toward the lexicographically greatest gram).
+
+    Two explode→count pipelines (tokens, 2-grams) aggregated per
+    document and joined back on the unique id — each groupBy is
+    partial-aggregatable and keyed uniformly; nothing is collected.
+    """
+    base = df.select(
+        F.col(id_col), F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars")
+    )
+
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    )
+    per_tok = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+    )
+
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("gram")
+    )
+    per_gram = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_2grams"),
+            F.count(F.lit(1)).alias("n_distinct_2grams"),
+            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"),
+        )
+    )
+
+    joined = (
+        base.join(per_tok, id_col, "left")
+        .join(per_gram, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("n_chars"),
+            F.col("n_distinct_tokens"),
+            F.col("n_2grams"),
+            F.col("n_distinct_2grams"),
+            F.col("top.gram").alias("top_2gram"),
+            F.col("top.cnt").alias("top_2gram_count"),
+        )
+    )
+    dup_word = (
+        (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double")
+        / F.col("n_tokens").cast("double")
+    )
+    dup_2gram = (
+        (F.col("n_2grams") - F.col("n_distinct_2grams")).cast("double")
+        / F.col("n_2grams").cast("double")
+    )
+    top_chars = (
+        (F.col("top_2gram_count") * F.length("top_2gram")).cast("double")
+        / F.col("n_chars").cast("double")
+    )
+    return joined.select(
+        id_col,
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, _floor6(dup_word)).alias("dup_word_frac"),
+        F.when(F.col("n_2grams") > 0, _floor6(dup_2gram)).alias("dup_2gram_frac"),
+        "top_2gram",
+        F.when(F.col("n_chars") > 0, _floor6(top_chars)).alias("top_2gram_char_frac"),
+    )

@@ -45,6 +45,41 @@ def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, F.Column]) ->
     return df.rollup(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
 
 
+def hierarchical_time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    fine: str = "minute",
+    coarse: str = "hour",
+) -> DataFrame:
+    """Hypertable-style two-level time-bucket rollup: aggregate into
+    fine buckets, then RE-AGGREGATE the coarse level from the fine
+    partials (count/sum/min/max compose exactly; avg derives from
+    sum÷count at read time).
+
+    This is the continuous-aggregate pattern at 100 TB: the fine rollup
+    is the only pass over raw data — every coarser resolution reads the
+    (minutes-per-key-sized) partial table instead of the events fact.
+    Sums run in DECIMAL so regrouping partials is bit-exact equal to
+    aggregating the raw rows directly (the oracle checks exactly that).
+    """
+    fine_b = F.date_trunc(fine, F.col(ts_col)).alias("__fine")
+    partial = df.groupBy(fine_b, *keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sum"),
+        F.min(value_col).alias("__min"),
+        F.max(value_col).alias("__max"),
+    )
+    coarse_b = F.date_trunc(coarse, F.col("__fine")).alias("bucket")
+    return partial.groupBy(coarse_b, *keys).agg(
+        F.sum("__n").alias("n_rows"),
+        F.round(F.sum("__sum"), 2).cast("double").alias("total_value"),
+        F.min("__min").alias("min_value"),
+        F.max("__max").alias("max_value"),
+    )
+
+
 def salted_sum(
     df: DataFrame,
     keys: Sequence[str],

@@ -1364,3 +1364,93 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
+
+
+# --------------------------------------------------------------------------
+# corpus-quality operators (decontamination, repetition) and the
+# hypertable-style hierarchical rollup
+# --------------------------------------------------------------------------
+
+ORACLES["decontaminate_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= 13
+                THEN list_transform(generate_series(1, len(toks) - 12),
+                                    i -> array_to_string(toks[i:i+12], ' '))
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM d
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 250)
+SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
+FROM g JOIN ev USING (gram)
+WHERE doc_id >= 250
+GROUP BY doc_id
+"""
+
+ORACLES["repetition_docs"] = f"""
+WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+d AS (SELECT doc_id, text, {_TOKS} AS toks FROM d0),
+base AS (SELECT doc_id, length(text) AS n_chars FROM d),
+pt AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct_tokens
+  FROM (SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+g0 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 2
+                           THEN list_transform(generate_series(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+1], ' '))
+                           ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM d)
+  GROUP BY doc_id, gram
+),
+pg AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+         COUNT(*) AS n_distinct_2grams
+  FROM g0 GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, gram AS top_2gram, cnt AS top_cnt
+  FROM (SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM g0)
+  WHERE rn = 1
+)
+SELECT base.doc_id,
+  coalesce(n_tokens, 0) AS n_tokens,
+  CASE WHEN n_tokens > 0 THEN
+    floor(CAST(n_tokens - n_distinct_tokens AS DOUBLE)
+          / CAST(n_tokens AS DOUBLE) * 1000000.0) / 1000000.0
+  END AS dup_word_frac,
+  CASE WHEN n_2grams > 0 THEN
+    floor(CAST(n_2grams - n_distinct_2grams AS DOUBLE)
+          / CAST(n_2grams AS DOUBLE) * 1000000.0) / 1000000.0
+  END AS dup_2gram_frac,
+  top_2gram,
+  CASE WHEN n_chars > 0 THEN
+    floor(CAST(top_cnt * length(top_2gram) AS DOUBLE)
+          / CAST(n_chars AS DOUBLE) * 1000000.0) / 1000000.0
+  END AS top_2gram_char_frac
+FROM base
+LEFT JOIN pt USING (doc_id)
+LEFT JOIN pg USING (doc_id)
+LEFT JOIN top USING (doc_id)
+"""
+
+ORACLES["hourly_rollup_events"] = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+  COUNT(*) AS n_rows,
+  CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""

@@ -1228,6 +1228,41 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 13-gram overlap between the
+    train split and a benchmark stand-in (docs with id < 250 — the
+    testdata generator clusters its near-duplicates in the low ids, so
+    the split has real cross-split leakage at every sf). Eval grams
+    broadcast; the train side shuffles once, on doc_id."""
+    from farmrpg_etl_spark.operators import quality
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality.ngram_contamination(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250), n=13
+    )
+
+
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals over the full
+    corpus: duplicate-word/2-gram fractions and the char share of the
+    most frequent 2-gram."""
+    from farmrpg_etl_spark.operators import quality
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality.repetition_metrics(d)
+
+
+def hourly_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hour buckets re-aggregated
+    from minute partials (count/sum/min/max compose; the oracle
+    aggregates the raw rows directly, proving the re-aggregation is
+    exact)."""
+    from farmrpg_etl_spark.operators import rollup as R
+
+    ev = load_table(spark, sf_dir, "events")
+    return R.hierarchical_time_rollup(ev, "ts", ["event_type"], "value")
+
+
 # --------------------------------------------------------------------------
 # TPC-H completion: the join/subquery shapes Q7/Q8/Q9/Q10/Q15/Q17/Q19/Q21
 # exercise, adapted where the driver's testdata lacks a column
@@ -1581,6 +1616,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": pii_redaction,
     "json_props_stats": json_props_stats,
     "neardup_clusters_docs": neardup_clusters_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "repetition_docs": repetition_docs,
+    "hourly_rollup_events": hourly_rollup_events,
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,
     "decode_media_docs": decode_media_docs,

@@ -1,0 +1,88 @@
+"""Corpus-quality operators: decontamination, repetition signals, and
+the hierarchical time rollup."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions.hashing import word_ngrams
+from farmrpg_etl_spark.operators import quality, rollup
+
+
+def test_word_ngrams_strict(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), (None,)], ["text"]
+    )
+    out = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert out[0].g == ["a b c", "b c d"]
+    assert out[1].g == []  # shorter than n: no partial grams
+    assert out[2].g == []
+    assert out[3].g == []
+
+
+def test_ngram_contamination_counts(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares "the quick brown"
+            (2, "totally unrelated words here"),
+            (3, "the quick brown fox sleeps the quick brown fox sleeps"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in quality.ngram_contamination(train, ev, n=3).collect()
+    }
+    # doc 1 shares 3 distinct 3-grams, doc 3 shares 2 ("fox jumps" differs),
+    # doc 2 shares none (absent from the output, not zero).
+    assert got == {1: 3, 3: 2}
+
+
+def test_repetition_metrics_hand_computed(spark):
+    df = spark.createDataFrame([(1, "a a b"), (2, "x y")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in quality.repetition_metrics(df).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 3
+    assert abs(r1.dup_word_frac - 0.333333) < 1e-9  # (3-2)/3 floored
+    assert r1.dup_2gram_frac == 0.0  # "a a", "a b" both unique
+    assert r1.top_2gram == "a b"  # tie on count → lexicographically greatest
+    assert abs(r1.top_2gram_char_frac - 0.6) < 1e-9  # 1*3 chars / 5 chars
+    r2 = rows[2]
+    assert r2.dup_word_frac == 0.0 and r2.top_2gram == "x y"
+
+
+def test_repetition_metrics_highly_repetitive_doc_scores_worse(spark):
+    df = spark.createDataFrame(
+        [(1, "spam " * 50), (2, " ".join(f"w{i}" for i in range(50)))],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in quality.repetition_metrics(df).collect()}
+    assert rows[1].dup_word_frac > 0.9 > rows[2].dup_word_frac == 0.0
+    assert rows[1].dup_2gram_frac > 0.9 > rows[2].dup_2gram_frac == 0.0
+
+
+def test_hierarchical_rollup_equals_direct(spark):
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (t0 + datetime.timedelta(minutes=m, seconds=s), "click", float(m) + 0.25)
+        for m in range(0, 130, 7)
+        for s in (0, 30)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    got = rollup.hierarchical_time_rollup(df, "ts", ["event_type"], "value")
+    direct = df.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
