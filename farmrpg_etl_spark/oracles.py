@@ -1454,3 +1454,19 @@ SELECT date_trunc('hour', ts) AS bucket, event_type,
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """
+
+ORACLES["streaming_windowed_counts"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+ORACLES["streaming_enriched_counts"] = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""

@@ -934,6 +934,23 @@ def streaming_message_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.run_available_now(chat_cdc_stream(msgs), "append")
 
 
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, append mode — emits
+    each closed window exactly once; open windows withheld (the oracle
+    applies the same ``window_end <= max_ts − delay`` cutoff)."""
+    from farmrpg_etl_spark.streaming import ops
+
+    return ops.streaming_windowed_counts(spark, sf_dir)
+
+
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (streaming J3) + complete-mode
+    aggregation per (market segment, event type)."""
+    from farmrpg_etl_spark.streaming import ops
+
+    return ops.streaming_enriched_counts(spark, sf_dir)
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS-style left-semi join — orders in a quarter
     with at least one returned lineitem, counted by priority. The semi
@@ -1635,6 +1652,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_latest_per_user": streaming_latest_per_user,
     "streaming_sessionize": streaming_sessionize,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_enriched_counts": streaming_enriched_counts,
     "streaming_cdc_events": streaming_cdc_events,
     "streaming_message_cdc": streaming_message_cdc,
 }

@@ -201,3 +201,63 @@ def streaming_sessionize(
         "n_events",
     )
     return run_available_now(out, "complete")
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation in APPEND mode — the
+    canonical late-data pattern: a window's row is emitted exactly
+    once, when the watermark (max event time − ``delay``) passes the
+    window end, and its state is evicted then.
+
+    Unlike the complete-mode queries, this one exercises real state
+    eviction: the availableNow run ends with a no-data micro-batch
+    that advances the watermark and flushes every closed window, so
+    the result is the set of windows with ``window.end <= watermark``
+    — windows still open at end-of-input are (correctly) withheld,
+    and the oracle applies the same cutoff. At 100 TB this is the
+    shape that bounds state: open windows per key, never the stream.
+
+    Sums run in DECIMAL so incremental accumulation matches the
+    oracle's batch sum exactly."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", delay)
+        .groupBy(F.window(F.col("ts"), window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    return run_available_now(out, "append")
+
+
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (J3's streaming twin): the event stream
+    hydrated against the static customer dimension with an explicit
+    broadcast — on a cluster the dimension ships once per executor and
+    the stream never shuffles for the join — then aggregated per
+    (market segment, event type) in complete mode."""
+    from farmrpg_etl_spark.sources.tables import load_table
+
+    sdf = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = sdf.join(F.broadcast(dim), sdf.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return run_available_now(agg, "complete")

@@ -116,3 +116,64 @@ def test_flags_resolution_join_batch(spark):
     )
     out = flags_resolution_join(chat, flags).collect()
     assert [(r["id"], r["flags"]) for r in out] == [("10", 3)]
+
+
+def test_streaming_windowed_counts_watermark_boundary(spark, tmp_path):
+    """A window whose end equals the final watermark (max_ts − delay)
+    IS emitted; later windows are withheld. Pins the `<=` boundary the
+    oracle relies on."""
+    import pandas as pd
+
+    from farmrpg_etl_spark.streaming import ops
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [t(10), t(10, 30), t(11, 30), t(12)],
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["a", "a", "b", "b"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ["{}"] * 4,
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    rows = ops.streaming_windowed_counts(spark, str(tmp_path)).collect()
+    # wm = 12:00 − 1h = 11:00 → only the [10:00, 11:00) window closed
+    assert [(r.window_start, r.n_events, r.total_value) for r in rows] == [
+        (t(10), 2, 3.0)
+    ]
+
+
+def test_streaming_enriched_counts_matches_batch(spark, tmp_path):
+    import pandas as pd
+
+    from farmrpg_etl_spark.streaming import ops
+
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [datetime(2024, 1, 1, 10)] * 3,
+            "user_id": [0, 0, 1],
+            "event_type": ["a", "b", "a"],
+            "value": [1.0] * 3,
+            "props": ["{}"] * 3,
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    pd.DataFrame(
+        {
+            "c_custkey": [0, 1],
+            "c_name": ["x", "y"],
+            "c_nationkey": [0, 0],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["BUILDING", "AUTOMOBILE"],
+        }
+    ).to_parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        (r.c_mktsegment, r.event_type): r.n_events
+        for r in ops.streaming_enriched_counts(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("BUILDING", "a"): 1,
+        ("BUILDING", "b"): 1,
+        ("AUTOMOBILE", "a"): 1,
+    }
