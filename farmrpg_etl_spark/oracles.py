@@ -1470,3 +1470,93 @@ SELECT c_mktsegment, event_type, COUNT(*) AS n_events
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment, event_type
 """
+
+
+# --------------------------------------------------------------------------
+# derived-partsupp TPC-H shapes (Q2/Q11/Q16/Q20) — the ps CTE rebuilds
+# queries._derived_partsupp with identical integer arithmetic
+# --------------------------------------------------------------------------
+
+_PS = """
+  SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+         (p_partkey * 7 + s_suppkey * 13) % 1000 + 1 AS ps_availqty,
+         CAST((p_partkey * 11 + s_suppkey * 17) % 9000 AS DOUBLE) / 100.0
+           + 10.0 AS ps_supplycost
+  FROM part JOIN supplier ON p_partkey % 25 = s_suppkey % 25
+"""
+
+ORACLES["q2_min_cost_supplier"] = f"""
+WITH ps AS ({_PS}),
+reg AS (
+  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+),
+q AS (
+  SELECT reg.* FROM reg
+  JOIN part ON ps_partkey = p_partkey
+           AND p_size < 10 AND p_type = 'LARGE'
+),
+m AS (SELECT ps_partkey AS m_partkey, MIN(ps_supplycost) AS min_cost
+      FROM q GROUP BY ps_partkey)
+SELECT s_acctbal, s_name, n_name, ps_partkey, ps_supplycost
+FROM q JOIN m ON ps_partkey = m_partkey AND ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, ps_partkey ASC
+LIMIT 100
+"""
+
+ORACLES["q11_important_stock"] = f"""
+WITH ps AS ({_PS}),
+base AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+),
+total AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 0.01
+         AS threshold
+  FROM base
+)
+SELECT ps_partkey, {_money('value')} AS value
+FROM base CROSS JOIN total
+GROUP BY ps_partkey, threshold
+HAVING {_money('value')} > threshold
+"""
+
+ORACLES["q16_supplier_count"] = f"""
+WITH ps AS ({_PS})
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size <= 20
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = ps_suppkey AND s_suppkey % 7 = 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLES["q20_excess_inventory_suppliers"] = f"""
+WITH ps AS ({_PS}),
+shipped AS (
+  SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) * 0.5
+           AS half_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+cand AS (
+  SELECT ps_suppkey FROM ps
+  JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+  JOIN shipped ON ps_partkey = sh_partkey AND ps_suppkey = sh_suppkey
+  WHERE ps_availqty > half_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+WHERE EXISTS (SELECT 1 FROM cand WHERE ps_suppkey = s_suppkey)
+"""

@@ -1564,6 +1564,166 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in for TPC-H's partsupp (absent from the
+    driver testdata): each part is supplied by the suppliers whose key
+    is congruent mod 25, with integer-derived availqty and a
+    2-decimal supply cost — integer arithmetic end-to-end, so the
+    DuckDB oracle rebuilds the identical relation and Q2/Q11/Q16/Q20
+    shapes stay fully hash-verifiable.
+
+    Scale note: the mod-25 equi-key has only 25 distinct values, which
+    at real scale would be a skewed shuffle — acceptable here because
+    the relation is a testdata shim, not an engine operator; a real
+    deployment reads a materialized partsupp table."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    return (
+        p.join(s, (F.col("p_partkey") % 25) == (F.col("s_suppkey") % 25))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.col("s_suppkey").alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 1000 + 1).alias(
+                "ps_availqty"
+            ),
+            (
+                ((F.col("p_partkey") * 11 + F.col("s_suppkey") * 17) % 9000).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+                + F.lit(10.0)
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery — for each qualifying
+    part, the region's supplier(s) offering the minimum supply cost.
+    The per-part min is a partial-aggregatable groupBy joined back on
+    (partkey, cost); the equality compare is safe because the cost is
+    integer-derived (bit-identical in both engines)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    regional = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    qualified = regional.join(
+        F.broadcast(p.select("p_partkey")), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    minc = qualified.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        qualified.join(
+            minc,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "ps_partkey", "ps_supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("ps_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value within one nation,
+    HAVING-filtered against a scalar fraction of the total (the scalar
+    subquery broadcasts as a single-row cross join). Value terms are
+    2-decimal × integer, so decimal sums are exact in both engines."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    base = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"),
+        )
+    )
+    per_part = base.groupBy("ps_partkey").agg(_money(F.col("value")).alias("value"))
+    total = base.agg(
+        (_dec_sum(F.col("value")).cast("double") * F.lit(0.01)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part descriptor,
+    excluding one brand and a "complaints" supplier set via anti join
+    (stand-in predicate: every 7th supplier key, since testdata has no
+    comment column). COUNT(DISTINCT) after the anti join — the anti
+    join never duplicates, the distinct handles multi-part suppliers."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size") <= 20)
+    )
+    s_excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter((F.col("s_suppkey") % 7) == 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s_excl), ps.ps_suppkey == s_excl.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding more than half
+    a year's shipped quantity of some qualifying part — correlated
+    aggregate subquery (per (part, supplier) shipped sum) feeding a
+    chain of semi joins. The final semi join means each supplier
+    appears once regardless of how many parts qualify."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("sh_partkey"), F.col("l_suppkey").alias("sh_suppkey")
+    ).agg(
+        (_dec_sum(F.col("l_quantity")).cast("double") * F.lit(0.5)).alias("half_qty")
+    )
+    cand = (
+        ps.join(F.broadcast(p.select("p_partkey")), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            shipped,
+            (ps.ps_partkey == F.col("sh_partkey"))
+            & (ps.ps_suppkey == F.col("sh_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(cand, s.s_suppkey == cand.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1594,6 +1754,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_count": q16_supplier_count,
+    "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
     "q13_customer_distribution": q13_customer_distribution,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,
