@@ -57,3 +57,95 @@ def chunk_by_tokens(
         F.size(chunk_toks).alias("n_chunk_tokens"),
         F.array_join(chunk_toks, " ").alias("chunk"),
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum: ``out_col`` = running total of
+    ``value_col`` in ``order_col`` order (inclusive), without the
+    single-partition collapse of a global ``Window.orderBy``.
+
+    Two-phase prefix-sum over DETERMINISTIC key-range buckets: the
+    bucket id is computed from the key's value and the (min, max) key
+    range — never from ``spark_partition_id`` — so re-computation of
+    any branch can't shift bucket boundaries (a physical-partition-id
+    scheme silently corrupts offsets if the exchange isn't reused).
+    Phase 1 cumsums inside each bucket (parallel windows); phase 2
+    turns the per-bucket totals (one row per bucket) into exclusive
+    offsets with a window over that tiny frame and broadcasts them
+    back. At 100 TB this is the only scale-safe way to assign global
+    offsets — a bare ``Window.orderBy(order_col)`` pulls the corpus
+    through ONE task.
+
+    ``order_col`` must be a unique integral key (ties would make the
+    intra-tie cumsum order nondeterministic); bucket balance follows
+    the key distribution (dense ids -> uniform buckets)."""
+    from pyspark.sql import Window
+
+    nb = int(
+        num_buckets
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    key = F.col(order_col).cast("long")
+    rng = df.agg(
+        F.min(key).alias("__mn"), F.max(key).alias("__mx")
+    )
+    span = F.col("__mx") - F.col("__mn") + 1
+    bucketed = df.crossJoin(F.broadcast(rng)).withColumn(
+        "__b", ((key - F.col("__mn")) * nb / span).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("__local", F.sum(F.col(value_col)).over(w_local))
+    # one row per bucket: the global window here is over <= nb rows
+    totals = local.groupBy("__b").agg(F.max("__local").alias("__total"))
+    w_off = Window.orderBy(F.col("__b").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.withColumn(
+        "__offset", F.sum("__total").over(w_off) - F.col("__total")
+    ).select("__b", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, F.col("__local") + F.col("__offset"))
+        .drop("__b", "__mn", "__mx", "__local", "__offset")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Concat-and-split sequence packing (the standard LLM training
+    layout): documents are laid end-to-end in ``id_col`` order and the
+    token stream is cut into ``seq_len``-token training sequences, so
+    a document may span several packs. Emits per document its global
+    token offset and the first/last pack it lands in.
+
+    The global offset comes from :func:`global_prefix_sum` — no
+    single-partition window, no collect of the corpus."""
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    cum = global_prefix_sum(base, id_col, "n_tokens", "cum_tokens")
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.cast("long").alias("start_offset"),
+        F.floor(start / F.lit(seq_len)).alias("first_pack"),
+        # empty docs occupy no tokens: their pack span is their start pack
+        F.floor(
+            F.greatest(F.col("cum_tokens") - 1, start) / F.lit(seq_len)
+        ).alias("last_pack"),
+    )

@@ -1560,3 +1560,20 @@ FROM supplier
 JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
 WHERE EXISTS (SELECT 1 FROM cand WHERE ps_suppkey = s_suppkey)
 """
+
+ORACLES["pack_sequences_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id,
+             CAST(coalesce(len(toks), 0) AS BIGINT) AS n_tokens FROM d),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM b)
+SELECT doc_id, n_tokens,
+  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS first_pack,
+  CAST(floor(greatest(cum - 1, cum - n_tokens) / 2048) AS BIGINT)
+    AS last_pack
+FROM c
+"""

@@ -1564,6 +1564,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: global token offsets via the
+    two-phase distributed prefix sum (no single-partition window), then
+    each document's first/last 2048-token training pack."""
+    from farmrpg_etl_spark.operators.chunking import pack_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_documents(d, "text", "doc_id", seq_len=2048)
+
+
 def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stand-in for TPC-H's partsupp (absent from the
     driver testdata): each part is supplied by the suppliers whose key
@@ -1800,6 +1810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": decontaminate_docs,
     "repetition_docs": repetition_docs,
     "hourly_rollup_events": hourly_rollup_events,
+    "pack_sequences_docs": pack_sequences_docs,
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,
     "decode_media_docs": decode_media_docs,

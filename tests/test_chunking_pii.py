@@ -80,3 +80,51 @@ def test_null_and_empty_text_yield_one_empty_chunk(spark):
     out = chunk_by_tokens(df, "text", "id", size=8, stride=4)
     rows = sorted((r.id, r.chunk_id, r.n_chunk_tokens, r.chunk) for r in out.collect())
     assert rows == [(1, 0, 0, ""), (2, 0, 0, "")]
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    from farmrpg_etl_spark.operators.chunking import global_prefix_sum
+
+    # nonconsecutive, unordered ids; values prime-ish to catch offset bugs
+    rows = [(i * 37 % 101, (i * 7) % 13 + 1) for i in range(101)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: r.cum
+        for r in global_prefix_sum(df, "k", "v", "cum", num_buckets=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.k: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_global_prefix_sum_single_key(spark):
+    from farmrpg_etl_spark.operators.chunking import global_prefix_sum
+
+    df = spark.createDataFrame([(5, 42)], ["k", "v"])
+    assert global_prefix_sum(df, "k", "v").collect()[0].cum == 42
+
+
+def test_pack_documents_spans_and_offsets(spark):
+    from farmrpg_etl_spark.operators.chunking import pack_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # tokens 0..3   -> pack 0
+            (2, "e f g"),            # tokens 4..6   -> packs 0-1 (spans the cut at 5)
+            (3, None),               # empty: start 7, occupies nothing
+            (4, "h i j k l m"),      # tokens 7..12  -> packs 1-2
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.first_pack, r.last_pack)
+        for r in pack_documents(df, "text", "doc_id", seq_len=5).collect()
+    }
+    assert got == {
+        1: (4, 0, 0, 0),
+        2: (3, 4, 0, 1),
+        3: (0, 7, 1, 1),
+        4: (6, 7, 1, 2),
+    }
