@@ -84,6 +84,27 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
     }
 
+    # round-2 operator additions, timed the same way but reported
+    # separately so the headline total stays comparable across rounds
+    extended = {}
+    for name in [
+        "q19_disjunctive_revenue",
+        "q21_waiting_suppliers",
+        "decontaminate_docs",
+        "repetition_docs",
+        "pack_sequences_docs",
+        "hourly_rollup_events",
+    ]:
+        run(name)
+        steady = []
+        for _ in range(2):
+            t0 = time.time()
+            run(name)
+            steady.append(time.time() - t0)
+        extended[name] = round(min(steady), 3)
+    out["extended_queries"] = extended
+    out["extended_total_sec"] = round(sum(extended.values()), 3)
+
     # reference-throughput comparison: the reference sustains ≤700 chat
     # msg-parses/s (BASELINE.md); measure our parse stage on the same
     # 100-message golden payload when available

@@ -1577,3 +1577,15 @@ SELECT doc_id, n_tokens,
     AS last_pack
 FROM c
 """
+
+ORACLES["unpivot_event_counts"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t AS (SELECT unnest(['click','error','purchase','signup','view'])
+             AS event_type),
+c AS (SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type)
+SELECT u.user_id, t.event_type,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events
+FROM u CROSS JOIN t
+LEFT JOIN c ON u.user_id = c.user_id AND t.event_type = c.event_type
+"""

@@ -332,6 +332,20 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) surface: the wide per-user count matrix back to
+    long (user_id, event_type, n_events) rows — the inverse reshape of
+    ``pivot_event_counts``, zeros included. Narrow 1→N op, no extra
+    shuffle beyond the pivot's aggregation."""
+    wide = pivot_event_counts(spark, sf_dir)
+    return wide.unpivot(
+        ["user_id"],
+        ["click", "error", "purchase", "signup", "view"],
+        "event_type",
+        "n_events",
+    )
+
+
 def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated median of value per event_type (Spark
     percentile == DuckDB quantile_cont on identical doubles)."""
@@ -1754,6 +1768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_events": set_ops_events,
     "sessionize_events": sessionize_events,
     "pivot_event_counts": pivot_event_counts,
+    "unpivot_event_counts": unpivot_event_counts,
     "median_value_by_type": median_value_by_type,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,

@@ -169,3 +169,27 @@ def test_range_join_matches_naive(sp, lrows, rrows):
     a = sorted((r.k, r.lid, r.rid) for r in fast.collect())
     b = sorted((r.k, r.lid, r.rid) for r in naive.collect())
     assert a == b
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda p: p[0],
+    ),
+    nb=st.integers(1, 9),
+)
+@SETTINGS
+def test_global_prefix_sum_is_exact_running_total(sp, pairs, nb):
+    from farmrpg_etl_spark.operators.chunking import global_prefix_sum
+
+    df = sp.createDataFrame(pairs, "k long, v long")
+    got = {
+        r.k: r.cum
+        for r in global_prefix_sum(df, "k", "v", "cum", num_buckets=nb).collect()
+    }
+    run = 0
+    for k, v in sorted(pairs):
+        run += v
+        assert got[k] == run
