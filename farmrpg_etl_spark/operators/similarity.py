@@ -68,6 +68,16 @@ def cosine_pairs(
     block_col: str,
     threshold: float = 0.9,
 ) -> DataFrame:
+    """EXACT cosine pairs ≥ threshold within a blocking key.
+
+    Deliberately |block|²·d: for DENSE embeddings there is no exact
+    sub-blocking that preserves recall (prefix-filter/AllPairs tricks
+    need sparsity; every dense pair shares every dimension), so exact
+    semantics cost all pairs within the block. Use this when blocks
+    are bounded (e.g. per-entity or per-cluster comparisons); the
+    100 TB near-neighbor path is the approximate family —
+    ``ann_topk_ivf`` / ``ann_topk_ivf_probe`` (LSH-bucketed, probed)
+    — which trades exactness for Σ|bucket|² ≪ |block|²."""
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("__block"),
