@@ -199,35 +199,50 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     ``functions.hashing.hamming_hex`` after a band join.
 
     Relational formulation (same values as ``functions.hashing.
-    simhash64``): explode tokens → project the 64 md5 bits →
-    ``groupBy(id)`` with 64 partial-aggregated bit-count sums →
-    majority vote per bit → hex. All codegen'd projections/aggregates;
-    the shuffle carries 64 small ints per document."""
+    simhash64``): explode tokens → per nibble, map the md5 hex digit
+    through a 16-entry literal table to a LONG packing its 4 bit
+    values into 16-bit lanes → 16 packed sums (+ token count) per
+    document → unpack lane counts, majority-vote each bit, emit hex.
+    All codegen'd; the shuffle carries 17 longs per document and the
+    per-row work is 16 lookups instead of 64 floor/mod bit extracts
+    (~2× less projection CPU than the one-column-per-bit form).
+
+    Lane counts are 16-bit: documents beyond 65,535 tokens would
+    overflow a lane — token-cap upstream (curation pipelines chunk or
+    reject megadocs long before simhash)."""
     toks = df.select(
         F.col(id_col), F.explode_outer(H.words(F.col(text_col))).alias("__t")
     )
     h = F.md5(F.col("__t").cast("binary"))
-    bit_cols = []
+    # PACK[d] spreads digit d's bits (3,2,1,0) into lanes (0,1,2,3)
+    pack = [
+        sum(((d >> s) & 1) << (16 * j) for j, s in enumerate((3, 2, 1, 0)))
+        for d in range(16)
+    ]
+    pack_arr = F.array(*[F.lit(v).cast("long") for v in pack])
+    packed_cols = []
     for nibble in range(H.SIMHASH_BITS // 4):
         d = H.hex_digit_value(F.substring(h, nibble + 1, 1))
-        for shift in (3, 2, 1, 0):
-            bit_cols.append(
-                (F.floor(d / F.lit(2**shift)).cast("int") % 2).alias(
-                    f"__b{len(bit_cols)}"
-                )
-            )
-    proj = toks.select(F.col(id_col), F.col("__t").isNotNull().cast("int").alias("__n"), *bit_cols)
+        packed_cols.append(F.element_at(pack_arr, d + 1).alias(f"__p{nibble}"))
+    proj = toks.select(
+        F.col(id_col),
+        F.col("__t").isNotNull().cast("int").alias("__n"),
+        *packed_cols,
+    )
     aggs = [F.sum("__n").alias("__total")] + [
-        F.sum(f"__b{i}").alias(f"__c{i}") for i in range(H.SIMHASH_BITS)
+        F.sum(f"__p{i}").alias(f"__s{i}") for i in range(H.SIMHASH_BITS // 4)
     ]
     agg = proj.groupBy(id_col).agg(*aggs)
     total = F.col("__total")
     hex_chars = []
     for nibble in range(H.SIMHASH_BITS // 4):
+        s = F.coalesce(F.col(f"__s{nibble}"), F.lit(0).cast("long"))
         val = F.lit(0)
         for j, shift in enumerate((3, 2, 1, 0)):
-            c = F.coalesce(F.col(f"__c{nibble * 4 + j}"), F.lit(0))
-            val = val + F.when((F.lit(2) * c) > total, F.lit(2**shift)).otherwise(F.lit(0))
+            c = F.shiftright(s, 16 * j).bitwiseAND(F.lit(0xFFFF))
+            val = val + F.when((F.lit(2) * c) > total, F.lit(2**shift)).otherwise(
+                F.lit(0)
+            )
         hex_chars.append(F.lit(H.HEX_DIGITS).substr(val + 1, F.lit(1)))
     return agg.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
 
