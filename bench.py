@@ -94,6 +94,8 @@ def main() -> None:
         "repetition_docs",
         "pack_sequences_docs",
         "hourly_rollup_events",
+        "ngram_jaccard_docs",
+        "simhash_docs",
     ]:
         run(name)
         steady = []
