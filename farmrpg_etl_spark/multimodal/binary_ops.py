@@ -123,3 +123,42 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     return df.select("media_id", "data").mapInPandas(
         batches, schema="media_id long, frame_offset long, frame_digest string"
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, n_bytes_out long, out_digest string"
+)
+
+
+def resize_media(df: DataFrame) -> DataFrame:
+    """Resize/transcode plumbing: binary in → (smaller) binary out with
+    per-row target dimensions — the batch shape a real image-resample
+    or audio-downsample stage runs in. The codec is a deterministic
+    stub (byte-budget truncation: budget = (w*h) % 256 + 32, integer
+    arithmetic so the DuckDB oracle reproduces it exactly); real
+    deployments swap the truncation for PIL/ffmpeg resampling with the
+    SAME mapInPandas signature and schema.
+
+    Input columns: media_id, data (binary), target_w, target_h."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws = pdf["target_w"].astype("int64")
+            hs = pdf["target_h"].astype("int64")
+            budgets = (ws * hs) % 256 + 32
+            outs = [
+                bytes(b)[: int(bud)] for b, bud in zip(pdf["data"], budgets)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_bytes_out": pd.array([len(o) for o in outs], dtype="int64"),
+                    "out_digest": [hashlib.md5(o).hexdigest() for o in outs],
+                }
+            )
+
+    return df.select("media_id", "data", "target_w", "target_h").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )

@@ -1589,3 +1589,18 @@ SELECT u.user_id, t.event_type,
 FROM u CROSS JOIN t
 LEFT JOIN c ON u.user_id = c.user_id AND t.event_type = c.event_type
 """
+
+ORACLES["resize_media_docs"] = r"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(coalesce(text, ''), '[^\x20-\x7e]', '', 'g') AS clean,
+         CAST(32 + doc_id % 64 AS INT) AS width,
+         CAST(32 + (doc_id * 7) % 64 AS INT) AS height
+  FROM documents
+)
+SELECT media_id, width, height,
+  CAST(least(len(clean), (width * height) % 256 + 32) AS BIGINT)
+    AS n_bytes_out,
+  md5(substr(clean, 1, (width * height) % 256 + 32)) AS out_digest
+FROM d
+"""

@@ -784,6 +784,24 @@ def decode_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_meta(d)
 
 
+def resize_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage (stub codec, real binary→binary
+    plumbing): per-row target dimensions, deterministic byte-budget
+    output the oracle recomputes from the sanitized text."""
+    from farmrpg_etl_spark.multimodal.binary_ops import resize_media
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[^\x20-\x7e]", ""),
+            "UTF-8",
+        ).alias("data"),
+        (F.lit(32) + F.col("doc_id") % 64).cast("int").alias("target_w"),
+        (F.lit(32) + (F.col("doc_id") * 7) % 64).cast("int").alias("target_h"),
+    )
+    return resize_media(d)
+
+
 def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(e, "embedding", "vec_id", "label", threshold=0.25)
@@ -1829,6 +1847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,
     "decode_media_docs": decode_media_docs,
+    "resize_media_docs": resize_media_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "embedding_centroids": embedding_centroids,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,

@@ -1,0 +1,68 @@
+"""Multimodal binary plumbing: Arrow batch shapes, schemas, and the
+deterministic stub codecs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from farmrpg_etl_spark.multimodal.binary_ops import (
+    decode_media_meta,
+    extract_binary_meta,
+    frame_sample,
+    resize_media,
+)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, data binary")
+
+
+def test_extract_binary_meta_digest_matches_hashlib(spark):
+    blob = b"hello multimodal world"
+    out = extract_binary_meta(_media(spark, [(1, blob)])).collect()[0]
+    assert out.n_bytes == len(blob)
+    assert out.digest == hashlib.md5(blob).hexdigest()
+
+
+def test_decode_media_meta_kinds_and_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"x" * 10), (2, "audio", b"y" * 10), (3, "video", b"z")],
+        "media_id long, kind string, data binary",
+    )
+    rows = {r.media_id: r for r in decode_media_meta(df).collect()}
+    assert 64 <= rows[1].width <= 255 and rows[1].duration_ms is None
+    assert rows[2].width is None and 1000 <= rows[2].duration_ms < 61000
+    assert rows[3].n_bytes == 1
+
+
+def test_frame_sample_offsets(spark):
+    blob = b"a" * 10000
+    rows = frame_sample(_media(spark, [(7, blob)]), every_n_bytes=4096).collect()
+    assert [r.frame_offset for r in sorted(rows, key=lambda r: r.frame_offset)] == [
+        0,
+        4096,
+        8192,
+    ]
+    assert all(r.media_id == 7 for r in rows)
+
+
+def test_resize_media_budget_and_digest(spark):
+    blob = b"0123456789" * 100  # 1000 bytes
+    df = spark.createDataFrame(
+        [(5, blob, 40, 40)], "media_id long, data binary, target_w int, target_h int"
+    )
+    out = resize_media(df).collect()[0]
+    budget = (40 * 40) % 256 + 32  # 1600 % 256 = 64 → 96
+    assert out.n_bytes_out == budget
+    assert out.out_digest == hashlib.md5(blob[:budget]).hexdigest()
+    assert (out.width, out.height) == (40, 40)
+
+
+def test_resize_media_short_blob_keeps_full_bytes(spark):
+    blob = b"tiny"
+    df = spark.createDataFrame(
+        [(6, blob, 33, 35)], "media_id long, data binary, target_w int, target_h int"
+    )
+    out = resize_media(df).collect()[0]
+    assert out.n_bytes_out == 4
+    assert out.out_digest == hashlib.md5(blob).hexdigest()
