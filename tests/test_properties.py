@@ -193,3 +193,41 @@ def test_global_prefix_sum_is_exact_running_total(sp, pairs, nb):
     for k, v in sorted(pairs):
         run += v
         assert got[k] == run
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c\t\n"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 4),
+)
+@SETTINGS
+def test_shingles_and_ngrams_match_python_reference(sp, texts, k):
+    """The arrays_zip-based implementations must agree with the obvious
+    Python sliding window for any whitespace mess."""
+    from farmrpg_etl_spark.functions.hashing import shingles, word_ngrams
+    from pyspark.sql import functions as F
+
+    df = sp.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r.i: (r.sh, r.ng)
+        for r in df.select(
+            "i",
+            shingles(F.col("text"), k).alias("sh"),
+            word_ngrams(F.col("text"), k).alias("ng"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().strip().split() if w]
+        full = [" ".join(toks[j : j + k]) for j in range(max(len(toks) - k + 1, 1))]
+        want_sh = full if toks else []
+        want_ng = (
+            [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+            if len(toks) >= k
+            else []
+        )
+        assert got[i] == (want_sh, want_ng), (t, toks)
