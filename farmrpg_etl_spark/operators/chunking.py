@@ -91,6 +91,11 @@ def global_prefix_sum(
         num_buckets
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # the input is consulted by four subtrees (key range, local cumsum,
+    # bucket totals, offset join) — persist it so an expensive upstream
+    # pipeline is computed once, not four times (the frame is narrow:
+    # callers pass (key, value) projections; spills to disk if large)
+    df = df.persist()
     key = F.col(order_col).cast("long")
     rng = df.agg(
         F.min(key).alias("__mn"), F.max(key).alias("__mx")

@@ -1604,3 +1604,61 @@ SELECT media_id, width, height,
   md5(substr(clean, 1, (width * height) % 256 + 32)) AS out_digest
 FROM d
 """
+
+ORACLES["training_data_pipeline"] = rf"""
+WITH d AS (SELECT doc_id, text, source, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, text, source, toks,
+    {', '.join(f'{_hits(lang)} AS s_{lang}' for lang in sorted(_LANGS))},
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE CAST(len(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+              / len(text) END AS praw
+  FROM d
+), q AS (
+  SELECT *,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE CAST(s_en AS DOUBLE) / n_tok END AS sraw,
+    CASE WHEN len(text) >= 100 AND len(text) <= 4000 THEN 1.0
+         WHEN len(text) < 100 THEN CAST(len(text) AS DOUBLE) / 100.0
+         ELSE 4000.0 / CAST(len(text) AS DOUBLE) END AS len_score
+  FROM m
+), scored AS (
+  SELECT doc_id, text, toks, n_tok,
+    {_LANG_CASE} AS lang_pred,
+    round(len_score * 0.5 + (1.0 - least(praw * 5.0, 1.0)) * 0.25
+          + least(sraw * 10.0, 1.0) * 0.25, 6) AS quality
+  FROM q
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= 13
+                THEN list_transform(generate_series(1, len(toks) - 12),
+                                    i -> array_to_string(toks[i:i+12], ' '))
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM d
+),
+evg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 250),
+cont AS (SELECT DISTINCT g.doc_id FROM g JOIN evg USING (gram)
+         WHERE g.doc_id >= 250),
+clean AS (
+  SELECT * FROM scored
+  WHERE lang_pred = 'en' AND quality >= 0.5 AND doc_id >= 250
+    AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = scored.doc_id)
+), deduped AS (
+  SELECT * FROM clean
+  QUALIFY doc_id = min(doc_id) OVER (
+    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+), c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM deduped
+)
+SELECT CAST(floor((cum - n_tok) / 512) AS BIGINT) AS first_pack,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY CAST(floor((cum - n_tok) / 512) AS BIGINT)
+"""

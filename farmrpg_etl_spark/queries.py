@@ -740,6 +740,39 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data preparation pipeline in one plan:
+    language/quality gate → benchmark decontamination (13-gram overlap
+    vs the doc_id<250 stand-in, anti-join) → exact dedup →
+    concat-and-split sequence packing (512-token packs) → per-pack
+    stats. This is the composition a 100 TB corpus build runs: every
+    stage is a Catalyst expression, a broadcast join, or one keyed
+    shuffle, and the packing offsets come from the two-phase
+    distributed prefix sum."""
+    from farmrpg_etl_spark.operators import quality
+    from farmrpg_etl_spark.operators.chunking import pack_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = T.text_metrics(d, "text").select(
+        "doc_id", "text", "source", "lang_pred", "quality", "n_tokens"
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    cand = kept.filter(F.col("doc_id") >= 250)
+    # contamination is computed from the raw scan, not the metrics
+    # chain — same anti-join result (cont ⊇ cand∩cont), but the heavy
+    # text_metrics subtree is evaluated exactly once
+    cont = quality.ngram_contamination(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250), n=13
+    ).select("doc_id")
+    clean = cand.join(cont, "doc_id", "left_anti")
+    deduped = dedup.exact_dedup(clean, "text", "doc_id")
+    packed = pack_documents(deduped, "text", "doc_id", seq_len=512)
+    return packed.groupBy("first_pack").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 def multimodal_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes as opaque blobs through the
     Arrow mapInPandas metadata extractor."""
@@ -1832,6 +1865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "text_metrics_docs": text_metrics_docs,
     "corpus_curation": corpus_curation,
+    "training_data_pipeline": training_data_pipeline,
     "deterministic_sample_docs": deterministic_sample_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "vocab_topk_docs": vocab_topk_docs,
