@@ -426,3 +426,74 @@ def ngram_jaccard_pairs(
     return shared.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") > threshold)
+
+
+def dedup_duplicated_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    size: int = 16,
+) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup — the distributed form of
+    "deduplicating training data makes language models better"
+    substring dedup, at fixed ``size``-token chunk granularity:
+    duplicated chunks are removed from every document except the first
+    occurrence (ordered by (doc id, chunk position)), and each document
+    is re-assembled from its surviving chunks.
+
+    Emits one row per input document: total/kept/dropped chunk counts,
+    the surviving token count, and an md5 digest of the re-assembled
+    text (proving reassembly order without shipping the text to the
+    comparator).
+
+    Scale shape (100 TB): chunking is a narrow 1→N flatMap; the winner
+    table aggregates ``min(struct(doc, pos))`` per chunk *hash* — a
+    partial-aggregatable groupBy on a uniform 32-char key whose rows
+    are (key, struct) only, never chunk text; the keep-filter join and
+    the per-document reassembly are each one keyed shuffle. Nothing is
+    collected and no window sees more than one document's chunks.
+    """
+    from farmrpg_etl_spark.operators.chunking import chunk_by_tokens
+
+    ch = chunk_by_tokens(df, text_col, id_col, size=size, stride=size).filter(
+        F.col("n_chunk_tokens") > 0
+    )
+    keyed = ch.withColumn("__key", F.md5(F.col("chunk")))
+    winners = keyed.groupBy("__key").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("chunk_id").alias("c"))).alias(
+            "__w"
+        )
+    )
+    kept = keyed.join(winners, "__key").filter(
+        (F.col(id_col) == F.col("__w.d")) & (F.col("chunk_id") == F.col("__w.c"))
+    )
+    reasm = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chunk_tokens").cast("long").alias("clean_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("clean_digest"),
+    )
+    totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reasm, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.coalesce("n_chunks", F.lit(0)) - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce("clean_tokens", F.lit(0).cast("long")).alias("clean_tokens"),
+            F.coalesce("clean_digest", F.md5(F.lit(""))).alias("clean_digest"),
+        )
+    )

@@ -1662,3 +1662,66 @@ SELECT CAST(floor((cum - n_tok) / 512) AS BIGINT) AS first_pack,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM c GROUP BY CAST(floor((cum - n_tok) / 512) AS BIGINT)
 """
+
+_QZ = (
+    "qe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "qs AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0"
+    " AS scale FROM qe), "
+    "qz AS (SELECT vec_id, scale, "
+    "CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT)) "
+    "ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS q "
+    "FROM qs)"
+)
+
+ORACLES["int8_quantize_embeddings"] = f"""
+WITH {_QZ}
+SELECT vec_id, round(scale, 6) AS scale,
+  CAST(list_sum(q) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_sumsq,
+  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+FROM qz
+"""
+
+ORACLES["ann_topk_quantized"] = f"""
+WITH {_QZ},
+dq AS (SELECT vec_id, list_transform(q, x -> x * scale) AS v FROM qz),
+dn AS (SELECT vec_id, v, sqrt({_sq('v')}) AS nrm FROM dq),
+qry AS (SELECT vec_id, v, nrm FROM dn WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_QCOS}, 6) AS cosine
+  FROM dn c, qry q WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+ORACLES["chunk_dedup_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ch AS (SELECT doc_id, toks,
+       unnest(generate_series(0, (greatest(len(toks) - 16, 0) + 15) // 16))
+         AS chunk_id
+       FROM d),
+sl AS (SELECT doc_id, chunk_id,
+       toks[chunk_id * 16 + 1 : chunk_id * 16 + 16] AS ct FROM ch),
+ne AS (SELECT doc_id, chunk_id, len(ct) AS n_ct,
+       array_to_string(ct, ' ') AS chunk FROM sl WHERE len(ct) > 0),
+kept AS (SELECT * FROM ne QUALIFY row_number() OVER (
+         PARTITION BY chunk ORDER BY doc_id, chunk_id) = 1),
+reasm AS (SELECT doc_id, COUNT(*) AS n_kept,
+          CAST(SUM(n_ct) AS BIGINT) AS clean_tokens,
+          md5(string_agg(chunk, ' ' ORDER BY chunk_id)) AS clean_digest
+          FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ne GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+  CAST(coalesce(reasm.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(coalesce(tot.n_chunks, 0) - coalesce(reasm.n_kept, 0) AS BIGINT)
+    AS n_dropped,
+  CAST(coalesce(reasm.clean_tokens, 0) AS BIGINT) AS clean_tokens,
+  coalesce(reasm.clean_digest, md5('')) AS clean_digest
+FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN reasm USING (doc_id)
+"""

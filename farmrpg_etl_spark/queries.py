@@ -859,6 +859,35 @@ def ann_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf_probe(e, q, "embedding", "vec_id", k=5)
 
 
+def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization summarized by exact-integer stats
+    (sum, sum-of-squares, saturation count) so the cross-engine hash
+    compare is bit-exact with no float leeway beyond the scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qz = similarity.int8_quantize(e, "embedding", "vec_id")
+    zero = F.lit(0).cast("long")
+    return qz.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.aggregate(F.col("qvec"), zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(F.col("qvec"), zero, lambda a, x: a + x * x).alias("q_sumsq"),
+        F.size(F.filter(F.col("qvec"), lambda x: F.abs(x) == 127)).alias("n_sat"),
+    )
+
+
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_quantized(e, q, "embedding", "vec_id", k=5)
+
+
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: 16-token chunks, first occurrence wins,
+    documents re-assembled from surviving chunks."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_duplicated_chunks(d, "text", "doc_id", size=16)
+
+
 # --------------------------------------------------------------------------
 # Parse stage round-trip (P1-P3/P9 through real HTML, oracle-checkable)
 # --------------------------------------------------------------------------
@@ -1888,6 +1917,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_probe": ann_topk_ivf_probe,
+    "int8_quantize_embeddings": int8_quantize_embeddings,
+    "ann_topk_quantized": ann_topk_quantized,
+    "chunk_dedup_docs": chunk_dedup_docs,
     # parse stage round-trips
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,

@@ -1,0 +1,81 @@
+"""Unit semantics for int8 quantization and sub-document chunk dedup.
+
+Quantization is pinned against hand-computed int8 codes (including the
+all-zero-vector guard and the no-clamp-needed 127 bound); chunk dedup
+is pinned on a corpus where one 4-token chunk repeats across documents
+— the first (doc, position) occurrence must win and reassembly must
+preserve chunk order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.operators import dedup, similarity
+
+
+def test_int8_quantize_codes_and_scale(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in similarity.int8_quantize(df, "embedding", "vec_id").collect()
+    }
+    # scale = 1.0/127; codes round(x*127): [127, -64 (63.5 HALF_UP), 32, 0]
+    assert abs(rows[1]["scale"] - 1.0 / 127) < 1e-12
+    assert rows[1]["qvec"] == [127, -64, 32, 0]
+    assert max(abs(c) for c in rows[1]["qvec"]) <= 127  # bound, no clamp
+    assert rows[2]["scale"] == 0.0 and rows[2]["qvec"] == [0, 0, 0, 0]
+
+
+def test_quantized_ann_matches_bruteforce_ranking_when_error_is_small(spark):
+    # well-separated directions: quantization noise cannot flip ranks
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    exact = similarity.ann_topk_bruteforce(df, q, "embedding", "vec_id", k=3)
+    quant = similarity.ann_topk_quantized(df, q, "embedding", "vec_id", k=3)
+    order = lambda res: [r["neighbor_id"] for r in res.orderBy("rank").collect()]
+    assert order(exact) == order(quant) == [1, 2, 3]
+
+
+def test_chunk_dedup_first_occurrence_wins_and_reassembles(spark):
+    # size=2 chunks; doc 1 = [a b][c d], doc 2 = [a b][x y]: doc 2's
+    # first chunk is a duplicate of doc 1's and must be dropped.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.dedup_duplicated_chunks(
+            df, "text", "doc_id", size=2
+        ).collect()
+    }
+    assert (rows[1]["n_chunks"], rows[1]["n_kept"], rows[1]["n_dropped"]) == (2, 2, 0)
+    assert rows[1]["clean_digest"] == hashlib.md5(b"a b c d").hexdigest()
+    assert (rows[2]["n_chunks"], rows[2]["n_kept"], rows[2]["n_dropped"]) == (2, 1, 1)
+    assert rows[2]["clean_tokens"] == 2
+    assert rows[2]["clean_digest"] == hashlib.md5(b"x y").hexdigest()
+    # empty document: present in the output, zero chunks, empty digest
+    assert (rows[3]["n_chunks"], rows[3]["n_kept"]) == (0, 0)
+    assert rows[3]["clean_digest"] == hashlib.md5(b"").hexdigest()
+
+
+def test_chunk_dedup_within_document_repeats(spark):
+    # the same chunk twice INSIDE one document: position 0 wins
+    df = spark.createDataFrame([(7, "a b a b")], "doc_id long, text string")
+    row = dedup.dedup_duplicated_chunks(df, "text", "doc_id", size=2).collect()[0]
+    assert (row["n_chunks"], row["n_kept"], row["n_dropped"]) == (2, 1, 1)
+    assert row["clean_digest"] == hashlib.md5(b"a b").hexdigest()
