@@ -154,3 +154,51 @@ def pack_documents(
             F.greatest(F.col("cum_tokens") - 1, start) / F.lit(seq_len)
         ).alias("last_pack"),
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Per-group running total of ``value_col`` in ``order_col`` order,
+    without a per-group single-partition window — the grouped twin of
+    :func:`global_prefix_sum` for when groups are few but huge (a
+    dominant corpus source must not serialize through one task).
+
+    ``order_col`` must be a uniformly-distributed string key (an md5
+    hex digest) unique within its group: the bucket id is its leading
+    ``bucket_chars`` characters, which are order-ALIGNED ranges of the
+    string order (a hash-of-key bucket would scatter the order and
+    corrupt the sum). Phase 1 cumsums inside (group, bucket); phase 2
+    computes exclusive bucket offsets over the tiny
+    (groups × 16^bucket_chars)-row totals frame and broadcasts them
+    back."""
+    from pyspark.sql import Window
+
+    b = F.substring(F.col(order_col), 1, bucket_chars)
+    w_local = (
+        Window.partitionBy(*group_cols, "__b")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("__b", b).withColumn(
+        "__local", F.sum(F.col(value_col)).over(w_local)
+    )
+    totals = local.groupBy(*group_cols, "__b").agg(F.max("__local").alias("__total"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.sum("__total").over(w_off) - F.col("__total")
+    ).select(*group_cols, "__b", "__offset")
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, "__b"])
+        .withColumn(out_col, F.col("__local") + F.col("__offset"))
+        .drop("__b", "__local", "__offset")
+    )

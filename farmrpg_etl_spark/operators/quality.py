@@ -119,3 +119,47 @@ def repetition_metrics(
         F.col("top.gram").alias("top_2gram"),
         F.when(F.col("n_chars") > 0, _floor6(top_chars)).alias("top_2gram_char_frac"),
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-budgeted corpus mixing (the "data mixture" step of a
+    training build): each source contributes documents in a
+    deterministic pseudo-random order — md5(source|id), so the sample
+    is unbiased w.r.t. id order yet bit-reproducible — until its token
+    budget is exhausted. Greedy whole-document packing: a document is
+    kept iff the source's running token total through it stays within
+    budget.
+
+    The running total comes from
+    :func:`~farmrpg_etl_spark.operators.chunking.grouped_prefix_sum`,
+    so a source holding 80% of a 100 TB corpus still cumsums across
+    all executors (256 order-aligned hash-prefix buckets per source)
+    instead of one task. Budgets ride in a literal map (dimension
+    data → broadcast by construction)."""
+    from farmrpg_etl_spark.operators.chunking import grouped_prefix_sum
+
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.md5(
+            F.concat_ws("|", F.col(source_col), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    )
+    cum = grouped_prefix_sum(base, [source_col], "__h", "n_tok", "cum")
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    budget = F.coalesce(
+        F.element_at(budget_map, F.col(source_col)),
+        F.lit(default_budget),
+    )
+    return cum.filter(F.col("cum") <= budget).drop("__h")

@@ -1725,3 +1725,17 @@ SELECT d.doc_id,
   coalesce(reasm.clean_digest, md5('')) AS clean_digest
 FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN reasm USING (doc_id)
 """
+
+_MIX_BUDGET = "CASE source " + " ".join(
+    f"WHEN 'src{i}' THEN {400 + 50 * i}" for i in range(20)
+) + " ELSE 0 END"
+
+ORACLES["token_budget_mixture_docs"] = f"""
+WITH d AS (SELECT doc_id, source, len({_TOKS}) AS n_tok,
+           md5(source || '|' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY h) AS cum FROM d),
+k AS (SELECT * FROM c WHERE cum <= {_MIX_BUDGET})
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM k GROUP BY source
+"""

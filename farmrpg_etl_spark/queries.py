@@ -881,6 +881,21 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_quantized(e, q, "embedding", "vec_id", k=5)
 
 
+def token_budget_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: per-source token budgets (400 + 50·i for
+    src i), greedy whole-document packing in deterministic
+    md5(source|id) order; reported as per-source kept docs/tokens."""
+    from farmrpg_etl_spark.operators import quality
+
+    d = load_table(spark, sf_dir, "documents")
+    budgets = {f"src{i}": 400 + 50 * i for i in range(20)}
+    kept = quality.token_budget_mixture(d, "text", "doc_id", "source", budgets)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
 def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup: 16-token chunks, first occurrence wins,
     documents re-assembled from surviving chunks."""
@@ -1920,6 +1935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "int8_quantize_embeddings": int8_quantize_embeddings,
     "ann_topk_quantized": ann_topk_quantized,
     "chunk_dedup_docs": chunk_dedup_docs,
+    "token_budget_mixture_docs": token_budget_mixture_docs,
     # parse stage round-trips
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,

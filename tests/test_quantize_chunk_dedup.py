@@ -79,3 +79,56 @@ def test_chunk_dedup_within_document_repeats(spark):
     row = dedup.dedup_duplicated_chunks(df, "text", "doc_id", size=2).collect()[0]
     assert (row["n_chunks"], row["n_kept"], row["n_dropped"]) == (2, 1, 1)
     assert row["clean_digest"] == hashlib.md5(b"a b").hexdigest()
+
+
+def test_grouped_prefix_sum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from farmrpg_etl_spark.operators.chunking import grouped_prefix_sum
+
+    df = spark.createDataFrame(
+        [(g, i, f"{h:02x}rest", v) for g, i, h, v in [
+            ("a", 1, 0x03, 10), ("a", 2, 0x7f, 5), ("a", 3, 0x80, 7),
+            ("a", 4, 0xff, 1), ("b", 5, 0x10, 100), ("b", 6, 0x10 + 1, 50),
+        ]],
+        "grp string, id long, h string, v long",
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in grouped_prefix_sum(df, ["grp"], "h", "v", bucket_chars=1).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_token_budget_mixture_respects_budget(spark):
+    from farmrpg_etl_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "s1") for i in range(10)]
+        + [(100 + i, "w " * 10, "s2") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    kept = quality.token_budget_mixture(
+        df, "text", "doc_id", "source", {"s1": 35, "s2": 1000}
+    )
+    per = {
+        r["source"]: (r["n"], r["tok"])
+        for r in kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    # each doc is 10 tokens: s1 fits 3 whole docs in 35; s2 keeps all 10
+    assert per["s1"] == (3, 30)
+    assert per["s2"] == (10, 100)
+    # unknown sources fall to default_budget=0: nothing kept
+    none_kept = quality.token_budget_mixture(df, "text", "doc_id", "source", {})
+    assert none_kept.count() == 0
