@@ -481,10 +481,18 @@ def dedup_duplicated_chunks(
             )
         ).alias("clean_digest"),
     )
-    totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    # per-doc total (nonempty) chunk count is pure arithmetic —
+    # ceil(n_tokens / size) — so the totals side needs no second
+    # chunk explode, no groupBy, and therefore no extra shuffle
+    from farmrpg_etl_spark.functions.hashing import words
+
+    n_tok = F.size(F.coalesce(words(F.col(text_col)), F.array().cast("array<string>")))
+    totals = df.select(
+        F.col(id_col),
+        F.floor((n_tok + F.lit(size - 1)) / F.lit(size)).cast("long").alias("n_chunks"),
+    )
     return (
-        df.select(id_col)
-        .join(totals, id_col, "left")
+        totals
         .join(reasm, id_col, "left")
         .select(
             id_col,
