@@ -287,3 +287,41 @@ def partial_document_update(
 def console_sink(batch: DataFrame, n: int = 20) -> None:
     """K8 — debug console sink (reference __main__.py:37-50)."""
     batch.show(n, truncate=False)
+
+
+def merge_additive_aggregates(
+    table: ParquetTable,
+    batch: DataFrame,
+    keys: Sequence[str],
+    batch_id: int | None = None,
+    writer: str = "default",
+) -> None:
+    """Incremental aggregate maintenance (materialized-view upkeep):
+    ``batch`` carries per-key ADDITIVE partial aggregates (counts,
+    sums — every non-key column must be summable) and is merged into
+    the stored aggregate by key-wise addition. Non-additive stats ride
+    as additive parts (avg = sum/n at read time; variance via
+    (n, Σx, Σx²)).
+
+    This is the 100 TB answer to "keep a rollup fresh": each
+    micro-batch touches the dimension-sized aggregate table only —
+    the fact history is never rescanned. Replay-safe via the batch-id
+    guard, so a re-delivered ``foreachBatch`` invocation is a no-op
+    (blind += on replay would double-count). On Delta/Iceberg the same
+    logic is a MERGE INTO with ``+=`` update clauses."""
+    if table._already_committed(batch_id, writer):
+        return
+    value_cols = [c for c in batch.columns if c not in keys]
+    partial = batch.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in value_cols]
+    )
+    existing = table.read()
+    if existing is None:
+        merged = partial
+    else:
+        merged = (
+            existing.unionByName(partial)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).alias(c) for c in value_cols])
+        )
+    table._commit(merged, batch_id, writer)

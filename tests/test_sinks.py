@@ -142,3 +142,28 @@ def test_compact_on_empty_table_is_noop(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "nothing"))
     t.compact(target_partitions=1)
     assert not t.exists()
+
+
+def test_merge_additive_aggregates_matches_full_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.sinks.writers import merge_additive_aggregates
+
+    t = ParquetTable(spark, str(tmp_path / "rollup"))
+    batches = [
+        [("a", 1, 10), ("a", 1, 20), ("b", 1, 5)],
+        [("a", 1, 1), ("c", 1, 7)],
+        [("b", 1, 2), ("c", 1, 3)],
+    ]
+    schema = "key string, n long, total long"
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, schema)
+        merge_additive_aggregates(t, b, ["key"], batch_id=i)
+        if i == 1:  # replayed delivery of batch 1: must be a no-op
+            merge_additive_aggregates(t, b, ["key"], batch_id=i)
+    got = {r["key"]: (r["n"], r["total"]) for r in t.read().collect()}
+    full = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    ).groupBy("key").agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    want = {r["key"]: (r["n"], r["total"]) for r in full.collect()}
+    assert got == want == {"a": (3, 31), "b": (2, 7), "c": (2, 10)}
