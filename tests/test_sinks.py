@@ -167,3 +167,44 @@ def test_merge_additive_aggregates_matches_full_recompute(spark, tmp_path):
     ).groupBy("key").agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
     want = {r["key"]: (r["n"], r["total"]) for r in full.collect()}
     assert got == want == {"a": (3, 31), "b": (2, 7), "c": (2, 10)}
+
+
+def test_streaming_incremental_rollup_foreachbatch(spark, tmp_path):
+    """readStream → foreachBatch(merge_additive_aggregates): the
+    maintained rollup equals a full batch recompute regardless of how
+    the files split into micro-batches."""
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.sinks.writers import merge_additive_aggregates
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("u1", 10), ("u2", 5)], "user string, v long"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("u1", 1), ("u3", 2)], "user string, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    t = ParquetTable(spark, str(tmp_path / "rollup"))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def write_batch(b, bid):
+        part = b.groupBy("user").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+        )
+        merge_additive_aggregates(t, part, ["user"], batch_id=bid, writer="rollup")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {r["user"]: (r["n"], r["total"]) for r in t.read().collect()}
+    assert got == {"u1": (2, 11), "u2": (1, 5), "u3": (1, 2)}
