@@ -96,6 +96,10 @@ def main() -> None:
         "hourly_rollup_events",
         "ngram_jaccard_docs",
         "simhash_docs",
+        "chunk_dedup_docs",
+        "token_budget_mixture_docs",
+        "ann_topk_quantized",
+        "training_data_pipeline",
     ]:
         run(name)
         steady = []
