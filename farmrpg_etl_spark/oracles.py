@@ -1739,3 +1739,28 @@ k AS (SELECT * FROM c WHERE cum <= {_MIX_BUDGET})
 SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM k GROUP BY source
 """
+
+
+def _zexpr(a: str, b: str, bits: int = 16) -> str:
+    """Morton interleave as a flat | chain — same math as
+    operators.zorder.zvalue."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) % 2) << {2 * i})")
+        terms.append(f"((({b} >> {i}) % 2) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+ORACLES["zorder_events"] = f"""
+WITH e AS (SELECT user_id % 65536 AS ua,
+                  least(CAST(floor(value) AS BIGINT), 65535) AS vb,
+                  user_id
+           FROM events),
+z AS (SELECT {_zexpr('ua', 'vb')} AS zval, user_id FROM e)
+SELECT zval >> 10 AS z_bucket,
+       COUNT(*) AS n_events,
+       CAST(min(zval) AS BIGINT) AS min_z,
+       CAST(max(zval) AS BIGINT) AS max_z,
+       CAST(SUM(user_id) AS BIGINT) AS tot_user
+FROM z GROUP BY zval >> 10
+"""

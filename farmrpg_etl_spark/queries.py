@@ -881,6 +881,28 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_quantized(e, q, "embedding", "vec_id", k=5)
 
 
+def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) keys over (user_id, floor(value)) — the
+    multi-column clustering key behind ``zorder_write`` — summarized
+    per 256-bucket z-range with exact-integer stats."""
+    from farmrpg_etl_spark.operators import zorder
+
+    e = load_table(spark, sf_dir, "events")
+    ua = F.col("user_id") % 65536
+    vb = F.least(F.floor(F.col("value")).cast("long"), F.lit(65535))
+    z = zorder.zvalue(ua, vb, 16)
+    return (
+        e.select(z.alias("zval"), "user_id")
+        .groupBy(F.shiftright(F.col("zval"), 10).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("zval").alias("min_z"),
+            F.max("zval").alias("max_z"),
+            F.sum("user_id").alias("tot_user"),
+        )
+    )
+
+
 def token_budget_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture sampling: per-source token budgets (400 + 50·i for
     src i), greedy whole-document packing in deterministic
@@ -1936,6 +1958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_quantized": ann_topk_quantized,
     "chunk_dedup_docs": chunk_dedup_docs,
     "token_budget_mixture_docs": token_budget_mixture_docs,
+    "zorder_events": zorder_events,
     # parse stage round-trips
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
