@@ -100,3 +100,38 @@ def upsert(
         else:
             cols.append(F.col(f"e.{c}").alias(c))
     return joined.select(*cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when the key is skewed and neither side
+    broadcasts: every left row gets a deterministic salt ∈
+    [0, num_salts) (xxhash64 of the whole row — no RNG, so retried
+    tasks salt identically), the right side is replicated num_salts×,
+    and the join shuffles on (key, salt). A hot key's rows spread over
+    num_salts tasks instead of pinning one straggler; the price is
+    num_salts× replication of the (smaller) right side.
+
+    AQE's runtime skew split covers plain sort-merge joins; this
+    explicit form is for the shapes AQE can't re-split (bucketed or
+    stream-stream joins, or a key so hot one key exceeds a single
+    split). Result is row-identical to ``left.join(right, on, how)``
+    for ``inner`` and ``left`` (each left row carries exactly one
+    salt; the salted copies of a right row meet it exactly once).
+    Right/full joins would emit unmatched right rows once per salt, so
+    they are rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports only inner/left joins")
+    l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts)),
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return l.join(r, [on, "__salt"], how).drop("__salt")

@@ -1764,3 +1764,11 @@ SELECT zval >> 10 AS z_bucket,
        CAST(SUM(user_id) AS BIGINT) AS tot_user
 FROM z GROUP BY zval >> 10
 """
+
+ORACLES["salted_join_events"] = f"""
+WITH dim AS (SELECT DISTINCT event_type, len(event_type) AS w FROM events)
+SELECT e.event_type, COUNT(*) AS n_events,
+       {_money('e.value * d.w')} AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""

@@ -881,6 +881,22 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_quantized(e, q, "embedding", "vec_id", k=5)
 
 
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join: 5 event types over the whole fact
+    table is exactly the hot-key shape; the result must be
+    row-identical to the plain join (salting is a physical strategy,
+    not a semantic one)."""
+    e = load_table(spark, sf_dir, "events")
+    dim = e.select("event_type").distinct().select(
+        "event_type", F.length("event_type").alias("w")
+    )
+    j = joins.salted_join(e, dim, "event_type", num_salts=8)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _money(F.col("value") * F.col("w")).alias("weighted_value"),
+    )
+
+
 def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) keys over (user_id, floor(value)) — the
     multi-column clustering key behind ``zorder_write`` — summarized
@@ -1959,6 +1975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup_docs": chunk_dedup_docs,
     "token_budget_mixture_docs": token_budget_mixture_docs,
     "zorder_events": zorder_events,
+    "salted_join_events": salted_join_events,
     # parse stage round-trips
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,

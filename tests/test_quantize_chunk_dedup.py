@@ -132,3 +132,46 @@ def test_token_budget_mixture_respects_budget(spark):
     # unknown sources fall to default_budget=0: nothing kept
     none_kept = quality.token_budget_mixture(df, "text", "doc_id", "source", {})
     assert none_kept.count() == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from farmrpg_etl_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(100)]
+        + [(1000, "orphan")],
+        "id long, k string",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("unused", 3)], "k string, v long"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["id"], r["v"])
+            for r in joins.salted_join(left, right, "k", 4, how).collect()
+        )
+        want = sorted(
+            (r["id"], r["v"]) for r in left.join(right, "k", how).collect()
+        )
+        assert got == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        joins.salted_join(left, right, "k", 4, "full")
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    from farmrpg_etl_spark.operators import joins
+
+    left = spark.createDataFrame([(1, "a")], "id long, k string")
+    right = spark.createDataFrame([("a", 1)], "k string, v long")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            joins.salted_join(left, right, "k", 4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "hashpartitioning(k" in plan and "__salt" in plan
