@@ -162,3 +162,38 @@ def resize_media(df: DataFrame) -> DataFrame:
     return df.select("media_id", "data", "target_w", "target_h").mapInPandas(
         batches, schema=RESIZED_SCHEMA
     )
+
+
+def embed_binary(
+    df: DataFrame, id_col: str, data_col: str, dim: int = 16
+) -> DataFrame:
+    """Deterministic STAND-IN embedding for opaque binary payloads:
+    (id, embedding array<double>) with component j =
+    md5(md5(data)|j)[:8] as a uniform double in [-0.5, 0.5). In
+    production this step is a model-inference ``mapInPandas`` stage
+    (the batch plumbing above); the fake keeps the downstream geometry
+    real (stable per content, independent per component) while staying
+    pure Catalyst and bit-reproducible in any engine with md5 (DuckDB
+    oracle included). The content digest is projected ONCE per row —
+    the per-component lambda hashes the 32-char digest, never the
+    payload.
+
+    Feeds directly into ``operators.similarity`` (quantization, ANN,
+    cosine pairs): the multimodal → embedding → index path of a
+    100 TB pipeline with the model swapped for arithmetic."""
+    hashed = df.select(F.col(id_col), F.md5(F.col(data_col)).alias("__h"))
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("__h"), j.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**32))
+            - F.lit(0.5)
+        ),
+    )
+    return hashed.select(id_col, emb.alias("embedding"))

@@ -1772,3 +1772,20 @@ SELECT e.event_type, COUNT(*) AS n_events,
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY e.event_type
 """
+
+ORACLES["embed_media_docs"] = """
+WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+e AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+      CAST(CAST('0x' || substr(md5(h || '|' || CAST(j AS VARCHAR)), 1, 8)
+           AS BIGINT) AS DOUBLE) / 4294967296.0 - 0.5) AS v FROM b),
+s AS (SELECT doc_id, v,
+      list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+z AS (SELECT doc_id, scale,
+      CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+           ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+      END AS q FROM s)
+SELECT doc_id, round(scale, 6) AS scale,
+  CAST(list_sum(q) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_sumsq
+FROM z
+"""

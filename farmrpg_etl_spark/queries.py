@@ -881,6 +881,26 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_quantized(e, q, "embedding", "vec_id", k=5)
 
 
+def embed_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → embedding → index bridge: opaque binary payloads
+    (text bytes as blobs) through the deterministic stand-in encoder,
+    then int8 quantization — summarized by exact-integer stats."""
+    from farmrpg_etl_spark.multimodal.binary_ops import embed_binary
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    emb = embed_binary(d, "doc_id", "data", dim=16)
+    qz = similarity.int8_quantize(emb, "embedding", "doc_id")
+    zero = F.lit(0).cast("long")
+    return qz.select(
+        "doc_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.aggregate(F.col("qvec"), zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(F.col("qvec"), zero, lambda a, x: a + x * x).alias("q_sumsq"),
+    )
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join: 5 event types over the whole fact
     table is exactly the hot-key shape; the result must be
@@ -1976,6 +1996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mixture_docs": token_budget_mixture_docs,
     "zorder_events": zorder_events,
     "salted_join_events": salted_join_events,
+    "embed_media_docs": embed_media_docs,
     # parse stage round-trips
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,

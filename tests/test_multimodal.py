@@ -66,3 +66,27 @@ def test_resize_media_short_blob_keeps_full_bytes(spark):
     out = resize_media(df).collect()[0]
     assert out.n_bytes_out == 4
     assert out.out_digest == hashlib.md5(blob).hexdigest()
+
+
+def test_embed_binary_deterministic_and_content_stable(spark):
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.multimodal.binary_ops import embed_binary
+
+    df = spark.createDataFrame(
+        [(1, "same payload"), (2, "same payload"), (3, "different")],
+        "media_id long, text string",
+    ).select("media_id", F.encode("text", "UTF-8").alias("data"))
+    rows = {
+        r["media_id"]: r["embedding"]
+        for r in embed_binary(df, "media_id", "data", dim=8).collect()
+    }
+    assert rows[1] == rows[2] != rows[3]          # content-addressed
+    assert len(rows[1]) == 8
+    assert all(-0.5 <= x < 0.5 for x in rows[1])  # uniform range
+    # rerun is bit-identical (no RNG anywhere)
+    again = {
+        r["media_id"]: r["embedding"]
+        for r in embed_binary(df, "media_id", "data", dim=8).collect()
+    }
+    assert again == rows
