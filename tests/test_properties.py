@@ -231,3 +231,87 @@ def test_shingles_and_ngrams_match_python_reference(sp, texts, k):
             else []
         )
         assert got[i] == (want_sh, want_ng), (t, toks)
+
+
+DOC_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # doc id (dupes dropped below)
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=9
+        ),  # tokens
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=DOC_ROWS)
+@SETTINGS
+def test_chunk_dedup_invariants(sp, rows):
+    """(1) kept chunk multiset has no duplicate chunk text corpus-wide;
+    (2) token conservation: clean_tokens + dropped·size bounds;
+    (3) no-duplicate corpora pass through unchanged."""
+    docs = {}
+    for i, toks in rows:
+        docs.setdefault(i, " ".join(toks))
+    df = sp.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_duplicated_chunks(
+            df, "text", "doc_id", size=3
+        ).collect()
+    }
+    assert set(out) == set(docs)
+    from farmrpg_etl_spark.operators.chunking import chunk_by_tokens
+
+    kept_total = sum(r["n_kept"] for r in out.values())
+    chunks = chunk_by_tokens(df, "text", "doc_id", size=3, stride=3).filter(
+        "n_chunk_tokens > 0"
+    )
+    distinct_chunks = chunks.select("chunk").distinct().count()
+    # exactly one survivor per distinct chunk text
+    assert kept_total == distinct_chunks
+    for r in out.values():
+        assert r["n_kept"] + r["n_dropped"] == r["n_chunks"]
+        assert 0 <= r["clean_tokens"] <= 3 * r["n_kept"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1000000),           # unique-ish order key source
+            st.sampled_from(["g1", "g2"]),     # group
+            st.integers(-5, 5),                # value
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_grouped_prefix_sum_property(sp, rows):
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.operators.chunking import grouped_prefix_sum
+
+    uniq = {}
+    for i, g, v in rows:
+        uniq.setdefault((g, hashlib.md5(str(i).encode()).hexdigest()), v)
+    data = [(g, h, v) for (g, h), v in uniq.items()]
+    df = sp.createDataFrame(data, "grp string, h string, v long")
+    got = {
+        (r["grp"], r["h"]): r["cum"]
+        for r in grouped_prefix_sum(df, ["grp"], "h", "v").collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["grp"], r["h"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
