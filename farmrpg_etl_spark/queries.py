@@ -724,9 +724,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition a 100 TB data pipeline runs nightly; every stage is a
     Catalyst expression or a single keyed shuffle."""
     d = load_table(spark, sf_dir, "documents")
+    # persist: same barrier as training_data_pipeline — filtering the
+    # raw projection would inline the lang/quality tree into the scan
+    # predicate ~8× and trip janino's 64 KB whole-stage limit
     scored = T.text_metrics(d, "text").select(
         "doc_id", "text", "source", "lang_pred", "quality", "n_tokens"
-    )
+    ).persist()
     kept = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
     )
