@@ -505,3 +505,78 @@ def dedup_duplicated_chunks(
             F.coalesce("clean_digest", F.md5(F.lit(""))).alias("clean_digest"),
         )
     )
+
+
+def incremental_minhash_pairs(
+    indexed: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection for a continuously-ingested
+    corpus: signatures for the ARRIVING batch only are computed fresh;
+    the already-indexed corpus contributes its stored signatures
+    (recomputed here from ``indexed`` for self-containment — in
+    production they come straight off the signature table, so the
+    100 TB history is never re-shingled). Returns
+    ``(pairs, updated_signature_index)``.
+
+    Pairs are exactly the batch-LSH pairs that TOUCH a new document
+    (new↔indexed and new↔new) — the delta a nightly ingest needs: old↔old
+    pairs were already emitted when those docs arrived. The bucket join
+    is new-side × all-side on (band_id, band_key): the shuffle payload
+    is new-batch-sized on one side, and verification is the
+    signature-overlap estimate (fixed-width), as in
+    :func:`minhash_lsh_pairs`.
+    """
+    rows_per_band = num_hashes // bands
+    sigs_idx = minhash_signatures(indexed, text_col, id_col, num_hashes, shingle_k)
+    sigs_new = minhash_signatures(new, text_col, id_col, num_hashes, shingle_k)
+    all_sigs = sigs_idx.unionByName(sigs_new).persist()
+    all_sigs.count()
+    b_all = lsh_buckets(all_sigs, id_col, bands, rows_per_band).alias("a")
+    b_new = lsh_buckets(
+        all_sigs.join(new.select(id_col), id_col, "left_semi"),
+        id_col,
+        bands,
+        rows_per_band,
+    ).alias("b")
+    cand = (
+        b_all.join(
+            b_new,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            # the pair is canonicalized (least, greatest); carry the
+            # signatures in matching order for the overlap estimate
+            F.when(
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), F.col("a.sig")
+            ).otherwise(F.col("b.sig")).alias("sig_a"),
+            F.when(
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), F.col("b.sig")
+            ).otherwise(F.col("a.sig")).alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.withColumn(
+            "jaccard",
+            F.round(
+                H.minhash_jaccard_estimate(
+                    F.col("sig_a"), F.col("sig_b"), num_hashes
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs, all_sigs

@@ -1789,3 +1789,23 @@ SELECT doc_id, round(scale, 6) AS scale,
   CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_sumsq
 FROM z
 """
+
+ORACLES["incremental_lsh_docs"] = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (SELECT doc_id, {_sig_list(16)} AS sig FROM s),
+buckets AS ({_BUCKETS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= 250
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+    round(list_sum(list_transform(generate_series(1, 16),
+      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS jaccard
+  FROM cand
+) WHERE jaccard >= 0.3
+"""

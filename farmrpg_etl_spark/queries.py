@@ -640,6 +640,24 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dup delta: docs ≥ 250 arrive against
+    the already-indexed < 250 corpus; emitted pairs are exactly the
+    batch-LSH pairs that touch an arriving document."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs, _index = dedup.incremental_minhash_pairs(
+        d.filter(F.col("doc_id") < 250),
+        d.filter(F.col("doc_id") >= 250),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        threshold=0.3,
+        shingle_k=3,
+    )
+    return pairs
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_fingerprints(d, "text", "doc_id")
@@ -2006,6 +2024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_events": zorder_events,
     "salted_join_events": salted_join_events,
     "embed_media_docs": embed_media_docs,
+    "incremental_lsh_docs": incremental_lsh_docs,
     # parse stage round-trips
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,

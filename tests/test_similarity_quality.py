@@ -78,3 +78,32 @@ def test_ann_probe_recall_at_least_single_cell(spark):
     rec_single = len({(r["query_id"], r["neighbor_id"]) for r in single.collect()} & truth)
     rec_probe = len({(r["query_id"], r["neighbor_id"]) for r in probe.collect()} & truth)
     assert rec_probe >= rec_single  # multi-probe never hurts recall
+
+
+def test_incremental_lsh_equals_batch_pairs_touching_new(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (10, "the quick brown fox jumps over the lazy dog again and again"),
+        (11, "completely unrelated words about spark catalyst tungsten arrow"),
+        (12, "completely unrelated words about spark catalyst tungsten arrow"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    indexed = df.filter("doc_id < 10")
+    new = df.filter("doc_id >= 10")
+    inc, index = dedup.incremental_minhash_pairs(
+        indexed, new, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in inc.collect()}
+    batch = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
+    )
+    want = {
+        (r["id_a"], r["id_b"]) for r in batch.collect() if r["id_b"] >= 10
+    }
+    # delta = batch pairs touching an arriving doc: new↔indexed (1,10),
+    # (2,10) and new↔new (11,12) — never the already-known (1,2)
+    assert got == want
+    assert (1, 10) in got and (11, 12) in got and (1, 2) not in got
+    # the updated index covers every document seen so far
+    assert index.count() == 5
