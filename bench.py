@@ -100,6 +100,9 @@ def main() -> None:
         "token_budget_mixture_docs",
         "ann_topk_quantized",
         "training_data_pipeline",
+        "semantic_dedup_embeddings",
+        "fuzzy_decontaminate_docs",
+        "histogram_quantile_events",
     ]:
         run(name)
         steady = []

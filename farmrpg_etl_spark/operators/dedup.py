@@ -580,3 +580,62 @@ def incremental_minhash_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return pairs, all_sigs
+
+
+def cross_corpus_minhash_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Fuzzy cross-corpus overlap via MinHash+LSH — the near-duplicate
+    form of train/eval decontamination (the exact-13-gram form is
+    ``quality.ngram_contamination``): every (left, right) pair that
+    shares an LSH band and whose signature-overlap Jaccard estimate
+    clears ``threshold``. Output ``(left_id, right_id, jaccard)``,
+    distinct.
+
+    Scale: each corpus is shingled exactly once; the bucket join
+    shuffles fixed-width (id, sig, band_key) rows on the uniform
+    band_key — with an eval set ~10⁶ docs vs a 100 TB training corpus
+    the right side is tiny, so AQE converts the join to broadcast and
+    the corpus-side rows are never shuffled at all. No document-sized
+    payload moves (signature-estimate verification, as in
+    :func:`minhash_lsh_pairs`).
+    """
+    rows_per_band = num_hashes // bands
+    sigs_l = minhash_signatures(left, text_col, id_col, num_hashes, shingle_k)
+    sigs_r = minhash_signatures(right, text_col, id_col, num_hashes, shingle_k)
+    b_l = lsh_buckets(sigs_l, id_col, bands, rows_per_band).alias("a")
+    b_r = lsh_buckets(sigs_r, id_col, bands, rows_per_band).alias("b")
+    cand = (
+        b_l.join(
+            b_r,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.round(
+                H.minhash_jaccard_estimate(
+                    F.col("sig_a"), F.col("sig_b"), num_hashes
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )

@@ -142,3 +142,73 @@ def hll_distinct_rollup(
     return partial.groupBy(coarse_b, *keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk"))).alias("approx_distinct")
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grain: str = "hour",
+    width: float = 10.0,
+) -> DataFrame:
+    """Fixed-width-bucket value histogram per time bucket — the
+    mergeable quantile sketch: ``(bucket_ts, bucket, n)`` where
+    ``bucket = floor(value / width)``. Counts compose exactly under
+    addition, so coarser resolutions merge stored partials
+    (:func:`merge_histograms`) instead of rescanning raw data —
+    same continuous-aggregate pattern as :func:`hll_distinct_rollup`
+    but for quantiles, and (unlike HLL internals) the representation
+    is portable integers, so the whole path is oracle-checkable.
+
+    At 100 TB the sketch per (time bucket) is ≤ value_range/width
+    rows of two longs — the rollup table is bounded by bucket count,
+    not row count, and the groupBy is partial-aggregatable (map-side
+    combine collapses each partition to ≤ n_buckets rows before the
+    shuffle)."""
+    return (
+        df.groupBy(
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
+            F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histograms(hist: DataFrame, coarse: str = "day") -> DataFrame:
+    """Re-aggregate fine histograms to a coarser grain by summing
+    bucket counts — exact (addition is associative), no raw-data
+    rescan."""
+    return (
+        hist.groupBy(
+            F.date_trunc(coarse, F.col("bucket_ts")).alias("bucket_ts"),
+            F.col("bucket"),
+        )
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, width: float = 10.0
+) -> DataFrame:
+    """Quantile estimates from a bucket histogram: per time bucket,
+    the p50/p90 lower bound is the smallest bucket whose cumulative
+    count reaches the quantile of the total. Integer-only threshold
+    arithmetic (``2·cum ≥ total``, ``10·cum ≥ 9·total``) — no float
+    rounding to diverge across engines; the estimate is exact to
+    ±width by construction. One window pass over the (tiny) sketch,
+    never over raw data."""
+    w = Window.partitionBy("bucket_ts").orderBy(F.col("bucket").asc())
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("bucket_ts"))
+    )
+    return cum.groupBy("bucket_ts").agg(
+        F.max("total").alias("n_rows"),
+        (
+            F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("bucket")))
+            * F.lit(width)
+        ).alias("p50_lo"),
+        (
+            F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("bucket")))
+            * F.lit(width)
+        ).alias("p90_lo"),
+    )

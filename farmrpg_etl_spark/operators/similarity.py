@@ -294,3 +294,55 @@ def ann_topk_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    clustered: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate removal: within each
+    cluster, a vector is a duplicate if ANY lower-id vector in the same
+    cluster has cosine similarity ≥ ``threshold``; survivors are
+    returned as ``(id, cluster)``.
+
+    The "any lower id" rule (rather than "any lower KEPT id") makes the
+    operator a single self-join + anti-join — no iteration — and is
+    deterministic under any partitioning. It removes a superset of the
+    greedy chain rule (a→b→c chains drop both b and c even when a↔c
+    alone is below threshold), which is the standard SemDeDup
+    simplification.
+
+    Scale: the self-join shuffles once on ``cluster_col``; each side
+    carries only (id, cluster, vector) — fixed-width rows, never
+    documents. Pair cost is Σ|cluster|², bounded by choosing k ≈ n/√c
+    clusters upstream (k-means E-step is a broadcast map, see
+    ``queries.kmeans_assign_embeddings``); a skewed cluster should be
+    split by a secondary LSH bit before this join, same recipe as
+    ``dedup.length_band``. All math is Catalyst fold expressions —
+    JVM-side, no UDF.
+    """
+    n = clustered.select(
+        F.col(id_col),
+        F.col(cluster_col).alias("__cl"),
+        V.as_double(F.col(vec_col)).alias("__v"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.__cl") == F.col("b.__cl"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "__cos", F.round(V.cosine(F.col("a.__v"), F.col("b.__v")), 6)
+        )
+        .filter(F.col("__cos") >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return n.join(dups, id_col, "left_anti").select(
+        F.col(id_col), F.col("__cl").alias(cluster_col)
+    )

@@ -1809,3 +1809,78 @@ SELECT id_a, id_b, jaccard FROM (
   FROM cand
 ) WHERE jaccard >= 0.3
 """
+
+ORACLES["fuzzy_decontaminate_docs"] = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (SELECT doc_id, {_sig_list(16)} AS sig FROM s),
+buckets AS ({_BUCKETS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+)
+SELECT train_id, eval_id, jaccard FROM (
+  SELECT train_id, eval_id,
+    round(list_sum(list_transform(generate_series(1, 16),
+      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS jaccard
+  FROM cand
+) WHERE jaccard >= 0.3
+"""
+
+ORACLES["histogram_quantile_events"] = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts,
+         CAST(floor(value / 10.0) AS BIGINT) AS bucket, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT CAST(date_trunc('day', bucket_ts) AS TIMESTAMP) AS day, bucket, SUM(n) AS n
+  FROM h GROUP BY 1, 2
+), c AS (
+  SELECT day, bucket, n,
+         SUM(n) OVER (PARTITION BY day ORDER BY bucket) AS cum,
+         SUM(n) OVER (PARTITION BY day) AS total
+  FROM d
+)
+SELECT day, CAST(MAX(total) AS BIGINT) AS n_rows,
+  MIN(CASE WHEN cum * 2 >= total THEN bucket END) * 10.0 AS p50_lo,
+  MIN(CASE WHEN cum * 10 >= total * 9 THEN bucket END) * 10.0 AS p90_lo
+FROM c GROUP BY day
+"""
+
+ORACLES["semantic_dedup_embeddings"] = f"""
+WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+x AS (
+  SELECT label, g.i - 1 AS pos,
+         floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) / 1000000.0 AS q
+  FROM embeddings CROSS JOIN g
+), cl AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid
+  FROM x GROUP BY label, pos
+), cv AS (
+  SELECT label, list(centroid ORDER BY pos ASC) AS cvec FROM cl GROUP BY label
+), ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sc AS (
+  SELECT vec_id, label, {_sq('(list_transform(generate_series(1, 64), i -> v[i] - cvec[i]))')} AS d2
+  FROM ev CROSS JOIN cv
+), asg AS (
+  SELECT vec_id, label AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2 ASC, label ASC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+), n AS (
+  SELECT ev.vec_id, asg.cluster, ev.v, sqrt({_sq('v')}) AS nrm
+  FROM ev JOIN asg ON ev.vec_id = asg.vec_id
+), dups AS (
+  SELECT DISTINCT b.vec_id FROM n a JOIN n b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(CASE WHEN a.nrm * b.nrm = 0.0 THEN 0.0
+              ELSE ({_dot('a.v', 'b.v')}) / (a.nrm * b.nrm) END, 6) >= 0.25
+)
+SELECT vec_id, cluster FROM n
+WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.vec_id = n.vec_id)
+"""

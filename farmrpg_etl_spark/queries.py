@@ -1928,6 +1928,54 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: k-means E-step assigns every embedding to
+    its nearest centroid (broadcast map, no corpus shuffle), then
+    within-cluster cosine near-duplicates are removed keeping the
+    lowest vec_id (`similarity.semantic_dedup`). Output = the
+    surviving (vec_id, cluster) corpus."""
+    assigns = kmeans_assign_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("cluster")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clustered = e.join(assigns, "vec_id")
+    return similarity.semantic_dedup(
+        clustered, "embedding", "vec_id", "cluster", threshold=0.25
+    )
+
+
+def fuzzy_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate train/eval contamination: MinHash+LSH across two
+    corpora (train = doc_id ≥ 250, eval = doc_id < 250 — same split as
+    `decontaminate_docs`, whose exact-13-gram check this generalizes to
+    fuzzy overlap). Output (train_id, eval_id, jaccard)."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") >= 250)
+    holdout = d.filter(F.col("doc_id") < 250)
+    return dedup.cross_corpus_minhash_pairs(
+        train, holdout, "text", "doc_id", threshold=0.3
+    ).select(
+        F.col("left_id").alias("train_id"),
+        F.col("right_id").alias("eval_id"),
+        "jaccard",
+    )
+
+
+def histogram_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile rollup: hourly fixed-width value
+    histograms (`rollup.histogram_sketch`) merged to daily
+    (`rollup.merge_histograms` — pure count addition, no raw rescan)
+    and reduced to p50/p90 lower bounds (`rollup.histogram_quantiles`,
+    integer-only thresholds). The oracle recomputes the identical
+    arithmetic from raw rows, proving hour→day merge is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = rollup.histogram_sketch(ev, "ts", "value", "hour", width=10.0)
+    daily = rollup.merge_histograms(hourly, "day")
+    return rollup.histogram_quantiles(daily, width=10.0).select(
+        F.col("bucket_ts").alias("day"), "n_rows", "p50_lo", "p90_lo"
+    )
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2025,6 +2073,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_events": salted_join_events,
     "embed_media_docs": embed_media_docs,
     "incremental_lsh_docs": incremental_lsh_docs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
+    "histogram_quantile_events": histogram_quantile_events,
     # parse stage round-trips
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
