@@ -1938,7 +1938,12 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("assigned_label").alias("cluster")
     )
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    clustered = e.join(assigns, "vec_id")
+    # persist barrier: the dedup self-join references this relation on
+    # both sides, and each branch would otherwise recompute the whole
+    # k-means assignment (centroid agg + broadcast top-1) — the same
+    # branch-recomputation trap as corpus_curation
+    clustered = e.join(assigns, "vec_id").persist()
+    clustered.count()
     return similarity.semantic_dedup(
         clustered, "embedding", "vec_id", "cluster", threshold=0.25
     )
