@@ -301,20 +301,25 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     fixpoint. Rounds are O(diameter); near-dup clusters are shallow
     (pairs come from LSH buckets), so a handful of rounds suffices —
     ``max_iters`` bounds the worst case. Each round is one shuffle on
-    the node id; labels are checkpointed per round to keep lineage flat
-    (the standard Spark iterative-algorithm pattern).
+    the node id; labels are ``localCheckpoint``-ed per round so lineage
+    stays FLAT — without it the plan tree doubles every round (each
+    label join references the previous round's whole plan), task
+    serialization balloons, and a lost executor recomputes the entire
+    chain. The edge list is computed once and persisted — every round
+    re-reads it. The one driver-side ``count()`` per round is the
+    convergence check (a scalar, not data movement).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select("src").distinct().withColumnRenamed("src", "id")
         .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
     )
-    labels = labels.persist()
-    labels.count()
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -329,18 +334,17 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-        )
-        new_labels = new_labels.persist()
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 
@@ -508,7 +512,7 @@ def dedup_duplicated_chunks(
 
 
 def incremental_minhash_pairs(
-    indexed: DataFrame,
+    indexed: DataFrame | None,
     new: DataFrame,
     text_col: str,
     id_col: str,
@@ -516,13 +520,18 @@ def incremental_minhash_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    indexed_sigs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection for a continuously-ingested
     corpus: signatures for the ARRIVING batch only are computed fresh;
-    the already-indexed corpus contributes its stored signatures
-    (recomputed here from ``indexed`` for self-containment — in
-    production they come straight off the signature table, so the
-    100 TB history is never re-shingled). Returns
+    the already-indexed corpus contributes its STORED signatures via
+    ``indexed_sigs`` — the ``(id, sig)`` table this function itself
+    returns as its second element, fed back on the next ingest, so the
+    100 TB history is never re-shingled. When ``indexed_sigs`` is None
+    the signatures are recomputed from ``indexed`` (self-contained
+    first-ingest / ad-hoc form); when it is given, ``indexed`` is
+    ignored entirely (pass ``None``) and no scan of the indexed corpus
+    text ever appears in the plan. Returns
     ``(pairs, updated_signature_index)``.
 
     Pairs are exactly the batch-LSH pairs that TOUCH a new document
@@ -534,7 +543,12 @@ def incremental_minhash_pairs(
     :func:`minhash_lsh_pairs`.
     """
     rows_per_band = num_hashes // bands
-    sigs_idx = minhash_signatures(indexed, text_col, id_col, num_hashes, shingle_k)
+    if indexed_sigs is not None:
+        sigs_idx = indexed_sigs.select(id_col, "sig")
+    elif indexed is not None:
+        sigs_idx = minhash_signatures(indexed, text_col, id_col, num_hashes, shingle_k)
+    else:
+        raise ValueError("pass either indexed (text) or indexed_sigs (signatures)")
     sigs_new = minhash_signatures(new, text_col, id_col, num_hashes, shingle_k)
     all_sigs = sigs_idx.unionByName(sigs_new).persist()
     all_sigs.count()

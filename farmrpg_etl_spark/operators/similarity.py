@@ -296,12 +296,54 @@ def ann_topk_quantized(
     )
 
 
+def _semantic_dedup_keyed(
+    clustered: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    max_cluster_size: int | None,
+    split_dim: int | None,
+    split_planes: int,
+) -> DataFrame:
+    """Normalized (id, __cl, __v, __key) relation for semantic_dedup.
+
+    ``__key`` is the self-join key: the cluster id alone for bounded
+    clusters, the cluster id composed with ``split_planes`` sign-LSH
+    bits for clusters larger than ``max_cluster_size`` — the in-code
+    skew guard. Factored out so tests can assert the per-key group
+    sizes (and hence the Σ|group|² pair bound) directly."""
+    n = clustered.select(
+        F.col(id_col),
+        F.col(cluster_col).alias("__cl"),
+        V.as_double(F.col(vec_col)).alias("__v"),
+    )
+    if max_cluster_size is None:
+        return n.withColumn("__key", F.col("__cl").cast("string"))
+    if split_dim is None:
+        raise ValueError("split_dim is required when max_cluster_size is set")
+    size_w = Window.partitionBy("__cl")
+    return n.withColumn(
+        "__key",
+        F.concat_ws(
+            "#",
+            F.col("__cl").cast("string"),
+            F.when(
+                F.count(F.lit(1)).over(size_w) > F.lit(max_cluster_size),
+                lsh_block(F.col("__v"), split_dim, split_planes),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
 def semantic_dedup(
     clustered: DataFrame,
     vec_col: str,
     id_col: str,
     cluster_col: str,
     threshold: float = 0.25,
+    max_cluster_size: int | None = None,
+    split_dim: int | None = None,
+    split_planes: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate removal: within each
     cluster, a vector is a duplicate if ANY lower-id vector in the same
@@ -315,25 +357,31 @@ def semantic_dedup(
     alone is below threshold), which is the standard SemDeDup
     simplification.
 
-    Scale: the self-join shuffles once on ``cluster_col``; each side
-    carries only (id, cluster, vector) — fixed-width rows, never
-    documents. Pair cost is Σ|cluster|², bounded by choosing k ≈ n/√c
-    clusters upstream (k-means E-step is a broadcast map, see
-    ``queries.kmeans_assign_embeddings``); a skewed cluster should be
-    split by a secondary LSH bit before this join, same recipe as
-    ``dedup.length_band``. All math is Catalyst fold expressions —
-    JVM-side, no UDF.
+    Scale: the self-join shuffles once on the join key; each side
+    carries only (id, key, vector) — fixed-width rows, never documents.
+    Pair cost is Σ|group|², bounded two ways: choose k ≈ n/√c clusters
+    upstream (k-means E-step is a broadcast map, see
+    ``queries.kmeans_assign_embeddings``), and set ``max_cluster_size``
+    to arm the IN-CODE skew guard — any cluster above the bound is
+    split by ``split_planes`` secondary sign-LSH bits
+    (:func:`lsh_block`, same recipe as ``dedup.length_band``), so one
+    hot k-means cluster (common on web text) costs (|cl|/2^planes)²·2^p
+    instead of |cl|². Guarded comparisons are approximate for the
+    oversized cluster only (near-identical vectors — the ≥ threshold
+    pairs SemDeDup cares about — agree on sign-LSH bits with high
+    probability; distant same-cluster pairs may be missed). The size
+    count is a window over the same cluster shuffle, not a second scan.
+    All math is Catalyst fold expressions — JVM-side, no UDF.
     """
-    n = clustered.select(
-        F.col(id_col),
-        F.col(cluster_col).alias("__cl"),
-        V.as_double(F.col(vec_col)).alias("__v"),
+    n = _semantic_dedup_keyed(
+        clustered, vec_col, id_col, cluster_col,
+        max_cluster_size, split_dim, split_planes,
     )
     a, b = n.alias("a"), n.alias("b")
     dups = (
         a.join(
             b,
-            (F.col("a.__cl") == F.col("b.__cl"))
+            (F.col("a.__key") == F.col("b.__key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .withColumn(

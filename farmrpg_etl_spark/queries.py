@@ -643,10 +643,17 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion near-dup delta: docs ≥ 250 arrive against
     the already-indexed < 250 corpus; emitted pairs are exactly the
-    batch-LSH pairs that touch an arriving document."""
+    batch-LSH pairs that touch an arriving document. The indexed side
+    enters as its STORED ``(id, sig)`` signature table (here built once
+    up front, standing in for the table the previous ingest persisted),
+    so the history corpus text is never re-shingled — the plan scans
+    indexed signatures + arriving text only."""
     d = load_table(spark, sf_dir, "documents")
+    stored_sigs = dedup.minhash_signatures(
+        d.filter(F.col("doc_id") < 250), "text", "doc_id", 16, 3
+    )
     pairs, _index = dedup.incremental_minhash_pairs(
-        d.filter(F.col("doc_id") < 250),
+        None,
         d.filter(F.col("doc_id") >= 250),
         "text",
         "doc_id",
@@ -654,6 +661,7 @@ def incremental_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         threshold=0.3,
         shingle_k=3,
+        indexed_sigs=stored_sigs,
     )
     return pairs
 
@@ -1944,8 +1952,13 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch-recomputation trap as corpus_curation
     clustered = e.join(assigns, "vec_id").persist()
     clustered.count()
+    # skew guard armed: a cluster over the bound is split by secondary
+    # sign-LSH bits inside semantic_dedup (no effect at test SFs — the
+    # bound exceeds the corpus — but the 100 TB megacluster path is the
+    # code that runs here, not a docstring promise)
     return similarity.semantic_dedup(
-        clustered, "embedding", "vec_id", "cluster", threshold=0.25
+        clustered, "embedding", "vec_id", "cluster", threshold=0.25,
+        max_cluster_size=100_000, split_dim=64,
     )
 
 

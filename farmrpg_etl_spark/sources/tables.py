@@ -53,6 +53,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    # Parquet micros with isAdjustedToUTC=false arrive as TIMESTAMP_NTZ;
+    # the engine's timestamp semantics (and every time-window / range
+    # expression, e.g. unix_micros) are defined over TIMESTAMP_LTZ with
+    # a UTC session zone. Normalize schema-driven so the same query
+    # runs against either encoding of the testdata.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -53,6 +53,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(sdf.schema["ts"].dataType, LongType):
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # micros-NTZ encoding → LTZ, same normalization as load_table (the
+    # watermark/window machinery and oracles are defined over LTZ@UTC)
+    for c, t in sdf.dtypes:
+        if t == "timestamp_ntz":
+            sdf = sdf.withColumn(c, F.col(c).cast("timestamp"))
     return sdf
 
 
