@@ -10,6 +10,7 @@ preserve chunk order.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import functions as F
 
@@ -175,3 +176,80 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "hashpartitioning(k" in plan and "__salt" in plan
+
+
+# --------------------------------------- incremental LSH signature path
+def test_incremental_pairs_signature_table_path_matches_text_path(spark, tmp_path):
+    from farmrpg_etl_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base + f" tail {i % 3}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    indexed = df.filter(F.col("doc_id") < 10)
+    new = df.filter(F.col("doc_id") >= 10)
+    p_text, idx1 = dd.incremental_minhash_pairs(
+        indexed, new, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3
+    )
+    # materialize the signature table (what a previous ingest persisted),
+    # then read it back so the plan genuinely starts from signatures
+    sig_path = str(tmp_path / "sigs.parquet")
+    dd.minhash_signatures(indexed, "text", "doc_id", 16, 3).write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+    p_sig, idx2 = dd.incremental_minhash_pairs(
+        None, new, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3,
+        indexed_sigs=stored,
+    )
+    assert sorted(map(tuple, p_text.collect())) == sorted(map(tuple, p_sig.collect()))
+    # the updated index covers the whole corpus either way
+    assert idx1.count() == idx2.count() == 20
+    idx1.unpersist(); idx2.unpersist()
+
+
+def test_incremental_pairs_signature_path_never_scans_indexed_text(spark, tmp_path):
+    from farmrpg_etl_spark.operators import dedup as dd
+
+    rows = [(i, f"alpha beta gamma delta epsilon {i % 4}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sig_path = str(tmp_path / "sigs2.parquet")
+    dd.minhash_signatures(
+        df.filter(F.col("doc_id") < 6), "text", "doc_id", 16, 3
+    ).write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+    p_sig, idx = dd.incremental_minhash_pairs(
+        None, df.filter(F.col("doc_id") >= 6), "text", "doc_id",
+        num_hashes=16, bands=4, threshold=0.0, indexed_sigs=stored,
+    )
+    # plan proof: exactly one text-bearing leaf relation — the ARRIVING
+    # batch (filter doc_id >= 6); the indexed side enters as signatures
+    # (cached union of the sig parquet), so its text is nowhere in the plan
+    plan = p_sig._jdf.queryExecution().optimizedPlan().toString()
+    text_leaves = re.findall(r"LogicalRDD \[doc_id#\d+, text#\d+\]", plan)
+    assert len(text_leaves) == 1
+    assert ">= 6" in plan and "< 6" not in plan
+    p_sig.collect()
+    idx.unpersist()
+
+
+def test_incremental_pairs_requires_one_indexed_form(spark):
+    from farmrpg_etl_spark.operators import dedup as dd
+
+    new = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dd.incremental_minhash_pairs(None, new, "text", "doc_id")
+
+
+# ------------------------------------------- neardup deep-chain lineage
+def test_neardup_clusters_deep_path_graph(spark):
+    from farmrpg_etl_spark.operators import dedup as dd
+
+    # path graph 0-1-2-...-24: diameter 24 > max label-propagation
+    # rounds of a shallow LSH graph; exercises the per-round
+    # localCheckpoint (flat lineage) and full min-label convergence
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(24)], "id_a int, id_b int, jaccard double"
+    )
+    labels = dd.neardup_clusters(pairs, max_iters=30)
+    got = labels.collect()
+    assert len(got) == 25
+    assert all(r.cluster_id == 0 for r in got)

@@ -129,3 +129,49 @@ def test_histogram_total_preserved(spark, events):
         F.sum("n_rows").alias("n")
     ).first().n
     assert total == events.count()
+
+
+# ------------------------------------------------- semdedup skew guard
+def test_semantic_dedup_skew_guard_bounds_group_sizes(spark):
+    # one megacluster holding ~80% of the corpus; the guard must split
+    # its self-join key so no group approaches the unguarded |cluster|²
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(200):
+        cl = "HOT" if i < 160 else f"c{i % 8}"
+        rows.append((i, cl, [rnd.uniform(-1, 1) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id int, cluster string, vec array<double>")
+    keyed = similarity._semantic_dedup_keyed(
+        df, "vec", "vec_id", "cluster",
+        max_cluster_size=50, split_dim=8, split_planes=2,
+    )
+    sizes = {r["__key"]: r["n"] for r in
+             keyed.groupBy("__key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    hot = {k: v for k, v in sizes.items() if k.startswith("HOT#")}
+    # the megacluster is split across sign-LSH subkeys...
+    assert len(hot) > 1
+    assert sum(hot.values()) == 160
+    # ...and the pair bound Σ|group|² is far below the unguarded 160²
+    assert sum(v * v for v in hot.values()) < 160 * 160 / 2
+    # small clusters keep their plain key (empty subkey suffix)
+    assert all(k.endswith("#") for k in sizes if k.startswith("c"))
+
+
+def test_semantic_dedup_guard_unarmed_matches_exact(spark):
+    df = _clustered(spark)
+    exact = similarity.semantic_dedup(df, "vec", "vec_id", "cluster", 0.9)
+    guarded = similarity.semantic_dedup(
+        df, "vec", "vec_id", "cluster", 0.9,
+        max_cluster_size=1000, split_dim=4,
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, guarded.collect()))
+
+
+def test_semantic_dedup_guard_requires_dim(spark):
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(
+            _clustered(spark), "vec", "vec_id", "cluster", 0.9,
+            max_cluster_size=1,
+        ).collect()
