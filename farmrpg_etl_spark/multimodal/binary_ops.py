@@ -197,3 +197,89 @@ def embed_binary(
         ),
     )
     return hashed.select(id_col, emb.alias("embedding"))
+
+
+SYNTH_SCHEMA = "media_id long, kind string, data binary, src_digest string"
+
+
+def synthesize_real_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode stage: id → real PNG/BMP/WAV payload (codecs.synth_media_bytes)
+    plus the source pixel digest. The binary column rides Arrow batches
+    into the decode stage — the write half of a real media round trip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from farmrpg_etl_spark.multimodal.codecs import synth_media_bytes
+
+        for pdf in it:
+            kinds, blobs, digests = [], [], []
+            for mid in pdf[id_col]:
+                k, b, dg = synth_media_bytes(int(mid))
+                kinds.append(k)
+                blobs.append(b)
+                digests.append(dg)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": kinds,
+                    "data": blobs,
+                    "src_digest": digests,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, schema=SYNTH_SCHEMA)
+
+
+REAL_DECODED_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "duration_ms long, pixel_digest string, n_bytes long"
+)
+
+
+def decode_real_media(df: DataFrame) -> DataFrame:
+    """REAL decode stage (codecs.decode_media): PNG chunk-walk +
+    inflate + unfilter, BMP header+pixels, WAV RIFF walk. Unknown or
+    corrupt payloads are not dropped and do not crash the stage — they
+    emit a quarantine row (format='unknown', null metadata), the P9
+    error-channel pattern. Input: (media_id, data)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from farmrpg_etl_spark.multimodal.codecs import decode_media
+
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(blob)
+                try:
+                    m = decode_media(b)
+                except ValueError:
+                    m = {
+                        "format": "unknown",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                        "pixel_digest": None,
+                    }
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "format": m["format"],
+                        "width": m["width"],
+                        "height": m["height"],
+                        "duration_ms": m["duration_ms"],
+                        "pixel_digest": m["pixel_digest"],
+                        "n_bytes": len(b),
+                    }
+                )
+            yield pd.DataFrame(rows).astype(
+                {
+                    "media_id": "int64",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "duration_ms": "Int64",
+                    "n_bytes": "int64",
+                }
+            )
+
+    return df.select("media_id", "data").mapInPandas(
+        batches, schema=REAL_DECODED_SCHEMA
+    )

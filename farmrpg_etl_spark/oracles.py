@@ -1884,3 +1884,129 @@ x AS (
 SELECT vec_id, cluster FROM n
 WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.vec_id = n.vec_id)
 """
+
+
+# --------------------------------------------------------------------------
+# round 3: real-codec decode, sink end-states, J1
+# --------------------------------------------------------------------------
+
+# decode_real_media_docs: dims/duration are pure arithmetic in doc_id
+# (codecs.synth_media_bytes); pix_match TRUE pins the full pixel
+# round trip (encode → zlib/unfilter decode → identical digest).
+ORACLES["decode_real_media_docs"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 3 IN (0, 1)
+            THEN CAST(4 + doc_id % 13 AS INT) END AS width,
+       CASE WHEN doc_id % 3 IN (0, 1)
+            THEN CAST(4 + (doc_id * 7) % 11 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 2
+            THEN (2 * (500 + doc_id % 1000) * 1000) // 16000 END AS duration_ms,
+       CASE doc_id % 3
+         WHEN 0 THEN  -- PNG: magic+IHDR+IEND overhead + compressed IDAT (not arithmetic)
+           NULL
+         WHEN 1 THEN 54 + (4 + (doc_id * 7) % 11)
+                          * ((4 + doc_id % 13) * 3 + (4 - ((4 + doc_id % 13) * 3) % 4) % 4)
+         ELSE 44 + 2 * (500 + doc_id % 1000)
+       END AS n_bytes,
+       TRUE AS pix_match
+FROM documents
+"""
+
+ORACLES["k1_insert_absent_sink"] = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id % 3 = 0 OR event_id % 2 = 0
+"""
+
+ORACLES["k2_merge_update_sink"] = """
+SELECT event_id, event_type,
+       CASE WHEN event_id % 5 = 0 THEN value + 100.0 ELSE value END AS value
+FROM events WHERE event_id % 3 = 0
+"""
+
+ORACLES["k3_upsert_sink"] = """
+WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+u AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS c_acctbal
+  FROM c WHERE c_custkey <= 100
+), i AS (
+  SELECT c_custkey + 3000000 AS c_custkey,
+         'ins_' || CAST(c_custkey AS VARCHAR) AS c_name,
+         0.0 AS c_acctbal
+  FROM c WHERE c_custkey <= 50
+), inc AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+SELECT coalesce(e.c_custkey, inc.c_custkey) AS c_custkey,
+       coalesce(e.c_name, inc.c_name) AS c_name,
+       coalesce(inc.c_acctbal, e.c_acctbal) AS c_acctbal
+FROM c e FULL OUTER JOIN inc ON e.c_custkey = inc.c_custkey
+"""
+
+# k3_snapshot_append_sink: commit 1 = within-batch LAG changes over
+# even event_ids; commit 2 = within-batch changes over odd event_ids,
+# then diffed against the stored latest (max event_id) per user.
+ORACLES["k3_snapshot_append_sink"] = """
+WITH b1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events WHERE event_id % 2 = 0
+), c1 AS (
+  SELECT user_id, event_id, ts, event_type FROM b1
+  WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+), last1 AS (
+  SELECT user_id, event_type AS last_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM c1
+  ) WHERE rn = 1
+), b2 AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events WHERE event_id % 2 = 1
+), c2 AS (
+  SELECT user_id, event_id, ts, event_type FROM b2
+  WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+), kept2 AS (
+  SELECT c2.user_id, c2.event_id, c2.ts, c2.event_type
+  FROM c2 LEFT JOIN last1 ON c2.user_id = last1.user_id
+  WHERE last1.user_id IS NULL
+     OR c2.event_type IS DISTINCT FROM last1.last_type
+)
+SELECT user_id, event_id, ts, event_type FROM c1
+UNION ALL
+SELECT user_id, event_id, ts, event_type FROM kept2
+"""
+
+ORACLES["k4_partial_doc_sink"] = """
+WITH seed AS (
+  SELECT event_id AS id, event_type AS content,
+         CAST(event_id % 7 AS INT) AS flags,
+         FALSE AS deleted, CAST(NULL AS TIMESTAMP) AS deleted_ts
+  FROM events WHERE event_id % 2 = 0
+), b AS (
+  SELECT event_id AS id, event_type || '!' AS content,
+         value > 50 AS deleted, ts AS deleted_ts
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT coalesce(s.id, b.id) AS id,
+       CASE WHEN b.id IS NOT NULL THEN b.content ELSE s.content END AS content,
+       s.flags AS flags,
+       CASE WHEN b.id IS NOT NULL THEN b.deleted ELSE s.deleted END AS deleted,
+       CASE WHEN b.id IS NOT NULL AND b.deleted THEN b.deleted_ts
+            ELSE s.deleted_ts END AS deleted_ts
+FROM seed s FULL OUTER JOIN b ON s.id = b.id
+"""
+
+ORACLES["k6_additive_rollup_sink"] = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["j1_resolve_join"] = """
+SELECT f.event_type, f.user_id, f.ts, l.event_id, f.value AS flag_value
+FROM (SELECT event_type, user_id, ts, value FROM events WHERE event_id % 11 = 0) f
+JOIN (SELECT event_type, user_id, ts, event_id FROM events) l
+  ON f.event_type = l.event_type AND f.user_id = l.user_id AND f.ts = l.ts
+"""

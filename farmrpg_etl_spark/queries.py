@@ -1994,15 +1994,314 @@ def histogram_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decode_real_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal codec round trip (not the stub): each doc id is
+    encoded as an actual PNG (chunk/CRC/zlib/filters), BMP (24bpp
+    header + padded bottom-up BGR rows) or WAV (RIFF/PCM), shipped as
+    a binary Arrow column into a second mapInPandas stage that decodes
+    it with the pure-stdlib parsers (multimodal/codecs.py). The oracle
+    pins decoded width/height/duration arithmetically and pin
+    ``pix_match`` — decoded-pixel digest == source-pixel digest — which
+    only holds if inflate + unfilter actually reproduced the pixels."""
+    from farmrpg_etl_spark.multimodal.binary_ops import (
+        decode_real_media,
+        synthesize_real_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_real_media(d, "media_id")
+    decoded = decode_real_media(media)
+    src = media.select("media_id", "src_digest")
+    return decoded.join(src, "media_id").select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "duration_ms",
+        # BMP/WAV container sizes are closed-form in the id; PNG's IDAT
+        # is DEFLATE-compressed (content-dependent), so it is excluded
+        # from the hash rather than pretending it is predictable
+        F.when(F.col("format") != "png", F.col("n_bytes")).alias("n_bytes"),
+        (F.col("pixel_digest") == F.col("src_digest")).alias("pix_match"),
+    )
+
+
+def _sink_scratch(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"farmrpg_sink_{prefix}_")
+
+
+def k1_insert_absent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/D3 sink END-STATE oracle row (reference db/chat.py:13-19):
+    seed a versioned table with events ≡0 (mod 3), merge-insert the
+    ≡0 (mod 2) batch, then REPLAY the same batch id — the replay must
+    be a no-op (foreachBatch redelivery). Returned state = the table
+    read back: exactly the union of key sets, no duplicates."""
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("k1"))
+    writers.insert_if_absent(t, ev.filter(F.col("event_id") % 3 == 0), ["event_id"], batch_id=0)
+    batch = ev.filter(F.col("event_id") % 2 == 0)
+    writers.insert_if_absent(t, batch, ["event_id"], batch_id=1)
+    writers.insert_if_absent(t, batch, ["event_id"], batch_id=1)  # replay no-op
+    return t.read()
+
+
+def k2_merge_update_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/J2 sink end-state (reference db/chat.py:22-26): correlated
+    UPDATE against stored state — matched keys take the new value,
+    unmatched update rows are dropped-with-log, untouched rows pass
+    through. Seed = events ≡0 (mod 3); updates = value+100 for
+    ≡0 (mod 5) (so ids ≡0 mod 5 but not mod 3 are the dropped set)."""
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("k2"))
+    writers.insert_if_absent(t, ev.filter(F.col("event_id") % 3 == 0), ["event_id"], batch_id=0)
+    upd = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", (F.col("value") + F.lit(100.0)).alias("value")
+    )
+    writers.merge_update(t, upd, on=["event_id"], set_cols=["value"], batch_id=1)
+    return t.read()
+
+
+def k3_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/J4 sink end-state (reference db/user.py:34, get_or_create):
+    same scenario as the j4_upsert operator row but through the
+    versioned-table writer — matched keys update ``c_acctbal`` only,
+    new keys insert, and the stored table is what comes back."""
+    from farmrpg_etl_spark.sinks import writers
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("k3"))
+    writers.upsert(t, c, ["c_custkey"], batch_id=0)
+    upd = c.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal")
+    )
+    ins = c.filter(F.col("c_custkey") <= 50).select(
+        (F.col("c_custkey") + 3000000).alias("c_custkey"),
+        F.concat(F.lit("ins_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    writers.upsert(
+        t, upd.unionByName(ins), ["c_custkey"], update_cols=["c_acctbal"], batch_id=1
+    )
+    return t.read()
+
+
+def k3_snapshot_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3's append half + D4 write elimination, sink end-state
+    (reference db/user.py:12-40): snapshots land in two commits (even
+    event_ids, then odd); within each batch only changed rows survive
+    (per-user LAG on event_id order), and the second batch is also
+    diffed against the stored latest snapshot per user. ``ts`` is
+    volatile (never compared), event_id is the deterministic
+    observation order."""
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("k3s"))
+    for i, batch in enumerate(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    ):
+        writers.append_snapshots_with_noop_elimination(
+            t, batch, key=["user_id"], order_col="event_id",
+            volatile_cols=["ts"], batch_id=i,
+        )
+    return t.read()
+
+
+def k4_partial_doc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 sink end-state (reference firestore/chat.py:40-50): partial
+    document writes — ``content``/``deleted`` always updated,
+    ``deleted_ts`` only where the incoming row is deleted, ``flags``
+    NEVER clobbered (stays at the seeded value, null for rows first
+    seen in the partial batch)."""
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events")
+    seed = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("content"),
+        (F.col("event_id") % 7).cast("int").alias("flags"),
+        F.lit(False).alias("deleted"),
+        F.lit(None).cast("timestamp").alias("deleted_ts"),
+    )
+    batch = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("id"),
+        F.concat(F.col("event_type"), F.lit("!")).alias("content"),
+        (F.col("value") > 50).alias("deleted"),
+        F.col("ts").alias("deleted_ts"),
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("k4"))
+    writers.insert_if_absent(t, seed, ["id"], batch_id=0)
+    writers.partial_document_update(
+        t, batch, key=["id"], always_cols=["content", "deleted"],
+        conditional_cols={"deleted_ts": "deleted"}, batch_id=1,
+    )
+    return t.read()
+
+
+def k6_additive_rollup_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view sink end-state: two disjoint
+    micro-batches of per-(event_type, hour) partial aggregates merged
+    by key-wise addition — the stored rollup must equal the one-shot
+    aggregate over the full fact table (counts exactly, sums in
+    DECIMAL). The fact history is never rescanned on merge."""
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("k6"))
+    for i, batch in enumerate(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    ):
+        part = batch.groupBy("event_type", "hour").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        writers.merge_additive_aggregates(t, part, ["event_type", "hour"], batch_id=i)
+    out = t.read()
+    return out.select(
+        "event_type", "hour", "n",
+        F.round(F.col("total"), 2).cast("double").alias("total"),
+    )
+
+
+def j1_resolve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 batch form (reference firestore/chat.py:59-78): flags rows
+    arrive without the message id and resolve against the chat stream
+    on the natural key (room, ts, username) — modeled as (event_type,
+    user_id, ts); unresolved rows drop (inner join). Fact-fact
+    shuffle join on a composite key, AQE-planned."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.filter(F.col("event_id") % 11 == 0).select(
+        "event_type", "user_id", "ts", F.col("value").alias("flag_value")
+    )
+    lookup = ev.select("event_type", "user_id", "ts", "event_id")
+    return joins.resolve_join(flags, lookup, ["event_type", "user_id", "ts"]).select(
+        "event_type", "user_id", "ts", "event_id", "flag_value"
+    )
+
+
 # --------------------------------------------------------------------------
 
+# Registry order is deliberate: the round-2 driver artifact recorded
+# exactly the FIRST 50 entries, so the prefix is packed to maximize
+# operator-family coverage under any prefix cut — every SURVEY §2
+# family (parse, filters, CDC, joins, sinks, scalars), every LLM
+# dedup/similarity/quality component, the real-codec multimodal stage,
+# and the streaming forms all appear before the TPC-H variants that
+# exercise already-covered relational shapes.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # relational core
+    # --- coverage-maximal prefix -----------------------------------
+    # reference operators: filters / latest / CDC / joins
+    "f1_http_guard": f1_http_guard,
+    "f_filters_combined": f_filters_combined,
+    "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
+    "first_event_per_user_type": first_event_per_user_type,
+    "d1_message_cdc": d1_message_cdc,
+    "d1_changes_events": d1_changes_events,
+    "d4_noop_eliminate": d4_noop_eliminate,
+    "d5_change_pairs": d5_change_pairs,
+    "d6_absent_from_sink": d6_absent_from_sink,
+    "j1_resolve_join": j1_resolve_join,
+    "j2_correlated_update": j2_correlated_update,
+    "j3_fk_hydrate": j3_fk_hydrate,
+    "j4_upsert": j4_upsert,
+    # sink end-states (K1-K6)
+    "k1_insert_absent_sink": k1_insert_absent_sink,
+    "k2_merge_update_sink": k2_merge_update_sink,
+    "k3_upsert_sink": k3_upsert_sink,
+    "k3_snapshot_append_sink": k3_snapshot_append_sink,
+    "k4_partial_doc_sink": k4_partial_doc_sink,
+    "k6_additive_rollup_sink": k6_additive_rollup_sink,
+    # scalar + parse semantics (§2.7, P1-P4)
+    "scalar_text_functions": scalar_text_functions,
+    "datetime_semantics": datetime_semantics,
+    "parse_chat_roundtrip": parse_chat_roundtrip,
+    "parse_flags_roundtrip": parse_flags_roundtrip,
+    # LLM pipeline: dedup family
+    "exact_dedup_docs": exact_dedup_docs,
+    "minhash_signatures_docs": minhash_signatures_docs,
+    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+    "simhash_docs": simhash_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "incremental_lsh_docs": incremental_lsh_docs,
+    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
+    "neardup_clusters_docs": neardup_clusters_docs,
+    "chunk_dedup_docs": chunk_dedup_docs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    # LLM pipeline: quality / packing
+    "text_metrics_docs": text_metrics_docs,
+    "corpus_curation": corpus_curation,
+    "decontaminate_docs": decontaminate_docs,
+    "repetition_docs": repetition_docs,
+    "token_budget_mixture_docs": token_budget_mixture_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    # LLM pipeline: similarity / clustering
+    "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_ivf_probe": ann_topk_ivf_probe,
+    "ann_topk_quantized": ann_topk_quantized,
+    "int8_quantize_embeddings": int8_quantize_embeddings,
+    "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    # multimodal: REAL codec round trip
+    "decode_real_media_docs": decode_real_media_docs,
+    # relational flagships: agg, join chain, as-of, range
     "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "asof_click_attribution": asof_click_attribution,
+    # streaming (stateful CDC — the hardest driver rows)
+    "streaming_message_cdc": streaming_message_cdc,
+    # --- end of 50-entry prefix ------------------------------------
+    "streaming_cdc_events": streaming_cdc_events,
+    "streaming_dedup_events": streaming_dedup_events,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_latest_per_user": streaming_latest_per_user,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_enriched_counts": streaming_enriched_counts,
+    # remaining reference-operator variants
+    "a1_latest_event_per_user": a1_latest_event_per_user,
+    "d1_deleted_transitions": d1_deleted_transitions,
+    # LLM pipeline: remaining components
+    "training_data_pipeline": training_data_pipeline,
+    "deterministic_sample_docs": deterministic_sample_docs,
+    "stratified_sample_docs": stratified_sample_docs,
+    "vocab_topk_docs": vocab_topk_docs,
+    "tfidf_top_terms": tfidf_top_terms,
+    "chunk_documents": chunk_documents,
+    "pii_redaction": pii_redaction,
+    "json_props_stats": json_props_stats,
+    "hourly_rollup_events": hourly_rollup_events,
+    "histogram_quantile_events": histogram_quantile_events,
+    "zorder_events": zorder_events,
+    "salted_join_events": salted_join_events,
+    "embedding_centroids": embedding_centroids,
+    "ann_topk_ivf": ann_topk_ivf,
+    # multimodal plumbing (stub codec, real distributed shape)
+    "multimodal_meta_docs": multimodal_meta_docs,
+    "frame_sample_docs": frame_sample_docs,
+    "decode_media_docs": decode_media_docs,
+    "resize_media_docs": resize_media_docs,
+    "embed_media_docs": embed_media_docs,
+    # relational core (TPC-H suite + window/set/pivot shapes)
     "q6_forecast_revenue": q6_forecast_revenue,
     "q3_shipping_priority": q3_shipping_priority,
     "q14_promo_revenue": q14_promo_revenue,
-    "revenue_by_nation": revenue_by_nation,
     "regional_revenue": regional_revenue,
     "top_customers_per_nation": top_customers_per_nation,
     "rollup_revenue": rollup_revenue,
@@ -2016,6 +2315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": pivot_event_counts,
     "unpivot_event_counts": unpivot_event_counts,
     "median_value_by_type": median_value_by_type,
+    "range_join_prior_events": range_join_prior_events,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -2032,77 +2332,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_customer_distribution": q13_customer_distribution,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,
-    "asof_click_attribution": asof_click_attribution,
-    "range_join_prior_events": range_join_prior_events,
-    # reference operators
-    "f1_http_guard": f1_http_guard,
-    "f_filters_combined": f_filters_combined,
-    "a1_latest_event_per_user": a1_latest_event_per_user,
-    "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
-    "first_event_per_user_type": first_event_per_user_type,
-    "d1_changes_events": d1_changes_events,
-    "d1_deleted_transitions": d1_deleted_transitions,
-    "d1_message_cdc": d1_message_cdc,
-    "d4_noop_eliminate": d4_noop_eliminate,
-    "d5_change_pairs": d5_change_pairs,
-    "d6_absent_from_sink": d6_absent_from_sink,
-    "j2_correlated_update": j2_correlated_update,
-    "j3_fk_hydrate": j3_fk_hydrate,
-    "j4_upsert": j4_upsert,
-    # scalar semantics
-    "scalar_text_functions": scalar_text_functions,
-    "datetime_semantics": datetime_semantics,
-    # LLM pipeline
-    "exact_dedup_docs": exact_dedup_docs,
-    "minhash_signatures_docs": minhash_signatures_docs,
-    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
-    "simhash_docs": simhash_docs,
-    "ngram_jaccard_docs": ngram_jaccard_docs,
-    "text_metrics_docs": text_metrics_docs,
-    "corpus_curation": corpus_curation,
-    "training_data_pipeline": training_data_pipeline,
-    "deterministic_sample_docs": deterministic_sample_docs,
-    "stratified_sample_docs": stratified_sample_docs,
-    "vocab_topk_docs": vocab_topk_docs,
-    "tfidf_top_terms": tfidf_top_terms,
-    "chunk_documents": chunk_documents,
-    "pii_redaction": pii_redaction,
-    "json_props_stats": json_props_stats,
-    "neardup_clusters_docs": neardup_clusters_docs,
-    "decontaminate_docs": decontaminate_docs,
-    "repetition_docs": repetition_docs,
-    "hourly_rollup_events": hourly_rollup_events,
-    "pack_sequences_docs": pack_sequences_docs,
-    "multimodal_meta_docs": multimodal_meta_docs,
-    "frame_sample_docs": frame_sample_docs,
-    "decode_media_docs": decode_media_docs,
-    "resize_media_docs": resize_media_docs,
-    "cosine_pairs_embeddings": cosine_pairs_embeddings,
-    "embedding_centroids": embedding_centroids,
-    "kmeans_assign_embeddings": kmeans_assign_embeddings,
-    "ann_topk_bruteforce": ann_topk_bruteforce,
-    "ann_topk_ivf": ann_topk_ivf,
-    "ann_topk_ivf_probe": ann_topk_ivf_probe,
-    "int8_quantize_embeddings": int8_quantize_embeddings,
-    "ann_topk_quantized": ann_topk_quantized,
-    "chunk_dedup_docs": chunk_dedup_docs,
-    "token_budget_mixture_docs": token_budget_mixture_docs,
-    "zorder_events": zorder_events,
-    "salted_join_events": salted_join_events,
-    "embed_media_docs": embed_media_docs,
-    "incremental_lsh_docs": incremental_lsh_docs,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
-    "histogram_quantile_events": histogram_quantile_events,
-    # parse stage round-trips
-    "parse_chat_roundtrip": parse_chat_roundtrip,
-    "parse_flags_roundtrip": parse_flags_roundtrip,
-    # streaming
-    "streaming_dedup_events": streaming_dedup_events,
-    "streaming_latest_per_user": streaming_latest_per_user,
-    "streaming_sessionize": streaming_sessionize,
-    "streaming_windowed_counts": streaming_windowed_counts,
-    "streaming_enriched_counts": streaming_enriched_counts,
-    "streaming_cdc_events": streaming_cdc_events,
-    "streaming_message_cdc": streaming_message_cdc,
 }
