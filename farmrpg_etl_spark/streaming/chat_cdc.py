@@ -15,12 +15,18 @@ reference's per-message state loop (scrapers/chat.py:158-171):
 Scale: state is keyed by (room, id) — high-cardinality and uniform, so
 the state store shards evenly across executors; each key's state is a
 fixed-width row. The reference bounds state at ~100 messages/room by
-payload replacement; here state is bounded by a timeout (configure
-``GroupStateTimeout`` eviction in production).
+wholesale payload replacement (scrapers/chat.py:171); here the bound
+is a processing-time TTL (``state_ttl_ms``): a key idle longer than
+the TTL is EVICTED (``state.remove()`` on the timeout callback), so
+the store holds only recently-observed messages — the streaming
+equivalent of the reference's FIFO horizon. An infinite stream with
+``NoTimeout`` is a slow state leak; pass a TTL in production.
 
-Documented divergence (same as the batch form): keyed state never
-forgets, so a message that leaves the payload and reappears unchanged
-does not re-emit.
+Divergence semantics under eviction exactly match the reference's
+documented behavior: a message that drops out of the payload longer
+than the horizon and then REAPPEARS unchanged re-emits as new (the
+reference re-emits in that case too, because its per-poll state was
+replaced; see the reappear note in ``operators.cdc.message_cdc``).
 """
 
 from __future__ import annotations
@@ -66,6 +72,24 @@ CHAT_CDC_STATE = StructType(
         StructField("username", StringType(), True),
     ]
 )
+
+
+def _make_chat_cdc_fn(state_ttl_ms: int | None):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past the TTL with no new observations: evict. The
+            # key's next appearance starts stateless and re-emits.
+            state.remove()
+            return
+        yield from _chat_cdc_fn(key, pdfs, state)
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+
+    return fn
 
 
 def _chat_cdc_fn(
@@ -117,17 +141,30 @@ def _chat_cdc_fn(
         yield pd.DataFrame(out)
 
 
-def chat_cdc_stream(observations: DataFrame) -> DataFrame:
+def chat_cdc_stream(
+    observations: DataFrame, state_ttl_ms: int | None = 3_600_000
+) -> DataFrame:
     """Apply streaming message CDC to an observation stream with columns
     (room, id, obs_ts, pos, ts, username, content, flags, deleted,
-    deleted_ts)."""
+    deleted_ts).
+
+    ``state_ttl_ms`` bounds the state store: keys idle longer than the
+    TTL are evicted (default 1 h — generous vs the reference's ~100
+    msgs/room FIFO horizon at ≤1 msg/s/room). ``None`` disables
+    eviction (bounded back-tests only — never on an infinite stream).
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         observations.groupBy("room", "id")
         .applyInPandasWithState(
-            _chat_cdc_fn,
+            _make_chat_cdc_fn(state_ttl_ms),
             CHAT_CDC_OUTPUT,
             CHAT_CDC_STATE,
             "append",
-            GroupStateTimeout.NoTimeout,
+            timeout,
         )
     )

@@ -66,7 +66,18 @@ def run_available_now(
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the currently
     available input (one bounded run) and return the materialized
-    result as a batch DataFrame (memory sink)."""
+    result as a batch DataFrame (memory sink).
+
+    Termination: a plain availableNow query self-terminates, but one
+    with registered state timers (ProcessingTimeTimeout eviction) stays
+    alive spinning empty micro-batches to service future timers — on a
+    bounded back-test that would idle out the full ``timeout_sec``. An
+    availableNow run snapshots its input up front, so the first
+    COMPLETED batch with zero input rows proves every pre-planned data
+    batch has committed (progress is reported post-commit, after any
+    watermark-advancing flush) — stop there."""
+    import time as _time
+
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         sdf.writeStream.format("memory")
@@ -76,7 +87,12 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        deadline = _time.time() + timeout_sec
+        while q.isActive and _time.time() < deadline:
+            q.awaitTermination(0.25)
+            lp = q.lastProgress
+            if lp is not None and lp.get("numInputRows", 0) == 0:
+                break
     finally:
         q.stop()
     return sdf.sparkSession.table(name)
@@ -162,19 +178,37 @@ def _cdc_fn(
         yield pd.DataFrame(out_rows)
 
 
-def streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_cdc(
+    spark: SparkSession, sf_dir: str, state_ttl_ms: int | None = 3_600_000
+) -> DataFrame:
     """D1 true streaming form — ``applyInPandasWithState`` keyed by
     user_id, emitting only new-or-changed event_type observations.
     Equivalent batch semantics: ``operators.cdc.changes(events,
     ['user_id'], 'ts', ['event_type'])`` — which is exactly what the
-    DuckDB oracle pins."""
+    DuckDB oracle pins. State is TTL-bounded like ``chat_cdc_stream``:
+    keys idle past ``state_ttl_ms`` of processing time are evicted (no
+    eviction fires within a bounded availableNow run, so the oracle
+    equivalence holds; on an infinite stream the store stays sized to
+    the active-key working set)."""
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        yield from _cdc_fn(key, pdfs, state)
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     sdf = stream_events(spark, sf_dir)
     changes = (
         sdf.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")
-        .applyInPandasWithState(
-            _cdc_fn, CDC_OUTPUT, CDC_STATE, "append", GroupStateTimeout.NoTimeout
-        )
+        .applyInPandasWithState(fn, CDC_OUTPUT, CDC_STATE, "append", timeout)
     )
     return run_available_now(changes, "append")
 

@@ -177,3 +177,52 @@ def test_streaming_enriched_counts_matches_batch(spark, tmp_path):
         ("BUILDING", "b"): 1,
         ("AUTOMOBILE", "a"): 1,
     }
+
+
+def test_chat_cdc_state_ttl_evicts_and_reemits(spark, tmp_path):
+    """A key idle past the TTL is evicted; its unchanged reappearance
+    re-emits as new — the reference's payload-replacement horizon
+    (scrapers/chat.py:171), here as ProcessingTimeTimeout eviction."""
+    import time
+
+    src = str(tmp_path / "obs_ttl")
+    batches = [
+        [obs("help", "1", "2024-01-01 10:00:00", 0, "hello")],
+        [obs("help", "2", "2024-01-01 10:00:10", 0, "other")],   # key 1 idle → evicted
+        [obs("help", "1", "2024-01-01 10:00:20", 0, "hello")],   # unchanged reappearance
+    ]
+    for b in batches:
+        spark.createDataFrame(b, OBS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)  # distinct file mtimes → deterministic batch order
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_available_now(chat_cdc_stream(sdf, state_ttl_ms=1), "append")
+    got = sorted((r["id"], r["obs_ts"]) for r in out.collect())
+    # without eviction the third observation would be suppressed as
+    # unchanged; with the TTL it re-emits
+    assert got == [
+        ("1", ts("2024-01-01 10:00:00")),
+        ("1", ts("2024-01-01 10:00:20")),
+        ("2", ts("2024-01-01 10:00:10")),
+    ]
+
+
+def test_chat_cdc_long_ttl_suppresses_like_no_timeout(spark, tmp_path):
+    """With a TTL far beyond the run, results match the NoTimeout path
+    bit-for-bit (the oracle-equivalence guarantee)."""
+    src = str(tmp_path / "obs_long_ttl")
+    spark.createDataFrame(OBSERVATIONS, OBS_SCHEMA).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = run_available_now(chat_cdc_stream(sdf, state_ttl_ms=3_600_000), "append")
+    got = {
+        (r["id"], r["obs_ts"]): (r["content"], r["deleted"], r["deleted_ts"])
+        for r in out.collect()
+    }
+    assert got == EXPECTED
