@@ -2010,3 +2010,45 @@ FROM (SELECT event_type, user_id, ts, value FROM events WHERE event_id % 11 = 0)
 JOIN (SELECT event_type, user_id, ts, event_id FROM events) l
   ON f.event_type = l.event_type AND f.user_id = l.user_id AND f.ts = l.ts
 """
+
+
+def _lloyd_oracle(n_iters: int = 2) -> str:
+    """Unrolled Lloyd iterations: each round is an M-step CTE pair
+    (per-cluster quantized-decimal component means → ordered centroid
+    list) and an E-step CTE pair (explicit left-associated d2 chain,
+    (d2, cluster) tie-break) — the same arithmetic as the Spark loop,
+    iteration by iteration."""
+    d2 = " + ".join(
+        f"(ev.v[{i}]-cvec[{i}])*(ev.v[{i}]-cvec[{i}])" for i in range(1, 65)
+    )
+    sql = [
+        "WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),",
+        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "q AS (SELECT vec_id, g.i - 1 AS pos,",
+        "  floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) / 1000000.0 AS qv",
+        "  FROM embeddings CROSS JOIN g),",
+        "x0 AS (SELECT vec_id, label AS cluster FROM embeddings)",
+    ]
+    prev = "x0"
+    for it in range(1, n_iters + 1):
+        sql.append(
+            f", cl{it} AS (SELECT a.cluster, q.pos,"
+            f" CAST(SUM(CAST(q.qv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid"
+            f" FROM q JOIN {prev} a ON q.vec_id = a.vec_id GROUP BY 1, 2)"
+            f", cv{it} AS (SELECT cluster, list(centroid ORDER BY pos ASC) AS cvec"
+            f" FROM cl{it} GROUP BY cluster)"
+            f", sc{it} AS (SELECT ev.vec_id, cv{it}.cluster, {d2} AS d2"
+            f" FROM ev CROSS JOIN cv{it})"
+            f", x{it} AS (SELECT vec_id, cluster, d2 FROM ("
+            f"  SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f"    ORDER BY d2 ASC, cluster ASC) AS rn FROM sc{it}) WHERE rn = 1)"
+        )
+        prev = f"x{it}"
+    sql.append(
+        f" SELECT vec_id, cluster, floor(d2 * 1000000.0) / 1000000.0 AS dist2"
+        f" FROM {prev}"
+    )
+    return "\n".join(sql)
+
+
+ORACLES["kmeans_lloyd_embeddings"] = _lloyd_oracle(2)

@@ -175,3 +175,30 @@ def test_semantic_dedup_guard_requires_dim(spark):
             _clustered(spark), "vec", "vec_id", "cluster", 0.9,
             max_cluster_size=1,
         ).collect()
+
+
+# ------------------------------------------------------- lloyd k-means
+def test_kmeans_lloyd_inertia_monotone(spark):
+    from farmrpg_etl_spark.queries import kmeans_lloyd
+
+    # three true blobs, deliberately mis-initialized into 2 clusters
+    rows = []
+    for i in range(30):
+        blob = i % 3
+        base = [0.0] * 6
+        base[blob * 2] = 10.0
+        base[blob * 2 + 1] = 10.0
+        vec = [b + ((i * 13 + j) % 7) * 0.01 for j, b in enumerate(base)]
+        rows.append((i, i % 2, vec))
+    e = spark.createDataFrame(rows, "vec_id int, cluster int, v array<double>")
+    inertias = []
+    for n in (1, 2, 3):
+        out = kmeans_lloyd(e, n_iters=n)
+        inertia = out.agg(F.sum("d2").alias("s")).collect()[0]["s"]
+        inertias.append(inertia)
+    # Lloyd's guarantee: total within-cluster squared distance is
+    # non-increasing per iteration (1e-6 slack for centroid quantization)
+    assert inertias[1] <= inertias[0] + 1e-6
+    assert inertias[2] <= inertias[1] + 1e-6
+    # and the mis-initialization is actually repaired (strict progress)
+    assert inertias[2] < inertias[0] * 0.9
