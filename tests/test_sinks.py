@@ -208,3 +208,11 @@ def test_streaming_incremental_rollup_foreachbatch(spark, tmp_path):
     q.stop()
     got = {r["user"]: (r["n"], r["total"]) for r in t.read().collect()}
     assert got == {"u1": (2, 11), "u2": (1, 5), "u3": (1, 2)}
+
+
+def test_console_sink_prints_rows(spark, capsys):
+    from farmrpg_etl_spark.sinks.writers import console_sink
+
+    console_sink(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), n=5)
+    out = capsys.readouterr().out
+    assert "a" in out and "b" in out  # K8: rows actually reach stdout
