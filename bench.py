@@ -103,6 +103,11 @@ def main() -> None:
         "semantic_dedup_embeddings",
         "fuzzy_decontaminate_docs",
         "histogram_quantile_events",
+        # round-3 additions
+        "kmeans_lloyd_embeddings",
+        "decode_real_media_docs",
+        "incremental_lsh_docs",
+        "j1_resolve_join",
     ]:
         run(name)
         steady = []
@@ -113,6 +118,77 @@ def main() -> None:
         extended[name] = round(min(steady), 3)
     out["extended_queries"] = extended
     out["extended_total_sec"] = round(sum(extended.values()), 3)
+
+    # sf1 robustness stretch: a deterministic 10× synthesis of the sf0.1
+    # corpus (replicas with perturbed text/components — every document
+    # gains ~9 near-duplicates, every cluster grows 10×), proving the
+    # scale guards hold an order of magnitude up: banded LSH verify,
+    # shared-shingle+length-band Jaccard, and semantic dedup with the
+    # secondary-LSH skew guard ACTUALLY ENGAGED (max_cluster_size well
+    # below the 10× cluster sizes).
+    if os.environ.get("SPARK_GRAFT_SF1_STRETCH", "1") == "1":
+        from pyspark.sql import functions as F
+
+        from farmrpg_etl_spark.operators import dedup as D
+        from farmrpg_etl_spark.operators import similarity as S
+        from farmrpg_etl_spark.sources.tables import load_table
+
+        stretch_dir = "/tmp/farmrpg_sf1_synth"
+        k = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("k")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", k)
+        docs10 = docs.select(
+            (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
+            F.when(F.col("k") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" replica "), F.col("k")))
+            .alias("text"),
+        )
+        docs10.write.mode("overwrite").parquet(f"{stretch_dir}/documents.parquet")
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label", k
+        )
+        emb10 = emb.select(
+            (F.col("vec_id") + F.col("k") * 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x + (F.col("k") * 0.001) * F.when(i == 0, 1.0).otherwise(0.0),
+            ).alias("embedding"),
+            "label",
+        )
+        emb10.write.mode("overwrite").parquet(f"{stretch_dir}/embeddings.parquet")
+
+        def stretch_minhash():
+            d = spark.read.parquet(f"{stretch_dir}/documents.parquet")
+            return D.minhash_lsh_pairs(
+                d, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3, shingle_k=3
+            )
+
+        def stretch_jaccard():
+            d = spark.read.parquet(f"{stretch_dir}/documents.parquet")
+            return D.ngram_jaccard_pairs(
+                d.withColumn("lang", F.lit("en")), "text", "doc_id", "lang",
+                shingle_k=3, threshold=0.5,
+            )
+
+        def stretch_semdedup():
+            e = spark.read.parquet(f"{stretch_dir}/embeddings.parquet")
+            clustered = e.select(
+                "vec_id", "embedding", F.col("label").alias("cluster")
+            )
+            return S.semantic_dedup(
+                clustered, "embedding", "vec_id", "cluster", threshold=0.25,
+                max_cluster_size=2000, split_dim=64, split_planes=2,
+            )
+
+        stretch = {}
+        for name, fn in [
+            ("minhash_lsh_pairs_10x", stretch_minhash),
+            ("ngram_jaccard_10x", stretch_jaccard),
+            ("semantic_dedup_guarded_10x", stretch_semdedup),
+        ]:
+            t0 = time.time()
+            n = fn().count()
+            stretch[name] = {"sec": round(time.time() - t0, 3), "rows": n}
+        out["sf1_stretch"] = stretch
 
     # reference-throughput comparison: the reference sustains ≤700 chat
     # msg-parses/s (BASELINE.md); measure our parse stage on the same

@@ -2052,3 +2052,46 @@ def _lloyd_oracle(n_iters: int = 2) -> str:
 
 
 ORACLES["kmeans_lloyd_embeddings"] = _lloyd_oracle(2)
+
+
+# --------------------------------------------------------------------------
+# sources (S1-S7): topology, landing zone, demand fan-out
+# --------------------------------------------------------------------------
+
+_ROOMS = ["help", "global", "spoilers", "trade", "giveaways", "trivia", "staff"]
+
+_POLL_VALUES = ", ".join(
+    [f"('chat', '{r}', 1, 3600)" for r in _ROOMS]
+    + [f"('flags', '{r}', 30, 120)" for r in _ROOMS]
+    + ["('mailbox', NULL, 10, 360)", "('online', NULL, 600, 6)",
+       "('staff', NULL, 3600, 1)"]
+)
+
+ORACLES["s_poll_schedule"] = f"""
+SELECT * FROM (VALUES {_POLL_VALUES})
+  AS t(source, key, interval_sec, polls_per_hour)
+"""
+
+_LANDING_VALUES = ", ".join(
+    [f"('chat', '{r}')" for r in _ROOMS]
+    + [f"('flags', '{r}')" for r in _ROOMS]
+    + ["('mailbox', NULL)", "('online', NULL)", "('staff', NULL)"]
+)
+
+ORACLES["s_landing_roundtrip"] = f"""
+SELECT source, key,
+       TIMESTAMP '2024-06-01 12:00:00' AS fetch_ts,
+       200 AS status,
+       CAST(length(source || '|' || coalesce(key, '')) AS INT) AS n_bytes,
+       md5(source || '|' || coalesce(key, '')) AS body_digest
+FROM (VALUES {_LANDING_VALUES}) AS t(source, key)
+"""
+
+ORACLES["s4_demand_fanout"] = """
+SELECT 'message' AS source,
+       CAST(event_id AS VARCHAR) AS key,
+       200 AS status,
+       CAST(length('message:' || CAST(event_id AS VARCHAR)) AS INT) AS n_bytes,
+       md5('message:' || CAST(event_id AS VARCHAR)) AS body_digest
+FROM events WHERE event_id % 97 = 0
+"""

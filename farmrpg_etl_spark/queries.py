@@ -2264,6 +2264,73 @@ def j1_resolve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S6 deployment topology as data (reference __main__.py:55-69):
+    every (source, key, interval) poller the reference runs, with the
+    derived steady-state poll rate. The oracle pins the topology
+    verbatim — 7 chat rooms at 1 s, 7 flags logs at 30 s, mailbox 10 s,
+    online 600 s, staff 3600 s."""
+    from farmrpg_etl_spark.sources.landing import REFERENCE_POLLS
+
+    rows = [
+        (s.source, s.key, s.interval_sec, 3600 // s.interval_sec)
+        for s in REFERENCE_POLLS
+    ]
+    return spark.createDataFrame(
+        rows, "source string, key string, interval_sec int, polls_per_hour int"
+    )
+
+
+def s_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S6 landing-zone round trip: one full poll sweep lands
+    (source, key, fetch_ts, status, body) rows partitioned by source;
+    reading the zone back must reproduce every poller's row exactly
+    (fixed fetch_ts, deterministic stub payload = the poll's
+    'source|key' bytes)."""
+    import tempfile
+    from datetime import datetime
+
+    from farmrpg_etl_spark.sources import landing
+
+    def fetcher(spec: landing.PollSpec) -> tuple[int, bytes]:
+        return 200, f"{spec.source}|{spec.key or ''}".encode()
+
+    d = tempfile.mkdtemp(prefix="farmrpg_landing_")
+    landing.land_poll_sweep(
+        spark, d, fetcher=fetcher, fetch_ts=datetime(2024, 6, 1, 12, 0, 0)
+    )
+    out = landing.read_landing(spark, d)
+    return out.select(
+        "source", "key", "fetch_ts", "status",
+        F.length(F.col("body")).alias("n_bytes"),
+        F.md5(F.col("body")).alias("body_digest"),
+    )
+
+
+def s4_demand_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S7 — demand-driven fetch fan-out as a driver row: 'unread'
+    keys (events ≡0 mod 97, the mailbox-row model) fan out through the
+    Arrow-batched per-partition fetcher; payloads are deterministic in
+    the key, so the oracle recomputes each fetched body's digest. The
+    distributed shape is the real one (mapInPandas over the key
+    stream); only the HTTP call is substituted."""
+    from farmrpg_etl_spark.sources import landing
+
+    def fetcher(spec: landing.PollSpec) -> tuple[int, bytes]:
+        return 200, f"message:{spec.key}".encode()
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").cast("string").alias("key")
+    )
+    out = landing.demand_fanout(keys, "message", fetcher=fetcher)
+    return out.select(
+        "source", "key", "status",
+        F.length(F.col("body")).alias("n_bytes"),
+        F.md5(F.col("body")).alias("body_digest"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 # Registry order is deliberate: the round-2 driver artifact recorded
@@ -2275,13 +2342,16 @@ def j1_resolve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exercise already-covered relational shapes.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- coverage-maximal prefix -----------------------------------
+    # sources (S1-S7): topology, landing zone, demand fan-out
+    "s_poll_schedule": s_poll_schedule,
+    "s_landing_roundtrip": s_landing_roundtrip,
+    "s4_demand_fanout": s4_demand_fanout,
     # reference operators: filters / latest / CDC / joins
     "f1_http_guard": f1_http_guard,
     "f_filters_combined": f_filters_combined,
     "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
     "first_event_per_user_type": first_event_per_user_type,
     "d1_message_cdc": d1_message_cdc,
-    "d1_changes_events": d1_changes_events,
     "d4_noop_eliminate": d4_noop_eliminate,
     "d5_change_pairs": d5_change_pairs,
     "d6_absent_from_sink": d6_absent_from_sink,
@@ -2314,7 +2384,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     # LLM pipeline: quality / packing
     "text_metrics_docs": text_metrics_docs,
-    "corpus_curation": corpus_curation,
     "decontaminate_docs": decontaminate_docs,
     "repetition_docs": repetition_docs,
     "token_budget_mixture_docs": token_budget_mixture_docs,
@@ -2329,12 +2398,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal: REAL codec round trip
     "decode_real_media_docs": decode_real_media_docs,
     # relational flagships: agg, join chain, as-of, range
-    "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "asof_click_attribution": asof_click_attribution,
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "q1_pricing_summary": q1_pricing_summary,
+    "d1_changes_events": d1_changes_events,
+    "corpus_curation": corpus_curation,
     "ann_topk_quantized": ann_topk_quantized,
     "streaming_cdc_events": streaming_cdc_events,
     "streaming_dedup_events": streaming_dedup_events,
