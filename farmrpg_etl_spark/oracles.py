@@ -2095,3 +2095,47 @@ SELECT 'message' AS source,
        md5('message:' || CAST(event_id AS VARCHAR)) AS body_digest
 FROM events WHERE event_id % 97 = 0
 """
+
+
+# --------------------------------------------------------------------------
+# parse round-trips P5-P8
+# --------------------------------------------------------------------------
+
+ORACLES["parse_profile_roundtrip"] = """
+SELECT doc_id + 100 AS user_id,
+       TIMESTAMP '2024-06-01 12:00:00' AS ts,
+       'user' || CAST(doc_id AS VARCHAR) AS username,
+       (doc_id % 3 = 0) AS is_farmhand,
+       (doc_id % 3 IN (1, 2)) AS is_ranger
+FROM documents
+"""
+
+ORACLES["parse_online_roundtrip"] = """
+SELECT CAST(doc_id AS VARCHAR) AS key,
+       'u' || CAST(doc_id AS VARCHAR) AS username FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR),
+       'u' || CAST(doc_id AS VARCHAR) || ' jr' FROM documents
+"""
+
+ORACLES["parse_mailbox_roundtrip"] = """
+SELECT doc_id * 2 AS id, TRUE AS unread FROM documents
+UNION ALL
+SELECT doc_id * 2 + 1, FALSE FROM documents
+"""
+
+ORACLES["parse_message_roundtrip"] = """
+SELECT doc_id AS id,
+       'u' || CAST(doc_id AS VARCHAR) AS username,
+       CASE WHEN doc_id % 2 = 1
+            THEN make_timestamp(2023, 12, 25,
+                   CAST(doc_id % 11 + 1 AS INT), CAST(doc_id % 60 AS INT),
+                   CAST(doc_id * 7 % 60 AS DOUBLE)) + INTERVAL 6 HOUR
+            ELSE make_timestamp(2024, 4, 17,
+                   CAST(doc_id % 11 + 1 AS INT), CAST(doc_id % 60 AS INT),
+                   CAST(doc_id * 7 % 60 AS DOUBLE)) + INTERVAL 5 HOUR
+       END AS ts,
+       'Subject ' || CAST(doc_id AS VARCHAR) AS subject,
+       'Body ' || CAST(doc_id AS VARCHAR) AS content
+FROM documents
+"""

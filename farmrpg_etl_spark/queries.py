@@ -2264,6 +2264,139 @@ def j1_resolve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_TEMPLATE = (
+    '<div class="card"><img src="/img/items/admin.png"><strong>%s</strong></div>'
+    '<a href="members.php?type=friended&id=%d">Friends</a>'
+)
+
+
+def parse_profile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 round-trip: generated profile HTML through the real parser —
+    friends-link user-id regex, role badge → (is_farmhand, is_ranger)
+    flattening ('Farm Hand' / 'Ranger' / 'Admin', reference
+    scrapers/user.py:22-38), fetch-time snapshot ts."""
+    from farmrpg_etl_spark.parse.stage import parse_payloads, parsed_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    role = F.element_at(
+        F.array(F.lit("Farm Hand"), F.lit("Ranger"), F.lit("Admin")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    html = F.format_string(
+        _PROFILE_TEMPLATE, role, (F.col("doc_id") + 100).cast("int")
+    )
+    payloads = d.select(
+        F.lit("profile").alias("source"),
+        F.concat(F.lit("user"), F.col("doc_id").cast("string")).alias("key"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.encode(html, "UTF-8").alias("body"),
+    )
+    out = parsed_rows(parse_payloads(payloads, "profile"))
+    return out.select("user_id", "ts", "username", "is_farmhand", "is_ranger")
+
+
+def parse_online_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 round-trip: members HTML through the real parser — usernames
+    from profile.php query strings including percent-decoding (the
+    '%20' case the reference hits on names with spaces)."""
+    from farmrpg_etl_spark.parse.stage import parse_payloads, parsed_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    html = F.format_string(
+        '<a href="profile.php?user_name=u%d">x</a>'
+        '<a href="other.php?user_name=skip%d">x</a>'
+        '<a href="profile.php?user_name=u%d%%20jr">x</a>',
+        F.col("doc_id").cast("int"),
+        F.col("doc_id").cast("int"),
+        F.col("doc_id").cast("int"),
+    )
+    payloads = d.select(
+        F.lit("online").alias("source"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.encode(html, "UTF-8").alias("body"),
+    )
+    out = parsed_rows(parse_payloads(payloads, "online"))
+    return out.select(F.col("_key").alias("key"), "username")
+
+
+_MAILBOX_TEMPLATE = (
+    '<div id="inbox">'
+    '<a class="item-link" href="messages.php?id=%d">'
+    '<div class="item-title" style="font-weight:bold">s</div></a>'
+    '<a class="item-link" href="messages.php?id=%d">'
+    '<div class="item-title">s</div></a></div>'
+)
+
+
+def parse_mailbox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 round-trip: inbox HTML through the real parser — id from the
+    row href's query string, unread = bold title style (reference
+    scrapers/mailbox.py:30-56). Two rows per payload, one unread."""
+    from farmrpg_etl_spark.parse.stage import parse_payloads, parsed_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    html = F.format_string(
+        _MAILBOX_TEMPLATE,
+        (F.col("doc_id") * 2).cast("int"),
+        (F.col("doc_id") * 2 + 1).cast("int"),
+    )
+    payloads = d.select(
+        F.lit("mailbox").alias("source"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.encode(html, "UTF-8").alias("body"),
+    )
+    out = parsed_rows(parse_payloads(payloads, "mailbox"))
+    return out.select("id", "unread")
+
+
+_MESSAGE_TEMPLATE = (
+    '<div class="card-header"> Subject %d </div>'
+    '<div class="card-content-inner">Body %d</div>'
+    '<div class="card-content-inner">From '
+    '<a href="profile.php?user_name=u%d">u%d</a>'
+    " on %s %02d:%02d:%02d AM </div>"
+)
+
+
+def parse_message_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 round-trip: single-mail HTML through the real parser —
+    subject trim, inner-HTML content, username percent-decode, and the
+    '%b %d, %I:%M:%S %p' timestamp with YEAR rollover: 'Dec 25' is in
+    the fetch's future (fetch = Jun 1 2024), so it resolves to 2023
+    CST (UTC+6) while 'Apr 17' stays 2024 CDT (UTC+5)."""
+    from farmrpg_etl_spark.parse.stage import parse_payloads, parsed_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    date_s = F.when(F.col("doc_id") % 2 == 1, F.lit("Dec 25,")).otherwise(
+        F.lit("Apr 17,")
+    )
+    html = F.format_string(
+        _MESSAGE_TEMPLATE,
+        F.col("doc_id").cast("int"),
+        F.col("doc_id").cast("int"),
+        F.col("doc_id").cast("int"),
+        F.col("doc_id").cast("int"),
+        date_s,
+        (F.col("doc_id") % 11 + 1).cast("int"),
+        (F.col("doc_id") % 60).cast("int"),
+        (F.col("doc_id") * 7 % 60).cast("int"),
+    )
+    payloads = d.select(
+        F.lit("message").alias("source"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.encode(html, "UTF-8").alias("body"),
+    )
+    out = parsed_rows(parse_payloads(payloads, "message"))
+    return out.select("id", "username", "ts", "subject", "content")
+
+
 def s_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S6 deployment topology as data (reference __main__.py:55-69):
     every (source, key, interval) poller the reference runs, with the
@@ -2368,12 +2501,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
     # scalar + parse semantics (§2.7, P1-P4)
     "scalar_text_functions": scalar_text_functions,
-    "datetime_semantics": datetime_semantics,
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
+    "parse_profile_roundtrip": parse_profile_roundtrip,
+    "parse_online_roundtrip": parse_online_roundtrip,
+    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
+    "parse_message_roundtrip": parse_message_roundtrip,
     # LLM pipeline: dedup family
     "exact_dedup_docs": exact_dedup_docs,
-    "minhash_signatures_docs": minhash_signatures_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "simhash_docs": simhash_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -2389,8 +2524,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mixture_docs": token_budget_mixture_docs,
     "pack_sequences_docs": pack_sequences_docs,
     # LLM pipeline: similarity / clustering
-    "cosine_pairs_embeddings": cosine_pairs_embeddings,
-    "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf_probe": ann_topk_ivf_probe,
     "int8_quantize_embeddings": int8_quantize_embeddings,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
@@ -2403,6 +2536,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "datetime_semantics": datetime_semantics,
+    "minhash_signatures_docs": minhash_signatures_docs,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "q1_pricing_summary": q1_pricing_summary,
     "d1_changes_events": d1_changes_events,
     "corpus_curation": corpus_curation,
