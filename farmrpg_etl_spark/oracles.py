@@ -2139,3 +2139,22 @@ SELECT doc_id AS id,
        'Body ' || CAST(doc_id AS VARCHAR) AS content
 FROM documents
 """
+
+
+# §2.9 bot dispatch
+ORACLES["bot_dispatch_replies"] = """
+SELECT doc_id AS reply_to_id,
+       'u' || CAST(doc_id AS VARCHAR) AS username,
+       CASE WHEN doc_id % 3 = 0 THEN 'RE: (no subject)'
+            ELSE 'RE: hi ' || CAST(doc_id AS VARCHAR) END AS subject,
+       CASE doc_id % 5
+         WHEN 0 THEN 'pong'
+         WHEN 1 THEN 'registered ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 28)
+         WHEN 2 THEN 'error: firebase uid must be exactly 28 characters'
+         WHEN 3 THEN CASE WHEN doc_id % 10 = 3
+                          THEN 'uid: UID' || CAST(doc_id AS VARCHAR)
+                          ELSE 'not registered' END
+         ELSE 'unknown command; try ping, userinfo, register <uid>'
+       END AS body
+FROM documents
+"""

@@ -2397,6 +2397,42 @@ def parse_message_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "username", "ts", "subject", "content")
 
 
+def bot_dispatch_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 bot surface as a driver row: synthetic mail rows carry every
+    command shape (ping / register with valid + invalid uid / userinfo
+    with and without a registration / unknown), run through the real
+    parse→dispatch chain (first-<br>-line command word, F5 28-char uid
+    validation, broadcast user lookup, RE: subject fallback)."""
+    from farmrpg_etl_spark.bots.commands import dispatch_commands, parse_commands
+
+    d = load_table(spark, sf_dir, "documents")
+    uid = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 28)
+    content = F.element_at(
+        F.array(
+            F.lit("ping"),
+            F.concat(F.lit("register "), uid),
+            F.lit("register short"),
+            F.lit("userinfo"),
+            F.lit("frobnicate the widget"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    mail = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("username"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("ts"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("hi "), F.col("doc_id").cast("string"))
+        ).alias("subject"),
+        F.concat(content, F.lit("<br>rest of the mail body")).alias("content"),
+    )
+    users = d.filter(F.col("doc_id") % 10 == 3).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("username"),
+        F.concat(F.lit("UID"), F.col("doc_id").cast("string")).alias("firebase_uid"),
+    )
+    return dispatch_commands(parse_commands(mail), users)
+
+
 def s_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S6 deployment topology as data (reference __main__.py:55-69):
     every (source, key, interval) poller the reference runs, with the
@@ -2501,6 +2537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
     # scalar + parse semantics (§2.7, P1-P4)
     "scalar_text_functions": scalar_text_functions,
+    "bot_dispatch_replies": bot_dispatch_replies,
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_profile_roundtrip": parse_profile_roundtrip,
@@ -2520,7 +2557,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LLM pipeline: quality / packing
     "text_metrics_docs": text_metrics_docs,
     "decontaminate_docs": decontaminate_docs,
-    "repetition_docs": repetition_docs,
     "token_budget_mixture_docs": token_budget_mixture_docs,
     "pack_sequences_docs": pack_sequences_docs,
     # LLM pipeline: similarity / clustering
@@ -2536,6 +2572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "repetition_docs": repetition_docs,
     "datetime_semantics": datetime_semantics,
     "minhash_signatures_docs": minhash_signatures_docs,
     "ann_topk_bruteforce": ann_topk_bruteforce,
