@@ -120,12 +120,14 @@ def main() -> None:
     out["extended_total_sec"] = round(sum(extended.values()), 3)
 
     # sf1 robustness stretch: a deterministic 10× synthesis of the sf0.1
-    # corpus (replicas with perturbed text/components — every document
-    # gains ~9 near-duplicates, every cluster grows 10×), proving the
-    # scale guards hold an order of magnitude up: banded LSH verify,
-    # shared-shingle+length-band Jaccard, and semantic dedup with the
-    # secondary-LSH skew guard ACTUALLY ENGAGED (max_cluster_size well
-    # below the 10× cluster sizes).
+    # corpus proving the scale guards hold an order of magnitude up:
+    # banded LSH verify, shared-shingle+length-band Jaccard, and
+    # semantic dedup with the secondary-LSH skew guard ACTUALLY ENGAGED
+    # (max_cluster_size well below the 10× cluster sizes). Replica
+    # tokens are k-perturbed so the near-dup DENSITY stays realistic
+    # (≈2% of docs form planted 10-member families; the rest are
+    # mutually distant) — a corpus that is 90% duplicates would measure
+    # quadratic verify cost, not 10× scale.
     if os.environ.get("SPARK_GRAFT_SF1_STRETCH", "1") == "1":
         from pyspark.sql import functions as F
 
@@ -136,10 +138,17 @@ def main() -> None:
         stretch_dir = "/tmp/farmrpg_sf1_synth"
         k = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("k")
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", k)
+        kstr = F.col("k").cast("string")
         docs10 = docs.select(
             (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
             F.when(F.col("k") == 0, F.col("text"))
-            .otherwise(F.concat(F.col("text"), F.lit(" replica "), F.col("k")))
+            .when(
+                F.col("doc_id") % 50 == 0,  # planted near-dup families
+                F.concat(F.col("text"), F.lit(" replica "), kstr),
+            )
+            .otherwise(  # k-prefix every token: mutually distant replicas
+                F.replace(F.col("text"), F.lit(" "), F.concat(F.lit(" "), kstr))
+            )
             .alias("text"),
         )
         docs10.write.mode("overwrite").parquet(f"{stretch_dir}/documents.parquet")

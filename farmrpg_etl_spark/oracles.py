@@ -2158,3 +2158,39 @@ SELECT doc_id AS reply_to_id,
        END AS body
 FROM documents
 """
+
+
+# E1 end-to-end: parse → CDC → K1 + K4 sink end states, joined
+ORACLES["chat_pipeline_e2e"] = """
+WITH d AS (
+  SELECT doc_id,
+         make_timestamp(2024, 6, 1,
+           CAST(doc_id % 11 + 1 AS INT),
+           CAST(doc_id % 60 AS INT),
+           CAST(doc_id * 7 % 60 AS DOUBLE)) AS wall,
+         source AS username,
+         regexp_replace(substr(text, 1, 40), '[<>&@:]', '', 'g')
+           || CASE WHEN doc_id % 3 = 0 THEN ' @zeta' ELSE '' END AS content1
+  FROM documents
+), r AS (
+  SELECT *,
+         content1 || CASE WHEN doc_id % 4 = 0 THEN ' edit2' ELSE '' END AS content2,
+         (doc_id % 5 = 0) AS deleted2,
+         (doc_id % 4 = 0 OR doc_id % 5 = 0) AS emitted2,
+         CASE WHEN wall > TIMESTAMP '2024-06-01 07:00:00'
+              THEN wall - INTERVAL 1 DAY ELSE wall END AS rolled
+  FROM d
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       timezone('UTC', timezone('America/Chicago', rolled)) AS msg_ts,
+       username,
+       content1 AS msg_content,
+       FALSE AS msg_deleted,
+       CASE WHEN emitted2 THEN content2 ELSE content1 END AS doc_content,
+       CASE WHEN emitted2 THEN deleted2 ELSE FALSE END AS doc_deleted,
+       CASE WHEN emitted2 AND deleted2
+            THEN TIMESTAMP '2024-06-01 12:00:05' END AS doc_deleted_ts,
+       CASE WHEN doc_id % 3 = 0 THEN 'zeta' ELSE '' END AS mentions,
+       CAST(NULL AS INT) AS doc_flags
+FROM r
+"""

@@ -2397,6 +2397,76 @@ def parse_message_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "username", "ts", "subject", "content")
 
 
+def chat_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 END-TO-END as one driver row: two chat polls (poll 2 edits
+    every ≡0 mod 4 message, deletes every ≡0 mod 5) are synthesized as
+    real HTML, pushed through parse → D1 message CDC (deleted-flip
+    stamping) → A2 mention enrichment → K1 insert-if-absent + K4
+    partial-document sinks, and the returned row set is the JOIN of
+    both sink end states — the reference's whole chat path
+    (scrapers/chat.py → db/chat.py + firestore/chat.py) in one
+    hash-checked result. The message table must hold first-observation
+    values; the doc table latest-emitted values with the flip's
+    deleted_ts and never-clobbered flags (null here)."""
+    from farmrpg_etl_spark.plans import topology
+    from farmrpg_etl_spark.sinks.writers import ParquetTable
+
+    d = load_table(spark, sf_dir, "documents")
+    base = F.regexp_replace(F.substring(F.col("text"), 1, 40), "[<>&@:]", "")
+    content1 = F.concat(
+        base,
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" @zeta")).otherwise(F.lit("")),
+    )
+    content2 = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(content1, F.lit(" edit2"))
+    ).otherwise(content1)
+
+    def poll(fetch_ts: str, content, deleted_cls) -> DataFrame:
+        html = F.format_string(
+            _CHAT_TEMPLATE,
+            deleted_cls,
+            (F.col("doc_id") % 11 + 1).cast("int"),
+            (F.col("doc_id") % 60).cast("int"),
+            (F.col("doc_id") * 7 % 60).cast("int"),
+            F.col("source"),
+            F.col("doc_id").cast("string"),
+            content,
+        )
+        return d.select(
+            F.lit("chat").alias("source"),
+            F.lit("help").alias("key"),
+            F.lit(fetch_ts).cast("timestamp").alias("fetch_ts"),
+            F.lit(200).alias("status"),
+            F.encode(html, "UTF-8").alias("body"),
+        )
+
+    p1 = poll("2024-06-01 12:00:00", content1, F.lit(""))
+    p2 = poll(
+        "2024-06-01 12:00:05",
+        content2,
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" redstripes")).otherwise(F.lit("")),
+    )
+    messages = ParquetTable(spark, _sink_scratch("e2e_msg"))
+    docs = ParquetTable(spark, _sink_scratch("e2e_doc"))
+    topology.chat_pipeline_batch(p1.unionByName(p2), messages, docs, batch_id=0)
+    m = messages.read().select(
+        "id",
+        F.col("ts").alias("msg_ts"),
+        "username",
+        F.col("content").alias("msg_content"),
+        F.col("deleted").alias("msg_deleted"),
+    )
+    dc = docs.read().select(
+        "id",
+        F.col("content").alias("doc_content"),
+        F.col("deleted").alias("doc_deleted"),
+        F.col("deleted_ts").alias("doc_deleted_ts"),
+        "mentions",
+        F.col("flags").alias("doc_flags"),
+    )
+    return m.join(dc, "id")
+
+
 def bot_dispatch_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 bot surface as a driver row: synthetic mail rows carry every
     command shape (ping / register with valid + invalid uid / userinfo
@@ -2535,6 +2605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k3_snapshot_append_sink": k3_snapshot_append_sink,
     "k4_partial_doc_sink": k4_partial_doc_sink,
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
+    "chat_pipeline_e2e": chat_pipeline_e2e,
     # scalar + parse semantics (§2.7, P1-P4)
     "scalar_text_functions": scalar_text_functions,
     "bot_dispatch_replies": bot_dispatch_replies,
@@ -2558,7 +2629,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_metrics_docs": text_metrics_docs,
     "decontaminate_docs": decontaminate_docs,
     "token_budget_mixture_docs": token_budget_mixture_docs,
-    "pack_sequences_docs": pack_sequences_docs,
     # LLM pipeline: similarity / clustering
     "ann_topk_ivf_probe": ann_topk_ivf_probe,
     "int8_quantize_embeddings": int8_quantize_embeddings,
@@ -2572,6 +2642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "pack_sequences_docs": pack_sequences_docs,
     "repetition_docs": repetition_docs,
     "datetime_semantics": datetime_semantics,
     "minhash_signatures_docs": minhash_signatures_docs,
