@@ -1,0 +1,79 @@
+"""Two-pass exact heavy hitters (frequent-items at 100 TB scale).
+
+The naive plan — groupBy(item).count() then filter — shuffles the FULL
+item cardinality (every distinct token of a 100 TB corpus). The
+classical scale shape is summarize-then-verify:
+
+* **Pass 1**: a per-partition Misra-Gries summary of size ``k`` inside
+  ``mapInPandas`` — map-side only, no shuffle, O(k) memory per
+  partition. Pigeonhole guarantee: any item with global frequency
+  > n/k must exceed n_p/k in at least one partition (if it were
+  ≤ n_p/k everywhere the total would be ≤ n/k), and an MG(k) summary
+  retains every item with partition frequency > n_p/k — so the union
+  of per-partition candidates is a SUPERSET of the true heavy hitters.
+* **Pass 2**: exact recount restricted to the candidate set (a
+  broadcast semi-join — the shuffle now carries ≤ k·partitions
+  candidate items instead of the full vocabulary), then the exact
+  > n/k threshold filter.
+
+The final output is therefore EXACT and partitioning-independent:
+false candidates are eliminated by the exact filter, true heavy
+hitters are never lost. (This is why the operator is DuckDB-oracle
+checkable, unlike a lossy sketch.)
+
+The reference has no analog (its flags-count scalar is the closest);
+this is part of the training-data-pipeline extension surface — e.g.
+stop-word discovery, hot-key detection before a join, vocabulary
+pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_batches(k: int):
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in it:
+            for x in pdf["item"]:
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < k:
+                    counters[x] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": pd.array(list(counters), dtype="str")})
+
+    return batches
+
+
+def heavy_hitters(df: DataFrame, item_col: str | Column, k: int) -> DataFrame:
+    """Exact φ=1/k heavy hitters of ``item_col``: every item occurring
+    strictly more than n/k times, with its exact count —
+    ``(item, n_occurrences)``."""
+    items = df.select(F.col(item_col).alias("item") if isinstance(item_col, str)
+                      else item_col.alias("item"))
+    candidates = items.mapInPandas(_mg_batches(k), "item string").distinct()
+    total = items.agg(F.count(F.lit(1)).alias("__n"))
+    counts = (
+        items.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("__n") / F.lit(k))
+        .select("item", "n_occurrences")
+    )

@@ -2194,3 +2194,15 @@ SELECT CAST(doc_id AS VARCHAR) AS id,
        CAST(NULL AS INT) AS doc_flags
 FROM r
 """
+
+
+# two-pass exact heavy hitters (phi = 1/200)
+ORACLES["heavy_hitter_tokens"] = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS item FROM documents
+), n AS (SELECT count(*) AS total FROM toks)
+SELECT item, count(*) AS n_occurrences
+FROM toks, n
+GROUP BY item, n.total
+HAVING count(*) > n.total / 200
+"""

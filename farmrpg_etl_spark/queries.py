@@ -2503,6 +2503,18 @@ def bot_dispatch_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch_commands(parse_commands(mail), users)
 
 
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi=1/200 heavy-hitter tokens over the corpus via the
+    two-pass Misra-Gries candidate-pruning operator — map-side summary,
+    broadcast-semi-join recount, exact threshold (the shuffle carries
+    candidates, never the vocabulary)."""
+    from farmrpg_etl_spark.operators.heavyhitters import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(H.words(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, "tok", k=200)
+
+
 def s_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S6 deployment topology as data (reference __main__.py:55-69):
     every (source, key, interval) poller the reference runs, with the
@@ -2591,7 +2603,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
     "first_event_per_user_type": first_event_per_user_type,
     "d1_message_cdc": d1_message_cdc,
-    "d4_noop_eliminate": d4_noop_eliminate,
     "d5_change_pairs": d5_change_pairs,
     "d6_absent_from_sink": d6_absent_from_sink,
     "j1_resolve_join": j1_resolve_join,
@@ -2629,6 +2640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_metrics_docs": text_metrics_docs,
     "decontaminate_docs": decontaminate_docs,
     "token_budget_mixture_docs": token_budget_mixture_docs,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
     # LLM pipeline: similarity / clustering
     "ann_topk_ivf_probe": ann_topk_ivf_probe,
     "int8_quantize_embeddings": int8_quantize_embeddings,
@@ -2642,6 +2654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "d4_noop_eliminate": d4_noop_eliminate,
     "pack_sequences_docs": pack_sequences_docs,
     "repetition_docs": repetition_docs,
     "datetime_semantics": datetime_semantics,

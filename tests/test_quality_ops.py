@@ -86,3 +86,34 @@ def test_hierarchical_rollup_equals_direct(spark):
         F.max("value").alias("max_value"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+
+
+# ------------------------------------------ two-pass heavy hitters
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.operators.heavyhitters import heavy_hitters
+
+    # 'hot' 40%, 'warm' 25%, tail of singletons
+    rows = [("hot",)] * 400 + [("warm",)] * 250 + [(f"t{i}",) for i in range(350)]
+    df = spark.createDataFrame(rows, "item string")
+    want = {("hot", 400), ("warm", 250)}  # > 1000/10 = 100
+    for parts in (1, 3, 17):
+        got = {
+            (r["item"], r["n_occurrences"])
+            for r in heavy_hitters(df.repartition(parts), "item", k=10).collect()
+        }
+        assert got == want, parts
+
+
+def test_heavy_hitters_threshold_is_strict(spark):
+    from farmrpg_etl_spark.operators.heavyhitters import heavy_hitters
+
+    # item at exactly n/k occurrences must NOT be emitted (> is strict)
+    rows = [("x",)] * 10 + [(f"t{i}",) for i in range(90)]  # n=100, k=10 → >10
+    df = spark.createDataFrame(rows, "item string")
+    assert heavy_hitters(df, "item", k=10).count() == 0
+    rows.append(("x",))  # 11 > 10: now a heavy hitter
+    df = spark.createDataFrame(rows, "item string")
+    got = heavy_hitters(df, "item", k=10).collect()
+    assert [(r["item"], r["n_occurrences"]) for r in got] == [("x", 11)]
