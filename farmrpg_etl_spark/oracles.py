@@ -2206,3 +2206,13 @@ FROM toks, n
 GROUP BY item, n.total
 HAVING count(*) > n.total / 200
 """
+
+
+# fixed-size deterministic priority sample
+ORACLES["priority_sample_docs"] = """
+SELECT doc_id, source,
+       md5('prio|' || CAST(doc_id AS VARCHAR)) AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT 100
+"""

@@ -2515,6 +2515,23 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", k=200)
 
 
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample WITHOUT replacement: top-100 docs by
+    md5 priority. orderBy+limit compiles to TakeOrdered — each partition
+    keeps its local top-100 and only those reach the driver-side merge,
+    so the full corpus is never globally sorted (the scale-correct
+    fixed-size sample, vs the pct-filter form in
+    ``deterministic_sample_docs`` whose output size drifts with n)."""
+    d = load_table(spark, sf_dir, "documents")
+    pr = F.md5(F.concat(F.lit("prio|"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source", pr.alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
+
 def s_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S6 deployment topology as data (reference __main__.py:55-69):
     every (source, key, interval) poller the reference runs, with the
@@ -2677,6 +2694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LLM pipeline: remaining components
     "training_data_pipeline": training_data_pipeline,
     "deterministic_sample_docs": deterministic_sample_docs,
+    "priority_sample_docs": priority_sample_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "vocab_topk_docs": vocab_topk_docs,
     "tfidf_top_terms": tfidf_top_terms,
