@@ -2216,3 +2216,52 @@ FROM documents
 ORDER BY priority ASC, doc_id ASC
 LIMIT 100
 """
+
+
+def _ivf_kmeans_sql() -> str:
+    """IVF scoring within k-means cells: the kmeans_assign CTE chain
+    (quantized per-label centroid means, explicit d2 chain, (d2, label)
+    tie-break) feeds the same block-join scoring as _ivf_sql."""
+    d2 = " + ".join(
+        f"(ev.v[{i}]-cvec[{i}])*(ev.v[{i}]-cvec[{i}])" for i in range(1, 65)
+    )
+    return f"""
+WITH {_EMB},
+g AS (SELECT unnest(generate_series(1, 64)) AS i),
+x AS (
+  SELECT label, g.i - 1 AS pos,
+         floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) / 1000000.0 AS qv
+  FROM embeddings CROSS JOIN g
+), cl AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(qv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid
+  FROM x GROUP BY label, pos
+), cv AS (
+  SELECT label, list(centroid ORDER BY pos ASC) AS cvec FROM cl GROUP BY label
+), ev AS (SELECT vec_id, v FROM n),
+sc AS (
+  SELECT ev.vec_id, cv.label, {d2} AS d2 FROM ev CROSS JOIN cv
+), asg AS (
+  SELECT vec_id, label AS block FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2 ASC, label ASC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+), blocked AS (
+  SELECT n.vec_id, n.v, n.nrm, asg.block FROM n JOIN asg ON n.vec_id = asg.vec_id
+), q AS (SELECT vec_id, v, nrm, block FROM blocked WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_QCOS}, 6) AS cosine
+  FROM blocked c JOIN q ON c.block = q.block
+  WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+ORACLES["ann_topk_ivf_kmeans"] = _ivf_kmeans_sql()

@@ -2532,6 +2532,25 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a DATA-LEARNED coarse quantizer: cells are the
+    k-means E-step assignments (instead of data-oblivious sign-LSH
+    hyperplanes), the standard production IVF layout — centroids adapt
+    to the corpus so cells are balanced and recall per probed cell is
+    higher. Same probe machinery as ``ann_topk_ivf``; swapping the
+    assigner is a one-column change, which is the point of keeping the
+    block a column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigns = kmeans_assign_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("block")
+    )
+    blocked = e.join(assigns, "vec_id").persist()
+    blocked.count()  # barrier: referenced as both corpus and query side
+    q = blocked.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_ivf(blocked, q, "embedding", "vec_id", "block", k=5)
+
+
+
 def s_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S6 deployment topology as data (reference __main__.py:55-69):
     every (source, key, interval) poller the reference runs, with the
@@ -2655,7 +2674,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     # LLM pipeline: quality / packing
     "text_metrics_docs": text_metrics_docs,
-    "decontaminate_docs": decontaminate_docs,
     "token_budget_mixture_docs": token_budget_mixture_docs,
     "heavy_hitter_tokens": heavy_hitter_tokens,
     # LLM pipeline: similarity / clustering
@@ -2663,6 +2681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "int8_quantize_embeddings": int8_quantize_embeddings,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
     "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
+    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
     # multimodal: REAL codec round trip
     "decode_real_media_docs": decode_real_media_docs,
     # relational flagships: agg, join chain, as-of, range
@@ -2671,6 +2690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "decontaminate_docs": decontaminate_docs,
     "d4_noop_eliminate": d4_noop_eliminate,
     "pack_sequences_docs": pack_sequences_docs,
     "repetition_docs": repetition_docs,
