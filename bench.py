@@ -50,6 +50,14 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Local testdata is a single ~10 MB file per table (and the sf1
+    # stretch synthesizes ~100 MB files); at the default 128m split a
+    # scan becomes ONE task and a 32-core box idles 31 cores. 4m keeps
+    # scan fan-out ≈ core count here without distorting the plans; on
+    # a real cluster the default is right because file COUNT provides
+    # the parallelism.
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m")
+
     from farmrpg_etl_spark.queries import QUERIES
     from farmrpg_etl_spark.session import get_spark
 
@@ -151,7 +159,12 @@ def main() -> None:
             )
             .alias("text"),
         )
-        docs10.write.mode("overwrite").parquet(f"{stretch_dir}/documents.parquet")
+        # 64 files: scan parallelism at any maxPartitionBytes (on a real
+        # cluster the ingest layout provides this; a synthesized
+        # single-file corpus would serialize every downstream scan)
+        docs10.repartition(64).write.mode("overwrite").parquet(
+            f"{stretch_dir}/documents.parquet"
+        )
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", "label", k
         )
@@ -163,7 +176,9 @@ def main() -> None:
             ).alias("embedding"),
             "label",
         )
-        emb10.write.mode("overwrite").parquet(f"{stretch_dir}/embeddings.parquet")
+        emb10.repartition(64).write.mode("overwrite").parquet(
+            f"{stretch_dir}/embeddings.parquet"
+        )
 
         def stretch_minhash():
             d = spark.read.parquet(f"{stretch_dir}/documents.parquet")

@@ -33,7 +33,8 @@ def get_spark(app_name: str = "farmrpg-etl-spark") -> SparkSession:
         # are ≥ hundreds of MB — at 100 TB the scan parallelism comes
         # from file count. Local sf0.1 testdata is single ~10 MB files,
         # which 128m reads as ~1 task on 32 cores; bench.py pins this
-        # to 1m so scans fan out (measured ~25% on scan-bound aggs).
+        # to 4m so scans fan out (a single-file 100 MB stretch corpus
+        # at 128m ran the whole 10× dedup suite on ONE core).
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
