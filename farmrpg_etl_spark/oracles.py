@@ -2265,3 +2265,28 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 ORACLES["ann_topk_ivf_kmeans"] = _ivf_kmeans_sql()
+
+
+# E2 end-to-end: chat seeds messages, flags resolve + correlated update
+ORACLES["flags_pipeline_e2e"] = """
+WITH d AS (
+  SELECT doc_id,
+         make_timestamp(2024, 6, 1,
+           CAST(doc_id % 11 + 1 AS INT),
+           CAST(doc_id % 60 AS INT),
+           CAST(doc_id * 7 % 60 AS DOUBLE)) AS wall
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CASE WHEN wall > TIMESTAMP '2024-06-01 07:00:00'
+              THEN wall - INTERVAL 1 DAY ELSE wall END AS rolled
+  FROM d
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       'u' || CAST(doc_id AS VARCHAR) AS username,
+       timezone('UTC', timezone('America/Chicago', rolled)) AS ts,
+       CASE WHEN doc_id % 11 <= 5
+            THEN CAST(doc_id % 7 + 1 AS INT) ELSE 0 END AS flags,
+       FALSE AS deleted
+FROM r
+"""

@@ -2467,6 +2467,72 @@ def chat_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.join(dc, "id")
 
 
+_FLAGS_E2E_TEMPLATE = (
+    '<li><div class="item-title">Jun 1, %02d:%02d:%02d AM<br><b>%s</b>'
+    '<br>- %s</div><div class="item-after">%s flags</div></li>'
+)
+
+
+def flags_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 END-TO-END: a chat poll seeds the message table through the
+    full E1 path, then a staff flags-log poll (reference
+    log.php?flag=1) parses, RESOLVES each flag row against the stored
+    messages on the natural key (room, ts, username — J1; flags rows
+    carry no message id) and applies the K2 correlated flags update.
+    Returned = the message table end state: resolved messages carry
+    their parsed flag count, everything else keeps flags 0. Flags rows
+    are emitted only for morning timestamps (hour ≤ 6) so neither the
+    chat day-rollover nor the flags year-rollover fires — both sides
+    resolve to the same Jun-1 wall time, which is what makes the
+    natural-key join land."""
+    from farmrpg_etl_spark.plans import topology
+    from farmrpg_etl_spark.sinks.writers import ParquetTable
+
+    d = load_table(spark, sf_dir, "documents")
+    base = F.regexp_replace(F.substring(F.col("text"), 1, 30), "[^A-Za-z0-9 ]", "")
+    uname = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    chat_html = F.format_string(
+        _CHAT_TEMPLATE,
+        F.lit(""),
+        (F.col("doc_id") % 11 + 1).cast("int"),
+        (F.col("doc_id") % 60).cast("int"),
+        (F.col("doc_id") * 7 % 60).cast("int"),
+        uname,
+        F.col("doc_id").cast("string"),
+        base,
+    )
+    chat_payloads = d.select(
+        F.lit("chat").alias("source"),
+        F.lit("help").alias("key"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.encode(chat_html, "UTF-8").alias("body"),
+    )
+    messages = ParquetTable(spark, _sink_scratch("e2_msg"))
+    docs_tbl = ParquetTable(spark, _sink_scratch("e2_doc"))
+    topology.chat_pipeline_batch(chat_payloads, messages, docs_tbl, batch_id=0)
+
+    flagged = d.filter(F.col("doc_id") % 11 <= 5)  # hour 1..6: no rollovers
+    flags_html = F.format_string(
+        _FLAGS_E2E_TEMPLATE,
+        (F.col("doc_id") % 11 + 1).cast("int"),
+        (F.col("doc_id") % 60).cast("int"),
+        (F.col("doc_id") * 7 % 60).cast("int"),
+        uname,
+        F.concat(F.lit("x"), F.regexp_replace(base, " ", "")),
+        (F.col("doc_id") % 7 + 1).cast("int").cast("string"),
+    )
+    flags_payloads = flagged.select(
+        F.lit("flags").alias("source"),
+        F.lit("help").alias("key"),
+        F.lit("2024-06-01 12:00:10").cast("timestamp").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.encode(flags_html, "UTF-8").alias("body"),
+    )
+    topology.flags_pipeline_batch(flags_payloads, messages, batch_id=1)
+    return messages.read().select("id", "username", "ts", "flags", "deleted")
+
+
 def bot_dispatch_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 bot surface as a driver row: synthetic mail rows carry every
     command shape (ping / register with valid + invalid uid / userinfo
@@ -2653,6 +2719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k4_partial_doc_sink": k4_partial_doc_sink,
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
     "chat_pipeline_e2e": chat_pipeline_e2e,
+    "flags_pipeline_e2e": flags_pipeline_e2e,
     # scalar + parse semantics (§2.7, P1-P4)
     "scalar_text_functions": scalar_text_functions,
     "bot_dispatch_replies": bot_dispatch_replies,
@@ -2668,7 +2735,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_docs": simhash_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "incremental_lsh_docs": incremental_lsh_docs,
-    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "neardup_clusters_docs": neardup_clusters_docs,
     "chunk_dedup_docs": chunk_dedup_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -2690,6 +2756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "decontaminate_docs": decontaminate_docs,
     "d4_noop_eliminate": d4_noop_eliminate,
     "pack_sequences_docs": pack_sequences_docs,
