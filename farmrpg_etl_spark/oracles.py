@@ -2290,3 +2290,24 @@ SELECT CAST(doc_id AS VARCHAR) AS id,
        FALSE AS deleted
 FROM r
 """
+
+
+# E3 end-to-end: upsert + snapshot append with no-op elimination
+ORACLES["user_pipeline_e2e"] = """
+SELECT doc_id + 100 AS user_id,
+       TIMESTAMP '2024-06-01 12:00:00' AS ts,
+       'user' || CAST(doc_id AS VARCHAR) AS username,
+       (doc_id % 3 = 0) AS is_farmhand,
+       (doc_id % 3 IN (1, 2)) AS is_ranger
+FROM documents
+UNION ALL
+SELECT doc_id + 100,
+       TIMESTAMP '2024-06-01 12:00:10',
+       'user' || CAST(doc_id AS VARCHAR),
+       ((doc_id + 1) % 3 = 0),
+       ((doc_id + 1) % 3 IN (1, 2))
+FROM documents
+-- Ranger→Admin (idx 1→2) both flatten to is_ranger: flags unchanged,
+-- so D4 suppresses the snapshot — only idx 0→1 and 2→0 survive
+WHERE doc_id % 4 = 0 AND doc_id % 3 <> 1
+"""

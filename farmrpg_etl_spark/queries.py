@@ -2533,6 +2533,48 @@ def flags_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return messages.read().select("id", "username", "ts", "flags", "deleted")
 
 
+def user_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 END-TO-END: two profile-poll sweeps through parse → J4 user
+    upsert → D4/K3 snapshot append. Poll 2 changes every ≡0 mod 4
+    user's role badge; the snapshot table must hold poll 1 for every
+    user plus poll 2 ONLY for the changed users (no-op elimination
+    against the stored latest snapshot), and re-upserting users must
+    not duplicate. Returned = the snapshot table end state."""
+    from farmrpg_etl_spark.plans import topology
+    from farmrpg_etl_spark.sinks.writers import ParquetTable
+
+    d = load_table(spark, sf_dir, "documents")
+    roles = F.array(F.lit("Farm Hand"), F.lit("Ranger"), F.lit("Admin"))
+
+    def sweep(fetch_ts: str, role_idx) -> DataFrame:
+        html = F.format_string(
+            _PROFILE_TEMPLATE,
+            F.element_at(roles, (role_idx + 1).cast("int")),
+            (F.col("doc_id") + 100).cast("int"),
+        )
+        return d.select(
+            F.lit("profile").alias("source"),
+            F.concat(F.lit("user"), F.col("doc_id").cast("string")).alias("key"),
+            F.lit(fetch_ts).cast("timestamp").alias("fetch_ts"),
+            F.lit(200).alias("status"),
+            F.encode(html, "UTF-8").alias("body"),
+        )
+
+    users = ParquetTable(spark, _sink_scratch("e3_users"))
+    snaps = ParquetTable(spark, _sink_scratch("e3_snaps"))
+    idx1 = F.col("doc_id") % 3
+    idx2 = F.when(F.col("doc_id") % 4 == 0, (F.col("doc_id") + 1) % 3).otherwise(idx1)
+    topology.user_pipeline_batch(
+        sweep("2024-06-01 12:00:00", idx1), users, snaps, batch_id=0
+    )
+    topology.user_pipeline_batch(
+        sweep("2024-06-01 12:00:10", idx2), users, snaps, batch_id=1
+    )
+    return snaps.read().select(
+        "user_id", "ts", "username", "is_farmhand", "is_ranger"
+    )
+
+
 def bot_dispatch_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 bot surface as a driver row: synthetic mail rows carry every
     command shape (ping / register with valid + invalid uid / userinfo
@@ -2708,7 +2750,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d5_change_pairs": d5_change_pairs,
     "d6_absent_from_sink": d6_absent_from_sink,
     "j1_resolve_join": j1_resolve_join,
-    "j2_correlated_update": j2_correlated_update,
     "j3_fk_hydrate": j3_fk_hydrate,
     "j4_upsert": j4_upsert,
     # sink end-states (K1-K6)
@@ -2720,6 +2761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
     "chat_pipeline_e2e": chat_pipeline_e2e,
     "flags_pipeline_e2e": flags_pipeline_e2e,
+    "user_pipeline_e2e": user_pipeline_e2e,
     # scalar + parse semantics (§2.7, P1-P4)
     "scalar_text_functions": scalar_text_functions,
     "bot_dispatch_replies": bot_dispatch_replies,
@@ -2756,6 +2798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "j2_correlated_update": j2_correlated_update,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "decontaminate_docs": decontaminate_docs,
     "d4_noop_eliminate": d4_noop_eliminate,
