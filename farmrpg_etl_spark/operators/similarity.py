@@ -61,6 +61,20 @@ def lsh_block(vec_col: Column, dim: int, planes: int = 3) -> Column:
     return F.concat(*bits)
 
 
+
+def _unitize(df: DataFrame, raw_col: str, out_col: str) -> DataFrame:
+    """Replace ``raw_col`` with its unit-vector form named ``out_col``.
+
+    Two projections so the norm is a materialized column when the
+    per-element division references it (see functions.vectors.unit) —
+    every pairwise score downstream is then a single dot fold."""
+    return (
+        df.withColumn("__nrm", V.norm(F.col(raw_col)))
+        .withColumn(out_col, V.unit(F.col(raw_col), F.col("__nrm")))
+        .drop("__nrm", *([raw_col] if raw_col != out_col else []))
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     vec_col: str,
@@ -78,20 +92,26 @@ def cosine_pairs(
     100 TB near-neighbor path is the approximate family —
     ``ann_topk_ivf`` / ``ann_topk_ivf_probe`` (LSH-bucketed, probed)
     — which trades exactness for Σ|bucket|² ≪ |block|²."""
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(block_col).alias("__block"),
-        V.as_double(F.col(vec_col)).alias("va"),
+    a = _unitize(
+        df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(block_col).alias("__block"),
+            V.as_double(F.col(vec_col)).alias("__raw"),
+        ),
+        "__raw", "va",
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(block_col).alias("__block"),
-        V.as_double(F.col(vec_col)).alias("vb"),
+    b = _unitize(
+        df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(block_col).alias("__block"),
+            V.as_double(F.col(vec_col)).alias("__raw"),
+        ),
+        "__raw", "vb",
     )
     return (
         a.join(b, on="__block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(V.cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(V.dot(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -108,17 +128,25 @@ def ann_topk_bruteforce(
     cosine, rank). Excludes self-matches. Queries should be small —
     they are broadcast."""
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
+        _unitize(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                V.as_double(F.col(vec_col)).alias("__raw"),
+            ),
+            "__raw", "qv",
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
+    c = _unitize(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            V.as_double(F.col(vec_col)).alias("__raw"),
+        ),
+        "__raw", "cv",
     )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cosine", F.round(V.dot(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -161,22 +189,33 @@ def ann_topk_ivf_probe(
 ) -> DataFrame:
     """IVF ANN with Hamming-1 multi-probe: corpus vectors are assigned
     one cell; each query probes its cell plus all 1-bit neighbors."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        lsh_block(F.col(vec_col), dim, planes).alias("__block"),
-        V.as_double(F.col(vec_col)).alias("cv"),
+    # blocks from RAW vectors (sign(v·h) == sign(unit·h) mathematically,
+    # but the rounded division could flip a knife-edge bit — keeping the
+    # assigner on raw components keeps it bit-identical to the oracle)
+    c = _unitize(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            lsh_block(F.col(vec_col), dim, planes).alias("__block"),
+            V.as_double(F.col(vec_col)).alias("__raw"),
+        ),
+        "__raw", "cv",
     )
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.explode(lsh_probe_blocks(F.col(vec_col), dim, planes)).alias("__block"),
-            V.as_double(F.col(vec_col)).alias("qv"),
+        _unitize(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.explode(
+                    lsh_probe_blocks(F.col(vec_col), dim, planes)
+                ).alias("__block"),
+                V.as_double(F.col(vec_col)).alias("__raw"),
+            ),
+            "__raw", "qv",
         )
     )
     scored = (
         c.join(q, on="__block")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cosine", F.round(V.dot(F.col("qv"), F.col("cv")), 6))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -201,21 +240,27 @@ def ann_topk_ivf(
     block (coarse quantization cell). Recall < 1 by design; at scale
     probe multiple neighboring cells."""
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(block_col).alias("__block"),
-            V.as_double(F.col(vec_col)).alias("qv"),
+        _unitize(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(block_col).alias("__block"),
+                V.as_double(F.col(vec_col)).alias("__raw"),
+            ),
+            "__raw", "qv",
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(block_col).alias("__block"),
-        V.as_double(F.col(vec_col)).alias("cv"),
+    c = _unitize(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(block_col).alias("__block"),
+            V.as_double(F.col(vec_col)).alias("__raw"),
+        ),
+        "__raw", "cv",
     )
     scored = (
         c.join(q, on="__block")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cosine", F.round(V.dot(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -271,20 +316,28 @@ def ann_topk_quantized(
     (``q_i · scale``), and scored with the same fold as the
     full-precision path. Ranking differences vs ``ann_topk_bruteforce``
     are quantization error only."""
-    qz_c = int8_quantize(corpus, vec_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col("qvec"), lambda x: x * F.col("scale")).alias("cv"),
+    qz_c = _unitize(
+        int8_quantize(corpus, vec_col, id_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.col("qvec"), lambda x: x * F.col("scale")).alias("__raw"),
+        ),
+        "__raw", "cv",
     )
     qz_q = F.broadcast(
-        int8_quantize(queries, vec_col, id_col).select(
-            F.col(id_col).alias("query_id"),
-            F.transform(F.col("qvec"), lambda x: x * F.col("scale")).alias("qv"),
+        _unitize(
+            int8_quantize(queries, vec_col, id_col).select(
+                F.col(id_col).alias("query_id"),
+                F.transform(F.col("qvec"), lambda x: x * F.col("scale")).alias(
+                    "__raw"
+                ),
+            ),
+            "__raw", "qv",
         )
     )
     scored = (
         qz_c.crossJoin(qz_q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cosine", F.round(V.dot(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -88,7 +88,13 @@ def _sq(a: str, dim: int = 64) -> str:
 # embeddings CTE with per-row double vectors and norms
 _EMB = (
     "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-    f"n AS (SELECT vec_id, label, v, sqrt({_sq('v')}) AS nrm FROM e)"
+    f"n AS (SELECT vec_id, label, v, sqrt({_sq('v')}) AS nrm FROM e), "
+    # unit vectors (engine hoists normalization per row; pairwise cosine
+    # is then one dot chain). Raw components ride along as rv — LSH block
+    # bits stay on raw values so a knife-edge sign can't flip under the
+    # division's rounding.
+    "u AS (SELECT vec_id, label, v AS rv, CASE WHEN nrm = 0.0 THEN v "
+    "ELSE list_transform(v, x -> x / nrm) END AS v FROM n)"
 )
 
 _LANGS = {
@@ -763,23 +769,20 @@ ORACLES["cosine_pairs_embeddings"] = f"""
 WITH {_EMB}
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round({_COS.format(dot=_dot('a.v', 'b.v'))}, 6) AS cosine
-  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         round(({_dot('a.v', 'b.v')}), 6) AS cosine
+  FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
 ) WHERE cosine >= 0.25
 """
 
-_QCOS = (
-    "CASE WHEN q.nrm * c.nrm = 0.0 THEN 0.0 "
-    f"ELSE ({_dot('q.v', 'c.v')}) / (q.nrm * c.nrm) END"
-)
+_QCOS = f"({_dot('q.v', 'c.v')})"  # unit vectors: cosine == dot
 
 ORACLES["ann_topk_bruteforce"] = f"""
 WITH {_EMB},
-q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 10),
+q AS (SELECT vec_id, v FROM u WHERE vec_id < 10),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_QCOS}, 6) AS cosine
-  FROM n c, q WHERE c.vec_id <> q.vec_id
+  FROM u c, q WHERE c.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (
@@ -792,13 +795,13 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 def _ivf_sql() -> str:
     planes = lsh_hyperplanes(64, 3)
     bits = " || ".join(
-        f"(CASE WHEN ({_dot_lits('v', p)}) >= 0.0 THEN '1' ELSE '0' END)"
+        f"(CASE WHEN ({_dot_lits('rv', p)}) >= 0.0 THEN '1' ELSE '0' END)"
         for p in planes
     )
     return f"""
 WITH {_EMB},
-blocked AS (SELECT vec_id, v, nrm, {bits} AS block FROM n),
-q AS (SELECT vec_id, v, nrm, block FROM blocked WHERE vec_id < 10),
+blocked AS (SELECT vec_id, v, {bits} AS block FROM u),
+q AS (SELECT vec_id, v, block FROM blocked WHERE vec_id < 10),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_QCOS}, 6) AS cosine
@@ -819,7 +822,7 @@ ORACLES["ann_topk_ivf"] = _ivf_sql()
 def _ivf_probe_sql() -> str:
     planes = lsh_hyperplanes(64, 3)
     bits = [
-        f"(CASE WHEN ({_dot_lits('v', p)}) >= 0.0 THEN '1' ELSE '0' END)"
+        f"(CASE WHEN ({_dot_lits('rv', p)}) >= 0.0 THEN '1' ELSE '0' END)"
         for p in planes
     ]
     flip = [f"(CASE WHEN b{i} = '1' THEN '0' ELSE '1' END)" for i in range(3)]
@@ -833,9 +836,9 @@ def _ivf_probe_sql() -> str:
     )
     return f"""
 WITH {_EMB},
-bl AS (SELECT vec_id, v, nrm, {bits[0]} AS b0, {bits[1]} AS b1, {bits[2]} AS b2 FROM n),
-c AS (SELECT vec_id, v, nrm, b0 || b1 || b2 AS block FROM bl),
-q AS (SELECT vec_id, v, nrm, unnest([{probes}]) AS probe
+bl AS (SELECT vec_id, v, {bits[0]} AS b0, {bits[1]} AS b1, {bits[2]} AS b2 FROM u),
+c AS (SELECT vec_id, v, b0 || b1 || b2 AS block FROM bl),
+q AS (SELECT vec_id, v, unnest([{probes}]) AS probe
       FROM bl WHERE vec_id < 10),
 scored AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1686,11 +1689,13 @@ ORACLES["ann_topk_quantized"] = f"""
 WITH {_QZ},
 dq AS (SELECT vec_id, list_transform(q, x -> x * scale) AS v FROM qz),
 dn AS (SELECT vec_id, v, sqrt({_sq('v')}) AS nrm FROM dq),
-qry AS (SELECT vec_id, v, nrm FROM dn WHERE vec_id < 10),
+du AS (SELECT vec_id, CASE WHEN nrm = 0.0 THEN v
+       ELSE list_transform(v, x -> x / nrm) END AS v FROM dn),
+qry AS (SELECT vec_id, v FROM du WHERE vec_id < 10),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_QCOS}, 6) AS cosine
-  FROM dn c, qry q WHERE c.vec_id <> q.vec_id
+  FROM du c, qry q WHERE c.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (
@@ -2254,8 +2259,8 @@ sc AS (
     FROM sc
   ) WHERE rn = 1
 ), blocked AS (
-  SELECT n.vec_id, n.v, n.nrm, asg.block FROM n JOIN asg ON n.vec_id = asg.vec_id
-), q AS (SELECT vec_id, v, nrm, block FROM blocked WHERE vec_id < 10),
+  SELECT u.vec_id, u.v, asg.block FROM u JOIN asg ON u.vec_id = asg.vec_id
+), q AS (SELECT vec_id, v, block FROM blocked WHERE vec_id < 10),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_QCOS}, 6) AS cosine
