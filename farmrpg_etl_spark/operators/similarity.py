@@ -371,10 +371,15 @@ def _semantic_dedup_keyed(
     measured 222 s on a 10× corpus whose hot clusters stayed whole.
     Using sign(v·h − mean_cluster(v·h)) instead shifts each hyperplane
     through the cluster's own centroid-projection, so even a tight
-    cluster splits ≈ 50/50 per bit. The per-cluster means ride the
-    same single window shuffle as the size count. Factored out so
-    tests can assert the per-key group sizes (and hence the Σ|group|²
-    pair bound) directly."""
+    cluster splits ≈ 50/50 per bit.
+
+    Per-cluster stats (size + mean projections) come from a PARTIAL
+    aggregation broadcast back to the rows — cluster cardinality is
+    ≈ n/√c, so the stats table is dimension-sized and the corpus rows
+    never shuffle for the key computation at all (a window form would
+    shuffle+sort every row by cluster first). Factored out so tests
+    can assert the per-key group sizes (and hence the Σ|group|² pair
+    bound) directly."""
     n = clustered.select(
         F.col(id_col),
         F.col(cluster_col).alias("__cl"),
@@ -384,28 +389,34 @@ def _semantic_dedup_keyed(
         return n.withColumn("__key", F.col("__cl").cast("string"))
     if split_dim is None:
         raise ValueError("split_dim is required when max_cluster_size is set")
-    size_w = Window.partitionBy("__cl")
-    bits = []
     for p, plane in enumerate(lsh_hyperplanes(split_dim, split_planes)):
         h = F.array(*[F.lit(x) for x in plane])
         n = n.withColumn(f"__proj{p}", V.dot(F.col("__v"), h))
-        bits.append(
-            F.when(
-                F.col(f"__proj{p}") > F.avg(F.col(f"__proj{p}")).over(size_w),
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
+    stats = n.groupBy("__cl").agg(
+        F.count(F.lit(1)).alias("__sz"),
+        *[F.avg(f"__proj{p}").alias(f"__mp{p}") for p in range(split_planes)],
+    )
+    n = n.join(F.broadcast(stats), "__cl")
+    bits = [
+        F.when(F.col(f"__proj{p}") > F.col(f"__mp{p}"), F.lit("1")).otherwise(
+            F.lit("0")
         )
+        for p in range(split_planes)
+    ]
     return n.withColumn(
         "__key",
         F.concat_ws(
             "#",
             F.col("__cl").cast("string"),
             F.when(
-                F.count(F.lit(1)).over(size_w) > F.lit(max_cluster_size),
-                F.concat(*bits),
+                F.col("__sz") > F.lit(max_cluster_size), F.concat(*bits)
             ).otherwise(F.lit("")),
         ),
-    ).drop(*[f"__proj{p}" for p in range(split_planes)])
+    ).drop(
+        "__sz",
+        *[f"__proj{p}" for p in range(split_planes)],
+        *[f"__mp{p}" for p in range(split_planes)],
+    )
 
 
 def semantic_dedup(
