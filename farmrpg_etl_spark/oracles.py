@@ -2322,3 +2322,12 @@ FROM documents
 -- so D4 suppresses the snapshot — only idx 0→1 and 2→0 survive
 WHERE doc_id % 4 = 0 AND doc_id % 3 <> 1
 """
+
+
+# P9 quarantine channel: exactly the broken payloads, fail-loud message
+ORACLES["parse_quarantine_channel"] = """
+SELECT CAST(doc_id AS VARCHAR) AS key,
+       TIMESTAMP '2024-06-01 12:00:00' AS fetch_ts,
+       'Unable to find message ID link' AS error
+FROM documents WHERE doc_id % 7 = 0
+"""

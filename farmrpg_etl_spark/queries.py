@@ -2659,6 +2659,44 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def parse_quarantine_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 error channel as a driver row (reference tasks.py:28-34: a
+    scrape failure is logged and the loop continues): every ≡0 mod 7
+    payload is structurally broken (chat div without the delChat id
+    link); the stage must route EXACTLY those to quarantine with the
+    parser's fail-loud message, and parse the rest — one corrupt poll
+    never kills the job."""
+    from farmrpg_etl_spark.parse.stage import parse_payloads, quarantine
+
+    d = load_table(spark, sf_dir, "documents")
+    good = F.format_string(
+        _CHAT_TEMPLATE,
+        F.lit(""),
+        (F.col("doc_id") % 11 + 1).cast("int"),
+        (F.col("doc_id") % 60).cast("int"),
+        (F.col("doc_id") * 7 % 60).cast("int"),
+        F.col("source"),
+        F.col("doc_id").cast("string"),
+        F.lit("ok"),
+    )
+    broken = F.lit(
+        '<div class="chat-txt"><span>01:02:03 AM</span>'
+        '<div class="chip"><div class="chip-media">'
+        '<img data-username="u" src="/img/emblems/e.png"></div></div>'
+        "</div>"  # no delChat link: P1 fails loud at the id walk
+    )
+    payloads = d.select(
+        F.lit("chat").alias("source"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.encode(
+            F.when(F.col("doc_id") % 7 == 0, broken).otherwise(good), "UTF-8"
+        ).alias("body"),
+    )
+    return quarantine(parse_payloads(payloads, "chat"))
+
+
 def s_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S6 deployment topology as data (reference __main__.py:55-69):
     every (source, key, interval) poller the reference runs, with the
@@ -2750,7 +2788,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d5_change_pairs": d5_change_pairs,
     "d6_absent_from_sink": d6_absent_from_sink,
     "j1_resolve_join": j1_resolve_join,
-    "j3_fk_hydrate": j3_fk_hydrate,
     "j4_upsert": j4_upsert,
     # sink end-states (K1-K6)
     "k1_insert_absent_sink": k1_insert_absent_sink,
@@ -2771,6 +2808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_online_roundtrip": parse_online_roundtrip,
     "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
+    "parse_quarantine_channel": parse_quarantine_channel,
     # LLM pipeline: dedup family
     "exact_dedup_docs": exact_dedup_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
@@ -2798,6 +2836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "j3_fk_hydrate": j3_fk_hydrate,
     "j2_correlated_update": j2_correlated_update,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "decontaminate_docs": decontaminate_docs,
