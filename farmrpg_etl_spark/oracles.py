@@ -2331,3 +2331,17 @@ SELECT CAST(doc_id AS VARCHAR) AS key,
        'Unable to find message ID link' AS error
 FROM documents WHERE doc_id % 7 = 0
 """
+
+
+# J1 stream-stream join: bounded run == batch join on the natural key
+ORACLES["streaming_flags_join_events"] = """
+SELECT c.event_type AS room,
+       CAST(c.event_id AS VARCHAR) AS id,
+       c.ts AS ts,
+       'u' || CAST(c.user_id AS VARCHAR) AS username,
+       CAST(floor(f.value) AS INT) AS flags
+FROM events c
+JOIN (SELECT event_type, ts, user_id, value FROM events
+      WHERE event_id % 13 = 0) f
+  ON c.event_type = f.event_type AND c.ts = f.ts AND c.user_id = f.user_id
+"""

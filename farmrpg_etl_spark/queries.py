@@ -1113,6 +1113,35 @@ def streaming_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.streaming_cdc(spark, sf_dir)
 
 
+def streaming_flags_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's watermarked STREAM-STREAM join as a driver row: a chat-shaped
+    stream and a flags-shaped stream (both file streams over events)
+    join on the natural key (room, ts, username); the bounded
+    availableNow run must emit exactly the batch join (the watermark
+    only bounds state, never drops in-window matches)."""
+    from farmrpg_etl_spark.streaming import ops
+    from farmrpg_etl_spark.streaming.flags_join import flags_resolution_join
+
+    uname = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    chat = ops.stream_events(spark, sf_dir).select(
+        F.col("event_type").alias("room"),
+        F.col("event_id").cast("string").alias("id"),
+        "ts",
+        uname.alias("username"),
+    )
+    flags = (
+        ops.stream_events(spark, sf_dir)
+        .filter(F.col("event_id") % 13 == 0)
+        .select(
+            F.col("event_type").alias("room"),
+            "ts",
+            uname.alias("username"),
+            F.floor(F.col("value")).cast("int").alias("flags"),
+        )
+    )
+    return ops.run_available_now(flags_resolution_join(chat, flags), "append")
+
+
 def streaming_message_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1's full streaming form (applyInPandasWithState keyed (room,id)
     with carry-forward + flip stamping) on a message frame derived from
@@ -2852,6 +2881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": corpus_curation,
     "ann_topk_quantized": ann_topk_quantized,
     "streaming_cdc_events": streaming_cdc_events,
+    "streaming_flags_join_events": streaming_flags_join_events,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_latest_per_user": streaming_latest_per_user,
