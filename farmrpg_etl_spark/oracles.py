@@ -2345,3 +2345,55 @@ JOIN (SELECT event_type, ts, user_id, value FROM events
       WHERE event_id % 13 = 0) f
   ON c.event_type = f.event_type AND c.ts = f.ts AND c.user_id = f.user_id
 """
+
+
+def _semantic_dedup_lloyd_sql() -> str:
+    """Lloyd(2) cluster assignment CTEs + the unit-vector semantic
+    dedup tail — the composed-curation oracle."""
+    d2 = " + ".join(
+        f"(ev.v[{i}]-cvec[{i}])*(ev.v[{i}]-cvec[{i}])" for i in range(1, 65)
+    )
+    lloyd = [
+        "WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),",
+        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "q AS (SELECT vec_id, g.i - 1 AS pos,",
+        "  floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) / 1000000.0 AS qv",
+        "  FROM embeddings CROSS JOIN g),",
+        "x0 AS (SELECT vec_id, label AS cluster FROM embeddings)",
+    ]
+    prev = "x0"
+    for it in (1, 2):
+        lloyd.append(
+            f", cl{it} AS (SELECT a.cluster, q.pos,"
+            f" CAST(SUM(CAST(q.qv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid"
+            f" FROM q JOIN {prev} a ON q.vec_id = a.vec_id GROUP BY 1, 2)"
+            f", cv{it} AS (SELECT cluster, list(centroid ORDER BY pos ASC) AS cvec"
+            f" FROM cl{it} GROUP BY cluster)"
+            f", sc{it} AS (SELECT ev.vec_id, cv{it}.cluster, {d2} AS d2"
+            f" FROM ev CROSS JOIN cv{it})"
+            f", x{it} AS (SELECT vec_id, cluster, d2 FROM ("
+            f"  SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f"    ORDER BY d2 ASC, cluster ASC) AS rn FROM sc{it}) WHERE rn = 1)"
+        )
+        prev = f"x{it}"
+    tail = f"""
+, n0 AS (
+  SELECT ev.vec_id, {prev}.cluster, ev.v, sqrt({_sq('ev.v')}) AS nrm
+  FROM ev JOIN {prev} ON ev.vec_id = {prev}.vec_id
+), nn AS (
+  SELECT vec_id, cluster,
+         CASE WHEN nrm = 0.0 THEN v
+              ELSE list_transform(v, x -> x / nrm) END AS v
+  FROM n0
+), dups AS (
+  SELECT DISTINCT b.vec_id FROM nn a JOIN nn b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(({_dot('a.v', 'b.v')}), 6) >= 0.25
+)
+SELECT vec_id, cluster FROM nn
+WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.vec_id = nn.vec_id)
+"""
+    return "\n".join(lloyd) + tail
+
+
+ORACLES["semantic_dedup_lloyd"] = _semantic_dedup_lloyd_sql()

@@ -2032,6 +2032,23 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def semantic_dedup_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verdict's full curation composition: clusters LEARNED by two
+    Lloyd iterations (not label priors) feed the guarded semantic
+    dedup — converged-toward clusters are tighter, so the within-
+    cluster near-dup sweep catches more and the skew guard's
+    cluster-centered split is exactly the megacluster defense this
+    pipeline needs at 100 TB."""
+    assigns = kmeans_lloyd_embeddings(spark, sf_dir).select("vec_id", "cluster")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clustered = e.join(assigns, "vec_id").persist()
+    clustered.count()
+    return similarity.semantic_dedup(
+        clustered, "embedding", "vec_id", "cluster", threshold=0.25,
+        max_cluster_size=100_000, split_dim=64,
+    )
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup composition: k-means E-step assigns every embedding to
     its nearest centroid (broadcast map, no corpus shuffle), then
@@ -2841,12 +2858,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LLM pipeline: dedup family
     "exact_dedup_docs": exact_dedup_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
-    "simhash_docs": simhash_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "incremental_lsh_docs": incremental_lsh_docs,
     "neardup_clusters_docs": neardup_clusters_docs,
     "chunk_dedup_docs": chunk_dedup_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "semantic_dedup_lloyd": semantic_dedup_lloyd,
     # LLM pipeline: quality / packing
     "text_metrics_docs": text_metrics_docs,
     "token_budget_mixture_docs": token_budget_mixture_docs,
@@ -2865,6 +2882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "simhash_docs": simhash_docs,
     "j3_fk_hydrate": j3_fk_hydrate,
     "j2_correlated_update": j2_correlated_update,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
