@@ -191,3 +191,40 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------- round-3 plan shapes
+def test_heavy_hitters_plan_broadcasts_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.operators.heavyhitters import heavy_hitters
+
+    df = spark.createDataFrame([(f"t{i % 7}",) for i in range(100)], "item string")
+    plan = (
+        heavy_hitters(df, "item", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # pass 1 summary runs in Python map-side; candidates reach the scan
+    # as a broadcast LeftSemi — never a full-vocabulary shuffle join
+    assert "MapInPandas" in plan
+    assert "LeftSemi, BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_guard_plan_broadcasts_stats(spark):
+    from farmrpg_etl_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, "c", [float(i % 5), 1.0, 0.0, 0.0]) for i in range(40)],
+        "vec_id int, cluster string, vec array<double>",
+    )
+    out = semantic_dedup(
+        df, "vec", "vec_id", "cluster", 0.9,
+        max_cluster_size=10, split_dim=4, split_planes=2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # per-cluster stats (size + mean projections) join back as a
+    # broadcast; the corpus never shuffles to compute its join key,
+    # and the guarded self-join stays an equi hash join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
