@@ -203,11 +203,20 @@ def main() -> None:
                 max_cluster_size=500, split_dim=64, split_planes=2,
             )
 
+        def stretch_heavy_hitters():
+            from farmrpg_etl_spark.functions import hashing as H
+            from farmrpg_etl_spark.operators.heavyhitters import heavy_hitters
+
+            d = spark.read.parquet(f"{stretch_dir}/documents.parquet")
+            toks = d.select(F.explode(H.words(F.col("text"))).alias("tok"))
+            return heavy_hitters(toks, "tok", k=200)
+
         stretch = {}
         for name, fn in [
             ("minhash_lsh_pairs_10x", stretch_minhash),
             ("ngram_jaccard_10x", stretch_jaccard),
             ("semantic_dedup_guarded_10x", stretch_semdedup),
+            ("heavy_hitters_10x", stretch_heavy_hitters),
         ]:
             t0 = time.time()
             n = fn().count()
