@@ -2397,3 +2397,17 @@ WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.vec_id = nn.vec_id)
 
 
 ORACLES["semantic_dedup_lloyd"] = _semantic_dedup_lloyd_sql()
+
+
+# mailbox→mail end-to-end: unread (even) ids only, fields arithmetic
+ORACLES["mailbox_pipeline_e2e"] = """
+SELECT doc_id * 2 AS id,
+       'u' || CAST(doc_id * 2 AS VARCHAR) AS username,
+       make_timestamp(2024, 4, 17,
+         CAST((doc_id * 2) % 11 + 1 AS INT),
+         CAST((doc_id * 2) % 60 AS INT),
+         CAST((doc_id * 2) * 7 % 60 AS DOUBLE)) + INTERVAL 5 HOUR AS ts,
+       'Subject ' || CAST(doc_id * 2 AS VARCHAR) AS subject,
+       'Body ' || CAST(doc_id * 2 AS VARCHAR) AS content
+FROM documents
+"""

@@ -2743,6 +2743,54 @@ def parse_quarantine_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quarantine(parse_payloads(payloads, "chat"))
 
 
+def mailbox_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mailbox→mail path END-TO-END (S3 → P7 → F2 → S4 → P8): an
+    inbox poll parses to (id, unread) rows, the F2 unread filter gates
+    the demand-driven fetch fan-out (reference scrapers/mailbox.py:
+    63-72,99-113 — one message.php GET per newly-unread id), and each
+    fetched payload goes through the real mail parser. The fetcher is
+    deterministic-in-the-key (real HTML synthesized per mail id), so
+    the oracle recomputes every parsed field; only unread (even) ids
+    may appear."""
+    from farmrpg_etl_spark.operators import filters
+    from farmrpg_etl_spark.parse.stage import parse_payloads, parsed_rows
+    from farmrpg_etl_spark.sources import landing
+
+    d = load_table(spark, sf_dir, "documents")
+    inbox_html = F.format_string(
+        _MAILBOX_TEMPLATE,
+        (F.col("doc_id") * 2).cast("int"),
+        (F.col("doc_id") * 2 + 1).cast("int"),
+    )
+    inbox_payloads = d.select(
+        F.lit("mailbox").alias("source"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.encode(inbox_html, "UTF-8").alias("body"),
+    )
+    rows = parsed_rows(parse_payloads(inbox_payloads, "mailbox"))
+    unread = filters.unread_only(rows).select(F.col("id").cast("string").alias("key"))
+
+    def fetch_message(spec: landing.PollSpec) -> tuple[int, bytes]:
+        mid = int(spec.key)
+        html = (
+            '<div class="card-header"> Subject %d </div>'
+            '<div class="card-content-inner">Body %d</div>'
+            '<div class="card-content-inner">From '
+            '<a href="profile.php?user_name=u%d">u%d</a>'
+            " on Apr 17, %02d:%02d:%02d AM </div>"
+        ) % (mid, mid, mid, mid, mid % 11 + 1, mid % 60, mid * 7 % 60)
+        return 200, html.encode()
+
+    mail_payloads = landing.demand_fanout(unread, "message", fetcher=fetch_message)
+    mail_payloads = mail_payloads.withColumn(
+        "fetch_ts", F.lit("2024-06-01 12:00:05").cast("timestamp")
+    )
+    out = parsed_rows(parse_payloads(mail_payloads, "message"))
+    return out.select("id", "username", "ts", "subject", "content")
+
+
 def s_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S6 deployment topology as data (reference __main__.py:55-69):
     every (source, key, interval) poller the reference runs, with the
@@ -2845,6 +2893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chat_pipeline_e2e": chat_pipeline_e2e,
     "flags_pipeline_e2e": flags_pipeline_e2e,
     "user_pipeline_e2e": user_pipeline_e2e,
+    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
     # scalar + parse semantics (§2.7, P1-P4)
     "scalar_text_functions": scalar_text_functions,
     "bot_dispatch_replies": bot_dispatch_replies,
@@ -2852,7 +2901,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_profile_roundtrip": parse_profile_roundtrip,
     "parse_online_roundtrip": parse_online_roundtrip,
-    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
     "parse_quarantine_channel": parse_quarantine_channel,
     # LLM pipeline: dedup family
@@ -2882,6 +2930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
     "simhash_docs": simhash_docs,
     "j3_fk_hydrate": j3_fk_hydrate,
     "j2_correlated_update": j2_correlated_update,
