@@ -2411,3 +2411,21 @@ SELECT doc_id * 2 AS id,
        'Body ' || CAST(doc_id * 2 AS VARCHAR) AS content
 FROM documents
 """
+
+
+# K6 claims gate: emit only on claims-JSON change (first obs included)
+ORACLES["claims_gate_events"] = """
+WITH s AS (
+  SELECT user_id, event_id,
+         (value > 50) AS f, (event_type = 'click') AS r,
+         lag(value > 50) OVER w AS pf,
+         lag(event_type = 'click') OVER w AS pr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id,
+       '{"farmhand":"' || CAST(f AS VARCHAR) || '","ranger":"'
+         || CAST(r AS VARCHAR) || '"}' AS claims
+FROM s
+WHERE pf IS NULL OR f IS DISTINCT FROM pf OR r IS DISTINCT FROM pr
+"""

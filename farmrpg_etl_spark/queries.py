@@ -2791,6 +2791,25 @@ def mailbox_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "username", "ts", "subject", "content")
 
 
+def claims_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 claims side-effect gate (reference firestore/user.py:6-13):
+    per-user role-claims JSON is pushed ONLY when it differs from the
+    previous snapshot's — D5 change pairs feed the gate, and the
+    emitted payload is the exact to_json claims document."""
+    from farmrpg_etl_spark.bots.commands import claims_changes
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("value") > 50).alias("is_farmhand"),
+        (F.col("event_type") == "click").alias("is_ranger"),
+    )
+    pairs = cdc.change_pairs(
+        ev, ["user_id"], "event_id", ["is_farmhand", "is_ranger"]
+    )
+    return claims_changes(pairs).select("user_id", "event_id", "claims")
+
+
 def s_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S6 deployment topology as data (reference __main__.py:55-69):
     every (source, key, interval) poller the reference runs, with the
@@ -2880,6 +2899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_event_per_user_type": first_event_per_user_type,
     "d1_message_cdc": d1_message_cdc,
     "d5_change_pairs": d5_change_pairs,
+    "claims_gate_events": claims_gate_events,
     "d6_absent_from_sink": d6_absent_from_sink,
     "j1_resolve_join": j1_resolve_join,
     "j4_upsert": j4_upsert,
@@ -2900,7 +2920,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_profile_roundtrip": parse_profile_roundtrip,
-    "parse_online_roundtrip": parse_online_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
     "parse_quarantine_channel": parse_quarantine_channel,
     # LLM pipeline: dedup family
@@ -2930,6 +2949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "parse_online_roundtrip": parse_online_roundtrip,
     "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
     "simhash_docs": simhash_docs,
     "j3_fk_hydrate": j3_fk_hydrate,
