@@ -116,6 +116,8 @@ def main() -> None:
         "decode_real_media_docs",
         "incremental_lsh_docs",
         "j1_resolve_join",
+        "heavy_hitter_tokens",
+        "semantic_dedup_lloyd",
     ]:
         run(name)
         steady = []
