@@ -210,7 +210,16 @@ def main() -> None:
             from farmrpg_etl_spark.operators.heavyhitters import heavy_hitters
 
             d = spark.read.parquet(f"{stretch_dir}/documents.parquet")
-            toks = d.select(F.explode(H.words(F.col("text"))).alias("tok"))
+            # the k-mutation (deliberately) fragments the vocabulary, so
+            # the organic corpus has no 1/200-heavy token; plant three
+            # per-document hitters HERE (not in the corpus files — an
+            # every-document shingle would quadratically poison the
+            # Jaccard stretch) so recall is observable, not vacuous
+            toks = d.select(
+                F.explode(
+                    H.words(F.concat(F.col("text"), F.lit(" hh0 hh1 hh2")))
+                ).alias("tok")
+            )
             return heavy_hitters(toks, "tok", k=200)
 
         stretch = {}
