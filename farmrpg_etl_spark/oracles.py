@@ -2429,3 +2429,7 @@ SELECT user_id, event_id,
 FROM s
 WHERE pf IS NULL OR f IS DISTINCT FROM pf OR r IS DISTINCT FROM pr
 """
+
+
+# continuous-ingest LSH: union of per-batch deltas == one-shot batch run
+ORACLES["streaming_incremental_lsh"] = ORACLES["minhash_lsh_pairs_docs"]

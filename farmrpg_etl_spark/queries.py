@@ -1113,6 +1113,69 @@ def streaming_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.streaming_cdc(spark, sf_dir)
 
 
+def streaming_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup detection END-TO-END: the corpus
+    arrives as four micro-batches (file stream, one file per trigger);
+    each ``foreachBatch`` computes signatures for the ARRIVING batch
+    only, joins them against the PERSISTED signature index (the
+    ``(id, sig)`` ParquetTable maintained by previous batches — history
+    text is never re-shingled), appends the delta pairs through the
+    replay-safe K1 writer, and commits the enlarged index.
+
+    The oracle is the FULL-BATCH LSH pair set: every banded pair is
+    emitted exactly once — when its later document arrives — so the
+    union of per-batch deltas must equal the one-shot batch run. That
+    equality is the correctness argument for running this pipeline
+    nightly on a 100 TB corpus instead of re-pairing from scratch."""
+    import tempfile
+
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = tempfile.mkdtemp(prefix="farmrpg_ing_")
+    n_batches = 4
+    for i in range(n_batches):
+        d.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    index = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_sigidx_"))
+    pairs_tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_pairs_"))
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        stored = index.read()
+        if stored is None:
+            stored = dedup.minhash_signatures(
+                batch_df.limit(0), "text", "doc_id", 16, 3
+            )
+        delta, new_index = dedup.incremental_minhash_pairs(
+            None, batch_df, "text", "doc_id",
+            num_hashes=16, bands=4, threshold=0.3, shingle_k=3,
+            indexed_sigs=stored,
+        )
+        insert_if_absent(
+            pairs_tbl, delta, ["id_a", "id_b"], batch_id=batch_id, writer="pairs"
+        )
+        index._commit(new_index, batch_id, "sigs")
+        new_index.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    out = pairs_tbl.read()
+    return out.select("id_a", "id_b", "jaccard")
+
+
 def streaming_flags_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1's watermarked STREAM-STREAM join as a driver row: a chat-shaped
     stream and a flags-shaped stream (both file streams over events)
@@ -2969,6 +3032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_quantized": ann_topk_quantized,
     "streaming_cdc_events": streaming_cdc_events,
     "streaming_flags_join_events": streaming_flags_join_events,
+    "streaming_incremental_lsh": streaming_incremental_lsh,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_latest_per_user": streaming_latest_per_user,
