@@ -202,3 +202,91 @@ def grouped_prefix_sum(
         .withColumn(out_col, F.col("__local") + F.col("__offset"))
         .drop("__b", "__local", "__offset")
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    modulus: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: boundaries where the rolling Horner
+    hash of the last ``window`` bytes ≡ 0 (mod ``modulus``) — average
+    chunk ≈ modulus bytes. Unlike fixed-size chunking
+    (:func:`chunk_by_tokens` / ``dedup.dedup_duplicated_chunks``), an
+    edit only perturbs the chunks that OVERLAP it: boundaries are a
+    pure function of local content, so all downstream chunk digests
+    realign after the edit window — the property that makes sub-
+    document dedup survive boilerplate insertions at corpus scale.
+
+    Entirely Catalyst: per-position hashes are a ``transform`` over a
+    position sequence with an unrolled left-associated Horner chain
+    (base 131 over ``window`` ASCII codes — max intermediate ≈ 8.5e16,
+    exact in a long, no overflow, no mod until the boundary test), so
+    the DuckDB oracle reproduces every boundary bit-for-bit. Output:
+    one row per chunk ``(id, chunk_idx, start, length, digest)``;
+    ``start`` is a 0-based byte offset into the sanitized text.
+
+    Scale: narrow 1→N per-row computation, no shuffle at all; the
+    downstream first-occurrence dedup is one groupBy on the digest.
+    """
+    s = F.regexp_replace(F.col(text_col), r"[^\x20-\x7e]", "")
+    out = df.select(F.col(id_col), s.alias("__s")).filter(F.length("__s") > 0)
+    out = out.withColumn("__n", F.length("__s"))
+    codes = F.transform(
+        F.slice(F.split(F.col("__s"), ""), 1, F.col("__n")),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    out = out.withColumn("__codes", codes)
+
+    def horner(i):
+        h = F.element_at(F.col("__codes"), (i - F.lit(window - 1)).cast("int"))
+        for k in range(window - 2, -1, -1):
+            h = h * F.lit(131) + F.element_at(
+                F.col("__codes"), (i - F.lit(k)).cast("int")
+            )
+        return h
+
+    positions = F.when(
+        F.col("__n") >= window,
+        F.sequence(F.lit(window), F.col("__n")),
+    ).otherwise(F.array().cast("array<int>"))
+    bpos = F.filter(
+        F.transform(positions, lambda i: i.cast("long")),
+        lambda i: horner(i) % modulus == 0,
+    )
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(0).cast("long")), bpos,
+                F.array(F.col("__n").cast("long")),
+            )
+        )
+    )
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(cuts) - 1),
+        lambda j: F.struct(
+            F.element_at(cuts, j).alias("start"),
+            (F.element_at(cuts, j + 1) - F.element_at(cuts, j)).alias("length"),
+        ),
+    )
+    out = out.select(
+        F.col(id_col), "__s", F.posexplode(spans).alias("chunk_idx", "__sp")
+    )
+    return out.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.col("__sp.start").alias("start"),
+        F.col("__sp.length").alias("length"),
+        F.md5(
+            F.encode(
+                F.substr(
+                    F.col("__s"),
+                    (F.col("__sp.start") + 1).cast("int"),
+                    F.col("__sp.length").cast("int"),
+                ),
+                "UTF-8",
+            )
+        ).alias("digest"),
+    )

@@ -2433,3 +2433,47 @@ WHERE pf IS NULL OR f IS DISTINCT FROM pf OR r IS DISTINCT FROM pr
 
 # continuous-ingest LSH: union of per-batch deltas == one-shot batch run
 ORACLES["streaming_incremental_lsh"] = ORACLES["minhash_lsh_pairs_docs"]
+
+
+def _cdc_chunk_sql(window: int = 8, modulus: int = 64) -> str:
+    """Content-defined chunking oracle: identical unrolled Horner chain
+    per position (base 131 over ASCII codes — exact BIGINT, no overflow)
+    and the same [0, boundaries…, n] cut list."""
+    h = f"CAST(ascii(substr(s, i - {window - 1}, 1)) AS BIGINT)"
+    for k in range(window - 2, -1, -1):
+        h = f"({h} * 131 + ascii(substr(s, i - {k}, 1)))"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS s
+  FROM documents
+), dd AS (SELECT doc_id, s, len(s) AS n FROM d WHERE len(s) > 0),
+pos AS (
+  SELECT doc_id, s, n, unnest(generate_series({window}, n)) AS i
+  FROM dd WHERE n >= {window}
+), hb AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos WHERE {h} % {modulus} = 0
+), b AS (
+  SELECT doc_id, list(i ORDER BY i) AS bs FROM hb GROUP BY doc_id
+), c AS (
+  SELECT dd.doc_id, dd.s,
+         list_sort(list_distinct(
+           coalesce(b.bs, CAST([] AS BIGINT[]))
+           || [CAST(0 AS BIGINT), CAST(dd.n AS BIGINT)]
+         )) AS cuts
+  FROM dd LEFT JOIN b USING (doc_id)
+), ch AS (
+  SELECT doc_id, s, cuts, unnest(generate_series(1, len(cuts) - 1)) AS j
+  FROM c
+)
+SELECT doc_id,
+       CAST(j - 1 AS INT) AS chunk_idx,
+       cuts[j] AS start,
+       cuts[j + 1] - cuts[j] AS length,
+       md5(substr(s, CAST(cuts[j] + 1 AS INT), CAST(cuts[j + 1] - cuts[j] AS INT)))
+         AS digest
+FROM ch
+"""
+
+
+ORACLES["cdc_chunk_docs"] = _cdc_chunk_sql()

@@ -2873,6 +2873,18 @@ def claims_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return claims_changes(pairs).select("user_id", "event_id", "claims")
 
 
+def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the corpus: rolling-Horner
+    boundaries (window 8, ≈64-byte chunks) so sub-document dedup
+    survives insertions — an edit only perturbs overlapping chunks and
+    every downstream digest realigns (fixed-size chunking shifts every
+    subsequent chunk). Pure Catalyst 1→N; no shuffle."""
+    from farmrpg_etl_spark.operators.chunking import content_defined_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return content_defined_chunks(d, "text", "doc_id", window=8, modulus=64)
+
+
 def s_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S6 deployment topology as data (reference __main__.py:55-69):
     every (source, key, interval) poller the reference runs, with the
@@ -2982,7 +2994,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bot_dispatch_replies": bot_dispatch_replies,
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
-    "parse_profile_roundtrip": parse_profile_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
     "parse_quarantine_channel": parse_quarantine_channel,
     # LLM pipeline: dedup family
@@ -2992,6 +3003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_lsh_docs": incremental_lsh_docs,
     "neardup_clusters_docs": neardup_clusters_docs,
     "chunk_dedup_docs": chunk_dedup_docs,
+    "cdc_chunk_docs": cdc_chunk_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "semantic_dedup_lloyd": semantic_dedup_lloyd,
     # LLM pipeline: quality / packing
@@ -3012,6 +3024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    "parse_profile_roundtrip": parse_profile_roundtrip,
     "parse_online_roundtrip": parse_online_roundtrip,
     "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
     "simhash_docs": simhash_docs,

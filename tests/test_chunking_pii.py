@@ -128,3 +128,56 @@ def test_pack_documents_spans_and_offsets(spark):
         3: (0, 7, 1, 1),
         4: (6, 7, 1, 2),
     }
+
+
+# -------------------------------------- content-defined chunking
+def test_cdc_chunks_cover_text_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.operators.chunking import content_defined_chunks
+
+    import hashlib
+    text = " ".join(hashlib.md5(str(i).encode()).hexdigest()[:6] for i in range(80))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        content_defined_chunks(df, "text", "doc_id").collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # chunks tile the text: contiguous, gap-free, full coverage
+    pos = 0
+    for r in rows:
+        assert r["start"] == pos and r["length"] > 0
+        pos += r["length"]
+    assert pos == len(text)
+    # digests are the md5 of the exact substrings
+    for r in rows[:3]:
+        sub = text[r["start"] : r["start"] + r["length"]]
+        assert r["digest"] == hashlib.md5(sub.encode()).hexdigest()
+
+
+def test_cdc_chunks_survive_head_insertion(spark):
+    import hashlib
+
+    from farmrpg_etl_spark.operators.chunking import content_defined_chunks
+
+    base = " ".join(hashlib.md5(str(i).encode()).hexdigest()[:6] for i in range(120))
+    a = {
+        r["digest"]
+        for r in content_defined_chunks(
+            spark.createDataFrame([(1, base)], "doc_id int, text string"),
+            "text", "doc_id",
+        ).collect()
+    }
+    b = {
+        r["digest"]
+        for r in content_defined_chunks(
+            spark.createDataFrame(
+                [(1, "INSERTED BOILERPLATE HEADER " + base)],
+                "doc_id int, text string",
+            ),
+            "text", "doc_id",
+        ).collect()
+    }
+    # boundaries are content-local: all but the edited-head chunks realign
+    # (fixed-size chunking would shift EVERY downstream chunk digest)
+    assert len(a & b) >= len(a) - 2
