@@ -82,6 +82,13 @@ def main() -> None:
             run(name)
             steady.append(time.time() - t0)
         times[name] = round(min(steady), 3)
+        # Drop this query's persisted intermediates (e.g. minhash
+        # signature caches) before the next one: operators persist by
+        # design and re-built plans re-hit the CacheManager by plan
+        # equality, so without this the cache grows monotonically all
+        # run and tail queries pay the GC pressure (r3 measured uniform
+        # ~1.2× drift on unchanged queries late in the run).
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total",
@@ -155,6 +162,7 @@ def main() -> None:
             run(name)
             steady.append(time.time() - t0)
         extended[name] = round(min(steady), 3)
+        spark.catalog.clearCache()  # same cross-query isolation as headline
     out["extended_queries"] = extended
     out["extended_total_sec"] = round(sum(extended.values()), 3)
 
@@ -258,9 +266,23 @@ def main() -> None:
             ("semantic_dedup_guarded_10x", stretch_semdedup),
             ("heavy_hitters_10x", stretch_heavy_hitters),
         ]:
+            # same methodology as the headline set: report steady-state
+            # (min-of-2 after a cold warm-up run) — a single cold run
+            # was swinging 2-3× with codegen/JIT state (r3 vs r4 runs
+            # of IDENTICAL operator code measured 3.8 s vs 9.5 s) —
+            # and keep the cold time visible alongside.
             t0 = time.time()
             n = fn().count()
-            stretch[name] = {"sec": round(time.time() - t0, 3), "rows": n}
+            cold_sec = round(time.time() - t0, 3)
+            steady = []
+            for _ in range(2):
+                t0 = time.time()
+                fn().count()
+                steady.append(time.time() - t0)
+            stretch[name] = {
+                "sec": round(min(steady), 3), "cold_sec": cold_sec, "rows": n,
+            }
+            spark.catalog.clearCache()
         out["sf1_stretch"] = stretch
 
     print(json.dumps(out))

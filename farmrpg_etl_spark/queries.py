@@ -1161,7 +1161,11 @@ def streaming_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         insert_if_absent(
             pairs_tbl, delta, ["id_a", "id_b"], batch_id=batch_id, writer="pairs"
         )
-        index._commit(new_index, batch_id, "sigs")
+        # Replay guard, same as the pairs write above: a re-delivered
+        # foreachBatch must not append duplicate (id, sig) rows to the
+        # index (they would inflate every later batch's join).
+        if not index._already_committed(batch_id, "sigs"):
+            index._commit(new_index, batch_id, "sigs")
         new_index.unpersist()
 
     q = (
@@ -1496,13 +1500,17 @@ def kmeans_lloyd(e: DataFrame, n_iters: int) -> DataFrame:
     (M-step: posexplode → one keyed decimal-exact aggregation) and
     reassigns every vector to its nearest centroid (E-step: broadcast
     centroids, map-side top-1 — the corpus is never shuffled).
-    Assignments are ``localCheckpoint``-ed per round, so lineage stays
-    flat across iterations (the same pattern as
-    ``dedup.neardup_clusters``); at 100 TB each round costs one scan +
-    one centroid-sized aggregation, and empty clusters drop out
-    naturally. Deterministic: quantized component sums, explicit
-    (d2, cluster) tie-break — bit-reproducible in any engine."""
+    Assignments pass through ``iterate.truncate_lineage`` per round
+    (reliable checkpoint, persist-bracketed — computed once, durable,
+    previous round's blocks freed), so lineage stays flat across
+    iterations (the same pattern as ``dedup.neardup_clusters``); at
+    100 TB each round costs one scan + one centroid-sized aggregation,
+    and empty clusters drop out naturally. Deterministic: quantized
+    component sums, explicit (d2, cluster) tie-break —
+    bit-reproducible in any engine."""
     from pyspark.sql import Window
+
+    from farmrpg_etl_spark.operators.iterate import truncate_lineage
 
     e = e.persist()
     e.count()
@@ -1529,11 +1537,11 @@ def kmeans_lloyd(e: DataFrame, n_iters: int) -> DataFrame:
         w = Window.partitionBy("vec_id").orderBy(
             F.col("d2").asc(), F.col("cluster").asc()
         )
-        assign = (
+        assign = truncate_lineage(
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cluster", "d2")
-        ).localCheckpoint()
+        )
     e.unpersist()
     return assign
 

@@ -75,7 +75,15 @@ def run_available_now(
     availableNow run snapshots its input up front, so the first
     COMPLETED batch with zero input rows proves every pre-planned data
     batch has committed (progress is reported post-commit, after any
-    watermark-advancing flush) — stop there."""
+    watermark-advancing flush) — stop there.
+
+    ASSUMPTION: this first-empty-batch cutoff is sound only for a
+    SINGLE stateful operator per query (true of every pipeline in this
+    repo). A query chaining stateful operators can need MORE than one
+    empty micro-batch to propagate the advanced watermark stage-to-
+    stage; breaking at the first would silently truncate its output.
+    If such a query is ever added, require two consecutive empty
+    completed batches here instead."""
     import time as _time
 
     name = f"mem_{uuid.uuid4().hex[:12]}"

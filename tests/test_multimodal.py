@@ -186,3 +186,46 @@ def test_decode_real_media_quarantines_unknown(spark):
     # corrupt payload → quarantine row, not a crash, not a dropped row
     assert rows[2]["format"] == "unknown" and rows[2]["width"] is None
     assert rows[2]["n_bytes"] == 9
+
+
+def test_decode_real_media_quarantines_truncated_and_corrupt(spark):
+    """Payloads whose failures surface as struct.error (truncated
+    headers), zlib.error (CRC-valid chunk around corrupt deflate), or
+    IndexError (short BMP pixel data) must land in quarantine rows,
+    never crash the executor task."""
+    import struct
+    import zlib
+
+    from farmrpg_etl_spark.multimodal import codecs
+    from farmrpg_etl_spark.multimodal.binary_ops import decode_real_media
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bad_deflate = (  # valid magic + CRC-correct IDAT, garbage deflate
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\xff\xff\xff\xff")
+        + chunk(b"IEND", b"")
+    )
+    good_bmp = codecs.encode_bmp(3, 3, bytes(27))
+    payloads = [
+        (1, b"BM\x00"),                      # truncated BMP header (struct.error)
+        (2, b"\x89PNG\r\n\x1a\n\x00\x00"),   # PNG magic + truncated chunk
+        (3, bad_deflate),                     # zlib.error inside IDAT
+        (4, good_bmp[:40]),                   # BMP header, short pixel rows
+        (5, b"RIFF\x00\x00\x00\x00WAVE"),    # WAV with no fmt/data chunks
+        (6, good_bmp),                        # control: still decodes
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in payloads], "media_id long, data binary"
+    )
+    rows = {r["media_id"]: r for r in decode_real_media(df).collect()}
+    assert len(rows) == 6  # nothing dropped, nothing crashed
+    for mid in (1, 2, 3, 4, 5):
+        assert rows[mid]["format"] == "unknown", mid
+        assert rows[mid]["pixel_digest"] is None, mid
+    assert rows[6]["format"] == "bmp" and rows[6]["width"] == 3
