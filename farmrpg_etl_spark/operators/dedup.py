@@ -249,6 +249,80 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     return agg.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS — the dedup decision, not just the
+    fingerprints: ``(id_a, id_b, hamming)`` for every pair whose 64-bit
+    SimHash fingerprints differ in at most ``max_hamming`` bits.
+
+    Candidate generation is the pigeonhole band join: the fingerprint
+    splits into ``max_hamming + 1`` equal bands, and any pair within
+    Hamming ≤ ``max_hamming`` must agree EXACTLY on at least one band
+    (``max_hamming`` differing bits cannot touch all ``max_hamming+1``
+    bands) — so a self-join on ``(band_id, band_value)`` finds a
+    SUPERSET of the true pairs, and the exact
+    :func:`~farmrpg_etl_spark.functions.hashing.hamming_hex` filter
+    makes the output exact. Same candidates-then-verify shape as
+    :func:`minhash_lsh_pairs`.
+
+    Scale: only fixed-width fingerprints (16 hex chars + id) enter the
+    band shuffle and the verification — document payloads never move.
+    The self-join is banded, never all-pairs; band-key groups are
+    near-dup-density-sized, not corpus-sized. Fingerprints are cached
+    (lazy persist) so both self-join sides read one InMemoryRelation
+    instead of re-hashing the corpus twice.
+
+    The reference has no analog (extension surface); the default
+    ``max_hamming=3`` with 64-bit fingerprints is the classical
+    web-dedup operating point (Manku et al., WWW'07).
+    """
+    bands = max_hamming + 1
+    nibbles = H.SIMHASH_BITS // 4
+    if nibbles % bands:
+        raise ValueError(f"{bands} bands must divide {nibbles} hex chars")
+    width = nibbles // bands
+    sigs = simhash_fingerprints(df, text_col, id_col).persist()
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("simhash"), 1 + b * width, width)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", H.hamming_hex(F.col("__sa"), F.col("__sb")).cast("int")
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, rate_pct: int, salt: str = "sample"
 ) -> DataFrame:

@@ -577,6 +577,35 @@ FROM d LEFT JOIN c ON d.doc_id = c.doc_id
 
 ORACLES["simhash_docs"] = _simhash_sql()
 
+# Hamming-band pairs over the same fingerprints: 4 bands of 4 hex chars
+# (pigeonhole: Hamming ≤ 3 ⇒ at least one band matches exactly), exact
+# Hamming verify via per-nibble bit_count(xor(digit_a, digit_b)).
+_SIMHASH_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {b} AS band_id,"
+    f" substr(simhash, {1 + b * 4}, 4) AS band_key FROM sh"
+    for b in range(4)
+)
+
+ORACLES["simhash_pairs_docs"] = f"""
+WITH sh AS ({_simhash_sql()}),
+bands AS ({_SIMHASH_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+    CAST(list_sum(list_transform(generate_series(1, 16),
+      i -> bit_count(xor(CAST(strpos('0123456789abcdef', substr(sa, i, 1)) - 1 AS BIGINT),
+                         CAST(strpos('0123456789abcdef', substr(sb, i, 1)) - 1 AS BIGINT)))))
+      AS INT) AS hamming
+  FROM cand
+) WHERE hamming <= 3
+"""
+
 _JACC = (
     "CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 "
     "ELSE CAST(len(list_distinct(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS DOUBLE)"
