@@ -884,6 +884,29 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 ORACLES["ann_topk_ivf_probe"] = _ivf_probe_sql()
 
+
+def _ann_recall_sql() -> str:
+    """recall@5 of the multi-probe IVF vs exact brute force — both
+    sides recomputed here so the row is a full independent check."""
+    return f"""
+WITH exact AS ({ORACLES["ann_topk_bruteforce"]}),
+approx AS ({_ivf_probe_sql()}),
+hit AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+base AS (SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY query_id)
+SELECT b.query_id, b.k_exact,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       round(COALESCE(h.hits, 0) / b.k_exact, 6) AS recall_at_k
+FROM base b LEFT JOIN hit h ON b.query_id = h.query_id
+"""
+
+
+ORACLES["ann_recall_ivf_probe"] = _ann_recall_sql()
+
 # --------------------------------------------------------------------------
 # parse round-trip: recompute what the chat parser must produce for the
 # generated payloads (fetch wall-time 2024-06-01 07:00:00 Chicago; AM
