@@ -31,6 +31,24 @@ def resolve_join(
     return facts.join(lookup, on=list(on), how=how)
 
 
+def resolve_unmatched(
+    facts: DataFrame,
+    lookup: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """J1's drop-with-log side, observable: the facts rows
+    :func:`resolve_join` would silently drop (reference logs each
+    before dropping, firestore/chat.py:72-78 ``log.warn("Unable to
+    find message ID for flags", ...)``).
+
+    Left-anti join — the complement of the inner resolve on the same
+    key, so ``resolve_join(f, l) ∪ resolve_unmatched(f, l) ≡ f`` (up
+    to lookup fan-out). Feed it a quarantine sink or an alerting
+    count; at scale it shares the resolve join's single shuffle shape.
+    """
+    return facts.join(lookup, on=list(on), how="left_anti")
+
+
 def fk_lookup(
     child: DataFrame,
     parent: DataFrame,

@@ -2059,6 +2059,27 @@ SELECT coalesce(s.id, b.id) AS id,
 FROM seed s FULL OUTER JOIN b ON s.id = b.id
 """
 
+# K5 subdoc set() is last-write-wins per message; ordered batches with
+# in-batch max reduce make the end state "global max src_id per key"
+ORACLES["k5_flags_subdoc_sink"] = """
+WITH m AS (
+  SELECT event_type, user_id, ts, MIN(event_id) AS msg_id
+  FROM events GROUP BY event_type, user_id, ts
+),
+f AS (
+  SELECT event_type, user_id, ts,
+         CAST(floor(value) AS INT) AS flags, event_id AS src_id
+  FROM events WHERE event_id % 11 = 0
+),
+r AS (
+  SELECT f.event_type AS room, m.msg_id, f.flags, f.ts AS flag_ts, f.src_id
+  FROM f JOIN m ON f.event_type = m.event_type
+              AND f.user_id = m.user_id AND f.ts = m.ts
+)
+SELECT room, msg_id, flags, flag_ts FROM r
+QUALIFY src_id = max(src_id) OVER (PARTITION BY room, msg_id)
+"""
+
 ORACLES["k6_additive_rollup_sink"] = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*) AS n,
@@ -2072,6 +2093,19 @@ SELECT f.event_type, f.user_id, f.ts, l.event_id, f.value AS flag_value
 FROM (SELECT event_type, user_id, ts, value FROM events WHERE event_id % 11 = 0) f
 JOIN (SELECT event_type, user_id, ts, event_id FROM events) l
   ON f.event_type = l.event_type AND f.user_id = l.user_id AND f.ts = l.ts
+"""
+
+ORACLES["j1_unmatched_flags"] = """
+SELECT f.event_type, f.user_id, f.ts,
+       f.event_id AS flag_event_id, f.value AS flag_value
+FROM (SELECT event_type, user_id, ts, event_id, value
+      FROM events WHERE event_id % 11 = 0) f
+WHERE NOT EXISTS (
+  SELECT 1 FROM events l
+  WHERE l.event_id % 2 = 0
+    AND l.event_type = f.event_type
+    AND l.user_id = f.user_id AND l.ts = f.ts
+)
 """
 
 

@@ -2374,6 +2374,66 @@ def k4_partial_doc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def k5_flags_subdoc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 sink END-STATE oracle row (reference firestore/chat.py:59-78,
+    ``on_flag``): each flags event resolves its natural key to a
+    message id and full-overwrites that message's ``mod/flags`` subdoc
+    with ``{flags, ts}`` — ``doc_ref.set`` without merge, so the LAST
+    write per message wins and unresolved flags drop (the J1
+    drop-with-log side, pinned separately by
+    ``j1_unmatched_flags``).
+
+    Modeled as two ORDERED micro-batches (split at the src-event-id
+    midpoint, per-batch last-write reduced by ``latest_per_key_agg``)
+    through the J4 upsert writer keyed (room, msg_id), plus a replay
+    of the second batch that must be a no-op. Ordered batches + in-
+    batch max reduce ⇒ the end state is exactly "the flags event with
+    the global max src id per message" — the DuckDB-expressible
+    invariant. The subdoc ``ts`` uses the flag event's own ts as the
+    deterministic stand-in for the reference's wall-clock ``now()``."""
+    from farmrpg_etl_spark.operators.latest import latest_per_key_agg
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events")
+    # id_map analog: one canonical message id per natural key (the
+    # reference's dict keeps one winner per key; min is our
+    # deterministic choice)
+    lookup = ev.groupBy("event_type", "user_id", "ts").agg(
+        F.min("event_id").alias("msg_id")
+    )
+    flags = ev.filter(F.col("event_id") % 11 == 0).select(
+        "event_type", "user_id", "ts",
+        F.floor(F.col("value")).cast("int").alias("flags"),
+        F.col("event_id").alias("src_id"),
+    )
+    resolved = flags.join(lookup, ["event_type", "user_id", "ts"]).select(
+        F.col("event_type").alias("room"),
+        "msg_id", "flags",
+        F.col("ts").alias("flag_ts"),
+        "src_id",
+    )
+    lo, hi = resolved.agg(F.min("src_id"), F.max("src_id")).first()
+    mid = (int(lo) + int(hi)) // 2 if lo is not None else 0
+    t = writers.ParquetTable(spark, _sink_scratch("k5"))
+    batches = [
+        resolved.filter(F.col("src_id") <= mid),
+        resolved.filter(F.col("src_id") > mid),
+    ]
+    for i, b in enumerate(batches):
+        last = latest_per_key_agg(b, ["room", "msg_id"], "src_id")
+        writers.upsert(
+            t, last, ["room", "msg_id"],
+            update_cols=["flags", "flag_ts", "src_id"], batch_id=i,
+        )
+    # foreachBatch redelivery of the final batch: must be a no-op
+    writers.upsert(
+        t, latest_per_key_agg(batches[1], ["room", "msg_id"], "src_id"),
+        ["room", "msg_id"],
+        update_cols=["flags", "flag_ts", "src_id"], batch_id=1,
+    )
+    return t.read().select("room", "msg_id", "flags", "flag_ts")
+
+
 def k6_additive_rollup_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view sink end-state: two disjoint
     micro-batches of per-(event_type, hour) partial aggregates merged
@@ -2415,6 +2475,27 @@ def j1_resolve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.resolve_join(flags, lookup, ["event_type", "user_id", "ts"]).select(
         "event_type", "user_id", "ts", "event_id", "flag_value"
     )
+
+
+def j1_unmatched_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's drop-with-log parity row (verdict r3 gap #5): the flags
+    rows the resolve join silently drops (reference logs each,
+    firestore/chat.py:72-78). Lookup is restricted to even event ids
+    ("messages actually stored"), so odd-multiple-of-11 flags whose
+    natural key matches no stored message land here — the observable
+    unmatched channel, pinned by a NOT EXISTS oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.filter(F.col("event_id") % 11 == 0).select(
+        "event_type", "user_id", "ts",
+        F.col("event_id").alias("flag_event_id"),
+        F.col("value").alias("flag_value"),
+    )
+    lookup = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_type", "user_id", "ts"
+    )
+    return joins.resolve_unmatched(
+        flags, lookup, ["event_type", "user_id", "ts"]
+    ).select("event_type", "user_id", "ts", "flag_event_id", "flag_value")
 
 
 _PROFILE_TEMPLATE = (
@@ -3021,6 +3102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "claims_gate_events": claims_gate_events,
     "d6_absent_from_sink": d6_absent_from_sink,
     "j1_resolve_join": j1_resolve_join,
+    "j1_unmatched_flags": j1_unmatched_flags,
     "j4_upsert": j4_upsert,
     # sink end-states (K1-K6)
     "k1_insert_absent_sink": k1_insert_absent_sink,
@@ -3028,6 +3110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k3_upsert_sink": k3_upsert_sink,
     "k3_snapshot_append_sink": k3_snapshot_append_sink,
     "k4_partial_doc_sink": k4_partial_doc_sink,
+    "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
     "chat_pipeline_e2e": chat_pipeline_e2e,
     "flags_pipeline_e2e": flags_pipeline_e2e,

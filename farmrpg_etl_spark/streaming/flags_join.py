@@ -26,13 +26,19 @@ def flags_resolution_join(
     chat: DataFrame,
     flags: DataFrame,
     watermark_delay: str = "10 minutes",
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """Join a flags stream (room, ts, username, flags) to a chat stream
     (room, id, ts, username) → (room, id, ts, username, flags).
 
-    Inner join: unresolved flags rows are dropped once the watermark
-    passes (the reference drops-with-log, firestore/chat.py:72-78).
-    Works identically for batch DataFrames (watermarks become no-ops).
+    Inner join by default: unresolved flags rows are dropped once the
+    watermark passes (the reference drops-with-log,
+    firestore/chat.py:72-78). With ``keep_unmatched=True`` the join is
+    flags-side LEFT OUTER, so the dropped rows become OBSERVABLE —
+    they emit with ``id IS NULL`` when the watermark passes (stream)
+    or immediately (batch), giving the reference's log line a real
+    quarantine/alerting channel instead of silence. Works identically
+    for batch DataFrames (watermarks become no-ops).
     """
     c = (
         chat.select("room", "id", "ts", "username")
@@ -44,13 +50,21 @@ def flags_resolution_join(
         .withWatermark("ts", watermark_delay)
         .alias("f")
     )
-    joined = c.join(
-        f,
+    cond = (
         (F.col("c.room") == F.col("f.room"))
         & (F.col("c.ts") == F.col("f.ts"))
-        & (F.col("c.username") == F.col("f.username")),
-        "inner",
+        & (F.col("c.username") == F.col("f.username"))
     )
+    if keep_unmatched:
+        joined = f.join(c, cond, "left_outer")
+        return joined.select(
+            F.col("f.room").alias("room"),
+            F.col("c.id").alias("id"),
+            F.col("f.ts").alias("ts"),
+            F.col("f.username").alias("username"),
+            F.col("f.flags").alias("flags"),
+        )
+    joined = c.join(f, cond, "inner")
     return joined.select(
         F.col("c.room").alias("room"),
         F.col("c.id").alias("id"),

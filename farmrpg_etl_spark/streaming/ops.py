@@ -62,7 +62,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_available_now(
-    sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 120
+    sdf: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+    empty_batches_to_flush: int = 1,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the currently
     available input (one bounded run) and return the materialized
@@ -72,18 +75,23 @@ def run_available_now(
     with registered state timers (ProcessingTimeTimeout eviction) stays
     alive spinning empty micro-batches to service future timers — on a
     bounded back-test that would idle out the full ``timeout_sec``. An
-    availableNow run snapshots its input up front, so the first
-    COMPLETED batch with zero input rows proves every pre-planned data
-    batch has committed (progress is reported post-commit, after any
-    watermark-advancing flush) — stop there.
+    availableNow run snapshots its input up front, so a COMPLETED
+    batch with zero input rows proves every pre-planned data batch has
+    committed (progress is reported post-commit, after any
+    watermark-advancing flush) — stop after ``empty_batches_to_flush``
+    consecutive such batches.
 
-    ASSUMPTION: this first-empty-batch cutoff is sound only for a
-    SINGLE stateful operator per query (true of every pipeline in this
-    repo). A query chaining stateful operators can need MORE than one
-    empty micro-batch to propagate the advanced watermark stage-to-
-    stage; breaking at the first would silently truncate its output.
-    If such a query is ever added, require two consecutive empty
-    completed batches here instead."""
+    The default of ONE empty batch is sound for any SINGLE stateful
+    operator per query — including outer stream-stream joins, whose
+    null-side emission lands in that first empty batch (measured:
+    ``flags_resolution_join(keep_unmatched=True)`` is complete at 1,
+    PROVIDED both input streams' watermarks actually advance — the
+    global watermark is the MIN across streams, so a bounded outer
+    join only flushes rows older than every side's max-ts − delay).
+    A query CHAINING stateful operators needs one empty batch per
+    watermark hop to propagate stage-to-stage; pass
+    ``empty_batches_to_flush=2`` (or more) there, or output silently
+    truncates."""
     import time as _time
 
     name = f"mem_{uuid.uuid4().hex[:12]}"
@@ -96,11 +104,23 @@ def run_available_now(
     )
     try:
         deadline = _time.time() + timeout_sec
+        seen_empty = 0
+        last_batch = None
         while q.isActive and _time.time() < deadline:
             q.awaitTermination(0.25)
             lp = q.lastProgress
-            if lp is not None and lp.get("numInputRows", 0) == 0:
-                break
+            if lp is None:
+                continue
+            bid = lp.get("batchId")
+            if bid == last_batch:
+                continue  # same progress object; not a new batch
+            last_batch = bid
+            if lp.get("numInputRows", 0) == 0:
+                seen_empty += 1
+                if seen_empty >= empty_batches_to_flush:
+                    break
+            else:
+                seen_empty = 0
     finally:
         q.stop()
     return sdf.sparkSession.table(name)

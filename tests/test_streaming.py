@@ -105,6 +105,63 @@ def test_flags_resolution_join_streaming(spark, tmp_path):
     assert [(r["id"], r["flags"]) for r in out] == [("10", 3)]
 
 
+def test_flags_resolution_join_streaming_unmatched_channel(spark, tmp_path):
+    """keep_unmatched=True: the drop-with-log rows become observable —
+    they emit with id IS NULL once the watermark passes (reference
+    firestore/chat.py:72-78 logs then drops; we quarantine)."""
+    # the GLOBAL watermark is min over both streams' (max ts − delay):
+    # BOTH sides need a late row, or the slower side pins the watermark
+    # below the unresolved row's ts and it never expires
+    chat_rows = [
+        ("help", "10", ts("2024-01-01 10:00:00"), "alice"),
+        ("help", "11", ts("2024-01-01 10:01:00"), "bob"),
+        ("help", "12", ts("2024-01-01 12:00:00"), "carol"),
+    ]
+    flags_rows = [
+        ("help", ts("2024-01-01 10:00:00"), "alice", 3),
+        ("help", ts("2024-01-01 10:59:00"), "nobody", 9),  # unresolved
+        ("help", ts("2024-01-01 12:00:00"), "dave", 2),  # late watermark push
+    ]
+    chat_path, flags_path = str(tmp_path / "chat"), str(tmp_path / "flags")
+    spark.createDataFrame(
+        chat_rows, "room string, id string, ts timestamp, username string"
+    ).write.parquet(chat_path)
+    spark.createDataFrame(
+        flags_rows, "room string, ts timestamp, username string, flags int"
+    ).write.parquet(flags_path)
+    chat_sdf = spark.readStream.schema(
+        spark.read.parquet(chat_path).schema
+    ).parquet(chat_path)
+    flags_sdf = spark.readStream.schema(
+        spark.read.parquet(flags_path).schema
+    ).parquet(flags_path)
+    out = run_available_now(
+        flags_resolution_join(chat_sdf, flags_sdf, keep_unmatched=True),
+        "append",
+        empty_batches_to_flush=2,  # outer join: emission lags one batch
+    ).collect()
+    got = {(r["username"], r["flags"]): r["id"] for r in out}
+    assert got[("alice", 3)] == "10"  # resolved keeps its id
+    assert ("nobody", 9) in got and got[("nobody", 9)] is None  # quarantined
+
+
+def test_flags_resolution_join_batch_unmatched(spark):
+    chat = spark.createDataFrame(
+        [("help", "10", ts("2024-01-01 10:00:00"), "alice")],
+        "room string, id string, ts timestamp, username string",
+    )
+    flags = spark.createDataFrame(
+        [
+            ("help", ts("2024-01-01 10:00:00"), "alice", 3),
+            ("help", ts("2024-01-01 10:05:00"), "eve", 7),
+        ],
+        "room string, ts timestamp, username string, flags int",
+    )
+    out = flags_resolution_join(chat, flags, keep_unmatched=True).collect()
+    got = {(r["username"], r["flags"]): r["id"] for r in out}
+    assert got == {("alice", 3): "10", ("eve", 7): None}
+
+
 def test_flags_resolution_join_batch(spark):
     chat = spark.createDataFrame(
         [("help", "10", ts("2024-01-01 10:00:00"), "alice")],
