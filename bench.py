@@ -218,6 +218,48 @@ def main() -> None:
         emb10.repartition(64).write.mode("overwrite").parquet(
             f"{stretch_dir}/embeddings.parquet"
         )
+        # Relational tables at 10×: consistent 10-universe replication —
+        # every key/FK column gets the SAME per-replica offset, so joins
+        # stay within a universe (zero cross-replica fan-out), row
+        # counts scale exactly 10×, and name-keyed group-bys collapse
+        # the universes back to the same output rows with 10× sums.
+        # Offsets: int32 FK columns (nation/region keys, values < 100)
+        # shift by k·1000; bigint keys by k·10⁹ (long math — k is cast
+        # first so ANSI mode cannot overflow an int intermediate).
+        INT_OFF = 1000
+        BIG_OFF = 1_000_000_000
+        SF1_KEYS = {
+            "region": {"r_regionkey": INT_OFF},
+            "nation": {"n_nationkey": INT_OFF, "n_regionkey": INT_OFF},
+            "customer": {"c_custkey": BIG_OFF, "c_nationkey": INT_OFF},
+            "supplier": {"s_suppkey": BIG_OFF, "s_nationkey": INT_OFF},
+            "part": {"p_partkey": BIG_OFF},
+            "orders": {"o_orderkey": BIG_OFF, "o_custkey": BIG_OFF},
+            "lineitem": {
+                "l_orderkey": BIG_OFF,
+                "l_partkey": BIG_OFF,
+                "l_suppkey": BIG_OFF,
+            },
+            "events": {"event_id": BIG_OFF, "user_id": BIG_OFF},
+        }
+        for tbl, keys in SF1_KEYS.items():
+            t = load_table(spark, sf_dir, tbl)
+            shifted = [
+                (
+                    (
+                        F.col(c)
+                        + F.col("k").cast("long" if off == BIG_OFF else "int")
+                        * F.lit(off)
+                    ).alias(c)
+                    if c in keys
+                    else F.col(c)
+                )
+                for c, off in ((c, keys.get(c)) for c in t.columns)
+            ]
+            nfiles = 64 if tbl in ("lineitem", "orders", "events") else 4
+            t.select(*t.columns, k).select(*shifted).repartition(
+                nfiles
+            ).write.mode("overwrite").parquet(f"{stretch_dir}/{tbl}.parquet")
 
         def stretch_minhash():
             d = spark.read.parquet(f"{stretch_dir}/documents.parquet")
@@ -259,12 +301,28 @@ def main() -> None:
             )
             return heavy_hitters(toks, "tok", k=200)
 
+        def stretch_ann(impl):
+            # A/B of the two ann_topk_bruteforce impls at 10× corpus —
+            # the scale regime where the arrow prune+rescore kernel is
+            # supposed to win (at 1× the 2000-row corpus is fixed-cost
+            # dominated and the impls tie). Outputs are bit-identical
+            # (veckernel contract); only the physical plan differs.
+            def fn():
+                b = spark.read.parquet(f"{stretch_dir}/embeddings.parquet")
+                qb = b.filter(F.col("vec_id") < 10)
+                return S.ann_topk_bruteforce(
+                    b, qb, "embedding", "vec_id", k=5, impl=impl
+                )
+            return fn
+
         stretch = {}
         for name, fn in [
             ("minhash_lsh_pairs_10x", stretch_minhash),
             ("ngram_jaccard_10x", stretch_jaccard),
             ("semantic_dedup_guarded_10x", stretch_semdedup),
             ("heavy_hitters_10x", stretch_heavy_hitters),
+            ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
+            ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:
             # same methodology as the headline set: report steady-state
             # (min-of-2 after a cold warm-up run) — a single cold run
@@ -284,6 +342,30 @@ def main() -> None:
             }
             spark.catalog.clearCache()
         out["sf1_stretch"] = stretch
+
+        # Full-headline sf1: the 12 headline queries on the 10×
+        # relational synthesis — direct linear-scaling evidence for the
+        # relational core (acceptance: no query superlinear vs its
+        # sf0.1 time by more than ~12×). Same methodology: cold run,
+        # then min-of-2 steady-state, cache cleared between queries.
+        sf1h = {}
+        for name in HEADLINE:
+            t0 = time.time()
+            QUERIES[name](spark, stretch_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cold_sec = round(time.time() - t0, 3)
+            steady = []
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, stretch_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                steady.append(time.time() - t0)
+            sf1h[name] = round(min(steady), 3)
+            spark.catalog.clearCache()
+        out["sf1_headline"] = sf1h
+        out["sf1_headline_total_sec"] = round(sum(sf1h.values()), 3)
 
     print(json.dumps(out))
 

@@ -123,10 +123,22 @@ def ann_topk_bruteforce(
     vec_col: str,
     id_col: str,
     k: int = 10,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (query_id, neighbor_id,
     cosine, rank). Excludes self-matches. Queries should be small —
-    they are broadcast."""
+    they are broadcast (catalyst impl) / collected into the kernel
+    closure (arrow impl), the same smallness contract either way.
+
+    ``impl="arrow"`` (default) is the vectorized two-phase path: a
+    numpy ``mapInPandas`` kernel prunes each corpus batch to a small
+    candidate set with one matmul (``operators/veckernel.py``), then
+    the SAME Catalyst fold expressions as the ``"catalyst"`` impl
+    rescore only the candidates — final values are bit-identical to
+    the pure-Catalyst plan (same expression tree, same double inputs),
+    so both impls hash-match the DuckDB oracle. ``"catalyst"`` keeps
+    the UDF-free single-plan form for A/B and as the oracle-parity
+    reference."""
     q = F.broadcast(
         _unitize(
             queries.select(
@@ -136,18 +148,35 @@ def ann_topk_bruteforce(
             "__raw", "qv",
         )
     )
-    c = _unitize(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            V.as_double(F.col(vec_col)).alias("__raw"),
-        ),
-        "__raw", "cv",
-    )
-    scored = (
-        c.crossJoin(q)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(V.dot(F.col("qv"), F.col("cv")), 6))
-    )
+    if impl == "arrow":
+        from farmrpg_etl_spark.operators import veckernel
+
+        query_rows = [
+            (r[0], r[1])
+            for r in queries.select(
+                F.col(id_col), V.as_double(F.col(vec_col))
+            ).collect()
+        ]
+        cand = veckernel.topk_candidates(
+            corpus.select(F.col(id_col), F.col(vec_col)),
+            vec_col, id_col, query_rows, k,
+        )
+        scored = _unitize(cand, "__raw", "cv").join(q, "query_id").withColumn(
+            "cosine", F.round(V.dot(F.col("qv"), F.col("cv")), 6)
+        )
+    else:
+        c = _unitize(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                V.as_double(F.col(vec_col)).alias("__raw"),
+            ),
+            "__raw", "cv",
+        )
+        scored = (
+            c.crossJoin(q)
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine", F.round(V.dot(F.col("qv"), F.col("cv")), 6))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -1530,28 +1530,39 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_lloyd(e: DataFrame, n_iters: int) -> DataFrame:
+def kmeans_lloyd(
+    e: DataFrame,
+    n_iters: int,
+    impl: str = "catalyst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
     """Full Lloyd iteration loop over a (vec_id, cluster, v) relation:
     each round recomputes centroids from the current assignment
     (M-step: posexplode → one keyed decimal-exact aggregation) and
     reassigns every vector to its nearest centroid (E-step: broadcast
     centroids, map-side top-1 — the corpus is never shuffled).
-    Assignments pass through ``iterate.truncate_lineage`` per round
-    (reliable checkpoint, persist-bracketed — computed once, durable,
-    previous round's blocks freed), so lineage stays flat across
-    iterations (the same pattern as ``dedup.neardup_clusters``); at
-    100 TB each round costs one scan + one centroid-sized aggregation,
-    and empty clusters drop out naturally. Deterministic: quantized
-    component sums, explicit (d2, cluster) tie-break —
-    bit-reproducible in any engine."""
+
+    Lineage control: each round's assignment is persist()ed (computed
+    once, previous round's blocks freed), and every
+    ``checkpoint_every``-th round additionally passes through
+    ``iterate.truncate_lineage`` (RELIABLE checkpoint — durable files,
+    survivable across executor loss) so the plan tree and the
+    recompute-on-loss window both stay bounded over long runs. A
+    checkpoint every round (the r3 form) paid a checkpoint-write job
+    per iteration — pure fixed cost at bench scale and 2× the round
+    I/O at any scale; every-k amortizes it while capping worst-case
+    recompute at k rounds. At 100 TB each round costs one scan + one
+    centroid-sized aggregation, and empty clusters drop out naturally.
+    Deterministic: quantized component sums, explicit (d2, cluster)
+    tie-break — bit-reproducible in any engine."""
     from pyspark.sql import Window
 
     from farmrpg_etl_spark.operators.iterate import truncate_lineage
 
     e = e.persist()
-    e.count()
     assign = e.select("vec_id", "cluster")
-    for _ in range(n_iters):
+    prev = None
+    for _it in range(n_iters):
         cur = e.select("vec_id", "v").join(assign, "vec_id")
         x = cur.select("cluster", F.posexplode(F.col("v")).alias("pos", "val"))
         q = F.floor(F.col("val") * F.lit(1000000.0)) / F.lit(1000000.0)
@@ -1565,19 +1576,58 @@ def kmeans_lloyd(e: DataFrame, n_iters: int) -> DataFrame:
                 "cluster", F.transform(F.col("pc"), lambda s: s.centroid).alias("cvec")
             )
         )
-        scored = (
-            e.select("vec_id", "v")
-            .crossJoin(F.broadcast(cents))
-            .withColumn("d2", V.dist2(F.col("v"), F.col("cvec")))
-        )
+        if impl == "arrow":
+            # vectorized E-step (veckernel docstring has the full
+            # contract): collect the centroid table once (tiny — it is
+            # the broadcast side either way), prune each row to 3
+            # nearest-centroid candidates with one numpy matmul, then
+            # rescore ONLY the candidates with the identical Catalyst
+            # dist2 fold. The rescore join reads the collected rows
+            # back as a local relation so the M-step aggregation runs
+            # once per round, not twice; values are exact IEEE doubles
+            # round-tripped through the driver, so d2 is bit-identical
+            # to the catalyst impl's (pytest-pinned). This is the
+            # LARGE-k path: fold evals drop from |clusters| to 3 per
+            # row. With few clusters the "catalyst" impl wins instead —
+            # the whole n_iters loop stays ONE lazy plan (no per-round
+            # collect barrier, no Python workers): measured 0.64 s vs
+            # 4.2 s at sf0.1's 2000×26 — so it is the default; flip to
+            # "arrow" when |clusters| ≫ 3 makes the per-row fold chain
+            # the dominant term.
+            from farmrpg_etl_spark.operators import veckernel
+
+            cent_rows = [(r["cluster"], list(r["cvec"])) for r in cents.collect()]
+            cents_local = e.sparkSession.createDataFrame(
+                cent_rows, cents.schema
+            )
+            scored = (
+                veckernel.nearest_candidates(
+                    e.select("vec_id", "v"), "v", "vec_id", cent_rows, n_cand=3
+                )
+                .join(F.broadcast(cents_local), "cluster")
+                .withColumn("d2", V.dist2(F.col("__raw"), F.col("cvec")))
+            )
+        else:
+            scored = (
+                e.select("vec_id", "v")
+                .crossJoin(F.broadcast(cents))
+                .withColumn("d2", V.dist2(F.col("v"), F.col("cvec")))
+            )
         w = Window.partitionBy("vec_id").orderBy(
             F.col("d2").asc(), F.col("cluster").asc()
         )
-        assign = truncate_lineage(
+        assign = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cluster", "d2")
         )
+        if (_it + 1) % checkpoint_every == 0:
+            assign = truncate_lineage(assign)
+        else:
+            assign = assign.persist()
+        if prev is not None:
+            prev.unpersist()
+        prev = assign
     e.unpersist()
     return assign
 
@@ -3108,7 +3158,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k1_insert_absent_sink": k1_insert_absent_sink,
     "k2_merge_update_sink": k2_merge_update_sink,
     "k3_upsert_sink": k3_upsert_sink,
-    "k3_snapshot_append_sink": k3_snapshot_append_sink,
     "k4_partial_doc_sink": k4_partial_doc_sink,
     "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
@@ -3127,6 +3176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": exact_dedup_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
+    "simhash_pairs_docs": simhash_pairs_docs,
     "incremental_lsh_docs": incremental_lsh_docs,
     "neardup_clusters_docs": neardup_clusters_docs,
     "chunk_dedup_docs": chunk_dedup_docs,
@@ -3139,10 +3189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     # LLM pipeline: similarity / clustering
     "ann_topk_ivf_probe": ann_topk_ivf_probe,
-    "int8_quantize_embeddings": int8_quantize_embeddings,
-    "kmeans_assign_embeddings": kmeans_assign_embeddings,
     "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
-    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
     "ann_recall_ivf_probe": ann_recall_ivf_probe,
     # multimodal: REAL codec round trip
     "decode_real_media_docs": decode_real_media_docs,
@@ -3152,11 +3199,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    # r4 rebalance: simhash_pairs_docs moved INTO the prefix (the
+    # actual near-dup pair decision for the SimHash family); moved out
+    # to make room — k3_snapshot_append_sink (K3 sink family still
+    # covered by k3_upsert_sink + user_pipeline_e2e), and three
+    # similarity variants whose operators remain prefix-covered through
+    # compositions: kmeans_assign (inside kmeans_lloyd), ann_topk_ivf_
+    # kmeans (ivf_probe + lloyd cover both halves), int8_quantize
+    # (ann_topk_quantized still judge-verified below).
+    "k3_snapshot_append_sink": k3_snapshot_append_sink,
+    "int8_quantize_embeddings": int8_quantize_embeddings,
+    "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
     "parse_profile_roundtrip": parse_profile_roundtrip,
     "parse_online_roundtrip": parse_online_roundtrip,
     "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
     "simhash_docs": simhash_docs,
-    "simhash_pairs_docs": simhash_pairs_docs,
     "j3_fk_hydrate": j3_fk_hydrate,
     "j2_correlated_update": j2_correlated_update,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
