@@ -226,6 +226,11 @@ def main() -> None:
         # Offsets: int32 FK columns (nation/region keys, values < 100)
         # shift by k·1000; bigint keys by k·10⁹ (long math — k is cast
         # first so ANSI mode cannot overflow an int intermediate).
+        # write proper micros timestamps (the default INT96 reads back
+        # as timestamp[ns] through pyarrow and confuses nano detection)
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         INT_OFF = 1000
         BIG_OFF = 1_000_000_000
         SF1_KEYS = {

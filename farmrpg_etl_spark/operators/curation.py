@@ -1,0 +1,222 @@
+"""Corpus-curation operators — the remaining steps of a large-scale
+training-data build that sit between dedup/quality and the final
+tokenizer feed: per-source quotas, equal-token output sharding,
+boilerplate detection, statistical quality scoring, and corpus-version
+diffing.
+
+All operators are pure DataFrame compositions (no UDFs); every
+aggregate that crosses engines is either integral or goes through the
+quantize→decimal-sum discipline (`queries._dec_sum` rationale) so the
+DuckDB oracles hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions.hashing import shingles, words
+
+
+def source_quota_sample(
+    df: DataFrame, id_col: str, source_col: str, quota: int
+) -> DataFrame:
+    """Per-source document cap (the C4/RefinedWeb "domain quota" step):
+    keep at most ``quota`` documents per source, chosen in
+    deterministic pseudo-random order — rank by md5(source|id), so the
+    survivors are unbiased w.r.t. crawl/id order yet bit-reproducible,
+    and a hot domain cannot dominate the mixture.
+
+    Scale: rank ≤ quota over a window is a ``WindowGroupLimit`` on
+    Spark 4 — each map task keeps only its local top-``quota`` per
+    source before the shuffle, so a source with 10⁹ rows ships
+    O(quota·tasks) rows, not 10⁹. One shuffle on the source key.
+    """
+    h = F.md5(
+        F.concat_ws("|", F.col(source_col), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= quota)
+        .withColumnRenamed("__rank", "sample_rank")
+    )
+
+
+def equal_token_shards(
+    df: DataFrame, text_col: str, id_col: str, shard_tokens: int
+) -> DataFrame:
+    """Assign documents to fixed-token-budget output shards: shard i
+    holds the contiguous (by ``id_col``) run of documents whose
+    cumulative token count starts in [i·B, (i+1)·B). This is the
+    "write N roughly-equal training shards" step — shard_id is a
+    deterministic function of the corpus, so the sharded write is
+    idempotent and any engine reproduces it.
+
+    The running total is :func:`chunking.global_prefix_sum` —
+    two-phase bucketed cumsum, never a single-task global window — so
+    shard assignment over 100 TB costs one bounded shuffle. Downstream:
+    ``.write.partitionBy('shard_id')`` gives size-balanced files.
+    """
+    from farmrpg_etl_spark.operators.chunking import global_prefix_sum
+
+    toks = F.coalesce(
+        words(F.col(text_col)), F.array().cast("array<string>")
+    )
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tok")
+    )
+    cum = global_prefix_sum(base, id_col, "n_tok", "cum")
+    return cum.select(
+        id_col,
+        "n_tok",
+        "cum",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(shard_tokens))
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
+def boilerplate_gram_metrics(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    min_doc_frac: float = 0.5,
+) -> DataFrame:
+    """Boilerplate signal: which word ``shingle_k``-grams appear in at
+    least ``min_doc_frac`` of all documents (navigation chrome, cookie
+    banners, license headers), and how much of each document is made of
+    them. Emits per-document ``(n_grams, n_boiler, boiler_ratio)`` —
+    the filter/cleaner upstream decides what to do with high ratios.
+
+    Shape: gram document-frequency is one shuffle on the gram key
+    (distinct-per-doc first, so a gram repeated inside one document
+    counts once); the surviving boilerplate set is tiny by construction
+    (doc-frequency ≥ frac·N) and broadcasts back against the per-doc
+    gram instances — the corpus never shuffles for the join.
+    """
+    d = df.select(
+        F.col(id_col),
+        shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    inst = d.select(F.col(id_col), F.explode(F.col("__sh")).alias("g"))
+    dfreq = (
+        d.select(F.explode(F.array_distinct(F.col("__sh"))).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    ndocs = df.agg(F.count(F.lit(1)).alias("__nd"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .filter(
+            F.col("__df")
+            >= F.ceil(F.lit(float(min_doc_frac)) * F.col("__nd"))
+        )
+        .select("g")
+    )
+    matched = (
+        inst.join(F.broadcast(boiler), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        d.select(F.col(id_col), F.size(F.col("__sh")).alias("n_grams"))
+        .join(matched, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            F.when(F.col("n_grams") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                    6,
+                )
+            )
+            .alias("boiler_ratio"),
+        )
+    )
+
+
+def unigram_surprise(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Statistical quality score: mean unigram "surprise" per document,
+    where a token's surprise is N/c(t) (total corpus tokens over the
+    token's corpus count) — a rational stand-in for -log p(t) that
+    needs no transcendental function, so it is bit-reproducible across
+    engines. Rare-token-heavy documents (gibberish, mojibake, id dumps)
+    score high; documents of common words score near the corpus mean.
+
+    Shape: the vocabulary count is one shuffle on the token key; the
+    instance⋈vocab join shuffles on the same key (AQE broadcasts the
+    vocab side when it fits); the per-document mean uses the
+    quantize→decimal-sum discipline so the double aggregate is
+    order-independent and oracle-exact.
+    """
+    from farmrpg_etl_spark.queries import _dec_sum
+
+    toks = F.coalesce(
+        words(F.col(text_col)), F.array().cast("array<string>")
+    )
+    inst = df.select(F.col(id_col), F.explode(toks).alias("t"))
+    vocab = inst.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("N"))
+    q = (
+        F.floor(
+            F.lit(1000000.0) * F.col("N").cast("double") / F.col("c")
+        )
+        / F.lit(1000000.0)
+    )
+    scored = (
+        inst.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(
+                _dec_sum(q).cast("double") / F.count(F.lit(1)), 6
+            ).alias("surprise"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tok"),
+            F.coalesce(F.col("surprise"), F.lit(0.0)).alias("surprise"),
+        )
+    )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus-version CDC: classify every document id across two corpus
+    snapshots as added / removed / changed / unchanged by content
+    digest — the refresh step that decides what re-enters the dedup +
+    quality pipeline on a recrawl (only 'added' + 'changed' need
+    reprocessing; 'removed' feeds tombstones).
+
+    One full-outer join on the id key; each side carries (id, md5) —
+    fixed-width rows, never document payloads.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__h_old")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__h_new")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") == F.col("__h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -2563,3 +2563,94 @@ FROM ch
 
 
 ORACLES["cdc_chunk_docs"] = _cdc_chunk_sql()
+
+
+# --------------------------------------------------------------------------
+# r4 corpus-curation family (operators/curation.py)
+
+ORACLES["source_quota_docs"] = """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 10
+"""
+
+ORACLES["token_shards_docs"] = f"""
+WITH d AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+  FROM d
+)
+SELECT doc_id, n_tok, cum,
+       CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard_id
+FROM c
+"""
+
+ORACLES["boilerplate_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM d),
+inst AS (SELECT doc_id, unnest(sh) AS g FROM s),
+dfreq AS (
+  SELECT g, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s)
+  GROUP BY g
+),
+nd AS (SELECT count(*) AS n FROM documents),
+boiler AS (SELECT g FROM dfreq, nd WHERE df >= ceil(0.01 * n)),
+m AS (
+  SELECT doc_id, count(*) AS n_boiler
+  FROM inst JOIN boiler USING (g) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(sh) AS BIGINT) AS n_grams,
+       coalesce(n_boiler, 0) AS n_boiler,
+       CASE WHEN len(sh) = 0 THEN 0.0
+            ELSE round(CAST(coalesce(n_boiler, 0) AS DOUBLE) / len(sh), 6)
+       END AS boiler_ratio
+FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+"""
+
+ORACLES["unigram_surprise_docs"] = f"""
+WITH inst AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+vocab AS (SELECT t, count(*) AS c FROM inst GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM vocab),
+j AS (
+  SELECT doc_id,
+         floor(1000000.0 * CAST(N AS DOUBLE) / c) / 1000000.0 AS q
+  FROM inst JOIN vocab USING (t) CROSS JOIN tot
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS surprise
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_tok, 0) AS n_tok,
+       coalesce(surprise, 0.0) AS surprise
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+ORACLES["corpus_diff_docs"] = """
+WITH old AS (SELECT doc_id, md5(text) AS ho FROM documents),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END)
+           AS hn
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN ho = hn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""

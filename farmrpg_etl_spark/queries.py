@@ -777,6 +777,85 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (C4-style domain cap): at most 10 docs
+    per source, chosen by deterministic md5 order. WindowGroupLimit
+    keeps the shuffle O(quota·tasks) per source."""
+    from farmrpg_etl_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.source_quota_sample(d, "doc_id", "source", quota=10).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+def token_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token-budget output sharding: cumulative token counts via
+    the two-phase bucketed prefix sum, shard = starting-offset ÷ 2000
+    tokens. The deterministic 'write N balanced training shards'
+    assignment."""
+    from farmrpg_etl_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.equal_token_shards(d, "text", "doc_id", shard_tokens=2000)
+
+
+def boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate 3-gram signal: grams appearing in ≥1% of documents,
+    and each document's count/ratio of such grams. The corpus shuffles
+    once on the gram key; the boilerplate set broadcasts back."""
+    from farmrpg_etl_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    out = curation.boilerplate_gram_metrics(
+        d, "text", "doc_id", shingle_k=3, min_doc_frac=0.01
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_boiler",
+        "boiler_ratio",
+    )
+
+
+def unigram_surprise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprise (N/c rational, no transcendentals) per
+    document — the statistical quality score; decimal-exact mean."""
+    from farmrpg_etl_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.unigram_surprise(d, "text", "doc_id")
+
+
+def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version CDC between the shipped corpus and a synthetic
+    recrawl (docs %13 removed, %7 rewritten, %11 re-added under new
+    ids): added/removed/changed/unchanged by content digest, one
+    full-outer join on fixed-width (id, md5) rows."""
+    from farmrpg_etl_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" updated")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+            )
+        )
+    )
+    return curation.corpus_diff(old, new, "doc_id", "text")
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data preparation pipeline in one plan:
     language/quality gate → benchmark decontamination (13-gram overlap
@@ -3243,6 +3322,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d1_deleted_transitions": d1_deleted_transitions,
     # LLM pipeline: remaining components
     "training_data_pipeline": training_data_pipeline,
+    # r4: corpus-curation family (operators/curation.py)
+    "source_quota_docs": source_quota_docs,
+    "token_shards_docs": token_shards_docs,
+    "boilerplate_docs": boilerplate_docs,
+    "unigram_surprise_docs": unigram_surprise_docs,
+    "corpus_diff_docs": corpus_diff_docs,
     "deterministic_sample_docs": deterministic_sample_docs,
     "priority_sample_docs": priority_sample_docs,
     "stratified_sample_docs": stratified_sample_docs,

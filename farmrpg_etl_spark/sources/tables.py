@@ -51,8 +51,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # Guard on the ACTUAL Spark-side dtype: pyarrow reports parquet
+    # INT96 timestamps as timestamp[ns] too, but Spark reads INT96 as a
+    # real TIMESTAMP (nanosAsLong only affects TIMESTAMP(NANOS)-
+    # annotated int64 columns), so only a column that truly arrived as
+    # bigint needs the integer-nanos → micros conversion.
+    dtypes = dict(df.dtypes)
     for c in nano_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     # Parquet micros with isAdjustedToUTC=false arrive as TIMESTAMP_NTZ;
     # the engine's timestamp semantics (and every time-window / range
     # expression, e.g. unix_micros) are defined over TIMESTAMP_LTZ with

@@ -1,0 +1,106 @@
+"""Corpus-curation operators (operators/curation.py): semantics pinned
+on small hand-built corpora — quota determinism, prefix-sum shard
+boundaries, planted-boilerplate detection, surprise ordering, and the
+four diff statuses."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_source_quota_caps_and_is_deterministic(spark):
+    rows = [
+        (i, f"tok{i} filler words here", f"src{i % 3}") for i in range(30)
+    ]
+    df = _docs(spark, rows)
+    a = curation.source_quota_sample(df, "doc_id", "source", quota=4)
+    got = a.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {
+        "src0": 4, "src1": 4, "src2": 4
+    }
+    b = curation.source_quota_sample(df, "doc_id", "source", quota=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # ranks are 1..quota within each source
+    ranks = a.groupBy("source").agg(
+        F.sort_array(F.collect_list("sample_rank")).alias("r")
+    ).collect()
+    assert all(r["r"] == [1, 2, 3, 4] for r in ranks)
+
+
+def test_equal_token_shards_matches_python_cumsum(spark):
+    rows = [(i, " ".join(["w"] * (5 + i % 7)), "s") for i in range(40)]
+    df = _docs(spark, rows).repartition(8)
+    out = {
+        r["doc_id"]: (r["n_tok"], r["cum"], r["shard_id"])
+        for r in curation.equal_token_shards(
+            df, "text", "doc_id", shard_tokens=50
+        ).collect()
+    }
+    cum = 0
+    for i in range(40):
+        n = 5 + i % 7
+        cum += n
+        assert out[i] == (n, cum, (cum - n) // 50), i
+    # shards are contiguous in doc order
+    shards = [out[i][2] for i in range(40)]
+    assert shards == sorted(shards)
+
+
+def test_boilerplate_detects_planted_phrase(spark):
+    boiler = "subscribe to our newsletter today"
+    rows = []
+    for i in range(20):
+        body = f"unique{i} content word{i} more{i} text{i} body{i}"
+        text = f"{boiler} {body}" if i < 18 else body
+        rows.append((i, text, "s"))
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in curation.boilerplate_gram_metrics(
+            df, "text", "doc_id", shingle_k=3, min_doc_frac=0.5
+        ).collect()
+    }
+    # docs with the phrase have n_boiler >= the phrase's 3-gram count
+    assert all(out[i]["n_boiler"] >= 2 for i in range(18))
+    assert all(out[i]["boiler_ratio"] > 0 for i in range(18))
+    # docs without it match none of the boilerplate set
+    assert out[18]["n_boiler"] == 0 and out[19]["n_boiler"] == 0
+    assert out[18]["boiler_ratio"] == 0.0
+
+
+def test_unigram_surprise_ranks_rare_tokens_higher(spark):
+    rows = (
+        [(i, "common words appear often here", "s") for i in range(9)]
+        + [(100, "zxqv unique glyph", "s")]
+        + [(101, "", "s")]
+    )
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in curation.unigram_surprise(df, "text", "doc_id").collect()
+    }
+    assert out[100]["surprise"] > out[0]["surprise"]
+    assert out[101] == (101, 0, 0.0)
+    assert out[0]["n_tok"] == 5
+
+
+def test_corpus_diff_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in curation.corpus_diff(old, new, "doc_id", "text").collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
