@@ -105,6 +105,11 @@ def topk_candidates(
                 order = order[np.isfinite(r[order])]
                 sel_q.extend([qid] * len(order))
                 sel_i.extend(order.tolist())
+            if not sel_i:
+                # every candidate masked (e.g. the batch holds only the
+                # query row itself) — yielding an empty frame would give
+                # __raw a numeric dtype Arrow can't cast to list<double>
+                continue
             raws = [C[i].tolist() for i in sel_i]
             yield pd.DataFrame(
                 {
@@ -112,7 +117,7 @@ def topk_candidates(
                     "neighbor_id": pd.Series(
                         ids[sel_i], dtype=pdf[id_col].dtype
                     ),
-                    "__raw": raws,
+                    "__raw": pd.Series(raws, dtype=object),
                 }
             )
 
@@ -165,10 +170,12 @@ def nearest_candidates(
                     ids.append(pdf[id_col].iloc[i])
                     raws.append(v)
                     cls.append(labels[o])
+            if not ids:
+                continue
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
-                    "__raw": raws,
+                    "__raw": pd.Series(raws, dtype=object),
                     "cluster": cls,
                 }
             )
