@@ -733,3 +733,99 @@ def cross_corpus_minhash_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection (the ExactSubstr dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for every document, how many of its tokens sit inside at
+    least one ``k``-token gram whose exact text occurs ``min_count`` or
+    more times corpus-wide. Emits
+    ``(id, n_tok, dup_tok, dup_ratio)`` — the downstream cleaner cuts
+    the covered spans (or drops high-ratio documents).
+
+    Relational formulation (the reference suffix-array build is a
+    single-machine algorithm; this is the shuffle-native equivalent):
+
+    1. explode every strict token ``k``-gram with its position; carry
+       only ``(id, pos, md5(gram))`` — fixed-width rows, so the one
+       corpus-sized shuffle moves ~24 bytes per token regardless of
+       document size, and the md5 key is uniform (no gram skew can
+       hot-spot a partition).
+    2. corpus gram counts: ``groupBy(gram_hash)`` with map-side partial
+       counts; grams reaching ``min_count`` join back against the
+       instances on the same uniform key (the duplicated-gram set is
+       corpus-sized in the worst case, so it is joined, never
+       broadcast).
+    3. per-document interval union: duplicated gram starts cover
+       ``[pos, pos+k-1]``; with starts sorted, instance ``i``
+       contributes ``min(k, next_start - pos)`` tokens (the last
+       contributes ``k``), so one window over ``(id, pos)`` plus a sum
+       yields the union size without materializing per-token rows.
+
+    Documents shorter than ``k`` tokens have no strict grams (they are
+    exact-dedup territory, not span territory) and report
+    ``dup_tok = 0``.
+    """
+    toks = F.coalesce(H.words(F.col(text_col)), F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    m = n - F.lit(k - 1)  # strict gram count; <= 0 -> no grams
+    heads = [F.slice(F.col("__toks"), i + 1, F.greatest(m, F.lit(0))).alias(f"g{i}") for i in range(k)]
+    zipped = F.arrays_zip(*heads)
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)])
+    )
+    inst = base.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(grams).alias("__pos", "__g"),
+    ).select(
+        F.col(id_col),
+        F.col("__n"),
+        F.col("__pos"),
+        F.md5(F.col("__g").cast("binary")).alias("__gh"),
+    )
+    dup = (
+        inst.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= F.lit(min_count))
+        .select("__gh")
+    )
+    hits = inst.join(dup, "__gh").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy(F.col("__pos").asc())
+    contrib = F.least(
+        F.lit(k),
+        F.coalesce(
+            F.lead("__pos", 1).over(w) - F.col("__pos"), F.lit(k)
+        ),
+    )
+    covered = (
+        hits.withColumn("__cov", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("__cov").alias("dup_tok"))
+    )
+    return (
+        base.select(F.col(id_col), n.cast("long").alias("n_tok"))
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tok",
+            F.coalesce(F.col("dup_tok"), F.lit(0)).cast("long").alias("dup_tok"),
+            F.when(F.col("n_tok") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("dup_tok"), F.lit(0)).cast("double")
+                    / F.col("n_tok"),
+                    6,
+                )
+            )
+            .alias("dup_ratio"),
+        )
+    )

@@ -2654,3 +2654,77 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
+
+ORACLES["dup_span_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i+7], ' ')) AS gh
+  FROM d, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+c AS (
+  SELECT doc_id,
+         least(8, coalesce(
+           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8
+         )) AS cov
+  FROM h
+),
+cov AS (SELECT doc_id, sum(cov) AS dup_tok FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tok,
+       CAST(coalesce(dup_tok, 0) AS BIGINT) AS dup_tok,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(CAST(coalesce(dup_tok, 0) AS DOUBLE) / len(toks), 6)
+       END AS dup_ratio
+FROM d LEFT JOIN cov USING (doc_id)
+"""
+
+ORACLES["bm25_topk_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+corp AS (SELECT count(*) AS N, CAST(sum(dl) AS BIGINT) AS sumdl FROM lens),
+q AS (
+  SELECT doc_id AS query_id, list_distinct(toks[1:5]) AS qt
+  FROM d WHERE doc_id % 97 = 0
+),
+qterm AS (SELECT query_id, unnest(qt) AS t FROM q),
+inst AS (SELECT doc_id, unnest(toks) AS t FROM d),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM inst
+  WHERE t IN (SELECT DISTINCT t FROM qterm)
+  GROUP BY doc_id, t
+),
+dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+s AS (
+  SELECT qterm.query_id, tf.doc_id,
+    floor(1000000.0 * (
+      ((CAST(N AS DOUBLE) - df + 0.5) / (df + 0.5))
+      * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE)
+         + 1.2 * (0.25
+                  + 0.75 * CAST(dl AS DOUBLE)
+                    / (CAST(sumdl AS DOUBLE) / N)))
+    )) / 1000000.0 AS q6
+  FROM tf
+  JOIN dft USING (t)
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN corp
+  JOIN qterm ON qterm.t = tf.t
+),
+agg AS (
+  SELECT query_id, doc_id,
+         round(CAST(SUM(CAST(q6 AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+  FROM s GROUP BY query_id, doc_id
+),
+r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM agg
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+"""

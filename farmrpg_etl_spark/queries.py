@@ -856,6 +856,34 @@ def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_diff(old, new, "doc_id", "text")
 
 
+def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span detection (Lee et al. 2022): per
+    document, the number of tokens covered by an 8-token gram whose
+    exact text occurs ≥2 times corpus-wide, via one fixed-width
+    (id, pos, md5) shuffle + per-doc interval union. The relational
+    equivalent of the reference paper's suffix-array pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(d, "text", "doc_id", k=8)
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (rational-idf variant) top-10 retrieval: queries are the
+    first 5 tokens of every doc_id % 97 == 0 document; the corpus's
+    exploded tokens are broadcast-semi-joined down to query terms
+    before any shuffle."""
+    from farmrpg_etl_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        H.words(F.col("text")), F.array().cast("array<string>")
+    )
+    q = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("query_text"),
+    )
+    return bm25_topk(d, q, "text", "doc_id", k=10)
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data preparation pipeline in one plan:
     language/quality gate → benchmark decontamination (13-gram overlap
@@ -3249,7 +3277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bot_dispatch_replies": bot_dispatch_replies,
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
-    "parse_message_roundtrip": parse_message_roundtrip,
+    "dup_span_docs": dup_span_docs,
     "parse_quarantine_channel": parse_quarantine_channel,
     # LLM pipeline: dedup family
     "exact_dedup_docs": exact_dedup_docs,
@@ -3278,6 +3306,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming (stateful CDC — the hardest driver rows)
     "streaming_message_cdc": streaming_message_cdc,
     # --- end of 50-entry prefix ------------------------------------
+    # r4 rebalance 2: dup_span_docs (ExactSubstr duplicated-span
+    # detection — a NEW dedup-family member) moved INTO the prefix;
+    # parse_message_roundtrip moved out (the mail parser remains
+    # prefix-covered through mailbox_pipeline_e2e, which runs inbox
+    # parse → unread gate → fetch fan-out → mail parse end-to-end).
+    "parse_message_roundtrip": parse_message_roundtrip,
+    "bm25_topk_docs": bm25_topk_docs,
     # r4 rebalance: simhash_pairs_docs moved INTO the prefix (the
     # actual near-dup pair decision for the SimHash family); moved out
     # to make room — k3_snapshot_append_sink (K3 sink family still
