@@ -154,6 +154,9 @@ def main() -> None:
         "j1_resolve_join",
         "heavy_hitter_tokens",
         "semantic_dedup_lloyd",
+        # round-4 additions
+        "dup_span_docs",
+        "bm25_topk_docs",
     ]:
         run(name)
         steady = []
@@ -279,15 +282,22 @@ def main() -> None:
                 shingle_k=3, threshold=0.5,
             )
 
-        def stretch_semdedup():
-            e = spark.read.parquet(f"{stretch_dir}/embeddings.parquet")
-            clustered = e.select(
-                "vec_id", "embedding", F.col("label").alias("cluster")
-            )
-            return S.semantic_dedup(
-                clustered, "embedding", "vec_id", "cluster", threshold=0.25,
-                max_cluster_size=500, split_dim=64, split_planes=2,
-            )
+        def stretch_semdedup(impl="arrow"):
+            # A/B of the pair-scoring impls at 10×: "arrow" generates
+            # candidates with a per-group numpy matmul + exact fold
+            # rescore, "catalyst" is the pure fold self-join. Outputs
+            # identical (guard-banded candidate superset contract).
+            def fn():
+                e = spark.read.parquet(f"{stretch_dir}/embeddings.parquet")
+                clustered = e.select(
+                    "vec_id", "embedding", F.col("label").alias("cluster")
+                )
+                return S.semantic_dedup(
+                    clustered, "embedding", "vec_id", "cluster", threshold=0.25,
+                    max_cluster_size=500, split_dim=64, split_planes=2,
+                    impl=impl,
+                )
+            return fn
 
         def stretch_heavy_hitters():
             from farmrpg_etl_spark.functions import hashing as H
@@ -324,7 +334,8 @@ def main() -> None:
         for name, fn in [
             ("minhash_lsh_pairs_10x", stretch_minhash),
             ("ngram_jaccard_10x", stretch_jaccard),
-            ("semantic_dedup_guarded_10x", stretch_semdedup),
+            ("semantic_dedup_guarded_10x", stretch_semdedup("arrow")),
+            ("semantic_dedup_10x_catalyst", stretch_semdedup("catalyst")),
             ("heavy_hitters_10x", stretch_heavy_hitters),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),

@@ -993,7 +993,11 @@ def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return similarity.ann_topk_bruteforce(e, q, "embedding", "vec_id", k=5)
+    # 10 queries: below the measured arrow/catalyst crossover, so pin
+    # catalyst here rather than paying impl="auto"'s count job
+    return similarity.ann_topk_bruteforce(
+        e, q, "embedding", "vec_id", k=5, impl="catalyst"
+    )
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2326,9 +2330,13 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist barrier: the dedup self-join references this relation on
     # both sides, and each branch would otherwise recompute the whole
     # k-means assignment (centroid agg + broadcast top-1) — the same
-    # branch-recomputation trap as corpus_curation
+    # branch-recomputation trap as corpus_curation. LAZY (no eager
+    # count): the BlockManager's per-partition locks already make the
+    # first action populate each cached partition exactly once even
+    # with both self-join sides scanning concurrently, and the eager
+    # count was pure overhead at bench scale (same r3 lesson as the
+    # minhash_lsh persist barrier).
     clustered = e.join(assigns, "vec_id").persist()
-    clustered.count()
     # skew guard armed: a cluster over the bound is split by secondary
     # sign-LSH bits inside semantic_dedup (no effect at test SFs — the
     # bound exceeds the corpus — but the 100 TB megacluster path is the

@@ -202,3 +202,22 @@ def test_kmeans_lloyd_inertia_monotone(spark):
     assert inertias[2] <= inertias[1] + 1e-6
     # and the mis-initialization is actually repaired (strict progress)
     assert inertias[2] < inertias[0] * 0.9
+
+
+def test_semantic_dedup_arrow_matches_catalyst_impl(spark):
+    # the guard-banded numpy candidate generator must reproduce the
+    # pure-fold self-join decisions exactly — on the real embeddings
+    # table with the skew guard armed, not just toy vectors
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", F.col("label").alias("cluster")
+    )
+    kw = dict(threshold=0.25, max_cluster_size=30, split_dim=64)
+    arrow = similarity.semantic_dedup(
+        e, "embedding", "vec_id", "cluster", impl="arrow", **kw
+    )
+    catalyst = similarity.semantic_dedup(
+        e, "embedding", "vec_id", "cluster", impl="catalyst", **kw
+    )
+    a = {(r.vec_id, r.cluster) for r in arrow.collect()}
+    c = {(r.vec_id, r.cluster) for r in catalyst.collect()}
+    assert a == c and len(a) > 0
