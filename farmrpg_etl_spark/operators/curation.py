@@ -220,3 +220,52 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, id_col: str, k: int = 50
+) -> DataFrame:
+    """First-iteration BPE merge statistics: the corpus-weighted count
+    of every adjacent CHARACTER pair inside words — the quantity byte-
+    pair-encoding tokenizer training maximizes at each merge step
+    (Sennrich et al. 2016). Emits the top ``k`` pairs as
+    ``(pair, total, rank)``.
+
+    Scale shape — the part that matters at 100 TB: the corpus is
+    reduced to its WORD VOCABULARY first (one shuffle with map-side
+    partial counts; vocabulary size grows ~ Heaps' law, sublinearly in
+    corpus size), and the character-pair explode runs over that
+    dimension-sized vocab table, weighted by word frequency. The
+    corpus text itself is scanned once and never exploded to
+    character granularity — pair totals are Σ_word count(word) ·
+    pairs_in(word), which is exactly the classic BPE "count on the
+    word-frequency dictionary" optimization, relationally.
+    """
+    toks = F.coalesce(
+        words(F.col(text_col)), F.array().cast("array<string>")
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = F.expr(
+        "CASE WHEN char_length(w) >= 2 "
+        "THEN transform(sequence(1, char_length(w)-1), i -> substring(w, i, 2)) "
+        "ELSE array() END"
+    )
+    counts = (
+        vocab.select(F.col("wc"), F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("total"))
+    )
+    # global-order window is safe here: its input is the aggregated
+    # char-pair relation, whose cardinality is alphabet²-bounded and
+    # corpus-size-independent — no corpus-sized data flows through the
+    # single-task sort
+    w = Window.orderBy(F.col("total").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pair", "total", "rank")
+    )

@@ -2728,3 +2728,105 @@ r AS (
 SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10
 """
+
+# quality-only scoring CTEs (the text_metrics quality formula, same
+# fragments as corpus_curation's oracle, under collision-free names)
+_QUALITY_CTES = rf"""
+dq AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+mq AS (
+  SELECT doc_id, text,
+    {_hits('en')} AS s_en,
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE CAST(len(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+              / len(text) END AS praw
+  FROM dq
+), qq AS (
+  SELECT *,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE CAST(s_en AS DOUBLE) / n_tok END AS sraw,
+    CASE WHEN len(text) >= 100 AND len(text) <= 4000 THEN 1.0
+         WHEN len(text) < 100 THEN CAST(len(text) AS DOUBLE) / 100.0
+         ELSE 4000.0 / CAST(len(text) AS DOUBLE) END AS len_score
+  FROM mq
+), qscore AS (
+  SELECT doc_id,
+    round(len_score * 0.5 + (1.0 - least(praw * 5.0, 1.0)) * 0.25
+          + least(sraw * 10.0, 1.0) * 0.25, 6) AS quality
+  FROM qq
+)"""
+
+ORACLES["neardup_canonical_docs"] = f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip()},
+sigs AS (SELECT doc_id, {_sig_list(16)} AS sig FROM s),
+buckets AS ({_BUCKETS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+      round(list_sum(list_transform(generate_series(1, 16),
+        i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0, 6)
+        AS jaccard
+    FROM cand
+  ) WHERE jaccard >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+clusters AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+{_QUALITY_CTES.strip().lstrip()},
+member AS (
+  SELECT c.id AS doc_id, c.cluster_id, s.quality
+  FROM clusters c JOIN qscore s ON c.id = s.doc_id
+),
+canon AS (
+  SELECT doc_id, cluster_id, quality FROM member
+  QUALIFY row_number() OVER (
+    PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) = 1
+),
+singles AS (
+  SELECT s.doc_id, s.doc_id AS cluster_id, s.quality
+  FROM qscore s LEFT JOIN clusters c ON s.doc_id = c.id
+  WHERE c.id IS NULL
+)
+SELECT * FROM canon UNION ALL SELECT * FROM singles
+"""
+
+ORACLES["bpe_merge_candidates_docs"] = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS wc
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY w
+),
+prs AS (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS total
+  FROM (
+    SELECT wc, unnest(
+      CASE WHEN len(w) >= 2
+           THEN list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i:i+1])
+           ELSE CAST([] AS VARCHAR[]) END
+    ) AS pair
+    FROM vocab
+  )
+  GROUP BY pair
+)
+SELECT pair, total,
+       CAST(row_number() OVER (ORDER BY total DESC, pair ASC) AS INT)
+         AS rank
+FROM prs
+QUALIFY rank <= 50
+"""

@@ -752,6 +752,56 @@ def neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_clusters(pairs)
 
 
+def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection over near-dup families: the
+    step after clustering that decides WHICH copy survives. Each
+    MinHash-LSH connected component keeps its highest-quality member
+    (text_metrics quality, doc_id tie-break); documents in no family
+    are their own canonicals. Output = the deduplicated corpus as
+    (doc_id, cluster_id, quality).
+
+    Scale: the cluster relation is (id, label) pairs — fixed-width;
+    the quality argmax is one WindowGroupLimit-shaped window per
+    family; singleton detection is a left-anti join on the id key."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3, shingle_k=3
+    )
+    from pyspark.sql import Window
+
+    clusters = dedup.neardup_clusters(pairs)
+    q = T.text_metrics(d, "text").select("doc_id", "quality")
+    member = clusters.join(
+        q, clusters["id"] == q["doc_id"]
+    ).select(F.col("doc_id"), F.col("cluster_id"), F.col("quality"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    canon = (
+        member.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    singles = q.join(
+        clusters.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    ).select(
+        "doc_id", F.col("doc_id").alias("cluster_id"), "quality"
+    )
+    return canon.unionByName(singles)
+
+
+def bpe_merge_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction: corpus-weighted adjacent character-pair
+    counts (the BPE step-1 merge statistic), computed on the
+    word-frequency vocabulary — the corpus reduces to its vocab in one
+    shuffle and the char-pair explode runs over that dimension-sized
+    table only."""
+    from farmrpg_etl_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.bpe_merge_candidates(d, "text", "doc_id", k=50)
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation: language-ID gate → quality
     threshold → exact near-dup removal → per-source corpus stats. The
@@ -3366,6 +3416,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LLM pipeline: remaining components
     "training_data_pipeline": training_data_pipeline,
     # r4: corpus-curation family (operators/curation.py)
+    "neardup_canonical_docs": neardup_canonical_docs,
+    "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
     "source_quota_docs": source_quota_docs,
     "token_shards_docs": token_shards_docs,
     "boilerplate_docs": boilerplate_docs,

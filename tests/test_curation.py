@@ -104,3 +104,24 @@ def test_corpus_diff_all_statuses(spark):
         for r in curation.corpus_diff(old, new, "doc_id", "text").collect()
     }
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_bpe_merge_candidates_weighted_counts(spark):
+    from farmrpg_etl_spark.operators.curation import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["pair"]: (r["total"], r["rank"])
+        for r in bpe_merge_candidates(df, "text", "doc_id", k=10).collect()
+    }
+    # "lo"/"ow": 3x in "low" + 1x in "lower" = 4; "we"/"er": 1 each
+    assert out["lo"][0] == 4 and out["ow"][0] == 4
+    assert out["we"][0] == 1 and out["er"][0] == 1
+    # deterministic tie-break: lo before ow at equal counts
+    assert out["lo"][1] == 1 and out["ow"][1] == 2
+    # single-char words contribute nothing
+    df2 = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_merge_candidates(df2, "text", "doc_id").count() == 0
