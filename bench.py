@@ -299,6 +299,13 @@ def main() -> None:
                 )
             return fn
 
+        def stretch_dup_span():
+            # the heaviest new shuffle — ~24 B/token of (id, pos, md5)
+            # — at 10× corpus: direct evidence the ExactSubstr span
+            # operator's cost stays linear in corpus tokens
+            d = spark.read.parquet(f"{stretch_dir}/documents.parquet")
+            return D.duplicated_spans(d, "text", "doc_id", k=8)
+
         def stretch_heavy_hitters():
             from farmrpg_etl_spark.functions import hashing as H
             from farmrpg_etl_spark.operators.heavyhitters import heavy_hitters
@@ -337,6 +344,7 @@ def main() -> None:
             ("semantic_dedup_guarded_10x", stretch_semdedup("arrow")),
             ("semantic_dedup_10x_catalyst", stretch_semdedup("catalyst")),
             ("heavy_hitters_10x", stretch_heavy_hitters),
+            ("dup_span_10x", stretch_dup_span),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:
