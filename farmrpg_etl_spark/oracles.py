@@ -2830,3 +2830,51 @@ SELECT pair, total,
 FROM prs
 QUALIFY rank <= 50
 """
+
+# pollsource: kh constants are md5-derived per room (same formula as
+# sources/pollsource.synth_poll_body), inlined at oracle-build time
+import hashlib as _hashlib
+
+_ROOMS7 = ["help", "global", "spoilers", "trade", "giveaways", "trivia", "staff"]
+_ROOM_KH = ", ".join(
+    f"('{r}', {int(_hashlib.md5(r.encode()).hexdigest()[:8], 16) % 997})"
+    for r in _ROOMS7
+)
+_CHAT_FMT = (
+    '<div class="chat-txt"><span>%02d:%02d:%02d AM</span>'
+    '<div class="chip"><div class="chip-media">'
+    '<img data-username=\"%s\" src=\"/img/emblems/e.png\"></div></div>'
+    '<a href=\"javascript:delChat(%d)\">x</a>'
+    '<i class=\"f7-icons\">flag</i><span>%s</span></div>'
+)
+
+ORACLES["streaming_poll_source"] = f"""
+WITH ticks AS (SELECT unnest(generate_series(1, 120)) AS t),
+rooms(key, kh) AS (VALUES {_ROOM_KH}),
+base AS (
+  SELECT t, TIMESTAMP '2023-11-14 22:13:20' + t * INTERVAL 1 SECOND AS fts
+  FROM ticks
+),
+chat AS (
+  SELECT 'chat' AS source, key, fts AS fetch_ts, 200 AS status,
+         md5(printf('{_CHAT_FMT}',
+             1 + t % 11, t % 60, (t * 7) % 60,
+             'u' || CAST(t % 50 AS VARCHAR),
+             t * 1000 + kh,
+             'msg ' || CAST(t AS VARCHAR) || ' in ' || key)) AS body_digest
+  FROM base CROSS JOIN rooms
+),
+flags AS (
+  SELECT 'flags' AS source, key, fts AS fetch_ts, 200 AS status,
+         md5('') AS body_digest
+  FROM base CROSS JOIN rooms WHERE t % 30 = 0
+),
+mailbox AS (
+  SELECT 'mailbox' AS source, CAST(NULL AS VARCHAR) AS key,
+         fts AS fetch_ts, 200 AS status, md5('') AS body_digest
+  FROM base WHERE t % 10 = 0
+)
+SELECT * FROM chat
+UNION ALL SELECT * FROM flags
+UNION ALL SELECT * FROM mailbox
+"""

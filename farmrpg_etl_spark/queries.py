@@ -1284,6 +1284,32 @@ def parse_flags_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def streaming_poll_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PySpark 4 Python streaming data source (SURVEY §4's optional
+    refinement, sources/pollsource.py): REFERENCE_POLLS expanded by
+    offset ticks into per-spec input partitions, deterministic
+    schedule-derived fetch_ts, replayable reads. Run bounded over a
+    120-tick horizon; the oracle reconstructs every row — including
+    the chat payload md5 — from the schedule arithmetic alone."""
+    from farmrpg_etl_spark.sources.pollsource import PollDataSource
+    from farmrpg_etl_spark.streaming import ops
+
+    spark.dataSource.register(PollDataSource)
+    sdf = (
+        spark.readStream.format("farmrpg_poll")
+        .option("max_ticks", "120")
+        .load()
+    )
+    out = ops.run_available_now(sdf)
+    return out.select(
+        "source",
+        "key",
+        "fetch_ts",
+        "status",
+        F.md5(F.col("body")).alias("body_digest"),
+    )
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from farmrpg_etl_spark.streaming import ops
 
@@ -3406,6 +3432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_flags_join_events": streaming_flags_join_events,
     "streaming_incremental_lsh": streaming_incremental_lsh,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_poll_source": streaming_poll_source,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_latest_per_user": streaming_latest_per_user,
     "streaming_sessionize": streaming_sessionize,

@@ -111,3 +111,66 @@ def test_demand_fanout_shape(spark):
     assert out.schema.simpleString().startswith(
         "struct<source:string,key:string,fetch_ts:timestamp"
     )
+
+
+def test_poll_datasource_streams_schedule(spark, tmp_path):
+    """The PySpark 4 Python streaming source: REFERENCE_POLLS expanded
+    by offset ticks, deterministic bodies, chat payloads parseable by
+    the real P1 parser."""
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.sources.pollsource import PollDataSource
+
+    spark.dataSource.register(PollDataSource)
+    out = []
+    q = (
+        spark.readStream.format("farmrpg_poll")
+        .option("advance_per_batch", "40")
+        .option("max_ticks", "80")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: out.append(df.collect()))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [r for b in out for r in b]
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    # 80 ticks: chat = 80/room x 7 rooms, flags = 2/room (30, 60),
+    # mailbox = 8, online/staff not yet due
+    assert len(by_source["chat"]) == 80 * 7
+    assert len(by_source["flags"]) == 2 * 7
+    assert len(by_source["mailbox"]) == 8
+    assert "online" not in by_source
+    # fetch_ts is schedule-derived, never executor wall clock
+    ts = sorted(r.fetch_ts for r in by_source["mailbox"])
+    assert (ts[1] - ts[0]).total_seconds() == 10
+    # chat bodies run through the REAL parse stage
+    from farmrpg_etl_spark.parse.stage import parse_payloads, parsed_rows
+
+    chat_df = spark.createDataFrame(
+        [r for r in rows if r.source == "chat" and r.key == "help"]
+    )
+    parsed = parsed_rows(parse_payloads(chat_df, "chat"))
+    assert parsed.count() == 80
+    assert parsed.filter(F.col("username").startswith("u")).count() == 80
+
+
+def test_poll_datasource_replay_is_deterministic(spark):
+    """read() of the same offset range yields byte-identical rows —
+    the exactly-once replay contract."""
+    from farmrpg_etl_spark.sources.pollsource import PollStreamReader
+
+    r1 = PollStreamReader({"max_ticks": "60", "sources": "chat,flags"})
+    r2 = PollStreamReader({"max_ticks": "60", "sources": "chat,flags"})
+    end1, end2 = r1.latestOffset(), r2.latestOffset()
+    assert end1 == end2
+    p1 = r1.partitions({"tick": 0}, end1)
+    p2 = r2.partitions({"tick": 0}, end2)
+    rows1 = [row for p in p1 for row in r1.read(p)]
+    rows2 = [row for p in p2 for row in r2.read(p)]
+    assert rows1 == rows2 and len(rows1) > 0
