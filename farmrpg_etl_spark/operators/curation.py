@@ -269,3 +269,28 @@ def bpe_merge_candidates(
         .filter(F.col("rank") <= k)
         .select("pair", "total", "rank")
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str
+) -> DataFrame:
+    """Importance sampling by a [0, 1] weight column (quality score):
+    keep each row with probability == its weight, decided by a
+    DETERMINISTIC per-row uniform draw u = md5(id)/2³² — bit-
+    reproducible across engines, retries and partitionings (a
+    ``rand()`` sample is none of those). The standard curation move
+    when hard quality thresholds discard too much borderline mass:
+    high-quality documents almost surely survive, low-quality ones
+    survive in proportion.
+
+    Map-side filter only — no shuffle, no RNG state.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return df.withColumn("u_draw", F.round(u, 6)).filter(
+        F.col("u_draw") < F.col(weight_col)
+    )

@@ -638,3 +638,70 @@ def _semantic_candidates_arrow(
         .groupBy("__key")
         .applyInPandas(gen, out_schema)
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Cross-corpus EMBEDDING decontamination — the dense-vector
+    analog of ``quality.ngram_contamination`` / MinHash fuzzy
+    decontamination: flag every corpus vector whose cosine similarity
+    to ANY eval-set vector reaches ``threshold`` (paraphrased benchmark
+    leakage that exact n-grams and shingle Jaccard both miss).
+
+    Scale shape: the eval side is benchmark-sized → broadcast; the
+    corpus is scanned ONCE map-side with |eval| fold dots per row and
+    never shuffles (same contract as the k-means E-step). Emits
+    ``(corpus id, eval_id, cosine)`` flagged pairs; anti-join the ids
+    downstream to clean."""
+    c = _unitize(
+        corpus.select(
+            F.col(id_col), V.as_double(F.col(vec_col)).alias("__raw")
+        ),
+        "__raw", "cv",
+    )
+    e = _unitize(
+        evalset.select(
+            F.col(id_col).alias("eval_id"),
+            V.as_double(F.col(vec_col)).alias("__raw"),
+        ),
+        "__raw", "ev",
+    )
+    return (
+        c.crossJoin(F.broadcast(e))
+        .withColumn("cosine", F.round(V.dot(F.col("cv"), F.col("ev")), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(id_col, "eval_id", "cosine")
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    out_dim: int = 8,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection to ``out_dim``
+    dimensions using the same deterministic md5-derived hyperplanes as
+    the LSH family (:func:`lsh_hyperplanes`) — any engine reproduces
+    the identical projection from (dim, out_dim) alone, no RNG state.
+
+    Map-side only: one fold dot per output dimension per row, no
+    shuffle. Emits long form ``(id, p, proj)`` (one row per output
+    component) so the values stay plain doubles for cross-engine
+    comparison; pivot back to an array downstream if needed."""
+    v = V.as_double(F.col(vec_col))
+    comps = F.array(
+        *[
+            F.round(V.dot(v, F.array(*[F.lit(x) for x in plane])), 6)
+            for plane in lsh_hyperplanes(dim, out_dim)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(comps).alias("p", "proj")
+    )

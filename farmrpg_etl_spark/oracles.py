@@ -2878,3 +2878,35 @@ SELECT * FROM chat
 UNION ALL SELECT * FROM flags
 UNION ALL SELECT * FROM mailbox
 """
+
+ORACLES["semantic_decontaminate_embeddings"] = f"""
+WITH {_EMB},
+ev AS (SELECT vec_id AS eval_id, v FROM u WHERE vec_id < 50),
+c AS (SELECT vec_id, v FROM u WHERE vec_id >= 50)
+SELECT c.vec_id, ev.eval_id, round({_dot('c.v', 'ev.v')}, 6) AS cosine
+FROM c CROSS JOIN ev
+WHERE round({_dot('c.v', 'ev.v')}, 6) >= 0.35
+"""
+
+def _random_projection_sql() -> str:
+    planes = lsh_hyperplanes(64, 8)
+    selects = [
+        f"SELECT vec_id, CAST({p} AS INT) AS p, "
+        f"round({_dot_lits('v', plane)}, 6) AS proj FROM e"
+        for p, plane in enumerate(planes)
+    ]
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_EMB}\n{body}"
+
+ORACLES["random_projection_embeddings"] = _random_projection_sql()
+
+ORACLES["quality_weighted_sample_docs"] = f"""
+WITH {_QUALITY_CTES.strip().lstrip()},
+drawn AS (
+  SELECT doc_id, quality,
+         round(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) / 4294967296.0, 6) AS u_draw
+  FROM qscore
+)
+SELECT doc_id, quality, u_draw FROM drawn WHERE u_draw < quality
+"""

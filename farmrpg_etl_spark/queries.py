@@ -2423,6 +2423,39 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-vector decontamination: corpus embeddings (vec_id ≥ 50)
+    whose cosine to ANY eval-set embedding (vec_id < 50) reaches 0.35
+    — paraphrased leakage that n-gram and shingle checks miss. Eval
+    side broadcasts; the corpus is scanned map-side, never shuffled."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_contamination(
+        e.filter(F.col("vec_id") >= 50),
+        e.filter(F.col("vec_id") < 50),
+        "embedding", "vec_id", threshold=0.35,
+    )
+
+
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-style random projection 64→8 dims with the deterministic
+    md5-derived hyperplane family — map-side only, long-form output
+    (vec_id, p, proj) for cross-engine comparison."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(e, "embedding", "vec_id", dim=64, out_dim=8)
+
+
+def quality_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality score: each document survives
+    with probability == its text_metrics quality, decided by the
+    deterministic md5 uniform draw — reproducible across engines,
+    retries and partitionings. Map-side filter, no shuffle."""
+    from farmrpg_etl_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = T.text_metrics(d, "text").select("doc_id", "quality")
+    return curation.quality_weighted_sample(scored, "doc_id", "quality")
+
+
 def fuzzy_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate train/eval contamination: MinHash+LSH across two
     corpora (train = doc_id ≥ 250, eval = doc_id < 250 — same split as
@@ -3445,6 +3478,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4: corpus-curation family (operators/curation.py)
     "neardup_canonical_docs": neardup_canonical_docs,
     "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
+    "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
+    "random_projection_embeddings": random_projection_embeddings,
+    "quality_weighted_sample_docs": quality_weighted_sample_docs,
     "source_quota_docs": source_quota_docs,
     "token_shards_docs": token_shards_docs,
     "boilerplate_docs": boilerplate_docs,

@@ -107,3 +107,54 @@ def test_incremental_lsh_equals_batch_pairs_touching_new(spark):
     assert (1, 10) in got and (11, 12) in got and (1, 2) not in got
     # the updated index covers every document seen so far
     assert index.count() == 5
+
+
+def test_semantic_contamination_flags_planted_leak(spark):
+    from farmrpg_etl_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.01, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    evalset = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = semantic_contamination(corpus, evalset, "embedding", "vec_id", 0.9)
+    rows = out.collect()
+    assert [(r.vec_id, r.eval_id) for r in rows] == [(100, 1)]
+    assert rows[0].cosine > 0.99
+
+
+def test_random_projection_deterministic_and_shaped(spark):
+    from farmrpg_etl_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    out1 = random_projection(df, "embedding", "vec_id", dim=8, out_dim=4)
+    out2 = random_projection(df, "embedding", "vec_id", dim=8, out_dim=4)
+    r1 = sorted((r.vec_id, r.p, r.proj) for r in out1.collect())
+    r2 = sorted((r.vec_id, r.p, r.proj) for r in out2.collect())
+    assert r1 == r2
+    assert len(r1) == 8  # 2 rows x 4 components
+    # zero vector projects to exactly zero in every component
+    assert all(v == 0.0 for (i, p, v) in r1 if i == 2)
+
+
+def test_quality_weighted_sample_threshold_semantics(spark):
+    from farmrpg_etl_spark.operators.curation import quality_weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i in range(100) for w in [(i % 3) * 0.5]],
+        "doc_id long, quality double",
+    )
+    out = quality_weighted_sample(df, "doc_id", "quality")
+    rows = out.collect()
+    # weight 0 rows can never survive (u >= 0 strictly < 0 impossible)
+    assert all(r.quality > 0 for r in rows)
+    # weight-1.0 rows always survive (u in [0,1) < 1.0)
+    ones = {r.doc_id for r in rows if r.quality == 1.0}
+    assert ones == {i for i in range(100) if i % 3 == 2}
+    # deterministic across invocations
+    again = {r.doc_id for r in quality_weighted_sample(df, "doc_id", "quality").collect()}
+    assert again == {r.doc_id for r in rows}
