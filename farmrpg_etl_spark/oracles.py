@@ -2910,3 +2910,28 @@ drawn AS (
 )
 SELECT doc_id, quality, u_draw FROM drawn WHERE u_draw < quality
 """
+
+ORACLES["streaming_corpus_ingest"] = rf"""
+WITH {_QUALITY_CTES.strip().lstrip()},
+arrivals AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000001, text FROM documents WHERE doc_id % 7 = 0
+),
+base AS (
+  SELECT a.doc_id,
+         md5(regexp_replace(lower(trim(a.text)), '\s+', ' ', 'g'))
+           AS digest,
+         s.quality
+  FROM arrivals a JOIN qscore s
+    ON (CASE WHEN a.doc_id >= 1000000 THEN a.doc_id - 1000001
+             ELSE a.doc_id END) = s.doc_id
+  WHERE s.quality >= 0.5
+)
+SELECT doc_id, quality FROM (
+  SELECT doc_id, quality,
+         row_number() OVER (
+           PARTITION BY digest ORDER BY doc_id % 4, doc_id) AS rn
+  FROM base
+) WHERE rn = 1
+"""

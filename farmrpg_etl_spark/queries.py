@@ -1403,6 +1403,80 @@ def streaming_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "jaccard")
 
 
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TRAINING-CORPUS ingest end-to-end: documents arrive as
+    four micro-batches (file stream); each batch is quality-gated
+    (text_metrics ≥ 0.5), exact-deduped WITHIN the batch
+    (deterministic keep-min-id per content digest), and merged into
+    the corpus table through the replay-idempotent K1 writer keyed on
+    the digest — so the FIRST ARRIVAL of any content wins corpus-wide
+    and replays are no-ops. Returned: the sink end state.
+
+    The oracle pins arrival semantics exactly: winner per digest =
+    argmin(batch index = doc_id % 4, then doc_id) over gated docs —
+    i.e. continuous ingest must equal the batch recomputation, the
+    same equality argument as streaming_incremental_lsh."""
+    import tempfile
+
+    from farmrpg_etl_spark.operators.dedup import keep_first_per_key
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    base_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant recrawl duplicates (the shipped corpus is content-distinct):
+    # every doc_id % 7 == 0 re-arrives under a new id — usually in a
+    # DIFFERENT micro-batch than the original, so the cross-batch
+    # digest merge is actually exercised, not just the within-batch one
+    d = base_docs.unionByName(
+        base_docs.filter(F.col("doc_id") % 7 == 0).select(
+            # +1,000,001: 1e6 is 0 mod 4, which would re-land every
+            # replica in its original's micro-batch; the +1 shifts it
+            (F.col("doc_id") + F.lit(1_000_001)).alias("doc_id"), "text"
+        )
+    )
+    src_dir = tempfile.mkdtemp(prefix="farmrpg_cing_")
+    n_batches = 4
+    for i in range(n_batches):
+        d.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    corpus = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_corp_"))
+    digest = F.md5(
+        F.regexp_replace(
+            F.lower(F.trim(F.col("text"))), r"\s+", " "
+        ).cast("binary")
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        gated = (
+            T.text_metrics(batch_df, "text")
+            .filter(F.col("quality") >= 0.5)
+            .select("doc_id", "text", "quality")
+        )
+        rows = gated.withColumn("digest", digest).select(
+            "digest", "doc_id", "quality"
+        )
+        rows = keep_first_per_key(rows, ["digest"], order_col="doc_id")
+        insert_if_absent(
+            corpus, rows, ["digest"], batch_id=batch_id, writer="corpus"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return corpus.read().select("doc_id", "quality")
+
+
 def streaming_flags_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1's watermarked STREAM-STREAM join as a driver row: a chat-shaped
     stream and a flags-shaped stream (both file streams over events)
@@ -3464,6 +3538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_cdc_events": streaming_cdc_events,
     "streaming_flags_join_events": streaming_flags_join_events,
     "streaming_incremental_lsh": streaming_incremental_lsh,
+    "streaming_corpus_ingest": streaming_corpus_ingest,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_poll_source": streaming_poll_source,
     "streaming_windowed_counts": streaming_windowed_counts,
