@@ -228,3 +228,64 @@ def test_semantic_dedup_guard_plan_broadcasts_stats(spark):
     # and the guarded self-join stays an equi hash join
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------- round-4 plan shapes
+def test_bm25_plan_broadcast_semi_and_window_group_limit(spark):
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 9} common filler text") for i in range(200)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "w1 common"), (2, "w2 filler")],
+        "query_id long, query_text string",
+    )
+    plan = (
+        bm25_topk(docs, q, "text", "doc_id", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # query terms reach the corpus tokens as a broadcast semi-join —
+    # the full vocabulary never shuffles
+    assert "LeftSemi, BuildRight" in plan
+    # per-query top-k is map-side limited before the final sort
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_plan_no_cartesian_single_gram_shuffles(spark):
+    from farmrpg_etl_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = (
+        duplicated_spans(df, "text", "doc_id", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # interval union is a window over hit positions keyed by doc
+    assert "Window" in plan
+
+
+def test_semantic_contamination_plan_broadcasts_eval(spark):
+    from farmrpg_etl_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100, 150)],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        semantic_contamination(corpus, ev, "embedding", "vec_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the eval side broadcasts; the corpus is never exchanged
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
