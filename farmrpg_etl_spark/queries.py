@@ -3446,7 +3446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
     "first_event_per_user_type": first_event_per_user_type,
     "d1_message_cdc": d1_message_cdc,
-    "d5_change_pairs": d5_change_pairs,
+    "streaming_poll_source": streaming_poll_source,
     "claims_gate_events": claims_gate_events,
     "d6_absent_from_sink": d6_absent_from_sink,
     "j1_resolve_join": j1_resolve_join,
@@ -3502,6 +3502,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # parse_message_roundtrip moved out (the mail parser remains
     # prefix-covered through mailbox_pipeline_e2e, which runs inbox
     # parse → unread gate → fetch fan-out → mail parse end-to-end).
+    # r4 rebalance 3: streaming_poll_source (the PySpark 4 Python
+    # streaming data source — a NEW source-API family) moved in;
+    # d5_change_pairs moved out (D5 stays prefix-covered through
+    # claims_gate_events, which verifies the change gate INCLUDING the
+    # exact to_json claims payload).
     "parse_message_roundtrip": parse_message_roundtrip,
     "bm25_topk_docs": bm25_topk_docs,
     # r4 rebalance: simhash_pairs_docs moved INTO the prefix (the
@@ -3540,7 +3545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_incremental_lsh": streaming_incremental_lsh,
     "streaming_corpus_ingest": streaming_corpus_ingest,
     "streaming_dedup_events": streaming_dedup_events,
-    "streaming_poll_source": streaming_poll_source,
+    "d5_change_pairs": d5_change_pairs,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_latest_per_user": streaming_latest_per_user,
     "streaming_sessionize": streaming_sessionize,
