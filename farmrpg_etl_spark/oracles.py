@@ -2935,3 +2935,39 @@ SELECT doc_id, quality FROM (
   FROM base
 ) WHERE rn = 1
 """
+
+ORACLES["minhash_estimate_error_docs"] = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (SELECT doc_id, {_sig_list(16)} AS sig FROM s),
+buckets AS ({_BUCKETS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT id_a, id_b, est_jaccard FROM (
+    SELECT id_a, id_b,
+      round(list_sum(list_transform(generate_series(1, 16),
+        i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0, 6)
+        AS est_jaccard
+    FROM cand
+  ) WHERE est_jaccard >= 0.3
+),
+ex AS (
+  SELECT e.id_a, e.id_b, e.est_jaccard,
+         CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+              ELSE round(
+                CAST(len(list_distinct(
+                  list_filter(a.sh, x -> list_contains(b.sh, x)))) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+                6)
+         END AS exact_jaccard
+  FROM est e JOIN s a ON a.doc_id = e.id_a JOIN s b ON b.doc_id = e.id_b
+)
+SELECT id_a, id_b, est_jaccard, exact_jaccard,
+       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+FROM ex
+"""

@@ -2497,6 +2497,41 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_estimate_error_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation accounting for the MinHash family (the text-side
+    counterpart of ``ann_recall_ivf_probe``): for every LSH-emitted
+    pair, the 16-hash signature ESTIMATE next to the exact shingle-set
+    Jaccard, with the absolute error — at 100 TB you size num_hashes
+    against this table, not a hope. Exact sets are joined back only
+    for the emitted pairs (a vanishing fraction of the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3, shingle_k=3
+    ).select(
+        "id_a", "id_b", F.col("jaccard").alias("est_jaccard")
+    )
+    sh = d.select("doc_id", H.shingles(F.col("text"), 3).alias("__sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__shb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    un = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    exact = F.when(un == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+            .cast("double")
+            / un.cast("double"),
+            6,
+        )
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        exact.alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+    )
+
+
 def semantic_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-vector decontamination: corpus embeddings (vec_id ≥ 50)
     whose cosine to ANY eval-set embedding (vec_id < 50) reaches 0.35
@@ -3536,6 +3571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures_docs": minhash_signatures_docs,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    "minhash_estimate_error_docs": minhash_estimate_error_docs,
     "q1_pricing_summary": q1_pricing_summary,
     "d1_changes_events": d1_changes_events,
     "corpus_curation": corpus_curation,
