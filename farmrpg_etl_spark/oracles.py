@@ -2971,3 +2971,13 @@ SELECT id_a, id_b, est_jaccard, exact_jaccard,
        round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
 FROM ex
 """
+
+ORACLES["k_time_travel_sink"] = """
+SELECT event_id, event_type, value, CAST(0 AS INT) AS version
+FROM events WHERE event_id % 3 = 0
+UNION ALL
+SELECT event_id, event_type,
+       CASE WHEN event_id % 5 = 0 THEN value + 100.0 ELSE value END AS value,
+       CAST(1 AS INT) AS version
+FROM events WHERE event_id % 3 = 0
+"""

@@ -107,6 +107,23 @@ class ParquetTable:
             out = out.sortWithinPartitions(*sort_by)
         self._commit(out, None)
 
+    def read_version(self, v: int) -> DataFrame:
+        """Time-travel read of a retained snapshot (Delta-style
+        ``VERSION AS OF``). Retention matches `_commit`'s vacuum: the
+        current and previous versions are always readable; older
+        snapshots are removed two commits after they are superseded.
+        The read is of an IMMUTABLE directory — concurrent writers
+        commit new versions and never mutate a published one, so a
+        long-running job pinned to a version sees consistent data
+        regardless of later merges (the property audits/backfills
+        need)."""
+        p = os.path.join(self.path, f"v{v}")
+        if not os.path.isdir(p):
+            raise ValueError(
+                f"version {v} not retained (current={self.current_version()})"
+            )
+        return self.spark.read.parquet(p)
+
     def _already_committed(self, batch_id: int | None, writer: str = "default") -> bool:
         """Replay guard, namespaced per logical writer — different
         streaming queries writing one table have independent batch-id

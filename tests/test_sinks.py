@@ -216,3 +216,25 @@ def test_console_sink_prints_rows(spark, capsys):
     console_sink(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), n=5)
     out = capsys.readouterr().out
     assert "a" in out and "b" in out  # K8: rows actually reach stdout
+
+
+def test_read_version_time_travel_and_retention(spark, tmp_path):
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent, merge_update
+    import pytest
+
+    t = ParquetTable(spark, str(tmp_path / "tt"))
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    insert_if_absent(t, df, ["k"], batch_id=0)
+    upd = spark.createDataFrame([(1, 99.0)], "k long, v double")
+    merge_update(t, upd, on=["k"], set_cols=["v"], batch_id=1)
+    # v0 shows pre-update state, current shows post-update
+    v0 = {r.k: r.v for r in t.read_version(0).collect()}
+    cur = {r.k: r.v for r in t.read().collect()}
+    assert v0 == {1: 10.0, 2: 20.0}
+    assert cur == {1: 99.0, 2: 20.0}
+    # third commit vacuums v0 (two-version retention)
+    merge_update(t, spark.createDataFrame([(2, 77.0)], "k long, v double"),
+                 on=["k"], set_cols=["v"], batch_id=2)
+    with pytest.raises(ValueError, match="not retained"):
+        t.read_version(0)
+    assert {r.k: r.v for r in t.read_version(1).collect()} == {1: 99.0, 2: 20.0}
