@@ -2981,3 +2981,8 @@ SELECT event_id, event_type,
        CAST(1 AS INT) AS version
 FROM events WHERE event_id % 3 = 0
 """
+
+ORACLES["k_delete_tombstones_sink"] = """
+SELECT event_id, event_type, value
+FROM events WHERE event_id % 3 = 0 AND event_id % 7 <> 0
+"""

@@ -2701,6 +2701,28 @@ def k_time_travel_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v0.unionByName(cur)
 
 
+def k_delete_tombstones_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-DELETE end state (right-to-be-forgotten): seed the table
+    with events ≡0 (mod 3), then delete every key ≡0 (mod 7) — the
+    delete set intentionally includes keys never stored (no-op) and
+    the replayed batch proves idempotent convergence. End state =
+    stored minus tombstoned."""
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("kdel"))
+    writers.insert_if_absent(
+        t, ev.filter(F.col("event_id") % 3 == 0), ["event_id"], batch_id=0
+    )
+    dels = ev.filter(F.col("event_id") % 7 == 0).select("event_id")
+    writers.delete_where(t, dels, ["event_id"], batch_id=1, writer="del")
+    # replay: must be a no-op (same batch id)
+    writers.delete_where(t, dels, ["event_id"], batch_id=1, writer="del")
+    return t.read()
+
+
 def k3_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3/J4 sink end-state (reference db/user.py:34, get_or_create):
     same scenario as the j4_upsert operator row but through the
@@ -3579,6 +3601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (ann_topk_quantized still judge-verified below).
     "k3_snapshot_append_sink": k3_snapshot_append_sink,
     "k_time_travel_sink": k_time_travel_sink,
+    "k_delete_tombstones_sink": k_delete_tombstones_sink,
     "int8_quantize_embeddings": int8_quantize_embeddings,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
     "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,

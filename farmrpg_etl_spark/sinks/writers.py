@@ -342,3 +342,32 @@ def merge_additive_aggregates(
             .agg(*[F.sum(c).alias(c) for c in value_cols])
         )
     table._commit(merged, batch_id, writer)
+
+
+def delete_where(
+    table: ParquetTable,
+    keys: DataFrame,
+    key: Sequence[str],
+    batch_id: int | None = None,
+    writer: str = "default",
+) -> None:
+    """MERGE WHEN MATCHED THEN DELETE — the tombstone-propagation
+    writer a privacy-compliant corpus needs (right-to-be-forgotten:
+    the delete set arrives as keys, every matching stored row is
+    removed). Replay-idempotent like every writer here: re-deleting an
+    absent key is a no-op, so a re-delivered batch converges.
+
+    Scale: one left-anti join keyed on the table's natural key; the
+    delete set is typically tiny → broadcast. The commit is the usual
+    atomic version swap, so time-travel reads of the PRIOR version
+    still see the deleted rows until retention vacuums them — document
+    retention windows accordingly in a real deployment."""
+    if table._already_committed(batch_id, writer):
+        return
+    existing = table.read()
+    if existing is None:
+        return
+    remaining = existing.join(
+        keys.select(*key).dropDuplicates(list(key)), on=list(key), how="left_anti"
+    )
+    table._commit(remaining, batch_id, writer)
