@@ -705,3 +705,41 @@ def random_projection(
     return df.select(
         F.col(id_col), F.posexplode(comps).alias("p", "proj")
     )
+
+
+def mean_pool(
+    df: DataFrame, vec_col: str, group_col: str, id_col: str | None = None
+) -> DataFrame:
+    """Grouped elementwise mean of embedding vectors — the chunk→document
+    (or doc→cluster-centroid) pooling step. Emits LONG form
+    ``(group, p, mean_val)``: one row per (group, component), keeping
+    values plain doubles for cross-engine comparison; pivot back to an
+    array downstream if an array is needed.
+
+    Numeric contract: the output is the EXACT pair
+    ``(sum_micros, n)`` — components quantized to integer micros and
+    summed as longs — rather than a rounded mean: a rounded
+    ``sum/n`` has knife-edge cases every 1/(n·10⁶) where two engines'
+    rounding can disagree by 1 ulp (observed at sf0.01), while the
+    integer sum is bit-exact by construction. The consumer divides:
+    ``mean = sum_micros / (1e6 · n)``.
+
+    Shape: posexplode → one shuffle keyed on (group, component) with
+    map-side partial aggregation. The (group, component) key is
+    uniform by construction (components multiply every group's
+    cardinality by the fixed dim), so no group skew can hot-spot the
+    shuffle worse than the group key itself."""
+    inst = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(V.as_double(F.col(vec_col))).alias("p", "__x"),
+    )
+    m = F.floor(F.lit(1000000.0) * F.col("__x")).cast("long")
+    return (
+        inst.withColumn("__m", m)
+        .groupBy("grp", "p")
+        .agg(
+            F.sum("__m").alias("sum_micros"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("grp").alias(group_col), "p", "sum_micros", "n")
+    )

@@ -2986,3 +2986,16 @@ ORACLES["k_delete_tombstones_sink"] = """
 SELECT event_id, event_type, value
 FROM events WHERE event_id % 3 = 0 AND event_id % 7 <> 0
 """
+
+ORACLES["mean_pool_embeddings"] = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+inst AS (
+  SELECT label, i - 1 AS p,
+         CAST(floor(1000000.0 * v[i]) AS BIGINT) AS m
+  FROM e, unnest(generate_series(1, 64)) AS t(i)
+)
+SELECT label, CAST(p AS INT) AS p,
+       CAST(SUM(m) AS BIGINT) AS sum_micros,
+       count(*) AS n
+FROM inst GROUP BY label, p
+"""

@@ -2532,6 +2532,14 @@ def minhash_estimate_error_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mean_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document pooling: per-label elementwise mean of all
+    embeddings (long form: label, p, mean_val) — one shuffle keyed on
+    (label, component) with decimal-exact means."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.mean_pool(e, "embedding", "label")
+
+
 def semantic_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-vector decontamination: corpus embeddings (vec_id ≥ 50)
     whose cosine to ANY eval-set embedding (vec_id < 50) reaches 0.35
@@ -3645,6 +3653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
     "random_projection_embeddings": random_projection_embeddings,
+    "mean_pool_embeddings": mean_pool_embeddings,
     "quality_weighted_sample_docs": quality_weighted_sample_docs,
     "source_quota_docs": source_quota_docs,
     "token_shards_docs": token_shards_docs,

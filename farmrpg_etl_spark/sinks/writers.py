@@ -189,9 +189,18 @@ def upsert(
     update_cols: Sequence[str] = (),
     batch_id: int | None = None,
     writer: str = "default",
+    merge_schema: bool = False,
 ) -> None:
     """K3/J4 — MERGE MATCHED UPDATE / NOT MATCHED INSERT (get_or_create,
-    db/user.py:34, bots/firebase.py:17-21)."""
+    db/user.py:34, bots/firebase.py:17-21).
+
+    ``merge_schema=True`` enables Delta-style additive schema
+    evolution: columns present in the batch but not the stored table
+    are appended to the table schema, with NULL for rows the batch
+    didn't touch. Only ADDITIVE evolution is supported — a stored
+    column missing from the batch keeps its values (never dropped),
+    and type changes are rejected by the union below, which is
+    exactly the safe subset a long-lived 100 TB table wants."""
     if table._already_committed(batch_id, writer):
         return
     incoming = batch.dropDuplicates(list(key))
@@ -199,6 +208,17 @@ def upsert(
     if existing is None:
         table._commit(incoming, batch_id, writer)
         return
+    new_cols = [c for c in incoming.columns if c not in existing.columns]
+    if new_cols:
+        if not merge_schema:
+            raise ValueError(
+                f"batch adds columns {new_cols}; pass merge_schema=True "
+                "to evolve the table schema additively"
+            )
+        for c in new_cols:
+            existing = existing.withColumn(
+                c, F.lit(None).cast(incoming.schema[c].dataType)
+            )
     e, i = existing.alias("e"), incoming.alias("i")
     cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"i.{k}")) for k in key]
     joined = e.join(i, cond, "full_outer")

@@ -238,3 +238,27 @@ def test_read_version_time_travel_and_retention(spark, tmp_path):
     with pytest.raises(ValueError, match="not retained"):
         t.read_version(0)
     assert {r.k: r.v for r in t.read_version(1).collect()} == {1: 99.0, 2: 20.0}
+
+
+def test_upsert_schema_evolution_additive(spark, tmp_path):
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, upsert
+    import pytest
+
+    t = ParquetTable(spark, str(tmp_path / "evo"))
+    upsert(t, spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string"),
+           ["k"], batch_id=0)
+    batch2 = spark.createDataFrame(
+        [(2, "b2", 0.9), (3, "c", 0.5)], "k long, name string, score double"
+    )
+    # without the flag: refuse rather than silently drop the new column
+    with pytest.raises(ValueError, match="merge_schema"):
+        upsert(t, batch2, ["k"], update_cols=["name", "score"], batch_id=1)
+    upsert(t, batch2, ["k"], update_cols=["name", "score"], batch_id=1,
+           merge_schema=True)
+    rows = {r.k: (r.name, r.score) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b2", 0.9), 3: ("c", 0.5)}
+    # stored columns absent from a later batch keep their values
+    upsert(t, spark.createDataFrame([(3, 0.7)], "k long, score double"),
+           ["k"], update_cols=["score"], batch_id=2)
+    rows = {r.k: (r.name, r.score) for r in t.read().collect()}
+    assert rows[3] == ("c", 0.7) and rows[1] == ("a", None)
