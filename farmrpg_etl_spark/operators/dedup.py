@@ -482,6 +482,11 @@ def ngram_jaccard_pairs(
         F.size("__sh").alias("__n"),
         F.explode("__sh").alias("__g"),
     )
+    # lazy persist: both self-join sides read ONE InMemoryRelation, so
+    # the corpus is tokenized+shingled once, not twice (same discipline
+    # as the minhash signature cache; BlockManager partition locks make
+    # concurrent first-scan population safe)
+    ex = ex.persist()
     a = ex.select(
         F.col(id_col).alias("id_a"),
         F.col("__block").alias("__ba"),
