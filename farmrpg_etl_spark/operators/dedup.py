@@ -797,6 +797,11 @@ def duplicated_spans(
         F.col("__pos"),
         F.md5(F.col("__g").cast("binary")).alias("__gh"),
     )
+    # lazy persist: the instance relation feeds BOTH the gram-count
+    # aggregation and the hit join — without the cache the corpus is
+    # tokenized and gram-hashed twice (fixed-width (id, pos, md5) rows,
+    # so the cache spills compactly at scale)
+    inst = inst.persist()
     dup = (
         inst.groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__c"))
