@@ -46,6 +46,13 @@ HEADLINE = [
 
 
 def main() -> None:
+    t_start = time.time()
+
+    def phase(msg: str) -> None:
+        # stderr breadcrumb: where bench wall-time goes (the JSON line
+        # on stdout stays the single machine-readable artifact)
+        print(f"[bench +{time.time() - t_start:7.1f}s] {msg}", file=sys.stderr)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -68,7 +75,9 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # warm the JVM + parquet footers with a trivial action
+    phase("session up; warming")
     run("j3_fk_hydrate")
+    phase("headline block start")
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -130,6 +139,7 @@ def main() -> None:
 
     # round-2 operator additions, timed the same way but reported
     # separately so the headline total stays comparable across rounds
+    phase("parse throughput done; extended block start")
     extended = {}
     for name in [
         "q19_disjunctive_revenue",
@@ -185,89 +195,103 @@ def main() -> None:
         from farmrpg_etl_spark.operators import similarity as S
         from farmrpg_etl_spark.sources.tables import load_table
 
+        phase("extended done; sf1 synthesis start")
         stretch_dir = "/tmp/farmrpg_sf1_synth"
-        k = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("k")
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", k)
-        kstr = F.col("k").cast("string")
-        docs10 = docs.select(
-            (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
-            F.when(F.col("k") == 0, F.col("text"))
-            .when(
-                F.col("doc_id") % 50 == 0,  # planted near-dup families
-                F.concat(F.col("text"), F.lit(" replica "), kstr),
-            )
-            .otherwise(  # k-prefix every token: mutually distant replicas
-                F.replace(F.col("text"), F.lit(" "), F.concat(F.lit(" "), kstr))
-            )
-            .alias("text"),
-        )
-        # 64 files: scan parallelism at any maxPartitionBytes (on a real
-        # cluster the ingest layout provides this; a synthesized
-        # single-file corpus would serialize every downstream scan)
-        docs10.repartition(64).write.mode("overwrite").parquet(
-            f"{stretch_dir}/documents.parquet"
-        )
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", "label", k
-        )
-        emb10 = emb.select(
-            (F.col("vec_id") + F.col("k") * 1_000_000).alias("vec_id"),
-            F.transform(
-                F.col("embedding"),
-                lambda x, i: x + (F.col("k") * 0.001) * F.when(i == 0, 1.0).otherwise(0.0),
-            ).alias("embedding"),
-            "label",
-        )
-        emb10.repartition(64).write.mode("overwrite").parquet(
-            f"{stretch_dir}/embeddings.parquet"
-        )
-        # Relational tables at 10×: consistent 10-universe replication —
-        # every key/FK column gets the SAME per-replica offset, so joins
-        # stay within a universe (zero cross-replica fan-out), row
-        # counts scale exactly 10×, and name-keyed group-bys collapse
-        # the universes back to the same output rows with 10× sums.
-        # Offsets: int32 FK columns (nation/region keys, values < 100)
-        # shift by k·1000; bigint keys by k·10⁹ (long math — k is cast
-        # first so ANSI mode cannot overflow an int intermediate).
-        # write proper micros timestamps (the default INT96 reads back
-        # as timestamp[ns] through pyarrow and confuses nano detection)
-        spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-        INT_OFF = 1000
-        BIG_OFF = 1_000_000_000
-        SF1_KEYS = {
-            "region": {"r_regionkey": INT_OFF},
-            "nation": {"n_nationkey": INT_OFF, "n_regionkey": INT_OFF},
-            "customer": {"c_custkey": BIG_OFF, "c_nationkey": INT_OFF},
-            "supplier": {"s_suppkey": BIG_OFF, "s_nationkey": INT_OFF},
-            "part": {"p_partkey": BIG_OFF},
-            "orders": {"o_orderkey": BIG_OFF, "o_custkey": BIG_OFF},
-            "lineitem": {
-                "l_orderkey": BIG_OFF,
-                "l_partkey": BIG_OFF,
-                "l_suppkey": BIG_OFF,
-            },
-            "events": {"event_id": BIG_OFF, "user_id": BIG_OFF},
-        }
-        for tbl, keys in SF1_KEYS.items():
-            t = load_table(spark, sf_dir, tbl)
-            shifted = [
-                (
-                    (
-                        F.col(c)
-                        + F.col("k").cast("long" if off == BIG_OFF else "int")
-                        * F.lit(off)
-                    ).alias(c)
-                    if c in keys
-                    else F.col(c)
+        # deterministic synthesis: same code + same sf0.1 input → same
+        # bytes, so a completed synthesis is reusable across bench runs
+        # on one machine. The marker encodes the recipe version — bump
+        # it when the synthesis logic changes.
+        _synth_marker = os.path.join(stretch_dir, "_SYNTH_OK_v2")
+        _synth_needed = not os.path.exists(_synth_marker)
+        if _synth_needed:
+            k = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("k")
+            docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", k)
+            kstr = F.col("k").cast("string")
+            docs10 = docs.select(
+                (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
+                F.when(F.col("k") == 0, F.col("text"))
+                .when(
+                    F.col("doc_id") % 50 == 0,  # planted near-dup families
+                    F.concat(F.col("text"), F.lit(" replica "), kstr),
                 )
-                for c, off in ((c, keys.get(c)) for c in t.columns)
-            ]
-            nfiles = 64 if tbl in ("lineitem", "orders", "events") else 4
-            t.select(*t.columns, k).select(*shifted).repartition(
-                nfiles
-            ).write.mode("overwrite").parquet(f"{stretch_dir}/{tbl}.parquet")
+                .otherwise(  # k-prefix every token: mutually distant replicas
+                    F.replace(F.col("text"), F.lit(" "), F.concat(F.lit(" "), kstr))
+                )
+                .alias("text"),
+            )
+            # 64 files: scan parallelism at any maxPartitionBytes (on a real
+            # cluster the ingest layout provides this; a synthesized
+            # single-file corpus would serialize every downstream scan)
+            docs10.repartition(64).write.mode("overwrite").parquet(
+                f"{stretch_dir}/documents.parquet"
+            )
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding", "label", k
+            )
+            emb10 = emb.select(
+                (F.col("vec_id") + F.col("k") * 1_000_000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x + (F.col("k") * 0.001) * F.when(i == 0, 1.0).otherwise(0.0),
+                ).alias("embedding"),
+                "label",
+            )
+            emb10.repartition(64).write.mode("overwrite").parquet(
+                f"{stretch_dir}/embeddings.parquet"
+            )
+            # Relational tables at 10×: consistent 10-universe replication —
+            # every key/FK column gets the SAME per-replica offset, so joins
+            # stay within a universe (zero cross-replica fan-out), row
+            # counts scale exactly 10×, and name-keyed group-bys collapse
+            # the universes back to the same output rows with 10× sums.
+            # Offsets: int32 FK columns (nation/region keys, values < 100)
+            # shift by k·1000; bigint keys by k·10⁹ (long math — k is cast
+            # first so ANSI mode cannot overflow an int intermediate).
+            # write proper micros timestamps (the default INT96 reads back
+            # as timestamp[ns] through pyarrow and confuses nano detection)
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+            INT_OFF = 1000
+            BIG_OFF = 1_000_000_000
+            SF1_KEYS = {
+                "region": {"r_regionkey": INT_OFF},
+                "nation": {"n_nationkey": INT_OFF, "n_regionkey": INT_OFF},
+                "customer": {"c_custkey": BIG_OFF, "c_nationkey": INT_OFF},
+                "supplier": {"s_suppkey": BIG_OFF, "s_nationkey": INT_OFF},
+                "part": {"p_partkey": BIG_OFF},
+                "orders": {"o_orderkey": BIG_OFF, "o_custkey": BIG_OFF},
+                "lineitem": {
+                    "l_orderkey": BIG_OFF,
+                    "l_partkey": BIG_OFF,
+                    "l_suppkey": BIG_OFF,
+                },
+                "events": {"event_id": BIG_OFF, "user_id": BIG_OFF},
+            }
+            for tbl, keys in SF1_KEYS.items():
+                t = load_table(spark, sf_dir, tbl)
+                shifted = [
+                    (
+                        (
+                            F.col(c)
+                            + F.col("k").cast("long" if off == BIG_OFF else "int")
+                            * F.lit(off)
+                        ).alias(c)
+                        if c in keys
+                        else F.col(c)
+                    )
+                    for c, off in ((c, keys.get(c)) for c in t.columns)
+                ]
+                nfiles = 64 if tbl in ("lineitem", "orders", "events") else 4
+                t.select(*t.columns, k).select(*shifted).repartition(
+                    nfiles
+                ).write.mode("overwrite").parquet(f"{stretch_dir}/{tbl}.parquet")
+
+            with open(_synth_marker, "w") as f:
+                f.write("ok")
+            phase("sf1 synthesis done")
+        else:
+            phase("sf1 synthesis skipped (marker present)")
 
         def stretch_minhash():
             d = spark.read.parquet(f"{stretch_dir}/documents.parquet")
@@ -344,6 +368,7 @@ def main() -> None:
                 )
             return fn
 
+        phase("sf1 stretch start")
         stretch = {}
         for name, fn in [
             ("minhash_lsh_pairs_10x", stretch_minhash),
@@ -379,6 +404,7 @@ def main() -> None:
         # relational core (acceptance: no query superlinear vs its
         # sf0.1 time by more than ~12×). Same methodology: cold run,
         # then min-of-2 steady-state, cache cleared between queries.
+        phase("sf1 full-headline start")
         sf1h = {}
         for name in HEADLINE:
             t0 = time.time()
@@ -398,6 +424,8 @@ def main() -> None:
         out["sf1_headline"] = sf1h
         out["sf1_headline_total_sec"] = round(sum(sf1h.values()), 3)
 
+    out["bench_wall_sec"] = round(time.time() - t_start, 1)
+    phase("done")
     print(json.dumps(out))
 
 

@@ -158,3 +158,17 @@ def test_quality_weighted_sample_threshold_semantics(spark):
     # deterministic across invocations
     again = {r.doc_id for r in quality_weighted_sample(df, "doc_id", "quality").collect()}
     assert again == {r.doc_id for r in rows}
+
+
+def test_mean_pool_exact_micros(spark):
+    from farmrpg_etl_spark.operators.similarity import mean_pool
+
+    df = spark.createDataFrame(
+        [("a", [1.0, -2.5]), ("a", [3.0, 0.5]), ("b", [0.000001, 0.0])],
+        "grp string, v array<double>",
+    )
+    out = {(r.grp, r.p): (r.sum_micros, r.n) for r in mean_pool(df, "v", "grp").collect()}
+    assert out[("a", 0)] == (4_000_000, 2)
+    assert out[("a", 1)] == (-2_000_000, 2)  # floor(-2.5e6) + floor(0.5e6)
+    assert out[("b", 0)] == (1, 1)
+    assert out[("b", 1)] == (0, 1)
