@@ -315,3 +315,50 @@ def test_grouped_prefix_sum_property(sp, rows):
         for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+DOCS = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=DOCS)
+@SETTINGS
+def test_duplicated_spans_bounds_property(sp, docs):
+    """dup_tok is always within [0, n_tok]; an exact duplicate pair of
+    length >= k is fully covered on both sides."""
+    from pyspark.sql import functions as F
+
+    uniq = {i: " ".join(toks) for i, toks in docs}
+    data = list(uniq.items())
+    # plant one guaranteed duplicate pair of length k
+    data += [(10**7, "x y z"), (10**7 + 1, "x y z")]
+    df = sp.createDataFrame(data, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicated_spans(df, "text", "doc_id", k=3).collect()}
+    assert len(out) == len(data)
+    for r in out.values():
+        assert 0 <= r.dup_tok <= r.n_tok
+    assert out[10**7].dup_tok == 3 and out[10**7 + 1].dup_tok == 3
+
+
+@given(docs=DOCS)
+@SETTINGS
+def test_quality_weighted_sample_is_subset_and_monotone(sp, docs):
+    """The kept set is a subset, deterministic, and monotone in the
+    weight: raising every weight can only keep a superset."""
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.operators.curation import quality_weighted_sample
+
+    uniq = {i: min(1.0, len(toks) / 12.0) for i, toks in docs}
+    df = sp.createDataFrame(list(uniq.items()), "doc_id long, quality double")
+    kept_lo = {r.doc_id for r in quality_weighted_sample(df, "doc_id", "quality").collect()}
+    hi = df.withColumn("quality", F.least(F.lit(1.0), F.col("quality") + 0.5))
+    kept_hi = {r.doc_id for r in quality_weighted_sample(hi, "doc_id", "quality").collect()}
+    assert kept_lo <= set(uniq)
+    assert kept_lo <= kept_hi
