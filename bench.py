@@ -20,6 +20,7 @@ actual execution time 5×. The cold first-run total is still reported
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -197,11 +198,16 @@ def main() -> None:
 
         phase("extended done; sf1 synthesis start")
         stretch_dir = "/tmp/farmrpg_sf1_synth"
-        # deterministic synthesis: same code + same sf0.1 input → same
+        # deterministic synthesis: same code + same input dir → same
         # bytes, so a completed synthesis is reusable across bench runs
-        # on one machine. The marker encodes the recipe version — bump
-        # it when the synthesis logic changes.
-        _synth_marker = os.path.join(stretch_dir, "_SYNTH_OK_v2")
+        # on one machine. The marker encodes the recipe version AND the
+        # resolved input dir — bump the version when the synthesis logic
+        # changes; a different SPARK_GRAFT_SF_DIR re-synthesizes instead
+        # of silently reusing a corpus built from another scale factor.
+        _dir_tag = hashlib.md5(
+            os.path.realpath(sf_dir).encode()
+        ).hexdigest()[:10]
+        _synth_marker = os.path.join(stretch_dir, f"_SYNTH_OK_v2_{_dir_tag}")
         _synth_needed = not os.path.exists(_synth_marker)
         if _synth_needed:
             k = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("k")

@@ -465,7 +465,14 @@ def ngram_jaccard_pairs(
     it is the difference between |block|² pair rows and
     Σ per-shingle count². Set semantics come from ``array_distinct``
     before the explode; per-doc distinct counts ride along the join,
-    so there is no second pass over the corpus."""
+    so there is no second pass over the corpus.
+
+    Cache contract: the exploded shingle relation is lazily
+    ``persist()``-ed and stays pinned while the returned plan is
+    referenced; long-lived sessions that call this repeatedly should
+    drop the plan / ``clearCache()`` between calls (bench.py does), and
+    at 100 TB use ``StorageLevel.DISK_ONLY`` for the corpus-sized
+    relation."""
     if threshold < 0:
         raise ValueError("threshold must be >= 0 (zero-overlap pairs never emit)")
     block = F.col(block_col).cast("string")
@@ -777,6 +784,16 @@ def duplicated_spans(
     Documents shorter than ``k`` tokens have no strict grams (they are
     exact-dedup territory, not span territory) and report
     ``dup_tok = 0``.
+
+    Cache contract: the gram-instance relation is ``persist()``-ed
+    (lazily) and stays pinned for as long as the returned plan is
+    referenced — repeated calls in one long-lived session accumulate
+    cached relations unless the caller drops the plan reference or
+    calls ``spark.catalog.clearCache()`` between invocations (bench.py
+    does; pipeline wrappers that run this to completion should
+    ``unpersist()`` after their terminal action). At 100 TB prefer
+    ``.persist(StorageLevel.DISK_ONLY)`` for the corpus-sized instance
+    relation so the cache never competes with shuffle memory.
     """
     toks = F.coalesce(H.words(F.col(text_col)), F.array().cast("array<string>"))
     base = df.select(F.col(id_col), toks.alias("__toks"))

@@ -18,6 +18,16 @@ per-term contributions are quantized to 1e-6 and decimal-summed
 (``queries._dec_sum`` discipline) so the final score is
 order-independent. Documented as "BM25 (rational-idf variant)".
 
+NOT order-equivalent to log-idf BM25 for MULTI-term queries: each
+term's score is monotone in its log-idf twin, but the per-document SUM
+of rational idfs weighs a rare term ~N where classic BM25 weighs it
+~log N, so a single very-rare-term hit can outrank several
+moderately-rare matches that log-idf BM25 would place first. Rankings
+(not just raw scores) can therefore diverge on multi-term queries;
+treat this operator as a rare-term-emphasised BM25 family member. For
+classic ordering at the cost of cross-engine hash parity, swap ``idf``
+below for ``F.log((N - df + 0.5) / (df + 0.5) + 1.0)``.
+
 Scale shape (100 TB corpus, small query set):
 
 * the query term table is tiny → broadcast; the corpus's exploded

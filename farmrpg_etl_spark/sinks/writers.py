@@ -199,8 +199,10 @@ def upsert(
     are appended to the table schema, with NULL for rows the batch
     didn't touch. Only ADDITIVE evolution is supported — a stored
     column missing from the batch keeps its values (never dropped),
-    and type changes are rejected by the union below, which is
-    exactly the safe subset a long-lived 100 TB table wants."""
+    and a shared column arriving with a DIFFERENT type raises
+    ``ValueError`` below (Spark's implicit coercion would otherwise
+    silently widen the stored schema), which is exactly the safe
+    subset a long-lived 100 TB table wants."""
     if table._already_committed(batch_id, writer):
         return
     incoming = batch.dropDuplicates(list(key))
@@ -208,6 +210,17 @@ def upsert(
     if existing is None:
         table._commit(incoming, batch_id, writer)
         return
+    type_drift = [
+        (c, str(existing.schema[c].dataType), str(incoming.schema[c].dataType))
+        for c in incoming.columns
+        if c in existing.columns
+        and existing.schema[c].dataType != incoming.schema[c].dataType
+    ]
+    if type_drift:
+        raise ValueError(
+            "upsert batch changes column types (only additive evolution "
+            f"is supported): {type_drift}"
+        )
     new_cols = [c for c in incoming.columns if c not in existing.columns]
     if new_cols:
         if not merge_schema:

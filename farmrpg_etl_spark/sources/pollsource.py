@@ -162,7 +162,9 @@ class PollDataSource(DataSource):
     ``spark.dataSource.register(PollDataSource)`` first.
 
     Options: ``start_epoch`` (schedule origin, default pinned),
-    ``advance_per_batch`` (ticks per micro-batch, default 30),
+    ``advance_per_batch`` (ticks per micro-batch; defaults to
+    ``max_ticks`` — the whole horizon in ONE micro-batch; set it
+    lower to exercise multi-batch replay),
     ``max_ticks`` (schedule horizon, default 120), ``sources``
     (comma-filter, e.g. ``"chat,flags"``)."""
 

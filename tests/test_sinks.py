@@ -262,3 +262,20 @@ def test_upsert_schema_evolution_additive(spark, tmp_path):
            ["k"], update_cols=["score"], batch_id=2)
     rows = {r.k: (r.name, r.score) for r in t.read().collect()}
     assert rows[3] == ("c", 0.7) and rows[1] == ("a", None)
+
+
+def test_upsert_rejects_type_drift(spark, tmp_path):
+    """A shared column arriving with a different type must raise, not
+    let Spark's implicit coercion silently widen the stored schema
+    (r4 ADVICE: writers.py upsert type-safety)."""
+    import pytest
+
+    t = ParquetTable(spark, str(tmp_path / "drift"))
+    upsert(t, spark.createDataFrame([(1, 10)], "k long, v int"), ["k"], batch_id=0)
+    bad = spark.createDataFrame([(2, 1.5)], "k long, v double")
+    with pytest.raises(ValueError, match="column types"):
+        upsert(t, bad, ["k"], update_cols=["v"], batch_id=1)
+    # same applies under merge_schema=True: evolution is additive-only
+    with pytest.raises(ValueError, match="column types"):
+        upsert(t, bad, ["k"], update_cols=["v"], batch_id=1, merge_schema=True)
+    assert {r.k: r.v for r in t.read().collect()} == {1: 10}
