@@ -201,6 +201,166 @@ def decode_bmp(data: bytes) -> dict:
     }
 
 
+# ------------------------------------------------------------------ GIF
+def _gif_palette() -> bytes:
+    """Fixed 256-entry palette (deterministic arithmetic ramp)."""
+    return bytes(
+        v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256)
+    )
+
+
+def encode_gif(width: int, height: int, idx: bytes) -> bytes:
+    """Minimal real GIF89a encoder: 8-bit palette indices, one image,
+    true variable-width LZW compression (dictionary growth, code-width
+    bumps at 2^w, clear-code reset when the 12-bit table fills)."""
+    if len(idx) != width * height:
+        raise ValueError("idx length must be width*height")
+    mcs = 8  # min code size for an 8-bit palette
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out_codes: list[int] = [clear]
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, width_bits = eoi + 1, mcs + 1
+    # emit (code, width) pairs; the bitstream below packs LSB-first
+    widths: list[int] = [width_bits]
+    buf = b""
+    for b in idx:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        out_codes.append(table[buf])
+        widths.append(width_bits)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        else:  # table full: reset (the spec's clear-code path)
+            out_codes.append(clear)
+            widths.append(width_bits)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code, width_bits = eoi + 1, mcs + 1
+        buf = bytes([b])
+    if buf:
+        out_codes.append(table[buf])
+        widths.append(width_bits)
+    out_codes.append(eoi)
+    widths.append(width_bits)
+    # pack codes LSB-first
+    acc = nbits = 0
+    packed = bytearray()
+    for code, w in zip(out_codes, widths):
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    # 255-byte sub-blocks
+    blocks = bytearray()
+    for i in range(0, len(packed), 255):
+        part = packed[i : i + 255]
+        blocks.append(len(part))
+        blocks += part
+    blocks.append(0)
+    screen = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
+    imgdesc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    return (
+        b"GIF89a" + screen + _gif_palette() + imgdesc
+        + bytes([mcs]) + bytes(blocks) + b"\x3b"
+    )
+
+
+def decode_gif(data: bytes) -> dict:
+    """GIF87a/89a decode: screen descriptor, global color table, first
+    image's variable-width LZW stream expanded to palette indices, then
+    palette lookup to top-down RGB for the pixel digest. Extension
+    blocks are skipped; interlace/local-palette images are rejected."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF has no image data")
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    _, _l, _t, iw, ih, iflags = struct.unpack_from("<BHHHHB", data, pos)
+    pos += 10
+    if iflags & 0xC0:
+        raise ValueError("unsupported GIF (local palette / interlace)")
+    mcs = data[pos]
+    pos += 1
+    stream = bytearray()
+    while data[pos] != 0:
+        n = data[pos]
+        stream += data[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    # LZW decode, LSB-first variable-width codes
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width_bits = mcs + 1
+    acc = nbits = bitpos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while nbits < width_bits:
+            if bitpos >= len(stream):
+                raise ValueError("truncated LZW stream")
+            acc |= stream[bitpos] << nbits
+            bitpos += 1
+            nbits += 8
+        code = acc & ((1 << width_bits) - 1)
+        acc >>= width_bits
+        nbits -= width_bits
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width_bits = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("bad LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        prev = entry
+    if len(out) != iw * ih:
+        raise ValueError("LZW pixel count mismatch")
+    rgb = bytearray()
+    for i in out:
+        rgb += palette[3 * i : 3 * i + 3]
+    return {
+        "format": "gif",
+        "width": iw,
+        "height": ih,
+        "duration_ms": None,
+        "pixel_digest": hashlib.md5(bytes(rgb)).hexdigest(),
+    }
+
+
 # ------------------------------------------------------------------ WAV
 def encode_wav(
     pcm: bytes, sample_rate: int = 8000, channels: int = 1, bits: int = 16
@@ -258,6 +418,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -271,19 +433,21 @@ def decode_media(data: bytes) -> dict:
         return decode_bmp(data)
     if fmt == "wav":
         return decode_wav(data)
+    if fmt == "gif":
+        return decode_gif(data)
     raise ValueError("unknown media format")
 
 
 # ------------------------------------------------- deterministic synth
 def synth_media_bytes(media_id: int) -> tuple[str, bytes, str]:
-    """Deterministic real media payload for an id: PNG / BMP / WAV by
-    id mod 3, dimensions and content derived arithmetically (no RNG) so
-    an external oracle can predict the decoded metadata. Returns
-    (kind, payload, source_pixel_digest) — the digest is over the
-    top-down RGB (or empty for audio), i.e. exactly what the decoders
-    recompute, making encode→decode digest equality a full-codec
-    round-trip proof."""
-    kind = ("png", "bmp", "wav")[media_id % 3]
+    """Deterministic real media payload for an id: PNG / BMP / WAV /
+    GIF by id mod 4, dimensions and content derived arithmetically (no
+    RNG) so an external oracle can predict the decoded metadata.
+    Returns (kind, payload, source_pixel_digest) — the digest is over
+    the top-down RGB (or empty for audio), i.e. exactly what the
+    decoders recompute, making encode→decode digest equality a
+    full-codec round-trip proof."""
+    kind = ("png", "bmp", "wav", "gif")[media_id % 4]
     if kind in ("png", "bmp"):
         w = 4 + media_id % 13
         h = 4 + (media_id * 7) % 11
@@ -292,5 +456,12 @@ def synth_media_bytes(media_id: int) -> tuple[str, bytes, str]:
         if kind == "png":
             return kind, encode_png(w, h, rgb, filter_type=media_id % 3), digest
         return kind, encode_bmp(w, h, rgb), digest
+    if kind == "gif":
+        w = 4 + media_id % 13
+        h = 4 + (media_id * 7) % 11
+        idx = bytes((media_id * 13 + i) % 256 for i in range(w * h))
+        pal = _gif_palette()
+        rgb = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+        return kind, encode_gif(w, h, idx), hashlib.md5(rgb).hexdigest()
     pcm = bytes((media_id + i) % 256 for i in range(2 * (500 + media_id % 1000)))
     return kind, encode_wav(pcm, sample_rate=8000), hashlib.md5(b"").hexdigest()

@@ -2632,9 +2632,12 @@ def decode_real_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "duration_ms",
         # BMP/WAV container sizes are closed-form in the id; PNG's IDAT
-        # is DEFLATE-compressed (content-dependent), so it is excluded
-        # from the hash rather than pretending it is predictable
-        F.when(F.col("format") != "png", F.col("n_bytes")).alias("n_bytes"),
+        # and GIF's LZW stream are compressed (content-dependent), so
+        # they are excluded from the hash rather than pretending they
+        # are predictable
+        F.when(
+            ~F.col("format").isin("png", "gif"), F.col("n_bytes")
+        ).alias("n_bytes"),
         (F.col("pixel_digest") == F.col("src_digest")).alias("pix_match"),
     )
 

@@ -229,3 +229,57 @@ def test_decode_real_media_quarantines_truncated_and_corrupt(spark):
         assert rows[mid]["format"] == "unknown", mid
         assert rows[mid]["pixel_digest"] is None, mid
     assert rows[6]["format"] == "bmp" and rows[6]["width"] == 3
+
+
+def test_gif_lzw_roundtrip_and_stress():
+    """GIF89a encode→decode: palette-index digest equality through the
+    real variable-width LZW path, including code-width bumps (>256
+    dictionary entries) and the table-full clear-code reset."""
+    import hashlib
+
+    from farmrpg_etl_spark.multimodal import codecs
+
+    pal = codecs._gif_palette()
+
+    def rgb_of(idx):
+        return b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+
+    for w, h, gen in [
+        (5, 4, lambda i: i % 7),              # tiny
+        (40, 30, lambda i: (i * i + 3) % 256),  # width bump at 512 entries
+        (150, 120, lambda i: (i * 31 + (i >> 5)) % 256),  # multiple bumps
+    ]:
+        idx = bytes(gen(i) for i in range(w * h))
+        m = codecs.decode_gif(codecs.encode_gif(w, h, idx))
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["pixel_digest"] == hashlib.md5(rgb_of(idx)).hexdigest()
+    # near-incompressible stream -> 12-bit table fills -> clear reset
+    idx = bytes(
+        hashlib.md5(i.to_bytes(4, "big")).digest()[0] for i in range(30000)
+    )
+    m = codecs.decode_gif(codecs.encode_gif(200, 150, idx))
+    assert m["pixel_digest"] == hashlib.md5(rgb_of(idx)).hexdigest()
+
+
+def test_gif_quarantine_paths(spark):
+    """Corrupt GIFs (truncated LZW stream, bad block tag, header-only)
+    land in quarantine rows like every other codec failure."""
+    from farmrpg_etl_spark.multimodal import codecs
+    from farmrpg_etl_spark.multimodal.binary_ops import decode_real_media
+
+    good = codecs.encode_gif(4, 4, bytes(range(16)))
+    truncated = good[: len(good) - 8]          # mid-LZW cut
+    bad_block = good[:13] + b"\x99" + good[14:]  # palette byte -> still ok?
+    header_only = b"GIF89a\x04\x00\x04\x00\x00\x00\x00"  # no blocks at all
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(truncated)),
+            (3, bytearray(header_only)),
+        ],
+        "media_id long, data binary",
+    )
+    rows = {r["media_id"]: r for r in decode_real_media(df).collect()}
+    assert rows[1]["format"] == "gif" and rows[1]["width"] == 4
+    assert rows[2]["format"] == "unknown"
+    assert rows[3]["format"] == "unknown"
