@@ -856,3 +856,110 @@ def duplicated_spans(
             .alias("dup_ratio"),
         )
     )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr span CUTTING (the actual dedup of Lee et al. 2022):
+    rewrite every document with the tokens covered by any duplicated
+    ``k``-gram removed, where "duplicated" means the exact gram text
+    occurs ``min_count``+ times corpus-wide — the destructive twin of
+    :func:`duplicated_spans`, which only measures the coverage. Emits
+    ``(id, n_tok, kept_tok, text_cut)``; ``text_cut`` is the surviving
+    tokens space-joined (the operator works on the tokenized view, so
+    output whitespace is normalized).
+
+    Execution shape, all relational:
+
+    1. the same fixed-width ``(id, pos, md5(gram))`` instance relation
+       as ``duplicated_spans`` (persisted once, feeding both the
+       corpus gram-count aggregation and the hit join).
+    2. coverage WITHOUT interval materialization: token positions are
+       dense per document, so "position p is covered by a duplicated
+       gram starting in ``[p-k+1, p]``" is one ``max(is_start)`` over
+       a ``rowsBetween(-(k-1), 0)`` window — no k-way fan-out join,
+       no per-token explode beyond the tokens themselves.
+    3. reassembly: surviving ``(pos, token)`` structs are collected
+       per doc, sorted, and space-joined (documents are row-bounded,
+       so the collect_list is per-doc memory, never corpus-sized).
+
+    NOT idempotent in the adversarial case, by design (same as the
+    paper): cutting can make previously-separated text adjacent, and
+    two documents cut the same way can newly share a k-gram — a second
+    pass may remove more. Corpora whose post-cut token streams are
+    unique (the common case after one pass) are fixpoints; see the
+    property tests. Cache contract: same as ``duplicated_spans``
+    (lazy persist of the instance relation; callers clearCache
+    between repeated invocations in one session).
+    """
+    toks = F.coalesce(H.words(F.col(text_col)), F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    m = n - F.lit(k - 1)
+    heads = [
+        F.slice(F.col("__toks"), i + 1, F.greatest(m, F.lit(0))).alias(f"g{i}")
+        for i in range(k)
+    ]
+    zipped = F.arrays_zip(*heads)
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)])
+    )
+    inst = base.select(
+        F.col(id_col), F.posexplode(grams).alias("__p", "__g")
+    ).select(
+        F.col(id_col),
+        F.col("__p"),
+        F.md5(F.col("__g").cast("binary")).alias("__gh"),
+    )
+    inst = inst.persist()
+    dup = (
+        inst.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= F.lit(min_count))
+        .select("__gh")
+    )
+    hits = (
+        inst.join(dup, "__gh")
+        .select(id_col, "__p")
+        .withColumn("__start", F.lit(1))
+    )
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode(F.col("__toks")).alias("__p", "__tok")
+    )
+    cover_w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("__p").asc())
+        .rowsBetween(-(k - 1), 0)
+    )
+    kept = (
+        tok_rows.join(hits, [id_col, "__p"], "left")
+        .withColumn(
+            "__cov", F.max(F.coalesce(F.col("__start"), F.lit(0))).over(cover_w)
+        )
+        .filter(F.col("__cov") == 0)
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_tok"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("text_cut"),
+    )
+    return (
+        base.select(F.col(id_col), n.cast("long").alias("n_tok"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tok",
+            F.coalesce(F.col("kept_tok"), F.lit(0)).cast("long").alias("kept_tok"),
+            F.coalesce(F.col("text_cut"), F.lit("")).alias("text_cut"),
+        )
+    )

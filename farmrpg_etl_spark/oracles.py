@@ -2681,6 +2681,38 @@ SELECT d.doc_id,
 FROM d LEFT JOIN cov USING (doc_id)
 """
 
+ORACLES["cut_dup_span_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i+7], ' ')) AS gh
+  FROM d, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+h AS (SELECT doc_id, pos, 1 AS st FROM g JOIN dup USING (gh)),
+tok AS (
+  SELECT doc_id, i AS p, toks[i] AS tok
+  FROM d, unnest(generate_series(1, len(toks))) AS t(i)
+),
+cv AS (
+  SELECT tok.doc_id, tok.p, tok.tok,
+         max(coalesce(h.st, 0)) OVER (
+           PARTITION BY tok.doc_id ORDER BY tok.p
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+  FROM tok LEFT JOIN h ON tok.doc_id = h.doc_id AND tok.p = h.pos
+),
+asm AS (
+  SELECT doc_id, count(*) AS kept_tok,
+         string_agg(tok, ' ' ORDER BY p) AS text_cut
+  FROM cv WHERE cov = 0 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tok,
+       CAST(coalesce(kept_tok, 0) AS BIGINT) AS kept_tok,
+       coalesce(text_cut, '') AS text_cut
+FROM d LEFT JOIN asm USING (doc_id)
+"""
+
 ORACLES["bm25_topk_docs"] = f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 lens AS (SELECT doc_id, len(toks) AS dl FROM d),

@@ -916,6 +916,17 @@ def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(d, "text", "doc_id", k=8)
 
 
+def cut_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span CUTTING (Lee et al. 2022's actual dedup, r4
+    verdict gap #3): every document rewritten with tokens covered by a
+    corpus-duplicated 8-gram removed — the destructive composition of
+    ``dup_span_docs``'s detection. One fixed-width gram shuffle, dense-
+    position coverage window, per-doc reassembly; the oracle recomputes
+    the union + cut end-to-end in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.cut_duplicated_spans(d, "text", "doc_id", k=8)
+
+
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (rational-idf variant) top-10 retrieval: queries are the
     first 5 tokens of every doc_id % 97 == 0 document; the corpus's
@@ -3562,6 +3573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "dup_span_docs": dup_span_docs,
+    "cut_dup_span_docs": cut_dup_span_docs,
     "parse_quarantine_channel": parse_quarantine_channel,
     # LLM pipeline: dedup family
     "exact_dedup_docs": exact_dedup_docs,

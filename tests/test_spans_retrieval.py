@@ -104,3 +104,95 @@ def test_bm25_k_cap_and_no_match(spark):
     }
     assert per_q.get(1) == 3  # capped at k
     assert 2 not in per_q  # no scored docs -> no rows
+
+
+def test_cut_duplicated_spans_basic(spark):
+    # "a b c" duplicated across docs 1/2 -> those 3 tokens cut from both
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c z"),
+            (3, "p q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(dedup.cut_duplicated_spans(df, "text", "doc_id", k=3))
+    assert out[1]["text_cut"] == "d e f" and out[1]["kept_tok"] == 3
+    assert out[2]["text_cut"] == "x y z"
+    assert out[3]["text_cut"] == "p q r s t u" and out[3]["kept_tok"] == 6
+
+
+def test_cut_duplicated_spans_full_cover_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = _rows(dedup.cut_duplicated_spans(df, "text", "doc_id", k=3))
+    assert out[1]["text_cut"] == "" and out[1]["kept_tok"] == 0
+    assert out[2]["text_cut"] == ""
+    assert out[3]["text_cut"] == "" and out[3]["n_tok"] == 0
+
+
+def test_cut_agrees_with_detection_counts(spark):
+    """kept_tok + duplicated_spans.dup_tok == n_tok on any corpus (the
+    cut removes exactly the measured coverage)."""
+    docs = [
+        (i, " ".join(f"d{i}w{j}" for j in range(12)) + " common phrase tokens here okay")
+        for i in range(6)
+    ] + [(100, "common phrase tokens here okay " * 3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cut = _rows(dedup.cut_duplicated_spans(df, "text", "doc_id", k=4))
+    det = _rows(dedup.duplicated_spans(df, "text", "doc_id", k=4))
+    for i in cut:
+        assert cut[i]["kept_tok"] + det[i]["dup_tok"] == det[i]["n_tok"], i
+
+
+def test_cut_idempotent_on_unique_remainder(spark):
+    """Fixpoint property: when post-cut token streams are globally
+    unique (per-doc unique filler around planted shared spans), a
+    second cut changes nothing."""
+    span = "the quick brown fox jumps over"
+    docs = [
+        (i, f"u{i}a u{i}b u{i}c {span} u{i}d u{i}e u{i}f") for i in range(5)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    once = dedup.cut_duplicated_spans(df, "text", "doc_id", k=3)
+    again = dedup.cut_duplicated_spans(
+        once.select(F.col("doc_id"), F.col("text_cut").alias("text")),
+        "text", "doc_id", k=3,
+    )
+    r1 = {r["doc_id"]: r["text_cut"] for r in once.collect()}
+    r2 = {r["doc_id"]: r["text_cut"] for r in again.collect()}
+    assert r1 == r2
+    assert all("u0a" in r1[0] for _ in [0])  # filler survives
+    assert span.split()[0] not in r1[0]      # planted span cut
+
+
+def test_cut_not_idempotent_adversarial(spark):
+    """Documented non-fixpoint: cutting can make two docs' remainders
+    newly share a k-gram, so a second pass removes more (Lee et al.
+    iterate to convergence; one pass is the standard operator)."""
+    # docs 1/2 share a 2-token prefix/suffix (shorter than k, so no
+    # duplicated gram pre-cut) around distinct duplicated middles
+    # (each middle also appears in a partner doc 3/4)
+    p, s = "p1 p2", "s1 s2"
+    df = spark.createDataFrame(
+        [
+            (1, f"{p} m1 m2 m3 {s}"),
+            (2, f"{p} n1 n2 n3 {s}"),
+            (3, "q1 m1 m2 m3 q2"),
+            (4, "q3 n1 n2 n3 q4"),
+        ],
+        "doc_id long, text string",
+    )
+    once = dedup.cut_duplicated_spans(df, "text", "doc_id", k=3)
+    r1 = {r["doc_id"]: r["text_cut"] for r in once.collect()}
+    # after the cut docs 1/2 both read "p1 p2 s1 s2" -> second pass
+    # finds newly-adjacent duplicated grams
+    assert r1[1] == r1[2] == "p1 p2 s1 s2"
+    again = dedup.cut_duplicated_spans(
+        once.select(F.col("doc_id"), F.col("text_cut").alias("text")),
+        "text", "doc_id", k=3,
+    )
+    r2 = {r["doc_id"]: r["text_cut"] for r in again.collect()}
+    assert r2[1] == "" and r2[2] == ""  # second pass cuts the new dups
