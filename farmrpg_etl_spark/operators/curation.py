@@ -294,3 +294,133 @@ def quality_weighted_sample(
     return df.withColumn("u_draw", F.round(u, 6)).filter(
         F.col("u_draw") < F.col(weight_col)
     )
+
+
+def bpe_merges(
+    df: DataFrame, text_col: str, n_merges: int = 3
+) -> DataFrame:
+    """Iterative BPE tokenizer training (Sennrich et al. 2016): run
+    ``n_merges`` full merge rounds — count adjacent symbol pairs over
+    the word-frequency vocabulary, pick the most frequent pair
+    (deterministic ``(total desc, pair asc)`` tie-break), REWRITE every
+    word's symbol sequence with the merge applied, recount. Emits the
+    merge table ``(round, pair_a, pair_b, total)`` — the artifact a
+    tokenizer ships.
+
+    The merge application is the classic greedy left-to-right
+    non-overlapping rule, expressed relationally (no lambda fold, so
+    the DuckDB oracle replays it verbatim):
+
+    * candidates = positions where ``(sym, next sym) == (A, B)``;
+    * consecutive candidate positions (only possible when ``A == B``,
+      e.g. ``aaaa`` under merge ``(a,a)``) form runs; greedy takes
+      every SECOND candidate from each run's start — a run-group id
+      (``pos - row_number``) plus one min-window gives exactly that
+      set with two window functions;
+    * taken positions become the merged symbol, each position
+      immediately after a taken one drops, and ``row_number`` over the
+      survivors renumbers densely for the next round.
+
+    Scale shape: the corpus is reduced ONCE to its word-frequency
+    vocabulary (Heaps-law sublinear, the classic BPE dictionary
+    optimization); every round then runs over vocab-sized symbol rows
+    — windows partition by word (bounded partitions), pair counts
+    aggregate with map-side partial sums, and the round's argmax pair
+    joins back as a broadcast single row. Each round's symbol relation
+    passes through ``iterate.truncate_lineage`` (reliable checkpoint):
+    a round references the previous relation ~6 times, so an all-lazy
+    loop grows the analyzed plan ~6^N and the driver's ANALYZER dies
+    before any executor runs — the same lineage discipline as
+    ``kmeans_lloyd`` and the connected-components loop.
+    """
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+    vocab = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"
+    )
+    from farmrpg_etl_spark.operators.iterate import truncate_lineage
+
+    rows = vocab.select(
+        "w", "wc", F.posexplode(chars).alias("p", "sym")
+    ).withColumn("p", F.col("p") + F.lit(1))
+    # lineage MUST be cut per round: each round references the symbol
+    # relation ~6 times (pair window, argmax, candidate/taken joins),
+    # so a lazy chain grows 6^N relation copies and the ANALYZER (not
+    # the executor) OOMs by round 4-5. Reliable checkpoint per round =
+    # flat plans, bounded recompute window (kmeans_lloyd discipline).
+    rows = truncate_lineage(rows)
+
+    merge_logs = []
+    w_ord = Window.partitionBy("w").orderBy(F.col("p").asc())
+    for rnd in range(1, n_merges + 1):
+        paired = rows.withColumn("nxt", F.lead("sym").over(w_ord))
+        counts = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wc").alias("total"))
+        )
+        w_top = Window.orderBy(
+            F.col("total").desc(), F.col("sym").asc(), F.col("nxt").asc()
+        )
+        # global-order window is safe: input is the aggregated pair
+        # relation (symbol-alphabet², corpus-size-independent)
+        top1 = (
+            counts.withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("sym").alias("__pa"),
+                F.col("nxt").alias("__pb"),
+                F.col("total").alias("__total"),
+            )
+        )
+        merge_logs.append(
+            top1.select(
+                F.lit(rnd).alias("round"),
+                F.col("__pa").alias("pair_a"),
+                F.col("__pb").alias("pair_b"),
+                F.col("__total").alias("total"),
+            )
+        )
+        # apply the merge: greedy left-to-right non-overlapping
+        pr = paired.crossJoin(F.broadcast(top1.select("__pa", "__pb")))
+        cand = pr.filter(
+            (F.col("sym") == F.col("__pa")) & (F.col("nxt") == F.col("__pb"))
+        ).select("w", "p")
+        w_cand = Window.partitionBy("w").orderBy(F.col("p").asc())
+        runs = cand.withColumn(
+            "grp", F.col("p") - F.row_number().over(w_cand)
+        )
+        w_run = Window.partitionBy("w", "grp")
+        taken = (
+            runs.withColumn("p0", F.min("p").over(w_run))
+            .filter((F.col("p") - F.col("p0")) % 2 == 0)
+            .select("w", "p", F.lit(1).alias("__take"))
+        )
+        dropped = taken.select(
+            "w", (F.col("p") + F.lit(1)).alias("p"), F.lit(1).alias("__drop")
+        )
+        nxt_rows = (
+            pr.join(taken, ["w", "p"], "left")
+            .join(dropped, ["w", "p"], "left")
+            .filter(F.col("__drop").isNull())
+            .select(
+                "w",
+                "wc",
+                "p",
+                F.when(
+                    F.col("__take") == 1,
+                    F.concat(F.col("__pa"), F.col("__pb")),
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+            .withColumn("p", F.row_number().over(w_ord))
+        )
+        rows = truncate_lineage(nxt_rows)
+
+    out = merge_logs[0]
+    for m in merge_logs[1:]:
+        out = out.unionByName(m)
+    return out

@@ -2863,6 +2863,53 @@ FROM prs
 QUALIFY rank <= 50
 """
 
+def _bpe_merges_sql(n_merges: int = 3) -> str:
+    """Unrolled iterative-BPE rounds: per round a pair-count CTE, a
+    deterministic argmax CTE, and a greedy left-to-right merge rewrite
+    (run-group window discipline — identical relational steps to
+    ``curation.bpe_merges``)."""
+    parts = [
+        f"WITH v AS (SELECT w, count(*) AS wc FROM "
+        f"(SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w),",
+        "r1 AS (SELECT w, wc, i AS p, w[i:i] AS sym "
+        "FROM v, unnest(generate_series(1, len(w))) AS t(i))",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f", pr{r} AS (SELECT w, wc, p, sym,"
+            f" lead(sym) OVER (PARTITION BY w ORDER BY p) AS nxt FROM r{r})"
+            f", cnt{r} AS (SELECT sym, nxt, CAST(SUM(wc) AS BIGINT) AS total"
+            f" FROM pr{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt)"
+            f", top{r} AS (SELECT sym AS pa, nxt AS pb, total FROM cnt{r}"
+            f" ORDER BY total DESC, sym ASC, nxt ASC LIMIT 1)"
+            f", cand{r} AS (SELECT pr{r}.w, pr{r}.p FROM pr{r}, top{r}"
+            f" WHERE pr{r}.sym = top{r}.pa AND pr{r}.nxt = top{r}.pb)"
+            f", taken{r} AS (SELECT w, p FROM ("
+            f"  SELECT w, p, p - min(p) OVER (PARTITION BY w, grp) AS off"
+            f"  FROM (SELECT w, p, p - row_number() OVER"
+            f"   (PARTITION BY w ORDER BY p) AS grp FROM cand{r})"
+            f" ) WHERE off % 2 = 0)"
+            f", r{r + 1} AS ("
+            f" SELECT w, wc, row_number() OVER (PARTITION BY w ORDER BY p)"
+            f"  AS p, sym FROM ("
+            f"  SELECT pr.w, pr.wc, pr.p,"
+            f"   CASE WHEN tk.p IS NOT NULL THEN t.pa || t.pb"
+            f"        ELSE pr.sym END AS sym"
+            f"  FROM pr{r} pr CROSS JOIN top{r} t"
+            f"  LEFT JOIN taken{r} tk ON pr.w = tk.w AND pr.p = tk.p"
+            f"  LEFT JOIN taken{r} dr ON pr.w = dr.w AND pr.p = dr.p + 1"
+            f"  WHERE dr.p IS NULL))"
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, pa AS pair_a, pb AS pair_b, total FROM top{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "\n".join(parts) + "\n" + sel
+
+
+ORACLES["bpe_merges_docs"] = _bpe_merges_sql(3)
+
+
 # pollsource: kh constants are md5-derived per room (same formula as
 # sources/pollsource.synth_poll_body), inlined at oracle-build time
 import hashlib as _hashlib

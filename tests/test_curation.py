@@ -125,3 +125,55 @@ def test_bpe_merge_candidates_weighted_counts(spark):
     # single-char words contribute nothing
     df2 = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert bpe_merge_candidates(df2, "text", "doc_id").count() == 0
+
+
+def test_bpe_merges_matches_reference_loop(spark):
+    """Three+ rounds of the relational BPE equal a classic in-memory
+    BPE trainer (greedy left-to-right merge application, (total desc,
+    pair asc) tie-break), including the overlapping-run aaaa case."""
+    import collections
+
+    from farmrpg_etl_spark.operators.curation import bpe_merges
+
+    def ref_bpe(texts, n):
+        vocab = collections.Counter()
+        for t in texts:
+            for w in t.lower().split():
+                vocab[w] += 1
+        syms = {w: [c for c in w] for w in vocab}
+        merges = []
+        for rnd in range(1, n + 1):
+            pairs = collections.Counter()
+            for w, ss in syms.items():
+                for i in range(len(ss) - 1):
+                    pairs[(ss[i], ss[i + 1])] += vocab[w]
+            if not pairs:
+                break
+            (a, b), total = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rnd, a, b, total))
+            for w, ss in syms.items():
+                out, i = [], 0
+                while i < len(ss):
+                    if i + 1 < len(ss) and ss[i] == a and ss[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(ss[i])
+                        i += 1
+                syms[w] = out
+        return merges
+
+    docs = [
+        (1, "low lower lowest low low newer newest new"),
+        (2, "wider wide widest new newer lowest ww aaaa"),
+        (3, "low low new new newer banana bananas aaa baab"),
+    ]
+    expected = ref_bpe([t for _, t in docs], 4)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["round"], r["pair_a"], r["pair_b"], r["total"])
+        for r in bpe_merges(df, "text", n_merges=4).orderBy("round").collect()
+    ]
+    assert got == expected
