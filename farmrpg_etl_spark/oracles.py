@@ -2364,6 +2364,91 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ORACLES["ann_topk_ivf_kmeans"] = _ivf_kmeans_sql()
 
 
+def _ann_recall_ivf_tuned_sql(n_probe: int = 6, k: int = 10) -> str:
+    """Recall + probe-cost accounting for the TUNED kmeans-IVF: the
+    kmeans assign chain ranked to rn<=n_probe probes per query, k=10,
+    exact brute force recomputed alongside, n_cand = scored candidates
+    per query."""
+    d2 = " + ".join(
+        f"(ev.v[{i}]-cvec[{i}])*(ev.v[{i}]-cvec[{i}])" for i in range(1, 65)
+    )
+    return f"""
+WITH {_EMB},
+g AS (SELECT unnest(generate_series(1, 64)) AS i),
+x AS (
+  SELECT label, g.i - 1 AS pos,
+         floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) / 1000000.0 AS qv
+  FROM embeddings CROSS JOIN g
+), cl AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(qv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid
+  FROM x GROUP BY label, pos
+), cv AS (
+  SELECT label, list(centroid ORDER BY pos ASC) AS cvec FROM cl GROUP BY label
+), ev AS (SELECT vec_id, v FROM e),
+sc AS (
+  SELECT ev.vec_id, cv.label, {d2} AS d2 FROM ev CROSS JOIN cv
+), rk AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, label ASC) AS rn
+  FROM sc
+), asg AS (SELECT vec_id, label AS block FROM rk WHERE rn = 1),
+blocked AS (
+  SELECT u.vec_id, u.v, asg.block FROM u JOIN asg ON u.vec_id = asg.vec_id
+), qp AS (
+  SELECT vec_id AS query_id, label AS block FROM rk
+  WHERE vec_id < 10 AND rn <= {n_probe}
+), qu AS (SELECT vec_id AS query_id, v FROM u WHERE vec_id < 10),
+scored AS (
+  SELECT qp.query_id, c.vec_id AS neighbor_id,
+         round({_dot('q.v', 'c.v')}, 6) AS cosine
+  FROM blocked c
+  JOIN qp ON c.block = qp.block
+  JOIN qu q ON qp.query_id = q.query_id
+  WHERE c.vec_id <> qp.query_id
+),
+ncand AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand
+  FROM scored GROUP BY query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_dot('q.v', 'c.v')}, 6) DESC, c.vec_id ASC
+           ) AS rank
+    FROM u c, qu q WHERE c.vec_id <> q.query_id
+  ) WHERE rank <= {k}
+),
+hit AS (
+  SELECT e2.query_id, COUNT(*) AS hits
+  FROM exact e2 JOIN approx a
+    ON e2.query_id = a.query_id AND e2.neighbor_id = a.neighbor_id
+  GROUP BY e2.query_id
+),
+base AS (SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY query_id)
+SELECT b.query_id, b.k_exact,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       round(COALESCE(h.hits, 0) / b.k_exact, 6) AS recall_at_k,
+       CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand
+FROM base b
+LEFT JOIN hit h ON b.query_id = h.query_id
+LEFT JOIN ncand nc ON b.query_id = nc.query_id
+"""
+
+
+ORACLES["ann_recall_ivf_tuned"] = _ann_recall_ivf_tuned_sql()
+
+
 # E2 end-to-end: chat seeds messages, flags resolve + correlated update
 ORACLES["flags_pipeline_e2e"] = """
 WITH d AS (
