@@ -743,3 +743,28 @@ def mean_pool(
         )
         .select(F.col("grp").alias(group_col), "p", "sum_micros", "n")
     )
+
+
+def pivot_mean_pool(pooled: DataFrame, group_col: str) -> DataFrame:
+    """Long-form pooled components back to an ``array<double>`` vector:
+    ``mean = sum_micros / (1e6 · n)`` per component, collected in
+    component order — the bridge that feeds ``mean_pool`` output into
+    the dense-vector operators (ANN, semantic dedup, decontamination).
+    The division of two exact integers is one IEEE op, so any engine
+    reproduces the identical doubles. One per-group aggregation;
+    vectors are dimension-bounded, never corpus-sized."""
+    comp = F.struct(
+        F.col("p"),
+        (
+            F.col("sum_micros").cast("double")
+            / (F.lit(1000000.0) * F.col("n").cast("double"))
+        ).alias("val"),
+    )
+    return (
+        pooled.groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(comp)).alias("pc"))
+        .select(
+            group_col,
+            F.transform(F.col("pc"), lambda s: s.val).alias("pooled_vec"),
+        )
+    )

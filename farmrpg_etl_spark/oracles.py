@@ -1520,6 +1520,10 @@ WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
 GROUP BY date_trunc('hour', ts), event_type
 """
 
+# chained dedup → windowed agg: dedup of the self-union restores the
+# distinct events, so the oracle is the same closed-window batch count
+ORACLES["streaming_chained_stateful"] = ORACLES["streaming_windowed_counts"]
+
 ORACLES["streaming_enriched_counts"] = """
 SELECT c_mktsegment, event_type, COUNT(*) AS n_events
 FROM events JOIN customer ON user_id = c_custkey
@@ -3150,6 +3154,53 @@ ORACLES["k_delete_tombstones_sink"] = """
 SELECT event_id, event_type, value
 FROM events WHERE event_id % 3 = 0 AND event_id % 7 <> 0
 """
+
+def _pooled_semantic_dedup_sql() -> str:
+    """mean_pool (integer micros) → pivot (sm / (1e6·n)) → 2-plane
+    sign-LSH cells → lower-id semantic dedup, all replayed in DuckDB."""
+    planes = lsh_hyperplanes(64, 2)
+    bits = " || ".join(
+        f"(CASE WHEN ({_dot_lits('rv', p)}) >= 0.0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH em AS (
+  SELECT vec_id // 8 AS group_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+inst AS (
+  SELECT group_id, i - 1 AS p,
+         CAST(floor(1000000.0 * v[i]) AS BIGINT) AS m
+  FROM em, unnest(generate_series(1, 64)) AS t(i)
+),
+pool AS (
+  SELECT group_id, p, CAST(SUM(m) AS BIGINT) AS sm, count(*) AS n
+  FROM inst GROUP BY group_id, p
+),
+pv AS (
+  SELECT group_id,
+         list(CAST(sm AS DOUBLE) / (1000000.0 * n) ORDER BY p) AS rv
+  FROM pool GROUP BY group_id
+),
+bl AS (SELECT group_id, rv, {bits} AS cluster FROM pv),
+n0 AS (SELECT group_id, cluster, rv, sqrt({_sq('rv')}) AS nrm FROM bl),
+n AS (
+  SELECT group_id, cluster,
+         CASE WHEN nrm = 0.0 THEN rv
+              ELSE list_transform(rv, x -> x / nrm) END AS v
+  FROM n0
+),
+dups AS (
+  SELECT DISTINCT b.group_id FROM n a JOIN n b
+    ON a.cluster = b.cluster AND a.group_id < b.group_id
+  WHERE round(({_dot('a.v', 'b.v')}), 6) >= 0.25
+)
+SELECT group_id, cluster FROM n
+WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.group_id = n.group_id)
+"""
+
+
+ORACLES["pooled_semantic_dedup_embeddings"] = _pooled_semantic_dedup_sql()
 
 ORACLES["mean_pool_embeddings"] = """
 WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

