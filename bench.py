@@ -109,6 +109,16 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
     }
 
+    # SPARK_GRAFT_HEADLINE_ONLY=1: stop after the headline block — the
+    # isolated-process measurement mode (r4 verdict: settle whether the
+    # marathon itself inflates headline times). Emits the same JSON
+    # shape, minus the extended/stretch sections.
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY", "0") == "1":
+        out["bench_wall_sec"] = round(time.time() - t_start, 1)
+        phase("headline-only mode: done")
+        print(json.dumps(out))
+        return
+
     # reference-throughput comparison: the reference sustains ≤700 chat
     # msg-parses/s (BASELINE.md); measure our parse stage on the same
     # 100-message golden payload when available. Measured HERE — before
@@ -168,6 +178,11 @@ def main() -> None:
         # round-4 additions
         "dup_span_docs",
         "bm25_topk_docs",
+        # round-5 additions
+        "cut_dup_span_docs",
+        "bpe_merges_docs",
+        "ann_recall_ivf_tuned",
+        "pooled_semantic_dedup_embeddings",
     ]:
         run(name)
         steady = []
@@ -432,6 +447,18 @@ def main() -> None:
 
     out["bench_wall_sec"] = round(time.time() - t_start, 1)
     phase("done")
+    # Durable in-repo copy: BENCH_r04.json lost its stdout tail to the
+    # driver's capture window ("parsed": null), so the machine-readable
+    # line is ALSO written where truncation can't reach it.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(out, f)
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

@@ -3704,140 +3704,44 @@ def s4_demand_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the streaming forms all appear before the TPC-H variants that
 # exercise already-covered relational shapes.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- coverage-maximal prefix -----------------------------------
-    # sources (S1-S7): topology, landing zone, demand fan-out
-    "s_poll_schedule": s_poll_schedule,
-    "s_landing_roundtrip": s_landing_roundtrip,
-    "s4_demand_fanout": s4_demand_fanout,
-    # reference operators: filters / latest / CDC / joins
-    "f1_http_guard": f1_http_guard,
-    "f_filters_combined": f_filters_combined,
-    "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
-    "first_event_per_user_type": first_event_per_user_type,
-    "d1_message_cdc": d1_message_cdc,
-    "streaming_poll_source": streaming_poll_source,
-    "claims_gate_events": claims_gate_events,
-    "d6_absent_from_sink": d6_absent_from_sink,
-    "j1_resolve_join": j1_resolve_join,
-    "j1_unmatched_flags": j1_unmatched_flags,
-    "j4_upsert": j4_upsert,
-    # sink end-states (K1-K6)
-    "k1_insert_absent_sink": k1_insert_absent_sink,
-    "k2_merge_update_sink": k2_merge_update_sink,
-    "k3_upsert_sink": k3_upsert_sink,
-    "k4_partial_doc_sink": k4_partial_doc_sink,
-    "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
-    "k6_additive_rollup_sink": k6_additive_rollup_sink,
-    "chat_pipeline_e2e": chat_pipeline_e2e,
-    "flags_pipeline_e2e": flags_pipeline_e2e,
-    "user_pipeline_e2e": user_pipeline_e2e,
-    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
-    # scalar + parse semantics (§2.7, P1-P4)
-    "scalar_text_functions": scalar_text_functions,
-    "bot_dispatch_replies": bot_dispatch_replies,
-    "parse_chat_roundtrip": parse_chat_roundtrip,
-    "parse_flags_roundtrip": parse_flags_roundtrip,
-    "dup_span_docs": dup_span_docs,
+    # --- r5 DRIVER-COVERAGE ROTATION ---------------------------------
+    # The driver verifies a 50-entry prefix per round. Rounds 1-4
+    # accumulated 96 distinct driver-green rows while 58 registry rows
+    # had only judge-side verification; this round's prefix is ALL
+    # first-time rows — the 5 new r5 operators plus 45 of the 58
+    # never-driver-checked rows (zero failures ever recorded, so the
+    # anchors rotate out safely; see docs/COVERAGE.md). The 13
+    # remaining never-checked rows sit immediately after the prefix
+    # for the round-6 rotation.
+    # r5 new operators:
     "cut_dup_span_docs": cut_dup_span_docs,
-    "parse_quarantine_channel": parse_quarantine_channel,
-    # LLM pipeline: dedup family
-    "exact_dedup_docs": exact_dedup_docs,
-    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
-    "ngram_jaccard_docs": ngram_jaccard_docs,
-    "simhash_pairs_docs": simhash_pairs_docs,
-    "incremental_lsh_docs": incremental_lsh_docs,
-    "neardup_clusters_docs": neardup_clusters_docs,
-    "chunk_dedup_docs": chunk_dedup_docs,
-    "cdc_chunk_docs": cdc_chunk_docs,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "semantic_dedup_lloyd": semantic_dedup_lloyd,
-    # LLM pipeline: quality / packing
-    "text_metrics_docs": text_metrics_docs,
-    "token_budget_mixture_docs": token_budget_mixture_docs,
-    "heavy_hitter_tokens": heavy_hitter_tokens,
-    # LLM pipeline: similarity / clustering
-    "ann_topk_ivf_probe": ann_topk_ivf_probe,
-    "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
-    "ann_recall_ivf_probe": ann_recall_ivf_probe,
+    "bpe_merges_docs": bpe_merges_docs,
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
-    # multimodal: REAL codec round trip
-    "decode_real_media_docs": decode_real_media_docs,
-    # relational flagships: agg, join chain, as-of, range
-    "revenue_by_nation": revenue_by_nation,
-    "asof_click_attribution": asof_click_attribution,
-    # streaming (stateful CDC — the hardest driver rows)
-    "streaming_message_cdc": streaming_message_cdc,
-    # --- end of 50-entry prefix ------------------------------------
-    # r4 rebalance 2: dup_span_docs (ExactSubstr duplicated-span
-    # detection — a NEW dedup-family member) moved INTO the prefix;
-    # parse_message_roundtrip moved out (the mail parser remains
-    # prefix-covered through mailbox_pipeline_e2e, which runs inbox
-    # parse → unread gate → fetch fan-out → mail parse end-to-end).
-    # r4 rebalance 3: streaming_poll_source (the PySpark 4 Python
-    # streaming data source — a NEW source-API family) moved in;
-    # d5_change_pairs moved out (D5 stays prefix-covered through
-    # claims_gate_events, which verifies the change gate INCLUDING the
-    # exact to_json claims payload).
-    "parse_message_roundtrip": parse_message_roundtrip,
+    "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
+    "streaming_chained_stateful": streaming_chained_stateful,
+    # never-driver-checked rows promoted into the prefix:
     "bm25_topk_docs": bm25_topk_docs,
-    # r4 rebalance: simhash_pairs_docs moved INTO the prefix (the
-    # actual near-dup pair decision for the SimHash family); moved out
-    # to make room — k3_snapshot_append_sink (K3 sink family still
-    # covered by k3_upsert_sink + user_pipeline_e2e), and three
-    # similarity variants whose operators remain prefix-covered through
-    # compositions: kmeans_assign (inside kmeans_lloyd), ann_topk_ivf_
-    # kmeans (ivf_probe + lloyd cover both halves), int8_quantize
-    # (ann_topk_quantized still judge-verified below).
-    "k3_snapshot_append_sink": k3_snapshot_append_sink,
     "k_time_travel_sink": k_time_travel_sink,
     "k_delete_tombstones_sink": k_delete_tombstones_sink,
-    "int8_quantize_embeddings": int8_quantize_embeddings,
-    "kmeans_assign_embeddings": kmeans_assign_embeddings,
-    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
-    "parse_profile_roundtrip": parse_profile_roundtrip,
-    "parse_online_roundtrip": parse_online_roundtrip,
-    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
-    "simhash_docs": simhash_docs,
-    "j3_fk_hydrate": j3_fk_hydrate,
-    "j2_correlated_update": j2_correlated_update,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "decontaminate_docs": decontaminate_docs,
-    "d4_noop_eliminate": d4_noop_eliminate,
-    "pack_sequences_docs": pack_sequences_docs,
     "repetition_docs": repetition_docs,
-    "datetime_semantics": datetime_semantics,
-    "minhash_signatures_docs": minhash_signatures_docs,
-    "ann_topk_bruteforce": ann_topk_bruteforce,
-    "cosine_pairs_embeddings": cosine_pairs_embeddings,
-    "minhash_estimate_error_docs": minhash_estimate_error_docs,
-    "q1_pricing_summary": q1_pricing_summary,
-    "d1_changes_events": d1_changes_events,
     "corpus_curation": corpus_curation,
-    "ann_topk_quantized": ann_topk_quantized,
     "streaming_cdc_events": streaming_cdc_events,
     "streaming_flags_join_events": streaming_flags_join_events,
     "streaming_incremental_lsh": streaming_incremental_lsh,
     "streaming_corpus_ingest": streaming_corpus_ingest,
     "streaming_dedup_events": streaming_dedup_events,
-    "d5_change_pairs": d5_change_pairs,
     "streaming_windowed_counts": streaming_windowed_counts,
-    "streaming_chained_stateful": streaming_chained_stateful,
     "streaming_latest_per_user": streaming_latest_per_user,
     "streaming_sessionize": streaming_sessionize,
     "streaming_enriched_counts": streaming_enriched_counts,
-    # remaining reference-operator variants
-    "a1_latest_event_per_user": a1_latest_event_per_user,
-    "d1_deleted_transitions": d1_deleted_transitions,
-    # LLM pipeline: remaining components
     "training_data_pipeline": training_data_pipeline,
-    # r4: corpus-curation family (operators/curation.py)
     "neardup_canonical_docs": neardup_canonical_docs,
     "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
-    "bpe_merges_docs": bpe_merges_docs,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
     "random_projection_embeddings": random_projection_embeddings,
     "mean_pool_embeddings": mean_pool_embeddings,
-    "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
     "quality_weighted_sample_docs": quality_weighted_sample_docs,
     "source_quota_docs": source_quota_docs,
     "token_shards_docs": token_shards_docs,
@@ -3856,15 +3760,91 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantile_events": histogram_quantile_events,
     "zorder_events": zorder_events,
     "salted_join_events": salted_join_events,
-    "embedding_centroids": embedding_centroids,
-    "ann_topk_ivf": ann_topk_ivf,
-    # multimodal plumbing (stub codec, real distributed shape)
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,
     "decode_media_docs": decode_media_docs,
     "resize_media_docs": resize_media_docs,
     "embed_media_docs": embed_media_docs,
-    # relational core (TPC-H suite + window/set/pivot shapes)
+    # --- end of 50-entry prefix ------------------------------------
+    # round-6 rotation queue (never driver-checked, family-covered
+    # by earlier driver-green rows):
+    "parse_profile_roundtrip": parse_profile_roundtrip,
+    "parse_online_roundtrip": parse_online_roundtrip,
+    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
+    "simhash_docs": simhash_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "datetime_semantics": datetime_semantics,
+    "minhash_signatures_docs": minhash_signatures_docs,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    "minhash_estimate_error_docs": minhash_estimate_error_docs,
+    "ann_topk_quantized": ann_topk_quantized,
+    "embedding_centroids": embedding_centroids,
+    "ann_topk_ivf": ann_topk_ivf,
+    # cumulative driver-green rows (r1-r4 records):
+    "s_poll_schedule": s_poll_schedule,
+    "s_landing_roundtrip": s_landing_roundtrip,
+    "s4_demand_fanout": s4_demand_fanout,
+    "f1_http_guard": f1_http_guard,
+    "f_filters_combined": f_filters_combined,
+    "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
+    "first_event_per_user_type": first_event_per_user_type,
+    "d1_message_cdc": d1_message_cdc,
+    "streaming_poll_source": streaming_poll_source,
+    "claims_gate_events": claims_gate_events,
+    "d6_absent_from_sink": d6_absent_from_sink,
+    "j1_resolve_join": j1_resolve_join,
+    "j1_unmatched_flags": j1_unmatched_flags,
+    "j4_upsert": j4_upsert,
+    "k1_insert_absent_sink": k1_insert_absent_sink,
+    "k2_merge_update_sink": k2_merge_update_sink,
+    "k3_upsert_sink": k3_upsert_sink,
+    "k4_partial_doc_sink": k4_partial_doc_sink,
+    "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
+    "k6_additive_rollup_sink": k6_additive_rollup_sink,
+    "chat_pipeline_e2e": chat_pipeline_e2e,
+    "flags_pipeline_e2e": flags_pipeline_e2e,
+    "user_pipeline_e2e": user_pipeline_e2e,
+    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
+    "scalar_text_functions": scalar_text_functions,
+    "bot_dispatch_replies": bot_dispatch_replies,
+    "parse_chat_roundtrip": parse_chat_roundtrip,
+    "parse_flags_roundtrip": parse_flags_roundtrip,
+    "dup_span_docs": dup_span_docs,
+    "parse_quarantine_channel": parse_quarantine_channel,
+    "exact_dedup_docs": exact_dedup_docs,
+    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "simhash_pairs_docs": simhash_pairs_docs,
+    "incremental_lsh_docs": incremental_lsh_docs,
+    "neardup_clusters_docs": neardup_clusters_docs,
+    "chunk_dedup_docs": chunk_dedup_docs,
+    "cdc_chunk_docs": cdc_chunk_docs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "semantic_dedup_lloyd": semantic_dedup_lloyd,
+    "text_metrics_docs": text_metrics_docs,
+    "token_budget_mixture_docs": token_budget_mixture_docs,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
+    "ann_topk_ivf_probe": ann_topk_ivf_probe,
+    "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
+    "ann_recall_ivf_probe": ann_recall_ivf_probe,
+    "decode_real_media_docs": decode_real_media_docs,
+    "revenue_by_nation": revenue_by_nation,
+    "asof_click_attribution": asof_click_attribution,
+    "streaming_message_cdc": streaming_message_cdc,
+    "parse_message_roundtrip": parse_message_roundtrip,
+    "k3_snapshot_append_sink": k3_snapshot_append_sink,
+    "int8_quantize_embeddings": int8_quantize_embeddings,
+    "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
+    "j3_fk_hydrate": j3_fk_hydrate,
+    "j2_correlated_update": j2_correlated_update,
+    "d4_noop_eliminate": d4_noop_eliminate,
+    "q1_pricing_summary": q1_pricing_summary,
+    "d1_changes_events": d1_changes_events,
+    "d5_change_pairs": d5_change_pairs,
+    "a1_latest_event_per_user": a1_latest_event_per_user,
+    "d1_deleted_transitions": d1_deleted_transitions,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q3_shipping_priority": q3_shipping_priority,
     "q14_promo_revenue": q14_promo_revenue,
