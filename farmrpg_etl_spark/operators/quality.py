@@ -71,14 +71,19 @@ def repetition_metrics(
     the character share of the single most frequent 2-gram
     (ties broken toward the lexicographically greatest gram).
 
-    Hybrid execution, chosen by measurement: all counts come from
-    per-row ``array_distinct``/``size`` (native codegen, zero shuffle)
-    — only the modal 2-gram goes through explode → count → max(struct),
-    because the per-row alternative (a run-length fold over the sorted
-    gram array) is an interpreted higher-order function and measured
-    2.7× slower than the codegen'd explode pipeline at sf0.1. Net: one
-    explode instead of two, one join instead of three, and both
-    groupBys partial-aggregate on uniform high-cardinality keys."""
+    Execution (r5 rework, single-pipeline): token-level counts come
+    from per-row ``array_distinct``/``size`` (native codegen, zero
+    shuffle); ALL 2-gram statistics — modal gram, total and distinct
+    counts — ride ONE explode → (id, gram) count → per-id aggregation
+    (``sum(cnt)`` = total grams, ``count(*)`` = distinct grams,
+    ``max(struct)`` = modal gram). The r2-r4 form computed the gram
+    array a second time on the scalar branch (size + array_distinct
+    over an UN-persisted shared relation → the corpus was tokenized
+    and 2-grammed twice, once per join branch); folding the counts
+    into the aggregation removes that whole second pass. Per-row
+    run-length folds over sorted gram arrays were measured 2.7×
+    slower than this explode pipeline and stay rejected; both groupBys
+    partial-aggregate on uniform high-cardinality keys."""
     toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
     grams = word_ngrams(F.col(text_col), 2)
     staged = df.select(
@@ -86,8 +91,6 @@ def repetition_metrics(
         F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-        F.size(grams).cast("long").alias("n_2grams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_2grams"),
         grams.alias("__grams"),
     )
     modal = (
@@ -95,9 +98,20 @@ def repetition_metrics(
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy(id_col)
-        .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"))
+        .agg(
+            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"),
+            F.sum("cnt").cast("long").alias("n_2grams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_2grams"),
+        )
     )
-    joined = staged.drop("__grams").join(modal, id_col, "left")
+    joined = (
+        staged.drop("__grams")
+        .join(modal, id_col, "left")
+        .withColumn("n_2grams", F.coalesce(F.col("n_2grams"), F.lit(0)))
+        .withColumn(
+            "n_distinct_2grams", F.coalesce(F.col("n_distinct_2grams"), F.lit(0))
+        )
+    )
 
     dup_word = (
         (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double")
