@@ -289,3 +289,33 @@ def test_semantic_contamination_plan_broadcasts_eval(spark):
     # the eval side broadcasts; the corpus is never exchanged
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
+
+
+def test_cut_dup_span_plan_no_cartesian_window_coverage(spark):
+    """Span cutting: coverage must come from the dense-position window
+    (rowsBetween), never a k-way fan-out band join; no cartesian; the
+    hit join keys on the uniform (id, pos) pair."""
+    from farmrpg_etl_spark.operators.dedup import cut_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(cut_duplicated_spans(df, "text", "doc_id", k=3))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_tuned_ivf_plan_broadcasts_probes_and_centroids(spark):
+    """ann_recall_ivf_tuned's scale contract: centroids reach the
+    corpus via broadcast (BroadcastNestedLoopJoin over the 10-row
+    table), and the candidate join broadcasts the probe side as a
+    BroadcastHashJoin on the cell id — the corpus itself is never
+    shuffled for the index."""
+    from farmrpg_etl_spark.queries import ann_recall_ivf_tuned
+
+    df = ann_recall_ivf_tuned(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # centroid fan-out
+    assert "BroadcastHashJoin" in plan        # probe-side candidate join
+    assert "CartesianProduct" not in plan
