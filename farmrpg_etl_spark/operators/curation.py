@@ -296,9 +296,9 @@ def quality_weighted_sample(
     )
 
 
-def bpe_merges(
-    df: DataFrame, text_col: str, n_merges: int = 3
-) -> DataFrame:
+def _bpe_rounds(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[DataFrame], DataFrame]:
     """Iterative BPE tokenizer training (Sennrich et al. 2016): run
     ``n_merges`` full merge rounds — count adjacent symbol pairs over
     the word-frequency vocabulary, pick the most frequent pair
@@ -420,7 +420,50 @@ def bpe_merges(
         )
         rows = truncate_lineage(nxt_rows)
 
+    return merge_logs, rows
+
+
+def bpe_merges(
+    df: DataFrame, text_col: str, n_merges: int = 3
+) -> DataFrame:
+    """Public merge-table view of :func:`_bpe_rounds` — see its
+    docstring for the algorithm and lineage discipline. Emits
+    ``(round, pair_a, pair_b, total)``."""
+    merge_logs, _rows = _bpe_rounds(df, text_col, n_merges)
     out = merge_logs[0]
     for m in merge_logs[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str, id_col: str, n_merges: int = 3
+) -> DataFrame:
+    """APPLY the learned tokenizer (the second half of BPE — train on
+    the vocab, then encode the corpus): after ``n_merges`` merge
+    rounds, every word's symbol count is known, and a document's BPE
+    token count is Σ over its word instances of that count. Emits
+    ``(id, n_words, n_bpe_tokens)``.
+
+    Scale shape: the corpus tokenizes once into (id, word) instances;
+    the trained per-word symbol counts are a vocab-sized relation
+    (Heaps-law sublinear) joined on the word — the segmentation work
+    is paid per VOCAB ENTRY, never per corpus token, which is exactly
+    how production tokenizers amortize encoding."""
+    _logs, rows = _bpe_rounds(df, text_col, n_merges)
+    wsym = rows.groupBy("w").agg(F.count(F.lit(1)).alias("__n_sym"))
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+    inst = df.select(F.col(id_col), F.explode_outer(toks).alias("w"))
+    agg = (
+        inst.join(wsym, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("w")).alias("n_words"),
+            F.coalesce(F.sum("__n_sym"), F.lit(0)).alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )

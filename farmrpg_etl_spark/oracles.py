@@ -2996,7 +2996,31 @@ def _bpe_merges_sql(n_merges: int = 3) -> str:
     return "\n".join(parts) + "\n" + sel
 
 
+def _bpe_token_counts_sql(n_merges: int = 3) -> str:
+    """Tokenizer APPLICATION: the same unrolled merge rounds, then
+    per-word symbol counts joined back to the corpus's word instances
+    — a document's BPE token count without re-segmenting any text."""
+    head = _bpe_merges_sql(n_merges)
+    head = head[: head.index("\nSELECT 1 AS round")]  # keep the CTE chain
+    final = n_merges + 1
+    return f"""{head}
+, wsym AS (SELECT w, count(*) AS n_sym FROM r{final} GROUP BY w),
+dd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+inst AS (SELECT doc_id, unnest(toks) AS w FROM dd),
+cnt AS (
+  SELECT doc_id, count(*) AS n_words,
+         CAST(SUM(n_sym) AS BIGINT) AS n_bpe
+  FROM inst JOIN wsym USING (w) GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+FROM dd LEFT JOIN cnt USING (doc_id)
+"""
+
+
 ORACLES["bpe_merges_docs"] = _bpe_merges_sql(3)
+ORACLES["bpe_token_counts_docs"] = _bpe_token_counts_sql(3)
 
 
 # pollsource: kh constants are md5-derived per room (same formula as

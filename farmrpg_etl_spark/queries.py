@@ -815,6 +815,19 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.bpe_merges(d, "text", n_merges=3)
 
 
+def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — encode the corpus with the 3-merge
+    learned BPE: per-document word and BPE-token counts, where the
+    segmentation work is paid per vocab entry (Heaps-sublinear) and
+    joined to the corpus's word instances, never recomputed per
+    token. With ``bpe_merges_docs`` this closes the train→encode
+    tokenizer loop."""
+    from farmrpg_etl_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.bpe_token_counts(d, "text", "doc_id", n_merges=3)
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation: language-ID gate → quality
     threshold → exact near-dup removal → per-source corpus stats. The
@@ -3716,6 +3729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 new operators:
     "cut_dup_span_docs": cut_dup_span_docs,
     "bpe_merges_docs": bpe_merges_docs,
+    "bpe_token_counts_docs": bpe_token_counts_docs,
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
     "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
     "streaming_chained_stateful": streaming_chained_stateful,

@@ -177,3 +177,62 @@ def test_bpe_merges_matches_reference_loop(spark):
         for r in bpe_merges(df, "text", n_merges=4).orderBy("round").collect()
     ]
     assert got == expected
+
+
+def test_bpe_token_counts_matches_reference_encoder(spark):
+    """Applying the learned merges: per-doc BPE token counts equal a
+    classic in-memory encode (train on vocab, segment each word,
+    sum per doc); chars-per-word monotonically decreases vs no merges."""
+    import collections
+
+    from farmrpg_etl_spark.operators.curation import bpe_token_counts
+
+    docs = [
+        (1, "low lower lowest low low newer newest new"),
+        (2, "wider wide widest new newer lowest ww aaaa"),
+        (3, ""),
+        (4, "banana bananas banana"),
+    ]
+
+    def ref_counts(texts, n):
+        vocab = collections.Counter()
+        for _i, t in texts:
+            for w in t.lower().split():
+                vocab[w] += 1
+        syms = {w: [c for c in w] for w in vocab}
+        for _ in range(n):
+            pairs = collections.Counter()
+            for w, ss in syms.items():
+                for i in range(len(ss) - 1):
+                    pairs[(ss[i], ss[i + 1])] += vocab[w]
+            if not pairs:
+                break
+            (a, b), _tot = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            for w, ss in syms.items():
+                out, i = [], 0
+                while i < len(ss):
+                    if i + 1 < len(ss) and ss[i] == a and ss[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(ss[i])
+                        i += 1
+                syms[w] = out
+        return {
+            i: (
+                len(t.lower().split()),
+                sum(len(syms[w]) for w in t.lower().split()),
+            )
+            for i, t in texts
+        }
+
+    expected = ref_counts(docs, 3)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(df, "text", "doc_id", n_merges=3).collect()
+    }
+    assert got == expected
+    assert got[3] == (0, 0)  # empty doc kept, zero counts
