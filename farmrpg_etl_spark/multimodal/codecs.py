@@ -349,9 +349,10 @@ def decode_gif(data: bytes) -> dict:
         prev = entry
     if len(out) != iw * ih:
         raise ValueError("LZW pixel count mismatch")
-    rgb = bytearray()
-    for i in out:
-        rgb += palette[3 * i : 3 * i + 3]
+    # palette lookup via a precomputed 3-byte entry table + join — the
+    # per-pixel bytearray-slice loop was the decode hot spot
+    entries = [palette[3 * i : 3 * i + 3] for i in range(len(palette) // 3)]
+    rgb = b"".join(entries[i] for i in out)
     return {
         "format": "gif",
         "width": iw,
