@@ -928,38 +928,34 @@ def cut_duplicated_spans(
         .select(id_col, "__p")
         .withColumn("__start", F.lit(1))
     )
+    # posexplode_outer keeps empty documents as one (null, null) row,
+    # so the single aggregation below emits every doc — no second
+    # corpus scan + join-back for n_tok (r5 plan audit: that branch
+    # was a whole extra FileScan + sort-merge join)
     tok_rows = base.select(
-        F.col(id_col), F.posexplode(F.col("__toks")).alias("__p", "__tok")
+        F.col(id_col), F.posexplode_outer(F.col("__toks")).alias("__p", "__tok")
     )
     cover_w = (
         Window.partitionBy(id_col)
         .orderBy(F.col("__p").asc())
         .rowsBetween(-(k - 1), 0)
     )
-    kept = (
-        tok_rows.join(hits, [id_col, "__p"], "left")
-        .withColumn(
-            "__cov", F.max(F.coalesce(F.col("__start"), F.lit(0))).over(cover_w)
-        )
-        .filter(F.col("__cov") == 0)
+    flagged = tok_rows.join(hits, [id_col, "__p"], "left").withColumn(
+        "__cov", F.max(F.coalesce(F.col("__start"), F.lit(0))).over(cover_w)
     )
-    agg = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("kept_tok"),
+    keep = (F.col("__cov") == 0) & F.col("__tok").isNotNull()
+    return flagged.groupBy(id_col).agg(
+        F.count(F.col("__tok")).cast("long").alias("n_tok"),
+        F.sum(keep.cast("long")).cast("long").alias("kept_tok"),
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__p", "__tok"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct("__p", "__tok"))
+                    )
+                ),
                 lambda s: s["__tok"],
             ),
         ).alias("text_cut"),
-    )
-    return (
-        base.select(F.col(id_col), n.cast("long").alias("n_tok"))
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            "n_tok",
-            F.coalesce(F.col("kept_tok"), F.lit(0)).cast("long").alias("kept_tok"),
-            F.coalesce(F.col("text_cut"), F.lit("")).alias("text_cut"),
-        )
     )
