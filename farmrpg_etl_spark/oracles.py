@@ -2744,6 +2744,21 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
+# incremental curation sink: the oracle is the FULL recompute of the
+# curated version-2 corpus — equality proves incremental == batch
+ORACLES["incremental_curation_sink"] = f"""
+WITH newv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+),
+c AS (SELECT doc_id, text, len({_TOKS}) AS n_tok FROM newv)
+SELECT doc_id, md5(text) AS content_md5, CAST(n_tok AS BIGINT) AS n_tok
+FROM c WHERE n_tok >= 40
+"""
+
 ORACLES["dup_span_docs"] = f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (

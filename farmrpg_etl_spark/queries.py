@@ -932,6 +932,82 @@ def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_diff(old, new, "doc_id", "text")
 
 
+def incremental_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-DRIVEN corpus maintenance — the 100 TB production loop:
+    version 2 of the corpus (the ``corpus_diff_docs`` recrawl
+    synthesis) is curated INCREMENTALLY against a versioned sink
+    seeded from version 1. Only added/changed documents are re-gated
+    (token-count >= 40 curation gate); removed documents AND changed
+    documents that newly fail the gate are MERGE-DELETEd; unchanged
+    documents are never touched or re-read. The oracle recomputes the
+    curated corpus from version 2 FROM SCRATCH — the row passes only
+    if incremental maintenance is exactly equivalent to the full
+    batch recompute (the invariant that makes delta processing safe
+    at scale). Composes corpus_diff → gate → upsert + delete_where
+    on one ParquetTable."""
+    from farmrpg_etl_spark.operators import curation
+    from farmrpg_etl_spark.sinks.writers import (
+        ParquetTable,
+        delete_where,
+        upsert,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" updated")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    def curated(df: DataFrame) -> DataFrame:
+        n_tok = F.size(
+            F.coalesce(H.words(F.col("text")), F.array().cast("array<string>"))
+        ).cast("long")
+        return (
+            df.withColumn("n_tok", n_tok)
+            .filter(F.col("n_tok") >= 40)
+            .select(
+                "doc_id",
+                F.md5(F.col("text").cast("binary")).alias("content_md5"),
+                "n_tok",
+            )
+        )
+
+    t = ParquetTable(spark, _sink_scratch("incr_curation"))
+    upsert(t, curated(old), ["doc_id"], batch_id=0)
+
+    diff = curation.corpus_diff(old, new, "doc_id", "text")
+    touched = diff.filter(F.col("status").isin("added", "changed")).select(
+        "doc_id"
+    )
+    incoming = curated(new.join(touched, "doc_id"))
+    upsert(
+        t, incoming, ["doc_id"],
+        update_cols=["content_md5", "n_tok"], batch_id=1,
+    )
+    # deletions: rows removed from the corpus, plus touched rows that
+    # newly fail the gate (they may hold a passing version-1 entry)
+    gone = diff.filter(F.col("status") == "removed").select("doc_id")
+    failed = new.join(touched, "doc_id").join(
+        incoming.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id")
+    delete_where(t, gone.unionByName(failed), ["doc_id"], batch_id=2)
+    return t.read()
+
+
 def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr duplicated-span detection (Lee et al. 2022): per
     document, the number of tokens covered by an 8-token gram whose
@@ -3733,6 +3809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
     "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
     "streaming_chained_stateful": streaming_chained_stateful,
+    "incremental_curation_sink": incremental_curation_sink,
     # never-driver-checked rows promoted into the prefix:
     "bm25_topk_docs": bm25_topk_docs,
     "k_time_travel_sink": k_time_travel_sink,

@@ -279,3 +279,73 @@ def test_upsert_rejects_type_drift(spark, tmp_path):
     with pytest.raises(ValueError, match="column types"):
         upsert(t, bad, ["k"], update_cols=["v"], batch_id=1, merge_schema=True)
     assert {r.k: r.v for r in t.read().collect()} == {1: 10}
+
+
+def test_incremental_curation_equals_full_recompute(spark, tmp_path):
+    """Delta maintenance invariant on a crafted corpus: gate-crossing
+    edits in BOTH directions (a doc growing past the gate, a doc
+    shrinking below it), a removal, an addition, and an untouched doc
+    — the incrementally-maintained sink must equal the batch recompute
+    over version 2."""
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.functions import hashing as H
+    from farmrpg_etl_spark.operators import curation
+    from farmrpg_etl_spark.sinks.writers import delete_where, upsert
+
+    GATE = 4  # tokens
+
+    def curated(df):
+        n_tok = F.size(
+            F.coalesce(H.words(F.col("text")), F.array().cast("array<string>"))
+        ).cast("long")
+        return (
+            df.withColumn("n_tok", n_tok)
+            .filter(F.col("n_tok") >= GATE)
+            .select(
+                "doc_id",
+                F.md5(F.col("text").cast("binary")).alias("content_md5"),
+                "n_tok",
+            )
+        )
+
+    old = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # stays, untouched
+            (2, "a b c"),          # grows past the gate in v2
+            (3, "a b c d e f"),    # shrinks below the gate in v2
+            (4, "x y z w"),        # removed in v2
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d"),        # 3 -> 4 tokens: newly passes
+            (3, "a b"),            # 6 -> 2 tokens: newly fails
+            (5, "p q r s t"),      # added, passes
+            (6, "p q"),            # added, fails
+        ],
+        "doc_id long, text string",
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "incr"))
+    upsert(t, curated(old), ["doc_id"], batch_id=0)
+    diff = curation.corpus_diff(old, new, "doc_id", "text")
+    touched = diff.filter(F.col("status").isin("added", "changed")).select("doc_id")
+    incoming = curated(new.join(touched, "doc_id"))
+    upsert(t, incoming, ["doc_id"], update_cols=["content_md5", "n_tok"], batch_id=1)
+    gone = diff.filter(F.col("status") == "removed").select("doc_id")
+    failed = (
+        new.join(touched, "doc_id")
+        .join(incoming.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id")
+    )
+    delete_where(t, gone.unionByName(failed), ["doc_id"], batch_id=2)
+
+    got = {r["doc_id"]: (r["content_md5"], r["n_tok"]) for r in t.read().collect()}
+    want = {
+        r["doc_id"]: (r["content_md5"], r["n_tok"]) for r in curated(new).collect()
+    }
+    assert got == want
+    assert set(got) == {1, 2, 5}  # 3 deleted (gate), 4 deleted (removed), 6 never in
