@@ -385,8 +385,15 @@ def _bpe_rounds(
                 F.col("__total").alias("total"),
             )
         )
-        # apply the merge: greedy left-to-right non-overlapping
-        pr = paired.crossJoin(F.broadcast(top1.select("__pa", "__pb")))
+        # apply the merge: greedy left-to-right non-overlapping.
+        # LEFT join on TRUE (not crossJoin): when a round has NO pairs
+        # at all (every word a single symbol) the argmax is empty, and
+        # a cross join would annihilate the symbol relation — the left
+        # join preserves it with null pa/pb, so no candidate matches
+        # and the round is a no-op (property-tested on 1-char corpora)
+        pr = paired.join(
+            F.broadcast(top1.select("__pa", "__pb")), F.lit(True), "left"
+        )
         cand = pr.filter(
             (F.col("sym") == F.col("__pa")) & (F.col("nxt") == F.col("__pb"))
         ).select("w", "p")

@@ -2999,7 +2999,7 @@ def _bpe_merges_sql(n_merges: int = 3) -> str:
             f"  SELECT pr.w, pr.wc, pr.p,"
             f"   CASE WHEN tk.p IS NOT NULL THEN t.pa || t.pb"
             f"        ELSE pr.sym END AS sym"
-            f"  FROM pr{r} pr CROSS JOIN top{r} t"
+            f"  FROM pr{r} pr LEFT JOIN top{r} t ON TRUE"
             f"  LEFT JOIN taken{r} tk ON pr.w = tk.w AND pr.p = tk.p"
             f"  LEFT JOIN taken{r} dr ON pr.w = dr.w AND pr.p = dr.p + 1"
             f"  WHERE dr.p IS NULL))"

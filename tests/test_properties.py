@@ -362,3 +362,42 @@ def test_quality_weighted_sample_is_subset_and_monotone(sp, docs):
     kept_hi = {r.doc_id for r in quality_weighted_sample(hi, "doc_id", "quality").collect()}
     assert kept_lo <= set(uniq)
     assert kept_lo <= kept_hi
+
+
+@given(docs=DOCS)
+@SETTINGS
+def test_cut_spans_complements_detection(sp, docs):
+    """cut ∘ detect complement: kept_tok + dup_tok == n_tok for every
+    document on arbitrary corpora (cutting removes exactly the
+    measured coverage); re-tokenizing text_cut yields kept_tok."""
+    from pyspark.sql import functions as F
+
+    uniq = {i: " ".join(toks) for i, toks in docs}
+    df = sp.createDataFrame(list(uniq.items()), "doc_id long, text string")
+    cut = {r.doc_id: r for r in dedup.cut_duplicated_spans(df, "text", "doc_id", k=3).collect()}
+    det = {r.doc_id: r for r in dedup.duplicated_spans(df, "text", "doc_id", k=3).collect()}
+    assert set(cut) == set(det) == set(uniq)
+    for i in uniq:
+        assert cut[i].kept_tok + det[i].dup_tok == det[i].n_tok, i
+        toks = [t for t in cut[i].text_cut.split(" ") if t]
+        assert len(toks) == cut[i].kept_tok, i
+
+
+@given(docs=DOCS, n_merges=st.integers(1, 3))
+@SETTINGS
+def test_bpe_token_counts_bounds_and_monotone(sp, docs, n_merges):
+    """BPE encoding invariants: n_words <= n_bpe_tokens <= total chars
+    of the doc's words, and more merge rounds never increase any
+    document's token count."""
+    from farmrpg_etl_spark.operators.curation import bpe_token_counts
+
+    uniq = {i: " ".join(toks) for i, toks in docs}
+    df = sp.createDataFrame(list(uniq.items()), "doc_id long, text string")
+    few = {r.doc_id: r for r in bpe_token_counts(df, "text", "doc_id", n_merges=n_merges).collect()}
+    more = {r.doc_id: r for r in bpe_token_counts(df, "text", "doc_id", n_merges=n_merges + 1).collect()}
+    for i, text in uniq.items():
+        ws = [w for w in text.lower().split() if w]
+        assert few[i].n_words == len(ws)
+        assert few[i].n_bpe_tokens >= few[i].n_words
+        assert few[i].n_bpe_tokens <= sum(len(w) for w in ws)
+        assert more[i].n_bpe_tokens <= few[i].n_bpe_tokens, i
