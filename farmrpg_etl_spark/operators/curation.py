@@ -303,9 +303,9 @@ def _bpe_rounds(
     ``n_merges`` full merge rounds — count adjacent symbol pairs over
     the word-frequency vocabulary, pick the most frequent pair
     (deterministic ``(total desc, pair asc)`` tie-break), REWRITE every
-    word's symbol sequence with the merge applied, recount. Emits the
-    merge table ``(round, pair_a, pair_b, total)`` — the artifact a
-    tokenizer ships.
+    word's symbol sequence with the merge applied, recount. Returns
+    ``(merge_logs, final_symbol_rows)`` — :func:`bpe_merges` exposes
+    the merge table, :func:`bpe_token_counts` the encoding.
 
     The merge application is the classic greedy left-to-right
     non-overlapping rule, expressed relationally (no lambda fold, so
