@@ -1,8 +1,7 @@
 """Real media codecs, pure stdlib (north-star multimodal extension).
 
 The round-2 decode stage was an honest stub; this module is the real
-thing for three formats whose containers are decodable with nothing
-but ``zlib`` + ``struct``:
+thing for five formats decodable with nothing but the stdlib:
 
 * **PNG** — full decode: chunk walk with CRC validation, IDAT
   inflate, scanline un-filtering (all five filter types 0-4), 8-bit
@@ -421,6 +420,8 @@ def sniff_format(data: bytes) -> str | None:
         return "wav"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -436,6 +437,8 @@ def decode_media(data: bytes) -> dict:
         return decode_wav(data)
     if fmt == "gif":
         return decode_gif(data)
+    if fmt == "jpeg":
+        return decode_jpeg(data)
     raise ValueError("unknown media format")
 
 
@@ -448,7 +451,7 @@ def synth_media_bytes(media_id: int) -> tuple[str, bytes, str]:
     the top-down RGB (or empty for audio), i.e. exactly what the
     decoders recompute, making encode→decode digest equality a
     full-codec round-trip proof."""
-    kind = ("png", "bmp", "wav", "gif")[media_id % 4]
+    kind = ("png", "bmp", "wav", "gif", "jpeg")[media_id % 5]
     if kind in ("png", "bmp"):
         w = 4 + media_id % 13
         h = 4 + (media_id * 7) % 11
@@ -464,5 +467,506 @@ def synth_media_bytes(media_id: int) -> tuple[str, bytes, str]:
         pal = _gif_palette()
         rgb = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
         return kind, encode_gif(w, h, idx), hashlib.md5(rgb).hexdigest()
+    if kind == "jpeg":
+        w = 4 + media_id % 13
+        h = 4 + (media_id * 7) % 11
+        v = (media_id * 37) % 256
+        rgb = bytes([v]) * (w * h * 3)
+        return kind, encode_jpeg(w, h, rgb), hashlib.md5(rgb).hexdigest()
     pcm = bytes((media_id + i) % 256 for i in range(2 * (500 + media_id % 1000)))
     return kind, encode_wav(pcm, sample_rate=8000), hashlib.md5(b"").hexdigest()
+
+
+# ----------------------------------------------------------------- JPEG
+# Baseline JFIF (SOF0), pure stdlib: forward/inverse 8x8 DCT, all-ones
+# quantization tables (so DC-only blocks survive bit-exactly), the
+# spec's Annex-K example Huffman tables, byte-stuffed entropy stream.
+# Flat-color images round-trip EXACTLY (every block is DC-only, and
+# R=G=B maps to (Y, 128, 128) and back losslessly); general content
+# decodes within DCT float rounding (tolerance-tested).
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# JPEG Annex K example Huffman tables: (bits[1..16], values)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits, values):
+    """values[i] -> (code, length) per the canonical JPEG procedure."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+import math as _math
+
+_DCT_C = [
+    [
+        (0.5 / _math.sqrt(2) if u == 0 else 0.5)
+        * _math.cos((2 * x + 1) * u * _math.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _fdct(block):
+    """8x8 forward DCT (separable, float)."""
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for u in range(8):
+            tmp[y][u] = sum(block[y][x] * _DCT_C[u][x] for x in range(8))
+    out = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        for u in range(8):
+            out[v][u] = sum(tmp[y][u] * _DCT_C[v][y] for y in range(8))
+    return out
+
+
+def _idct(coef):
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        for x in range(8):
+            tmp[v][x] = sum(coef[v][u] * _DCT_C[u][x] for u in range(8))
+    out = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            out[y][x] = sum(tmp[v][x] * _DCT_C[v][y] for v in range(8))
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-bits padding per spec
+
+
+def _magnitude(v):
+    """(size, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
+    """Baseline JFIF encoder: 4:4:4, all-ones quant tables, Annex-K
+    Huffman tables. Flat-color input round-trips exactly (DC-only)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    # RGB -> YCbCr planes (BT.601 JFIF), padded to multiples of 8
+    pw, ph = (width + 7) & ~7, (height + 7) & ~7
+    planes = [[[0] * pw for _ in range(ph)] for _ in range(3)]
+    for y in range(ph):
+        sy = min(y, height - 1)
+        for x in range(pw):
+            sx = min(x, width - 1)
+            i = (sy * width + sx) * 3
+            r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+            Y = round(0.299 * r + 0.587 * g + 0.114 * b)
+            cb = round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+            cr = round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+            planes[0][y][x] = min(255, max(0, Y))
+            planes[1][y][x] = min(255, max(0, cb))
+            planes[2][y][x] = min(255, max(0, cr))
+
+    dc_lum, ac_lum = _huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM)
+    dc_chr, ac_chr = _huff_codes(*_DC_CHR), _huff_codes(*_AC_CHR)
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for comp in range(3):
+                blk = [
+                    [planes[comp][by + y][bx + x] - 128 for x in range(8)]
+                    for y in range(8)
+                ]
+                coef = _fdct(blk)
+                q = [
+                    int(round(coef[_ZIGZAG[i] // 8][_ZIGZAG[i] % 8]))
+                    for i in range(64)
+                ]
+                dct, act = (dc_lum, ac_lum) if comp == 0 else (dc_chr, ac_chr)
+                diff = q[0] - prev_dc[comp]
+                prev_dc[comp] = q[0]
+                size, bits = _magnitude(diff)
+                c, ln = dct[size]
+                w.write(c, ln)
+                if size:
+                    w.write(bits, size)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+                for i in range(1, 64):
+                    if i > last_nz:
+                        c, ln = act[0x00]  # EOB
+                        w.write(c, ln)
+                        break
+                    if q[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = act[0xF0]  # ZRL
+                        w.write(c, ln)
+                        run -= 16
+                    size, bits = _magnitude(q[i])
+                    c, ln = act[(run << 4) | size]
+                    w.write(c, ln)
+                    w.write(bits, size)
+                    run = 0
+    w.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64)) + seg(
+        0xDB, bytes([0x01]) + bytes([1] * 64)
+    )
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", height, width) + bytes(
+            [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+        ),
+    )
+
+    def dht(cls, tid, table):
+        bits, values = table
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values))
+
+    dhts = (
+        dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
+        + dht(0, 1, _DC_CHR) + dht(1, 1, _AC_CHR)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dhts + sos + bytes(w.buf) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; RST markers
+    are surfaced to the caller for DC-predictor reset."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RST
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def align_restart(self):
+        """Consume an RST marker and byte-align."""
+        self.acc = 0
+        self.n = 0
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, code):
+        self.code = code
+
+
+def _huff_decoder(bits, values):
+    """length -> {code: value} lookup tables."""
+    table: dict[int, dict[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            table.setdefault(length, {})
+            for _ in range(bits[length - 1]):
+                table[length][code] = values[k]
+                code += 1
+                k += 1
+        code <<= 1
+    return table
+
+
+def _read_huff(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        row = table.get(length)
+        if row is not None and code in row:
+            return row[code]
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Baseline JFIF (SOF0) decode: marker walk, Huffman entropy
+    decode with restart-interval support, dequant + IDCT, 2x
+    upsampling for subsampled chroma, YCbCr→RGB digest. Progressive
+    (SOF2) and arithmetic coding are rejected."""
+    width, height, out = _decode_jpeg_pixels(data)
+    return {
+        "format": "jpeg",
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+        "pixel_digest": hashlib.md5(bytes(out)).hexdigest(),
+    }
+
+
+def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None
+    width = height = None
+    restart_interval = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC0:
+            prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                values = list(body[p + 17 : p + 17 + nv])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _huff_decoder(
+                    bits, values
+                )
+                p += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            pos = pos + 2 + ln
+            break
+        pos = pos + 2 + ln
+    if comps is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps):
+        raise ValueError("sampling factors beyond 2 unsupported")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append([[0] * pw for _ in range(ph)])
+
+    br = _BitReader(data, pos)
+    prev_dc = [0] * len(comps)
+    by_id = {c["id"]: (i, c) for i, c in enumerate(comps)}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-aligned RST expected next
+                try:
+                    br.bits(1)
+                    raise ValueError("expected restart marker")
+                except _RestartMarker:
+                    br.align_restart()
+                    prev_dc = [0] * len(comps)
+            try:
+                for cs, td, ta in scan:
+                    ci, c = by_id[cs]
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            s = _read_huff(br, huff_dc[td])
+                            diff = _extend(br.bits(s), s) if s else 0
+                            prev_dc[ci] += diff
+                            zz = [0] * 64
+                            zz[0] = prev_dc[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _read_huff(br, huff_ac[ta])
+                                r, s = rs >> 4, rs & 0x0F
+                                if rs == 0x00:
+                                    break
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC run overflow")
+                                zz[k] = _extend(br.bits(s), s)
+                                k += 1
+                            q = qt[c["tq"]]
+                            coef = [[0.0] * 8 for _ in range(8)]
+                            for i in range(64):
+                                coef[_ZIGZAG[i] // 8][_ZIGZAG[i] % 8] = (
+                                    zz[i] * q[i]
+                                )
+                            px = _idct(coef)
+                            plane = planes[ci]
+                            oy = (my * c["v"] + vy) * 8
+                            ox = (mx * c["h"] + vx) * 8
+                            for y in range(8):
+                                row = plane[oy + y]
+                                for x in range(8):
+                                    v = int(round(px[y][x])) + 128
+                                    row[ox + x] = 255 if v > 255 else (0 if v < 0 else v)
+            except _RestartMarker:
+                raise ValueError("unexpected restart marker")
+            mcu_count += 1
+
+    out = bytearray()
+    if len(comps) == 1:
+        for y in range(height):
+            for x in range(width):
+                v = planes[0][y][x]
+                out += bytes((v, v, v))
+    else:
+        for y in range(height):
+            for x in range(width):
+                vals = []
+                for ci, c in enumerate(comps):
+                    sy = y * c["v"] // vmax
+                    sx = x * c["h"] // hmax
+                    vals.append(planes[ci][sy][sx])
+                Y, cb, cr = vals
+                r = int(round(Y + 1.402 * (cr - 128)))
+                g = int(round(Y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)))
+                b = int(round(Y + 1.772 * (cb - 128)))
+                out += bytes(
+                    (
+                        255 if r > 255 else (0 if r < 0 else r),
+                        255 if g > 255 else (0 if g < 0 else g),
+                        255 if b > 255 else (0 if b < 0 else b),
+                    )
+                )
+    return width, height, bytes(out)
+

@@ -1962,16 +1962,18 @@ WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.vec_id = n.vec_id)
 # round trip (encode → zlib/unfilter decode → identical digest).
 ORACLES["decode_real_media_docs"] = """
 SELECT doc_id AS media_id,
-       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                       WHEN 2 THEN 'wav' ELSE 'gif' END AS format,
-       CASE WHEN doc_id % 4 IN (0, 1, 3)
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                       WHEN 2 THEN 'wav' WHEN 3 THEN 'gif'
+                       ELSE 'jpeg' END AS format,
+       CASE WHEN doc_id % 5 IN (0, 1, 3, 4)
             THEN CAST(4 + doc_id % 13 AS INT) END AS width,
-       CASE WHEN doc_id % 4 IN (0, 1, 3)
+       CASE WHEN doc_id % 5 IN (0, 1, 3, 4)
             THEN CAST(4 + (doc_id * 7) % 11 AS INT) END AS height,
-       CASE WHEN doc_id % 4 = 2
+       CASE WHEN doc_id % 5 = 2
             THEN (2 * (500 + doc_id % 1000) * 1000) // 16000 END AS duration_ms,
-       CASE doc_id % 4
-         -- PNG IDAT / GIF LZW are compressed (not arithmetic) -> NULL
+       CASE doc_id % 5
+         -- PNG IDAT / GIF LZW / JPEG entropy streams are compressed
+         -- (not arithmetic) -> NULL
          WHEN 1 THEN 54 + (4 + (doc_id * 7) % 11)
                           * ((4 + doc_id % 13) * 3 + (4 - ((4 + doc_id % 13) * 3) % 4) % 4)
          WHEN 2 THEN 44 + 2 * (500 + doc_id % 1000)

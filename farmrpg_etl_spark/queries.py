@@ -2896,12 +2896,12 @@ def decode_real_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "duration_ms",
-        # BMP/WAV container sizes are closed-form in the id; PNG's IDAT
-        # and GIF's LZW stream are compressed (content-dependent), so
-        # they are excluded from the hash rather than pretending they
-        # are predictable
+        # BMP/WAV container sizes are closed-form in the id; PNG IDAT,
+        # GIF LZW and JPEG entropy streams are compressed
+        # (content-dependent), so they are excluded from the hash
+        # rather than pretending they are predictable
         F.when(
-            ~F.col("format").isin("png", "gif"), F.col("n_bytes")
+            ~F.col("format").isin("png", "gif", "jpeg"), F.col("n_bytes")
         ).alias("n_bytes"),
         (F.col("pixel_digest") == F.col("src_digest")).alias("pix_match"),
     )

@@ -283,3 +283,60 @@ def test_gif_quarantine_paths(spark):
     assert rows[1]["format"] == "gif" and rows[1]["width"] == 4
     assert rows[2]["format"] == "unknown"
     assert rows[3]["format"] == "unknown"
+
+
+def test_jpeg_flat_color_exact_roundtrip():
+    """Baseline JPEG with all-ones quant tables: a solid-color image is
+    DC-only in every block, so the lossy codec round-trips its pixel
+    digest EXACTLY — the honest exactness contract a lossy format can
+    make (general content is tolerance-tested separately)."""
+    import hashlib
+
+    from farmrpg_etl_spark.multimodal import codecs
+
+    for v, w, h in [(0, 8, 8), (128, 16, 8), (255, 10, 6), (77, 5, 13)]:
+        rgb = bytes([v]) * (w * h * 3)
+        m = codecs.decode_jpeg(codecs.encode_jpeg(w, h, rgb))
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["pixel_digest"] == hashlib.md5(rgb).hexdigest(), (v, w, h)
+
+
+def test_jpeg_general_content_within_rounding():
+    """Arbitrary content survives encode→decode within the YCbCr +
+    DCT float rounding budget (all-ones quant: no quantization loss),
+    and the entropy stream exercises AC runs, ZRL and EOB paths."""
+    from farmrpg_etl_spark.multimodal import codecs
+
+    w, h = 24, 16
+    rgb = bytes(
+        ((x * 7 + y * 13 + c * 31) % 256)
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    _, _, dec = codecs._decode_jpeg_pixels(codecs.encode_jpeg(w, h, rgb))
+    assert max(abs(a - b) for a, b in zip(rgb, dec)) <= 4
+
+
+def test_jpeg_quarantine_paths(spark):
+    """Truncated entropy stream, progressive SOF2, and header-only
+    payloads quarantine like every other codec failure."""
+    from farmrpg_etl_spark.multimodal import codecs
+    from farmrpg_etl_spark.multimodal.binary_ops import decode_real_media
+
+    good = codecs.encode_jpeg(8, 8, bytes([99]) * 192)
+    truncated = good[: len(good) - 10]
+    progressive = bytearray(good)
+    sof = progressive.find(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2  # SOF0 -> SOF2
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(truncated)),
+            (3, bytearray(bytes(progressive))),
+            (4, bytearray(b"\xff\xd8\xff\xe0")),
+        ],
+        "media_id long, data binary",
+    )
+    rows = {r["media_id"]: r for r in decode_real_media(df).collect()}
+    assert rows[1]["format"] == "jpeg" and rows[1]["width"] == 8
+    for mid in (2, 3, 4):
+        assert rows[mid]["format"] == "unknown", mid
