@@ -569,8 +569,20 @@ _DCT_C = [
 ]
 
 
+try:  # numpy accelerates the 8x8 transforms (identical math); the
+    # pure-Python forms below remain the stdlib-only fallback
+    import numpy as _np
+
+    _DCT_M = _np.array(_DCT_C)  # _DCT_M[u, x]
+except Exception:  # pragma: no cover - numpy is present in this env
+    _np = None
+
+
 def _fdct(block):
-    """8x8 forward DCT (separable, float)."""
+    """8x8 forward DCT (separable, float). F = C · B · Cᵀ."""
+    if _np is not None:
+        b = _np.array(block)
+        return (_DCT_M @ b @ _DCT_M.T).tolist()
     tmp = [[0.0] * 8 for _ in range(8)]
     for y in range(8):
         for u in range(8):
@@ -583,6 +595,17 @@ def _fdct(block):
 
 
 def _idct(coef):
+    """Inverse: B = Cᵀ · F · C, with the real decoder's DC-only fast
+    path (an all-AC-zero block is a constant plane DC/8)."""
+    dc_only = all(
+        coef[v][u] == 0.0 for v in range(8) for u in range(8) if v or u
+    )
+    if dc_only:
+        flat = coef[0][0] / 8.0
+        return [[flat] * 8 for _ in range(8)]
+    if _np is not None:
+        f = _np.array(coef)
+        return (_DCT_M.T @ f @ _DCT_M).tolist()
     tmp = [[0.0] * 8 for _ in range(8)]
     for v in range(8):
         for x in range(8):
@@ -632,21 +655,40 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     Huffman tables. Flat-color input round-trips exactly (DC-only)."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length must be width*height*3")
-    # RGB -> YCbCr planes (BT.601 JFIF), padded to multiples of 8
+    # RGB -> YCbCr planes (BT.601 JFIF), padded to multiples of 8.
+    # numpy path when available (same half-to-even rounding as round());
+    # pure-Python fallback keeps the module stdlib-complete.
     pw, ph = (width + 7) & ~7, (height + 7) & ~7
-    planes = [[[0] * pw for _ in range(ph)] for _ in range(3)]
-    for y in range(ph):
-        sy = min(y, height - 1)
-        for x in range(pw):
-            sx = min(x, width - 1)
-            i = (sy * width + sx) * 3
-            r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
-            Y = round(0.299 * r + 0.587 * g + 0.114 * b)
-            cb = round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
-            cr = round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
-            planes[0][y][x] = min(255, max(0, Y))
-            planes[1][y][x] = min(255, max(0, cb))
-            planes[2][y][x] = min(255, max(0, cr))
+    if _np is not None:
+        a = _np.frombuffer(rgb, dtype=_np.uint8).reshape(height, width, 3)
+        a = _np.pad(
+            a.astype(_np.float64),
+            ((0, ph - height), (0, pw - width), (0, 0)),
+            mode="edge",
+        )
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        yp = _np.clip(_np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        cbp = _np.clip(
+            _np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255
+        )
+        crp = _np.clip(
+            _np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255
+        )
+        planes = [yp, cbp, crp]
+    else:
+        planes = [[[0] * pw for _ in range(ph)] for _ in range(3)]
+        for y in range(ph):
+            sy = min(y, height - 1)
+            for x in range(pw):
+                sx = min(x, width - 1)
+                i = (sy * width + sx) * 3
+                r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+                Y = round(0.299 * r + 0.587 * g + 0.114 * b)
+                cb = round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+                cr = round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+                planes[0][y][x] = min(255, max(0, Y))
+                planes[1][y][x] = min(255, max(0, cb))
+                planes[2][y][x] = min(255, max(0, cr))
 
     dc_lum, ac_lum = _huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM)
     dc_chr, ac_chr = _huff_codes(*_DC_CHR), _huff_codes(*_AC_CHR)
@@ -943,11 +985,30 @@ def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("unexpected restart marker")
             mcu_count += 1
 
+    if _np is not None:
+        P = [_np.asarray(pl, dtype=_np.float64) for pl in planes]
+        if len(comps) == 1:
+            Y = P[0][:height, :width]
+            rgbarr = _np.repeat(
+                _np.clip(_np.round(Y), 0, 255)[..., None], 3, axis=2
+            )
+        else:
+            yy = _np.arange(height)[:, None]
+            xx = _np.arange(width)[None, :]
+            samp = []
+            for ci, c in enumerate(comps):
+                samp.append(P[ci][yy * c["v"] // vmax, xx * c["h"] // hmax])
+            Y, cb, cr = samp
+            r = _np.round(Y + 1.402 * (cr - 128))
+            g = _np.round(Y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+            b = _np.round(Y + 1.772 * (cb - 128))
+            rgbarr = _np.clip(_np.stack([r, g, b], axis=2), 0, 255)
+        return width, height, rgbarr.astype(_np.uint8).tobytes()
     out = bytearray()
     if len(comps) == 1:
         for y in range(height):
             for x in range(width):
-                v = planes[0][y][x]
+                v = int(planes[0][y][x])
                 out += bytes((v, v, v))
     else:
         for y in range(height):
