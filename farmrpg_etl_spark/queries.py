@@ -2887,7 +2887,11 @@ def decode_real_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
-    media = synthesize_real_media(d, "media_id")
+    # branch-shared persist: the synthesized payload relation feeds
+    # BOTH the decode stage and the src_digest join-back — without the
+    # cache every codec ENCODES twice (r5 stage profile: the encode
+    # pass is ~70% of the pipeline wall)
+    media = synthesize_real_media(d, "media_id").persist()
     decoded = decode_real_media(media)
     src = media.select("media_id", "src_digest")
     return decoded.join(src, "media_id").select(
