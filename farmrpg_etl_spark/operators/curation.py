@@ -297,7 +297,7 @@ def quality_weighted_sample(
 
 
 def _bpe_rounds(
-    df: DataFrame, text_col: str, n_merges: int
+    df: DataFrame, text_col: str, n_merges: int, rewrite_last: bool = True
 ) -> tuple[list[DataFrame], DataFrame]:
     """Iterative BPE tokenizer training (Sennrich et al. 2016): run
     ``n_merges`` full merge rounds — count adjacent symbol pairs over
@@ -385,6 +385,13 @@ def _bpe_rounds(
                 F.col("__total").alias("total"),
             )
         )
+        if rnd == n_merges and not rewrite_last:
+            # the final merge's LOG only needs the pair counts; the
+            # rewritten symbol relation is only consumed by encoders
+            # (bpe_token_counts) — skip a third of the loop's work
+            # (3 windows + 2 joins + a checkpoint) when the caller
+            # wants merges only
+            break
         # apply the merge: greedy left-to-right non-overlapping.
         # LEFT join on TRUE (not crossJoin): when a round has NO pairs
         # at all (every word a single symbol) the argmax is empty, and
@@ -436,7 +443,7 @@ def bpe_merges(
     """Public merge-table view of :func:`_bpe_rounds` — see its
     docstring for the algorithm and lineage discipline. Emits
     ``(round, pair_a, pair_b, total)``."""
-    merge_logs, _rows = _bpe_rounds(df, text_col, n_merges)
+    merge_logs, _rows = _bpe_rounds(df, text_col, n_merges, rewrite_last=False)
     out = merge_logs[0]
     for m in merge_logs[1:]:
         out = out.unionByName(m)
