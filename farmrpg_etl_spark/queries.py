@@ -3801,9 +3801,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver verifies a 50-entry prefix per round. Rounds 1-4
     # accumulated 96 distinct driver-green rows while 58 registry rows
     # had only judge-side verification; this round's prefix is ALL
-    # first-time rows — the 5 new r5 operators plus 45 of the 58
+    # first-time rows — the 7 new r5 operators plus 43 of the 58
     # never-driver-checked rows (zero failures ever recorded, so the
-    # anchors rotate out safely; see docs/COVERAGE.md). The 13
+    # anchors rotate out safely; see docs/COVERAGE.md). The 16
     # remaining never-checked rows sit immediately after the prefix
     # for the round-6 rotation.
     # r5 new operators:
