@@ -650,15 +650,28 @@ def _magnitude(v):
     return size, bits
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
-    """Baseline JFIF encoder: 4:4:4, all-ones quant tables, Annex-K
-    Huffman tables. Flat-color input round-trips exactly (DC-only)."""
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder: all-ones quant tables, Annex-K Huffman
+    tables, 4:4:4 or 4:2:0 chroma (2x2-averaged), optional restart
+    intervals (DRI + byte-aligned RSTn every N MCUs). Flat-color input
+    round-trips exactly (DC-only blocks; 2x2 averaging of a flat plane
+    is flat)."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length must be width*height*3")
-    # RGB -> YCbCr planes (BT.601 JFIF), padded to multiples of 8.
-    # numpy path when available (same half-to-even rounding as round());
-    # pure-Python fallback keeps the module stdlib-complete.
-    pw, ph = (width + 7) & ~7, (height + 7) & ~7
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    hs = vs = 2 if subsample == "420" else 1
+    mb = 8 * hs  # MCU edge in luma samples
+    pw, ph = -(-width // mb) * mb, -(-height // mb) * mb
+    # RGB -> YCbCr planes (BT.601 JFIF), edge-padded. numpy when
+    # available (same half-to-even rounding as round()); pure-Python
+    # fallback keeps the module stdlib-complete.
     if _np is not None:
         a = _np.frombuffer(rgb, dtype=_np.uint8).reshape(height, width, 3)
         a = _np.pad(
@@ -674,6 +687,15 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
         crp = _np.clip(
             _np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255
         )
+        if hs == 2:
+            cbp = _np.round(
+                (cbp[0::2, 0::2] + cbp[0::2, 1::2]
+                 + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            )
+            crp = _np.round(
+                (crp[0::2, 0::2] + crp[0::2, 1::2]
+                 + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+            )
         planes = [yp, cbp, crp]
     else:
         planes = [[[0] * pw for _ in range(ph)] for _ in range(3)]
@@ -689,50 +711,81 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
                 planes[0][y][x] = min(255, max(0, Y))
                 planes[1][y][x] = min(255, max(0, cb))
                 planes[2][y][x] = min(255, max(0, cr))
+        if hs == 2:
+            for ci in (1, 2):
+                full = planes[ci]
+                planes[ci] = [
+                    [
+                        round(
+                            (full[2 * y][2 * x] + full[2 * y][2 * x + 1]
+                             + full[2 * y + 1][2 * x]
+                             + full[2 * y + 1][2 * x + 1]) / 4.0
+                        )
+                        for x in range(pw // 2)
+                    ]
+                    for y in range(ph // 2)
+                ]
 
     dc_lum, ac_lum = _huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM)
     dc_chr, ac_chr = _huff_codes(*_DC_CHR), _huff_codes(*_AC_CHR)
     w = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for comp in range(3):
-                blk = [
-                    [planes[comp][by + y][bx + x] - 128 for x in range(8)]
-                    for y in range(8)
-                ]
-                coef = _fdct(blk)
-                q = [
-                    int(round(coef[_ZIGZAG[i] // 8][_ZIGZAG[i] % 8]))
-                    for i in range(64)
-                ]
-                dct, act = (dc_lum, ac_lum) if comp == 0 else (dc_chr, ac_chr)
-                diff = q[0] - prev_dc[comp]
-                prev_dc[comp] = q[0]
-                size, bits = _magnitude(diff)
-                c, ln = dct[size]
+
+    def emit_block(plane, oy, ox, comp):
+        blk = [
+            [plane[oy + y][ox + x] - 128 for x in range(8)] for y in range(8)
+        ]
+        coef = _fdct(blk)
+        q = [
+            int(round(coef[_ZIGZAG[i] // 8][_ZIGZAG[i] % 8]))
+            for i in range(64)
+        ]
+        dct, act = (dc_lum, ac_lum) if comp == 0 else (dc_chr, ac_chr)
+        diff = q[0] - prev_dc[comp]
+        prev_dc[comp] = q[0]
+        size, bits = _magnitude(diff)
+        c, ln = dct[size]
+        w.write(c, ln)
+        if size:
+            w.write(bits, size)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+        for i in range(1, 64):
+            if i > last_nz:
+                c, ln = act[0x00]  # EOB
                 w.write(c, ln)
-                if size:
-                    w.write(bits, size)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if q[i]), default=0)
-                for i in range(1, 64):
-                    if i > last_nz:
-                        c, ln = act[0x00]  # EOB
-                        w.write(c, ln)
-                        break
-                    if q[i] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, ln = act[0xF0]  # ZRL
-                        w.write(c, ln)
-                        run -= 16
-                    size, bits = _magnitude(q[i])
-                    c, ln = act[(run << 4) | size]
-                    w.write(c, ln)
-                    w.write(bits, size)
-                    run = 0
+                break
+            if q[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = act[0xF0]  # ZRL
+                w.write(c, ln)
+                run -= 16
+            size, bits = _magnitude(q[i])
+            c, ln = act[(run << 4) | size]
+            w.write(c, ln)
+            w.write(bits, size)
+            run = 0
+
+    mcux, mcuy = pw // mb, ph // mb
+    mcu_n = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                w.flush()
+                w.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev_dc[:] = [0, 0, 0]
+            for vy in range(vs):
+                for vx in range(hs):
+                    emit_block(
+                        planes[0], (my * vs + vy) * 8, (mx * hs + vx) * 8, 0
+                    )
+            emit_block(planes[1], my * 8, mx * 8, 1)
+            emit_block(planes[2], my * 8, mx * 8, 2)
+            mcu_n += 1
     w.flush()
 
     def seg(marker, payload):
@@ -742,10 +795,11 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64)) + seg(
         0xDB, bytes([0x01]) + bytes([1] * 64)
     )
+    samp_y = (hs << 4) | vs
     sof = seg(
         0xC0,
         bytes([8]) + struct.pack(">HH", height, width) + bytes(
-            [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+            [3, 1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]
         ),
     )
 
@@ -757,9 +811,15 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
         dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
         + dht(0, 1, _DC_CHR) + dht(1, 1, _AC_CHR)
     )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return (
-        b"\xff\xd8" + app0 + dqt + sof + dhts + sos + bytes(w.buf) + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + sof + dhts + dri + sos
+        + bytes(w.buf) + b"\xff\xd9"
     )
 
 
@@ -800,6 +860,18 @@ class _BitReader:
         """Consume an RST marker and byte-align."""
         self.acc = 0
         self.n = 0
+        self.pos += 2
+
+    def expect_restart(self):
+        """At a restart boundary: discard the encoder's byte-padding
+        bits still buffered, then consume the RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if not (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
         self.pos += 2
 
 
@@ -935,13 +1007,8 @@ def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # byte-aligned RST expected next
-                try:
-                    br.bits(1)
-                    raise ValueError("expected restart marker")
-                except _RestartMarker:
-                    br.align_restart()
-                    prev_dc = [0] * len(comps)
+                br.expect_restart()
+                prev_dc = [0] * len(comps)
             try:
                 for cs, td, ta in scan:
                     ci, c = by_id[cs]

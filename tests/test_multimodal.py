@@ -340,3 +340,36 @@ def test_jpeg_quarantine_paths(spark):
     assert rows[1]["format"] == "jpeg" and rows[1]["width"] == 8
     for mid in (2, 3, 4):
         assert rows[mid]["format"] == "unknown", mid
+
+
+def test_jpeg_420_and_restart_intervals():
+    """4:2:0 chroma subsampling and restart intervals, both encoder and
+    decoder sides: flat color stays exact (2x2 average of flat is
+    flat); restart markers never change decoded pixels; grayscale
+    content through 4:2:0 stays within luma rounding (chroma constant)."""
+    import hashlib
+
+    from farmrpg_etl_spark.multimodal import codecs
+
+    for v, w, h in [(0, 16, 16), (128, 16, 8), (200, 10, 6), (77, 5, 13)]:
+        rgb = bytes([v]) * (w * h * 3)
+        m = codecs.decode_jpeg(codecs.encode_jpeg(w, h, rgb, subsample="420"))
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["pixel_digest"] == hashlib.md5(rgb).hexdigest(), (v, w, h)
+    # restart markers are pixel-neutral
+    w, h = 40, 24
+    rgb = bytes(((x * 3 + y * 2 + c * 11) % 256)
+                for y in range(h) for x in range(w) for c in range(3))
+    d1 = codecs._decode_jpeg_pixels(codecs.encode_jpeg(w, h, rgb))[2]
+    d2 = codecs._decode_jpeg_pixels(
+        codecs.encode_jpeg(w, h, rgb, restart_interval=2)
+    )[2]
+    assert d1 == d2
+    # grayscale through 4:2:0: chroma planes are constant 128, so the
+    # only loss is luma DCT rounding
+    g = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+    rgb_g = bytes(v for p in g for v in (p, p, p))
+    _, _, dec = codecs._decode_jpeg_pixels(
+        codecs.encode_jpeg(w, h, rgb_g, subsample="420")
+    )
+    assert max(abs(a - b) for a, b in zip(rgb_g, dec)) <= 4
