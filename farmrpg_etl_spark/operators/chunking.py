@@ -110,8 +110,10 @@ def global_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = bucketed.withColumn("__local", F.sum(F.col(value_col)).over(w_local))
-    # one row per bucket: the global window here is over <= nb rows
-    totals = local.groupBy("__b").agg(F.max("__local").alias("__total"))
+    # one row per bucket: the global window here is over <= nb rows.
+    # bucket total = SUM of the values (max(running sum) is only correct
+    # for non-negative values — same fix as grouped_prefix_sum)
+    totals = local.groupBy("__b").agg(F.sum(F.col(value_col)).alias("__total"))
     w_off = Window.orderBy(F.col("__b").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -188,7 +190,13 @@ def grouped_prefix_sum(
     local = df.withColumn("__b", b).withColumn(
         "__local", F.sum(F.col(value_col)).over(w_local)
     )
-    totals = local.groupBy(*group_cols, "__b").agg(F.max("__local").alias("__total"))
+    # bucket total = SUM of the values, never max(running sum): the
+    # running local cumsum is only monotone for non-negative values, so
+    # max(__local) under-counts buckets containing negatives (hypothesis
+    # r5 counterexample: values (-1, 0) -> bucket total 0, not -1)
+    totals = local.groupBy(*group_cols, "__b").agg(
+        F.sum(F.col(value_col)).alias("__total")
+    )
     w_off = (
         Window.partitionBy(*group_cols)
         .orderBy(F.col("__b").asc())

@@ -401,3 +401,51 @@ def test_bpe_token_counts_bounds_and_monotone(sp, docs, n_merges):
         assert few[i].n_bpe_tokens >= few[i].n_words
         assert few[i].n_bpe_tokens <= sum(len(w) for w in ws)
         assert more[i].n_bpe_tokens <= few[i].n_bpe_tokens, i
+
+
+def test_prefix_sums_handle_negative_values(sp):
+    """Pinned regression (hypothesis r5 find): bucket totals must be
+    sum(value), not max(running sum) — max under-counts any bucket
+    whose running total dips (negative values). Both prefix-sum forms."""
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from farmrpg_etl_spark.operators.chunking import (
+        global_prefix_sum,
+        grouped_prefix_sum,
+    )
+
+    vals = [5, -7, 3, -1, 0, 2, -4, 9]
+    data = [
+        ("g", hashlib.md5(str(i).encode()).hexdigest(), v)
+        for i, v in enumerate(vals)
+    ]
+    df = sp.createDataFrame(data, "grp string, h string, v long")
+    got = {
+        r["h"]: r["cum"]
+        for r in grouped_prefix_sum(df, ["grp"], "h", "v").collect()
+    }
+    w = (
+        Window.partitionBy("grp").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["h"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+    gdf = sp.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    got_g = {
+        r["k"]: r["cum"]
+        for r in global_prefix_sum(gdf, "k", "v", num_buckets=3).collect()
+    }
+    run, want_g = 0, {}
+    for i, v in enumerate(vals):
+        run += v
+        want_g[i] = run
+    assert got_g == want_g
