@@ -358,6 +358,26 @@ def main() -> None:
                 F.col("dup_tok") > 0
             )
 
+        def stretch_cut_dup_span():
+            # span CUTTING at 10×: the detect path's shuffle plus the
+            # dense-position coverage window and per-doc reassembly —
+            # the r5 shape with no measured 10× point until now. The
+            # kept_tok < n_tok filter plays the same
+            # anti-plan-elision role as dup_tok > 0 above.
+            d = spark.read.parquet(f"{stretch_dir}/documents.parquet")
+            return D.cut_duplicated_spans(d, "text", "doc_id", k=8).filter(
+                F.col("kept_tok") < F.col("n_tok")
+            )
+
+        def stretch_bpe_merges():
+            # iterative BPE training at 10×: vocab-first reduction means
+            # the per-round cost is driven by VOCAB size (Heaps-law
+            # sublinear in corpus tokens), so 10× corpus should be far
+            # under 10× time — this row is the direct measurement.
+            d = spark.read.parquet(f"{stretch_dir}/documents.parquet")
+            from farmrpg_etl_spark.operators.curation import bpe_merges
+            return bpe_merges(d, "text", n_merges=3)
+
         def stretch_heavy_hitters():
             from farmrpg_etl_spark.functions import hashing as H
             from farmrpg_etl_spark.operators.heavyhitters import heavy_hitters
@@ -398,6 +418,8 @@ def main() -> None:
             ("semantic_dedup_10x_catalyst", stretch_semdedup("catalyst")),
             ("heavy_hitters_10x", stretch_heavy_hitters),
             ("dup_span_10x", stretch_dup_span),
+            ("cut_dup_span_10x", stretch_cut_dup_span),
+            ("bpe_merges_10x", stretch_bpe_merges),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:
@@ -447,9 +469,10 @@ def main() -> None:
 
     out["bench_wall_sec"] = round(time.time() - t_start, 1)
     phase("done")
-    # Durable in-repo copy: BENCH_r04.json lost its stdout tail to the
-    # driver's capture window ("parsed": null), so the machine-readable
-    # line is ALSO written where truncation can't reach it.
+    # Durable in-repo copy of the FULL detail: BENCH_r04/r05.json lost
+    # their stdout tails to the driver's capture window
+    # ("parsed": null), so everything is written where truncation
+    # can't reach it...
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -459,7 +482,24 @@ def main() -> None:
             json.dump(out, f)
     except OSError:
         pass
-    print(json.dumps(out))
+    # ...and stdout gets a COMPACT line (headline + per-section totals
+    # only — no extended/stretch/sf1 per-query maps) sized to survive
+    # the capture window so BENCH_r06.json finally parses.
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "cold_total_sec",
+            "parse_msgs_per_sec", "extended_total_sec",
+            "sf1_headline_total_sec", "bench_wall_sec",
+        )
+        if k in out
+    }
+    if "sf1_stretch" in out:
+        compact["sf1_stretch_total_sec"] = round(
+            sum(v["sec"] for v in out["sf1_stretch"].values()), 3
+        )
+    compact["detail"] = "BENCH_LOCAL.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -3789,40 +3789,80 @@ def s4_demand_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 
-# Registry order is deliberate: the round-2 driver artifact recorded
-# exactly the FIRST 50 entries, so the prefix is packed to maximize
-# operator-family coverage under any prefix cut — every SURVEY §2
-# family (parse, filters, CDC, joins, sinks, scalars), every LLM
-# dedup/similarity/quality component, the real-codec multimodal stage,
-# and the streaming forms all appear before the TPC-H variants that
-# exercise already-covered relational shapes.
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r5 DRIVER-COVERAGE ROTATION ---------------------------------
-    # The driver verifies a 50-entry prefix per round. Rounds 1-4
-    # accumulated 96 distinct driver-green rows while 58 registry rows
-    # had only judge-side verification; this round's prefix is ALL
-    # first-time rows — the 7 new r5 operators plus 43 of the 58
-    # never-driver-checked rows (zero failures ever recorded, so the
-    # anchors rotate out safely; see docs/COVERAGE.md). The 16
-    # remaining never-checked rows sit immediately after the prefix
-    # for the round-6 rotation.
-    # r5 new operators:
+    # --- r6 DRIVER-COVERAGE ROTATION ---------------------------------
+    # The driver verifies exactly the FIRST 50 entries per round.
+    # Head (16): the 15 rows never driver-checked through r5 (the 13-
+    # row r5 queue plus resize/embed_media_docs, which rows 51-52 of
+    # the r5 ordering silently displaced past the cut — r5 ADVICE #1)
+    # and json_props_stats, the one driver-red row ever recorded (its
+    # oracle SUM is now CAST to BIGINT; see oracles.py).
+    "parse_profile_roundtrip": parse_profile_roundtrip,
+    "parse_online_roundtrip": parse_online_roundtrip,
+    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
+    "datetime_semantics": datetime_semantics,
+    "simhash_docs": simhash_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "minhash_signatures_docs": minhash_signatures_docs,
+    "minhash_estimate_error_docs": minhash_estimate_error_docs,
+    "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_quantized": ann_topk_quantized,
+    "embedding_centroids": embedding_centroids,
+    "resize_media_docs": resize_media_docs,
+    "embed_media_docs": embed_media_docs,
+    "json_props_stats": json_props_stats,
+    # Back-fill (34): high-value anchors re-verified each round — the
+    # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
+    # dedup/similarity/BPE/multimodal families, and the r5 first-timers
+    # that cleared their first driver check.
+    "chat_pipeline_e2e": chat_pipeline_e2e,
+    "flags_pipeline_e2e": flags_pipeline_e2e,
+    "user_pipeline_e2e": user_pipeline_e2e,
+    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
+    "scalar_text_functions": scalar_text_functions,
+    "parse_chat_roundtrip": parse_chat_roundtrip,
+    "parse_flags_roundtrip": parse_flags_roundtrip,
+    "parse_message_roundtrip": parse_message_roundtrip,
+    "parse_quarantine_channel": parse_quarantine_channel,
+    "d1_message_cdc": d1_message_cdc,
+    "streaming_message_cdc": streaming_message_cdc,
+    "streaming_cdc_events": streaming_cdc_events,
+    "j1_resolve_join": j1_resolve_join,
+    "j4_upsert": j4_upsert,
+    "k1_insert_absent_sink": k1_insert_absent_sink,
+    "k3_upsert_sink": k3_upsert_sink,
+    "k_time_travel_sink": k_time_travel_sink,
+    "k_delete_tombstones_sink": k_delete_tombstones_sink,
+    "exact_dedup_docs": exact_dedup_docs,
+    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "simhash_pairs_docs": simhash_pairs_docs,
+    "incremental_lsh_docs": incremental_lsh_docs,
+    "chunk_dedup_docs": chunk_dedup_docs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "dup_span_docs": dup_span_docs,
     "cut_dup_span_docs": cut_dup_span_docs,
     "bpe_merges_docs": bpe_merges_docs,
     "bpe_token_counts_docs": bpe_token_counts_docs,
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
     "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
+    "decode_real_media_docs": decode_real_media_docs,
+    "training_data_pipeline": training_data_pipeline,
+    "q1_pricing_summary": q1_pricing_summary,
+    # --- end of 50-entry prefix --------------------------------------
+    # Remaining rows: all driver-green in earlier rounds (cumulative
+    # record in docs/COVERAGE.md); order within this block is not
+    # load-bearing.
     "streaming_chained_stateful": streaming_chained_stateful,
     "incremental_curation_sink": incremental_curation_sink,
-    # never-driver-checked rows promoted into the prefix:
     "bm25_topk_docs": bm25_topk_docs,
-    "k_time_travel_sink": k_time_travel_sink,
-    "k_delete_tombstones_sink": k_delete_tombstones_sink,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "decontaminate_docs": decontaminate_docs,
     "repetition_docs": repetition_docs,
     "corpus_curation": corpus_curation,
-    "streaming_cdc_events": streaming_cdc_events,
     "streaming_flags_join_events": streaming_flags_join_events,
     "streaming_incremental_lsh": streaming_incremental_lsh,
     "streaming_corpus_ingest": streaming_corpus_ingest,
@@ -3831,7 +3871,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_latest_per_user": streaming_latest_per_user,
     "streaming_sessionize": streaming_sessionize,
     "streaming_enriched_counts": streaming_enriched_counts,
-    "training_data_pipeline": training_data_pipeline,
     "neardup_canonical_docs": neardup_canonical_docs,
     "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
@@ -3850,7 +3889,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents": chunk_documents,
     "pii_redaction": pii_redaction,
-    "json_props_stats": json_props_stats,
     "hourly_rollup_events": hourly_rollup_events,
     "histogram_quantile_events": histogram_quantile_events,
     "zorder_events": zorder_events,
@@ -3858,25 +3896,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,
     "decode_media_docs": decode_media_docs,
-    "resize_media_docs": resize_media_docs,
-    "embed_media_docs": embed_media_docs,
-    # --- end of 50-entry prefix ------------------------------------
-    # round-6 rotation queue (never driver-checked, family-covered
-    # by earlier driver-green rows):
-    "parse_profile_roundtrip": parse_profile_roundtrip,
-    "parse_online_roundtrip": parse_online_roundtrip,
-    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
-    "simhash_docs": simhash_docs,
-    "pack_sequences_docs": pack_sequences_docs,
-    "datetime_semantics": datetime_semantics,
-    "minhash_signatures_docs": minhash_signatures_docs,
-    "ann_topk_bruteforce": ann_topk_bruteforce,
-    "cosine_pairs_embeddings": cosine_pairs_embeddings,
-    "minhash_estimate_error_docs": minhash_estimate_error_docs,
-    "ann_topk_quantized": ann_topk_quantized,
-    "embedding_centroids": embedding_centroids,
-    "ann_topk_ivf": ann_topk_ivf,
-    # cumulative driver-green rows (r1-r4 records):
     "s_poll_schedule": s_poll_schedule,
     "s_landing_roundtrip": s_landing_roundtrip,
     "s4_demand_fanout": s4_demand_fanout,
@@ -3884,38 +3903,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_filters_combined": f_filters_combined,
     "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
     "first_event_per_user_type": first_event_per_user_type,
-    "d1_message_cdc": d1_message_cdc,
     "streaming_poll_source": streaming_poll_source,
     "claims_gate_events": claims_gate_events,
     "d6_absent_from_sink": d6_absent_from_sink,
-    "j1_resolve_join": j1_resolve_join,
     "j1_unmatched_flags": j1_unmatched_flags,
-    "j4_upsert": j4_upsert,
-    "k1_insert_absent_sink": k1_insert_absent_sink,
     "k2_merge_update_sink": k2_merge_update_sink,
-    "k3_upsert_sink": k3_upsert_sink,
     "k4_partial_doc_sink": k4_partial_doc_sink,
     "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
-    "chat_pipeline_e2e": chat_pipeline_e2e,
-    "flags_pipeline_e2e": flags_pipeline_e2e,
-    "user_pipeline_e2e": user_pipeline_e2e,
-    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
-    "scalar_text_functions": scalar_text_functions,
     "bot_dispatch_replies": bot_dispatch_replies,
-    "parse_chat_roundtrip": parse_chat_roundtrip,
-    "parse_flags_roundtrip": parse_flags_roundtrip,
-    "dup_span_docs": dup_span_docs,
-    "parse_quarantine_channel": parse_quarantine_channel,
-    "exact_dedup_docs": exact_dedup_docs,
-    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
-    "ngram_jaccard_docs": ngram_jaccard_docs,
-    "simhash_pairs_docs": simhash_pairs_docs,
-    "incremental_lsh_docs": incremental_lsh_docs,
     "neardup_clusters_docs": neardup_clusters_docs,
-    "chunk_dedup_docs": chunk_dedup_docs,
     "cdc_chunk_docs": cdc_chunk_docs,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "semantic_dedup_lloyd": semantic_dedup_lloyd,
     "text_metrics_docs": text_metrics_docs,
     "token_budget_mixture_docs": token_budget_mixture_docs,
@@ -3923,11 +3921,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf_probe": ann_topk_ivf_probe,
     "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
     "ann_recall_ivf_probe": ann_recall_ivf_probe,
-    "decode_real_media_docs": decode_real_media_docs,
     "revenue_by_nation": revenue_by_nation,
     "asof_click_attribution": asof_click_attribution,
-    "streaming_message_cdc": streaming_message_cdc,
-    "parse_message_roundtrip": parse_message_roundtrip,
     "k3_snapshot_append_sink": k3_snapshot_append_sink,
     "int8_quantize_embeddings": int8_quantize_embeddings,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
@@ -3935,7 +3930,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j3_fk_hydrate": j3_fk_hydrate,
     "j2_correlated_update": j2_correlated_update,
     "d4_noop_eliminate": d4_noop_eliminate,
-    "q1_pricing_summary": q1_pricing_summary,
     "d1_changes_events": d1_changes_events,
     "d5_change_pairs": d5_change_pairs,
     "a1_latest_event_per_user": a1_latest_event_per_user,
