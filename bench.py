@@ -183,6 +183,8 @@ def main() -> None:
         "bpe_merges_docs",
         "ann_recall_ivf_tuned",
         "pooled_semantic_dedup_embeddings",
+        # round-6 additions
+        "training_data_pipeline_v2",
     ]:
         run(name)
         steady = []

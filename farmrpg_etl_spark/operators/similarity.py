@@ -745,14 +745,21 @@ def mean_pool(
     )
 
 
-def pivot_mean_pool(pooled: DataFrame, group_col: str) -> DataFrame:
+def pivot_mean_pool(
+    pooled: DataFrame, group_col: str, with_count: bool = False
+) -> DataFrame:
     """Long-form pooled components back to an ``array<double>`` vector:
     ``mean = sum_micros / (1e6 · n)`` per component, collected in
     component order — the bridge that feeds ``mean_pool`` output into
     the dense-vector operators (ANN, semantic dedup, decontamination).
     The division of two exact integers is one IEEE op, so any engine
     reproduces the identical doubles. One per-group aggregation;
-    vectors are dimension-bounded, never corpus-sized."""
+    vectors are dimension-bounded, never corpus-sized.
+
+    ``with_count=True`` additionally emits ``n_chunks`` — the number
+    of pooled member vectors (``max(n)``; every component of a group
+    shares the same n) — inside the SAME aggregation, so callers that
+    need the member count don't re-aggregate the pooled relation."""
     comp = F.struct(
         F.col("p"),
         (
@@ -760,11 +767,64 @@ def pivot_mean_pool(pooled: DataFrame, group_col: str) -> DataFrame:
             / (F.lit(1000000.0) * F.col("n").cast("double"))
         ).alias("val"),
     )
+    aggs = [F.array_sort(F.collect_list(comp)).alias("pc")]
+    if with_count:
+        aggs.append(F.max("n").alias("n_chunks"))
+    out = pooled.groupBy(group_col).agg(*aggs)
+    cols = [
+        F.col(group_col),
+        F.transform(F.col("pc"), lambda s: s.val).alias("pooled_vec"),
+    ]
+    if with_count:
+        cols.append(F.col("n_chunks"))
+    return out.select(*cols)
+
+
+def celled_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """IVF-celled cross-corpus decontamination — the cell-restricted
+    scale path of :func:`semantic_contamination`: compare a corpus
+    vector against ONLY the eval vectors sharing its quantization cell
+    (``cell_col`` — sign-LSH via :func:`lsh_block` or a k-means
+    assignment), instead of all of them. Emits
+    ``(corpus id, eval_id, cosine)`` pairs at ``cosine ≥ threshold``.
+
+    Approximation contract (same geometry as :func:`ann_topk_ivf`):
+    pairs in different cells are never compared, so recall < 1 for
+    marginal pairs near the threshold; high-cosine pairs — the
+    near-verbatim leakage decontamination exists to catch — agree on
+    sign-LSH bits with probability ``(1 − θ/π)^planes`` → ≈1 as
+    θ→0, and IDENTICAL content always shares a cell. Measure recall
+    against :func:`semantic_contamination` on a sample before trusting
+    a cell recipe (the ``ann_recall_*`` rows model the accounting).
+
+    Scale shape: eval is benchmark-sized → broadcast; the join is
+    cell-equality so each corpus row meets only its cell's eval rows —
+    map-side, the corpus never shuffles."""
+    c = _unitize(
+        corpus.select(
+            F.col(id_col), F.col(cell_col),
+            V.as_double(F.col(vec_col)).alias("__raw"),
+        ),
+        "__raw", "cv",
+    )
+    e = _unitize(
+        evalset.select(
+            F.col(id_col).alias("eval_id"),
+            F.col(cell_col),
+            V.as_double(F.col(vec_col)).alias("__raw"),
+        ),
+        "__raw", "ev",
+    )
     return (
-        pooled.groupBy(group_col)
-        .agg(F.array_sort(F.collect_list(comp)).alias("pc"))
-        .select(
-            group_col,
-            F.transform(F.col("pc"), lambda s: s.val).alias("pooled_vec"),
-        )
+        c.join(F.broadcast(e), cell_col)
+        .withColumn("cosine", F.round(V.dot(F.col("cv"), F.col("ev")), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(id_col, "eval_id", "cosine")
     )

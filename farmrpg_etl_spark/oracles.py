@@ -3247,6 +3247,106 @@ WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.group_id = n.group_id)
 
 ORACLES["pooled_semantic_dedup_embeddings"] = _pooled_semantic_dedup_sql()
 
+
+def _training_pipeline_v2_sql() -> str:
+    """gate → chunk → md5 chunk embeddings (dim 16) → integer-micros
+    mean-pool → pivot → 2-plane sign-LSH cells → lower-id semantic
+    dedup (cos ≥ 0.9) → cell-restricted eval decontamination, fully
+    replayed in DuckDB. Every fragment mirrors a driver-green oracle:
+    the gate from training_data_pipeline, chunk windows from
+    chunk_documents, the embedder from embed_media_docs, pool/pivot/
+    cells/dedup from pooled_semantic_dedup_embeddings."""
+    planes = lsh_hyperplanes(16, 2)
+    bits = " || ".join(
+        f"(CASE WHEN ({_dot_lits('rv', p)}) >= 0.0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return rf"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, text, toks,
+    {', '.join(f'{_hits(lang)} AS s_{lang}' for lang in sorted(_LANGS))},
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE CAST(len(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+              / len(text) END AS praw
+  FROM d
+), q AS (
+  SELECT *,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE CAST(s_en AS DOUBLE) / n_tok END AS sraw,
+    CASE WHEN len(text) >= 100 AND len(text) <= 4000 THEN 1.0
+         WHEN len(text) < 100 THEN CAST(len(text) AS DOUBLE) / 100.0
+         ELSE 4000.0 / CAST(len(text) AS DOUBLE) END AS len_score
+  FROM m
+), scored AS (
+  SELECT doc_id, toks,
+    {_LANG_CASE} AS lang_pred,
+    round(len_score * 0.5 + (1.0 - least(praw * 5.0, 1.0)) * 0.25
+          + least(sraw * 10.0, 1.0) * 0.25, 6) AS quality
+  FROM q
+), sel AS (
+  SELECT doc_id, toks, doc_id >= 250 AS is_train
+  FROM scored
+  WHERE doc_id < 250
+     OR (lang_pred = 'en' AND quality >= 0.5 AND doc_id >= 250)
+), ch AS (
+  SELECT doc_id, is_train,
+         array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+           AS chunk
+  FROM (SELECT doc_id, is_train, toks,
+               unnest(generate_series(0,
+                 CAST((greatest(len(toks) - 32, 0) + 23) // 24 AS INT)))
+                 AS chunk_id
+        FROM sel)
+), emb AS (
+  SELECT doc_id, is_train,
+         list_transform(generate_series(0, 15), j ->
+           CAST(CAST('0x' || substr(md5(md5(chunk) || '|'
+                || CAST(j AS VARCHAR)), 1, 8)
+                AS BIGINT) AS DOUBLE) / 4294967296.0 - 0.5) AS v
+  FROM ch
+), inst AS (
+  SELECT doc_id, is_train, i - 1 AS p,
+         CAST(floor(1000000.0 * v[i]) AS BIGINT) AS mm
+  FROM emb, unnest(generate_series(1, 16)) AS t(i)
+), pool AS (
+  SELECT doc_id, is_train, p, CAST(SUM(mm) AS BIGINT) AS sm, count(*) AS n
+  FROM inst GROUP BY doc_id, is_train, p
+), pv AS (
+  SELECT doc_id, is_train, max(n) AS n_chunks,
+         list(CAST(sm AS DOUBLE) / (1000000.0 * n) ORDER BY p) AS rv
+  FROM pool GROUP BY doc_id, is_train
+), bl AS (SELECT doc_id, is_train, n_chunks, rv, {bits} AS cluster FROM pv),
+n0 AS (SELECT *, sqrt({_sq('rv', 16)}) AS nrm FROM bl),
+un AS (
+  SELECT doc_id, is_train, n_chunks, cluster,
+         CASE WHEN nrm = 0.0 THEN rv
+              ELSE list_transform(rv, x -> x / nrm) END AS u
+  FROM n0
+),
+tr AS (SELECT * FROM un WHERE is_train),
+evq AS (SELECT * FROM un WHERE NOT is_train),
+dups AS (
+  SELECT DISTINCT b.doc_id FROM tr a JOIN tr b
+    ON a.cluster = b.cluster AND a.doc_id < b.doc_id
+  WHERE round(({_dot('a.u', 'b.u', 16)}), 6) >= 0.9
+),
+surv AS (SELECT * FROM tr
+         WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = tr.doc_id)),
+cont AS (
+  SELECT DISTINCT s.doc_id FROM surv s JOIN evq e ON s.cluster = e.cluster
+  WHERE round(({_dot('s.u', 'e.u', 16)}), 6) >= 0.9
+)
+SELECT s.doc_id, s.cluster, CAST(s.n_chunks AS BIGINT) AS n_chunks, sc.quality
+FROM surv s JOIN scored sc ON s.doc_id = sc.doc_id
+WHERE NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = s.doc_id)
+"""
+
+
+ORACLES["training_data_pipeline_v2"] = _training_pipeline_v2_sql()
+
 ORACLES["mean_pool_embeddings"] = """
 WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 inst AS (

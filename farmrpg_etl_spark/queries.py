@@ -1086,6 +1086,77 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r5 retrieval/pooling components composed into the corpus
+    build (r5 verdict next-item #4): language/quality gate → token
+    chunking → deterministic per-chunk embeddings → integer-micros
+    mean-pool → ``pivot_mean_pool`` back to dense doc vectors →
+    LSH-celled semantic dedup → cell-restricted (IVF-style) eval-set
+    decontamination — ONE Catalyst plan over one documents scan.
+
+    The chunk embedder is the ``embed_binary`` md5 stand-in (dim 16):
+    in production it is a model-inference mapInPandas stage, but the
+    downstream geometry (pool → pivot → celled dedup/decontamination)
+    is exactly what a 100 TB build runs. Identical documents produce
+    identical pooled vectors (cosine 1), documents sharing most chunks
+    pool to high cosine — so threshold 0.9 is pooled NEAR-DUP removal,
+    and the eval check catches chunk-level leakage that doc-level
+    exact 13-grams miss. Decontamination shares the dedup stage's
+    sign-LSH cells (`celled_contamination`): corpus stays map-side,
+    eval broadcasts, cross-cell misses bounded per that operator's
+    contract. Output: surviving (doc_id, cluster, n_chunks, quality).
+
+    Plan shape: the documents parquet is scanned ONCE into the
+    persisted ``scored`` projection (same janino/codegen rationale as
+    ``training_data_pipeline``); both the train and eval branches —
+    and the final quality join-back — read the cache. The pooled-
+    vector relation persists once and feeds the dedup self-join, the
+    survivor join-back, and the contamination probe. Asserted by the
+    plan-shape test (tests/test_pipeline_v2.py)."""
+    from farmrpg_etl_spark.multimodal.binary_ops import embed_binary
+    from farmrpg_etl_spark.operators.chunking import chunk_by_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = T.text_metrics(d, "text").select(
+        "doc_id", "text", "lang_pred", "quality"
+    ).persist()
+
+    def pooled_vecs(docs: DataFrame) -> DataFrame:
+        ch = chunk_by_tokens(
+            docs.select("doc_id", "text"), "text", "doc_id", size=32, stride=24
+        )
+        emb = embed_binary(
+            ch.select("doc_id", F.encode(F.col("chunk"), "UTF-8").alias("data")),
+            "doc_id", "data", dim=16,
+        )
+        pooled = similarity.mean_pool(emb, "embedding", "doc_id")
+        return similarity.pivot_mean_pool(
+            pooled, "doc_id", with_count=True
+        ).withColumn(
+            "cluster", similarity.lsh_block(F.col("pooled_vec"), 16, 2)
+        )
+
+    kept = scored.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("doc_id") >= 250)
+    )
+    train = pooled_vecs(kept).persist()
+    evalv = pooled_vecs(scored.filter(F.col("doc_id") < 250))
+
+    surv = similarity.semantic_dedup(
+        train, "pooled_vec", "doc_id", "cluster", threshold=0.9, impl="catalyst"
+    )
+    surv_full = surv.join(train, ["doc_id", "cluster"])
+    cont = similarity.celled_contamination(
+        surv_full, evalv, "pooled_vec", "doc_id", "cluster", threshold=0.9
+    ).select("doc_id").distinct()
+    clean = surv_full.join(cont, "doc_id", "left_anti")
+    return clean.join(
+        scored.select("doc_id", "quality"), "doc_id"
+    ).select("doc_id", "cluster", "n_chunks", "quality")
+
+
 def multimodal_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes as opaque blobs through the
     Arrow mapInPandas metadata extractor."""
@@ -3814,7 +3885,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resize_media_docs": resize_media_docs,
     "embed_media_docs": embed_media_docs,
     "json_props_stats": json_props_stats,
-    # Back-fill (34): high-value anchors re-verified each round — the
+    # New in r6:
+    "training_data_pipeline_v2": training_data_pipeline_v2,
+    # Back-fill: high-value anchors re-verified each round — the
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
     # dedup/similarity/BPE/multimodal families, and the r5 first-timers
     # that cleared their first driver check.
@@ -3851,8 +3924,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
     "decode_real_media_docs": decode_real_media_docs,
     "training_data_pipeline": training_data_pipeline,
-    "q1_pricing_summary": q1_pricing_summary,
     # --- end of 50-entry prefix --------------------------------------
+    "q1_pricing_summary": q1_pricing_summary,
     # Remaining rows: all driver-green in earlier rounds (cumulative
     # record in docs/COVERAGE.md); order within this block is not
     # load-bearing.
