@@ -2823,6 +2823,60 @@ SELECT d.doc_id,
 FROM d LEFT JOIN asm USING (doc_id)
 """
 
+def _cut_pass_cte(src: str, out: str) -> str:
+    """One ExactSubstr cut pass as chained CTEs: ``src`` holds
+    (doc_id, toks); emits ``{out}`` with (doc_id, n_tok, kept_tok,
+    text_cut). Same arithmetic as the driver-green cut_dup_span_docs
+    oracle, parameterized so the fixpoint row can chain two passes."""
+    return f"""
+{out}_g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i+7], ' ')) AS gh
+  FROM {src}, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+),
+{out}_dup AS (SELECT gh FROM {out}_g GROUP BY gh HAVING count(*) >= 2),
+{out}_h AS (SELECT doc_id, pos, 1 AS st
+            FROM {out}_g JOIN {out}_dup USING (gh)),
+{out}_tok AS (
+  SELECT doc_id, i AS p, toks[i] AS tok
+  FROM {src}, unnest(generate_series(1, len(toks))) AS t(i)
+),
+{out}_cv AS (
+  SELECT tk.doc_id, tk.p, tk.tok,
+         max(coalesce(h.st, 0)) OVER (
+           PARTITION BY tk.doc_id ORDER BY tk.p
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+  FROM {out}_tok tk
+  LEFT JOIN {out}_h h ON tk.doc_id = h.doc_id AND tk.p = h.pos
+),
+{out}_asm AS (
+  SELECT doc_id, count(*) AS kept_tok,
+         string_agg(tok, ' ' ORDER BY p) AS text_cut
+  FROM {out}_cv WHERE cov = 0 GROUP BY doc_id
+),
+{out} AS (
+  SELECT {src}.doc_id, len(toks) AS n_tok,
+         coalesce(kept_tok, 0) AS kept_tok,
+         coalesce(text_cut, '') AS text_cut
+  FROM {src} LEFT JOIN {out}_asm USING (doc_id)
+)"""
+
+
+ORACLES["cut_dup_span_fixpoint_docs"] = f"""
+WITH d1 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+{_cut_pass_cte('d1', 'p1')},
+d2r AS (SELECT doc_id, text_cut AS text FROM p1),
+d2 AS (SELECT doc_id, {_TOKS} AS toks FROM d2r),
+{_cut_pass_cte('d2', 'p2')}
+SELECT p1.doc_id,
+       CAST(p1.n_tok AS BIGINT) AS n_tok,
+       CAST(p1.kept_tok AS BIGINT) AS kept_p1,
+       CAST(p2.kept_tok AS BIGINT) AS kept_p2,
+       (p1.text_cut = p2.text_cut) AS is_fixpoint
+FROM p1 JOIN p2 USING (doc_id)
+"""
+
+
 ORACLES["bm25_topk_docs"] = f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 lens AS (SELECT doc_id, len(toks) AS dl FROM d),

@@ -1029,6 +1029,41 @@ def cut_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cut_duplicated_spans(d, "text", "doc_id", k=8)
 
 
+def cut_dup_span_fixpoint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-pass ExactSubstr span cutting (r5 verdict next-item #7):
+    run ``cut_duplicated_spans`` twice and report per-document whether
+    pass 2 changed anything. The operator documents (operators/
+    dedup.py) that cutting is NOT idempotent in the adversarial case —
+    cutting can make separated text adjacent and two same-cut docs can
+    newly share a k-gram — but that corpora whose post-cut token
+    streams are unique are fixpoints. This row MEASURES that claim on
+    the testdata corpus: ``is_fixpoint`` per doc, with both passes'
+    kept counts, all replayed twice-over in the DuckDB oracle.
+    (Measured on sf0.01: every document is a pass-2 fixpoint.)
+
+    Scale shape: pass 2 runs on the ALREADY-CUT corpus (strictly fewer
+    tokens), so the fixpoint check costs at most one more pass of the
+    linear gram shuffle; p1 is persisted because it feeds both pass 2
+    and the comparison join."""
+    d = load_table(spark, sf_dir, "documents")
+    p1 = dedup.cut_duplicated_spans(d, "text", "doc_id", k=8).persist()
+    p2 = dedup.cut_duplicated_spans(
+        p1.select("doc_id", F.col("text_cut").alias("text")),
+        "text", "doc_id", k=8,
+    )
+    return (
+        p1.alias("a")
+        .join(p2.alias("b"), "doc_id")
+        .select(
+            F.col("doc_id"),
+            F.col("a.n_tok").alias("n_tok"),
+            F.col("a.kept_tok").alias("kept_p1"),
+            F.col("b.kept_tok").alias("kept_p2"),
+            (F.col("a.text_cut") == F.col("b.text_cut")).alias("is_fixpoint"),
+        )
+    )
+
+
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (rational-idf variant) top-10 retrieval: queries are the
     first 5 tokens of every doc_id % 97 == 0 document; the corpus's
@@ -3887,6 +3922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_stats": json_props_stats,
     # New in r6:
     "training_data_pipeline_v2": training_data_pipeline_v2,
+    "cut_dup_span_fixpoint_docs": cut_dup_span_fixpoint_docs,
     # Back-fill: high-value anchors re-verified each round — the
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
     # dedup/similarity/BPE/multimodal families, and the r5 first-timers
@@ -3921,10 +3957,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges_docs": bpe_merges_docs,
     "bpe_token_counts_docs": bpe_token_counts_docs,
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
-    "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
     "decode_real_media_docs": decode_real_media_docs,
     "training_data_pipeline": training_data_pipeline,
     # --- end of 50-entry prefix --------------------------------------
+    "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
     "q1_pricing_summary": q1_pricing_summary,
     # Remaining rows: all driver-green in earlier rounds (cumulative
     # record in docs/COVERAGE.md); order within this block is not
