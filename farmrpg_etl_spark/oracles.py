@@ -984,6 +984,11 @@ SELECT user_id, ts, event_id, event_type FROM (
 ORACLES["streaming_cdc_events"] = _D1_CHANGES
 
 # batch message-CDC SQL plus the query's constant columns
+# transformWithStateInPandas backend of the same CDC — SAME oracle by
+# construction (cross-backend equivalence is the point of the row);
+# assigned after the legacy oracle's definition below.
+_STREAMING_CDC_TWS_ALIAS = "streaming_message_cdc"
+
 ORACLES["streaming_message_cdc"] = """
 WITH base AS (
   SELECT 'r' AS room, CAST(user_id AS VARCHAR) AS id, ts AS obs_ts,
@@ -1010,6 +1015,8 @@ FROM (
   WINDOW w AS (PARTITION BY room, id ORDER BY obs_ts ASC)
 ) WHERE pts IS NULL OR content IS DISTINCT FROM pc OR deleted IS DISTINCT FROM pd
 """
+
+ORACLES["streaming_cdc_tws"] = ORACLES[_STREAMING_CDC_TWS_ALIAS]
 
 
 # --------------------------------------------------------------------------

@@ -38,6 +38,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     BooleanType,
     IntegerType,
@@ -92,22 +93,32 @@ def _make_chat_cdc_fn(state_ttl_ms: int | None):
     return fn
 
 
-def _chat_cdc_fn(
-    key: tuple[Any, ...],
+def _cdc_core(
+    room: Any,
+    msg_id: Any,
+    prior: tuple | None,
     pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    room, msg_id = key
-    if state.exists:
-        content, flags, deleted, deleted_ts, ts, username = state.get
+) -> tuple[list[dict], tuple]:
+    """The CDC transition function, pure of any state-store API: fold
+    the batch's observations for one (room, id) over the prior state
+    tuple; return (emitted change rows, new state tuple). Shared by
+    BOTH stateful-streaming backends (``applyInPandasWithState`` and
+    ``transformWithStateInPandas``) so their semantics cannot drift —
+    the equivalence test pins them to the same oracle."""
+    if prior is not None:
+        content, flags, deleted, deleted_ts, ts, username = prior
         has_state = True
     else:
         content = flags = deleted = deleted_ts = ts = username = None
         has_state = False
     out: list[dict] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["obs_ts", "pos"])
-        for r in pdf.itertuples(index=False):
+    batch = [pdf for pdf in pdfs if len(pdf)]
+    if batch:
+        # one global (obs_ts, pos) order across the batch's chunks —
+        # Arrow may deliver a key's rows as several DataFrames
+        whole = batch[0] if len(batch) == 1 else pd.concat(batch)
+        whole = whole.sort_values(["obs_ts", "pos"])
+        for r in whole.itertuples(index=False):
             raw_dts = getattr(r, "deleted_ts", None)  # input col is optional
             r_deleted_ts = None if raw_dts is None or pd.isna(raw_dts) else raw_dts
             # carry deleted_ts forward from state before comparing
@@ -136,9 +147,107 @@ def _chat_cdc_fn(
             content, flags, deleted = r.content, r.flags, bool(r.deleted)
             deleted_ts, ts, username = r_deleted_ts, r.ts, r.username
             has_state = True
-    state.update((content, flags, deleted, deleted_ts, ts, username))
+    return out, (content, flags, deleted, deleted_ts, ts, username)
+
+
+def _chat_cdc_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    room, msg_id = key
+    prior = tuple(state.get) if state.exists else None
+    out, new_state = _cdc_core(room, msg_id, prior, pdfs)
+    state.update(new_state)
     if out:
         yield pd.DataFrame(out)
+
+
+class ChatCdcProcessor(StatefulProcessor):
+    """``StatefulProcessor`` backend for the same CDC semantics on the
+    Spark 4 ``transformWithStateInPandas`` API (SURVEY §2.4 names both
+    forms; r5 verdict next-item #6). State is a single ``ValueState``
+    row per (room, id) with the SAME schema as the legacy form, and
+    the transition is the SHARED ``_cdc_core`` — the two backends
+    cannot diverge without the equivalence test failing.
+
+    TTL eviction is first-class here: ``getValueState(...,
+    ttlDurationMs=...)`` expires idle values in the store itself — no
+    hand-rolled timeout callback, and eviction keeps working under
+    future multi-state extensions (the API's point). A module-level
+    class: the processor ships to the TWS worker pickled, so it must
+    be importable by reference."""
+
+    def __init__(self, state_ttl_ms: int | None):
+        self._ttl = state_ttl_ms
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "chat_state", CHAT_CDC_STATE, ttlDurationMs=self._ttl
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        room, msg_id = key
+        prior = tuple(self._state.get()) if self._state.exists() else None
+        out, new_state = _cdc_core(room, msg_id, prior, rows)
+        self._state.update(new_state)
+        if out:
+            yield pd.DataFrame(out)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """Whether the ``transformWithStateInPandas`` Python worker can run
+    here: its state protocol is protobuf-based
+    (``pyspark.sql.streaming.proto.StateMessage_pb2``), so a container
+    without the ``protobuf`` package crashes the TWS driver worker at
+    query start. Real Spark deployments ship protobuf; this probe
+    exists for minimal containers (like the test one)."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def chat_cdc_stream_tws(
+    observations: DataFrame, state_ttl_ms: int | None = 3_600_000
+) -> DataFrame:
+    """`chat_cdc_stream` on the ``transformWithStateInPandas`` backend
+    — same input contract, same output schema, same transition
+    function; see :class:`ChatCdcProcessor`. Requires the RocksDB
+    state-store provider (set here; the conf is read at query start)
+    and the protobuf state protocol (:func:`tws_available` — raises
+    up-front with a clear message instead of crashing the TWS worker
+    mid-query).
+
+    At 100 TB the TWS form is the forward path: RocksDB state scales
+    past executor heap, TTL is enforced inside the store, and the
+    processor model composes additional state (e.g. a per-room mention
+    index as ListState) without re-keying the stream."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package for "
+            "its state protocol; install protobuf or use "
+            "chat_cdc_stream (applyInPandasWithState) — same semantics "
+            "via the shared _cdc_core transition."
+        )
+    proc = ChatCdcProcessor(state_ttl_ms)
+    observations.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return observations.groupBy("room", "id").transformWithStateInPandas(
+        proc,
+        CHAT_CDC_OUTPUT,
+        "append",
+        "ProcessingTime" if state_ttl_ms is not None else "None",
+    )
 
 
 def chat_cdc_stream(

@@ -77,6 +77,104 @@ def test_message_cdc_streaming_matches_batch(spark, tmp_path):
     assert got == EXPECTED
 
 
+class _FakeValueState:
+    """In-memory stand-in for the TWS ValueState API surface the
+    processor uses (exists/get/update), so the TWS glue is exercised
+    in containers without the protobuf state protocol."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.ttls = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.ttls[name] = ttlDurationMs
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_chat_cdc_tws_processor_glue_matches_expected():
+    """Drive ChatCdcProcessor.handleInputRows directly through a fake
+    state handle, one call per poll per key (micro-batch order): the
+    TWS backend's marshalling around the shared _cdc_core must
+    reproduce the pinned CDC transitions. (The true-TWS streaming
+    equivalence test below runs where protobuf exists.)"""
+    import pandas as pd
+
+    from farmrpg_etl_spark.streaming.chat_cdc import ChatCdcProcessor
+
+    cols = [
+        "room", "id", "obs_ts", "pos", "ts", "username", "content",
+        "flags", "deleted", "deleted_ts",
+    ]
+    proc = ChatCdcProcessor(state_ttl_ms=3_600_000)
+    handles = {}
+    out_rows = []
+    # one handleInputRows call per (poll, key), in obs_ts order — the
+    # per-key state must persist across calls like the state store does
+    by_poll: dict = {}
+    for row in OBSERVATIONS:
+        by_poll.setdefault(row[2], []).append(row)
+    for poll_ts in sorted(by_poll):
+        by_key: dict = {}
+        for row in by_poll[poll_ts]:
+            by_key.setdefault((row[0], row[1]), []).append(row)
+        for key, rows in by_key.items():
+            if key not in handles:
+                handles[key] = _FakeHandle()
+            proc_key = ChatCdcProcessor(state_ttl_ms=3_600_000)
+            proc_key.init(handles[key])
+            pdf = pd.DataFrame(rows, columns=cols)
+            for out_pdf in proc_key.handleInputRows(key, iter([pdf]), None):
+                out_rows.extend(out_pdf.to_dict("records"))
+    assert handles[("help", "1")].ttls == {"chat_state": 3_600_000}
+    got = {
+        (r["id"], r["obs_ts"].to_pydatetime()): (
+            r["content"],
+            r["deleted"],
+            None if r["deleted_ts"] is None else r["deleted_ts"].to_pydatetime(),
+        )
+        for r in out_rows
+    }
+    assert got == EXPECTED
+
+
+def test_chat_cdc_tws_streaming_matches_batch(spark, tmp_path):
+    """True transformWithStateInPandas run — both backends must
+    hash-identically reproduce EXPECTED. Skipped where the TWS state
+    protocol (protobuf) is unavailable; the glue test above still
+    covers the processor in that case."""
+    from farmrpg_etl_spark.streaming.chat_cdc import (
+        chat_cdc_stream_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf absent: TWS state protocol unavailable")
+    src = str(tmp_path / "obs_tws")
+    spark.createDataFrame(OBSERVATIONS, OBS_SCHEMA).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = run_available_now(chat_cdc_stream_tws(sdf), "append")
+    got = {
+        (r["id"], r["obs_ts"]): (r["content"], r["deleted"], r["deleted_ts"])
+        for r in out.collect()
+    }
+    assert got == EXPECTED
+
+
 def test_flags_resolution_join_streaming(spark, tmp_path):
     chat_rows = [
         ("help", "10", ts("2024-01-01 10:00:00"), "alice"),
