@@ -33,6 +33,14 @@ import zlib
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Decoder dimension cap (pixels): corrupt headers can CLAIM arbitrary
+# dims (a bit-flipped SOF0/BITMAPINFOHEADER field reads as 2^16/2^31),
+# and allocation/row loops sized by the claim would MemoryError or
+# spin before any pixel data is touched — outside the quarantine
+# exception set. 2^26 px (~8K x 8K) comfortably covers real assets;
+# raise it in a deployment that genuinely decodes larger frames.
+MAX_PIXELS = 1 << 26
+
 
 # ------------------------------------------------------------------ PNG
 def encode_png(width: int, height: int, rgb: bytes, filter_type: int = 0) -> bytes:
@@ -182,6 +190,11 @@ def decode_bmp(data: bytes) -> dict:
         raise ValueError("unsupported BMP (need BITMAPINFOHEADER 24bpp)")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0 or width * height > MAX_PIXELS:
+        # the row loop below runs `height` times regardless of how many
+        # bytes exist — a bit-flipped int32 dim must fail fast, not
+        # spin ~2^31 iterations (fuzz invariant)
+        raise ValueError("BMP dimensions out of range")
     pad = (4 - (width * 3) % 4) % 4
     stride = width * 3 + pad
     out = bytearray()
@@ -318,12 +331,24 @@ def decode_gif(data: bytes) -> dict:
     prev: bytes | None = None
     out = bytearray()
     while True:
+        exhausted = False
         while nbits < width_bits:
             if bitpos >= len(stream):
+                # End-of-blocks with every pixel already produced is an
+                # implicit EOI: when the table entry appended while
+                # decoding the FINAL data code fills 2^w, the decoder
+                # bumps to w+1 bits but the encoder wrote EOI at w — if
+                # the stream ends exactly on a byte boundary there are
+                # no pad bits left to widen the read (r5 ADVICE #3).
+                if len(out) == iw * ih:
+                    exhausted = True
+                    break
                 raise ValueError("truncated LZW stream")
             acc |= stream[bitpos] << nbits
             bitpos += 1
             nbits += 8
+        if exhausted:
+            break
         code = acc & ((1 << width_bits) - 1)
         acc >>= width_bits
         nbits -= width_bits
@@ -989,6 +1014,12 @@ def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
     if comps is None or scan is None:
         raise ValueError("missing SOF/SOS")
 
+    if width == 0 or height == 0 or width * height > MAX_PIXELS:
+        # guard BEFORE the plane allocation: a bit-flipped SOF dim can
+        # claim 65535x65535 and the [[0]*pw]*ph allocation would
+        # MemoryError the executor — outside the quarantine exception
+        # set, so it must be a ValueError here (fuzz invariant)
+        raise ValueError("JPEG dimensions out of range")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps):
@@ -1003,6 +1034,18 @@ def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
     br = _BitReader(data, pos)
     prev_dc = [0] * len(comps)
     by_id = {c["id"]: (i, c) for i, c in enumerate(comps)}
+    # validate every id the scan loop dereferences: a corrupted SOS
+    # component selector or table id raises KeyError mid-decode —
+    # outside the quarantine exception set (hypothesis-found; the fuzz
+    # suite pins this)
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("scan references unknown component")
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("scan references undefined Huffman table")
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("component references undefined quant table")
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
