@@ -185,6 +185,7 @@ def main() -> None:
         "pooled_semantic_dedup_embeddings",
         # round-6 additions
         "training_data_pipeline_v2",
+        "ann_topk_pq_rerank",
     ]:
         run(name)
         steady = []

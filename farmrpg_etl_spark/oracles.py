@@ -907,6 +907,163 @@ FROM base b LEFT JOIN hit h ON b.query_id = h.query_id
 
 ORACLES["ann_recall_ivf_probe"] = _ann_recall_sql()
 
+
+def _pq_chain(vexpr: str, s: int, centroid: list[float], sub: int = 16) -> str:
+    """Squared-L2 of subvector s against a literal centroid as an
+    explicit left-associated chain — same association as the Spark
+    fold in operators.similarity._pq_sub_dist."""
+    return " + ".join(
+        f"({vexpr}[{s * sub + j + 1}]-({c!r}))*({vexpr}[{s * sub + j + 1}]-({c!r}))"
+        for j, c in enumerate(centroid)
+    )
+
+
+def _pq_encode_sql(vec_cte: str, src: str, id_out: str) -> str:
+    """(id, c0..c3) PQ-code CTE chain over relation ``src`` holding
+    (vec_id, v DOUBLE[]) — md5-derived codebooks identical to
+    similarity.pq_codebooks(64, 4, 16); first-position-of-min ties
+    match Spark's array_position(arr, array_min(arr))."""
+    from farmrpg_etl_spark.operators.similarity import pq_codebooks
+
+    books = pq_codebooks(64, 4, 16)
+    lists = ", ".join(
+        "["
+        + ", ".join(_pq_chain("v", s, books[s][k]) for k in range(16))
+        + f"] AS l{s}"
+        for s in range(4)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(l{s}, list_min(l{s})) - 1 AS INT) AS c{s}"
+        for s in range(4)
+    )
+    return (
+        f"{vec_cte}d AS (SELECT vec_id, {lists} FROM {src}), "
+        f"codes AS (SELECT vec_id AS {id_out}, {codes} FROM d)"
+    )
+
+
+ORACLES["pq_encode_embeddings"] = f"""
+WITH {_pq_encode_sql(
+    'e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), ',
+    'e', 'vec_id')}
+SELECT * FROM codes
+"""
+
+
+def _pq_adc_sql() -> str:
+    from farmrpg_etl_spark.operators.similarity import pq_codebooks
+
+    books = pq_codebooks(64, 4, 16)
+    dtable = (
+        "["
+        + ", ".join(
+            _pq_chain("v", s, books[s][c]) for s in range(4) for c in range(16)
+        )
+        + "]"
+    )
+    adist = " + ".join(f"dt[{1 + s * 16} + c{s}]" for s in range(4))
+    return f"""
+WITH {_EMB},
+{_pq_encode_sql('', 'u', 'neighbor_id')},
+qd AS (SELECT vec_id AS query_id, {dtable} AS dt FROM u WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, neighbor_id, round({adist}, 6) AS adist
+  FROM codes, qd WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+ORACLES["ann_topk_pq"] = _pq_adc_sql()
+
+
+def _pq_rerank_sql(m: int = 8, ks: int = 16, shortlist: int = 200) -> str:
+    """Seed-codebook PQ + ADC shortlist + exact cosine rescore —
+    the production IVF-PQ+refine architecture, fully relational:
+    codebooks are the subvectors of the ``ks`` lowest-id UNIT corpus
+    vectors (sample-init training stand-in), distances are explicit
+    chains matching the Spark folds, argmin ties break to the lowest
+    seed id exactly like Spark's min-of-(dist, k)-structs."""
+    sub = 64 // m
+
+    def chain(a: str, b: str, s: int) -> str:
+        return " + ".join(
+            f"({a}[{s * sub + j + 1}]-{b}[{s * sub + j + 1}])"
+            f"*({a}[{s * sub + j + 1}]-{b}[{s * sub + j + 1}])"
+            for j in range(sub)
+        )
+
+    cd = ", ".join(f"{chain('c.v', 'cb.bv', s)} AS d{s}" for s in range(m))
+    qd = ", ".join(f"{chain('q.v', 'cb.bv', s)} AS d{s}" for s in range(m))
+    argmins = ", ".join(
+        f"CAST(list(k ORDER BY d{s}, k)[1] AS INT) AS c{s}" for s in range(m)
+    )
+    tbls = ", ".join(f"list(d{s} ORDER BY k) AS t{s}" for s in range(m))
+    adist = " + ".join(f"t{s}[c{s} + 1]" for s in range(m))
+    return f"""
+WITH {_EMB},
+cb AS (SELECT vec_id AS k, v AS bv FROM u WHERE vec_id < {ks}),
+pd AS (SELECT c.vec_id, cb.k, {cd} FROM u c CROSS JOIN cb),
+codes AS (SELECT vec_id AS neighbor_id, {argmins} FROM pd GROUP BY vec_id),
+qp AS (SELECT q.vec_id AS query_id, cb.k, {qd}
+       FROM u q CROSS JOIN cb WHERE q.vec_id < 10),
+qt AS (SELECT query_id, {tbls} FROM qp GROUP BY query_id),
+sc AS (SELECT query_id, neighbor_id, round({adist}, 6) AS adist
+       FROM codes CROSS JOIN qt WHERE neighbor_id <> query_id),
+short AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS r
+    FROM sc) WHERE r <= {shortlist}),
+resc AS (SELECT s.query_id, s.neighbor_id,
+         round({_dot('qv.v', 'cv.v')}, 6) AS cosine
+         FROM short s
+         JOIN u cv ON cv.vec_id = s.neighbor_id
+         JOIN u qv ON qv.vec_id = s.query_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM resc) WHERE rank <= 5
+"""
+
+
+ORACLES["ann_topk_pq_rerank"] = _pq_rerank_sql()
+
+ORACLES["ann_recall_pq_rerank"] = f"""
+WITH exact AS ({ORACLES["ann_topk_bruteforce"]}),
+approx AS ({_pq_rerank_sql()}),
+hit AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+base AS (SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY query_id)
+SELECT b.query_id, b.k_exact,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       round(COALESCE(h.hits, 0) / b.k_exact, 6) AS recall_at_k
+FROM base b LEFT JOIN hit h ON b.query_id = h.query_id
+"""
+
+ORACLES["ann_recall_pq"] = f"""
+WITH exact AS ({ORACLES["ann_topk_bruteforce"]}),
+approx AS ({_pq_adc_sql()}),
+hit AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+base AS (SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY query_id)
+SELECT b.query_id, b.k_exact,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       round(COALESCE(h.hits, 0) / b.k_exact, 6) AS recall_at_k
+FROM base b LEFT JOIN hit h ON b.query_id = h.query_id
+"""
+
 # --------------------------------------------------------------------------
 # parse round-trip: recompute what the chat parser must produce for the
 # generated payloads (fetch wall-time 2024-06-01 07:00:00 Chicago; AM

@@ -172,3 +172,56 @@ def test_mean_pool_exact_micros(spark):
     assert out[("a", 1)] == (-2_000_000, 2)  # floor(-2.5e6) + floor(0.5e6)
     assert out[("b", 0)] == (1, 1)
     assert out[("b", 1)] == (0, 1)
+
+
+def test_pq_encode_codes_and_ties(spark):
+    """PQ encoding: nearest-centroid codes, ties to the lowest code
+    (first-position-of-min), determinism across invocations."""
+    from farmrpg_etl_spark.operators.similarity import pq_codebooks, pq_encode
+
+    books = pq_codebooks(8, 2, 4)
+    # craft vectors: one ON a centroid per subspace (distance 0 wins),
+    # one equidistant between centroids 1 and 2 (tie -> code 1)
+    v_exact = books[0][3] + books[1][0]
+    mid = [(a + b) / 2 for a, b in zip(books[0][1], books[0][2])]
+    v_tie = mid + books[1][2]
+    df = spark.createDataFrame(
+        [(1, v_exact), (2, v_tie)], "vec_id long, v array<double>"
+    )
+    rows = {r["vec_id"]: (r["c0"], r["c1"])
+            for r in pq_encode(df, "v", "vec_id", dim=8, m=2, ks=4).collect()}
+    assert rows[1] == (3, 0)
+    assert rows[2][0] == 1 and rows[2][1] == 2  # tie broke low
+    again = {r["vec_id"]: (r["c0"], r["c1"])
+             for r in pq_encode(df, "v", "vec_id", dim=8, m=2, ks=4).collect()}
+    assert again == rows
+
+
+def test_pq_rerank_shortlist_superset_of_exact_when_full(spark):
+    """With shortlist >= corpus size, PQ+rescore degenerates to exact
+    brute force — the architecture's correctness anchor: re-ranking
+    with the exact fold can only be wrong through shortlist misses."""
+    from farmrpg_etl_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        pq_adc_rerank_topk,
+    )
+
+    import hashlib as h
+    rows = [
+        (i, [int(h.md5(f"{i}|{j}".encode()).hexdigest()[:4], 16) / 65536.0 - 0.5
+             for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = df.filter("vec_id < 3")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_topk_bruteforce(df, q, "v", "vec_id", k=3,
+                                     impl="catalyst").collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_adc_rerank_topk(df, q, "v", "vec_id", k=3, dim=8, m=2,
+                                    ks=4, shortlist=1000).collect()
+    }
+    assert got == exact
