@@ -1180,6 +1180,20 @@ ORACLES["streaming_cdc_tws"] = ORACLES[_STREAMING_CDC_TWS_ALIAS]
 # TPC-H subquery/semi/anti shapes
 # --------------------------------------------------------------------------
 
+ORACLES["q5_local_supplier_volume"] = f"""
+SELECT n_name, {_money("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
 ORACLES["q4_order_priority"] = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders

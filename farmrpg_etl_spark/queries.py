@@ -2484,6 +2484,47 @@ def hourly_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from orders where the supplier and customer
+    share a nation, for one region and one order year — the classic
+    5-way star join with the local-supplier equality.
+
+    Scale shape: nation+region collapse to a broadcast filter on the
+    customer side; the two fact joins shuffle on their keys; the
+    s_nationkey = c_nationkey equality is applied as a join predicate
+    (not post-filter) so non-local pairs never reach the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(nr, s.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: two independent dimension paths from one fact —
     supplier nation via lineitem, customer nation via orders — with a
@@ -4199,6 +4240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "median_value_by_type": median_value_by_type,
     "range_join_prior_events": range_join_prior_events,
     "q4_order_priority": q4_order_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
