@@ -381,6 +381,18 @@ def main() -> None:
             from farmrpg_etl_spark.operators.curation import bpe_merges
             return bpe_merges(d, "text", n_merges=3)
 
+        def stretch_pq_rerank():
+            # PQ shortlist+rescore at 10× corpus: the ADC scan is the
+            # scale-bearing stage (2-byte codes map-side vs broadcast
+            # dtables); exact math stays bounded at queries×shortlist
+            # regardless of corpus size, so time should grow ~linearly
+            # with the code-relation scan alone.
+            e = spark.read.parquet(f"{stretch_dir}/embeddings.parquet")
+            qb = e.filter(F.col("vec_id") < 10)
+            return S.pq_adc_rerank_topk(
+                e, qb, "embedding", "vec_id", k=5, m=8, ks=16, shortlist=200
+            )
+
         def stretch_heavy_hitters():
             from farmrpg_etl_spark.functions import hashing as H
             from farmrpg_etl_spark.operators.heavyhitters import heavy_hitters
@@ -423,6 +435,7 @@ def main() -> None:
             ("dup_span_10x", stretch_dup_span),
             ("cut_dup_span_10x", stretch_cut_dup_span),
             ("bpe_merges_10x", stretch_bpe_merges),
+            ("pq_rerank_10x", stretch_pq_rerank),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:
