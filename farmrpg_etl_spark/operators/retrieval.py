@@ -123,3 +123,54 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    query_col: str,
+    id_col: str,
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings — the standard
+    hybrid-retrieval combiner (sparse BM25 + dense embedding top-k):
+    ``score(d) = Σ_lists 1/(k_rrf + rank_list(d))``, documents absent
+    from a list contribute 0 from it. RRF is the production default
+    because it needs NO score calibration between the lists — only
+    ranks — and a document surfaced by both lists beats one surfaced
+    by either alone.
+
+    Cross-engine exactness: each contribution is one integer-argument
+    double division, the sum is a fixed two-term chain, and the fused
+    ordering breaks ties on the 1e-6-rounded score by id — no
+    transcendentals, no accumulation-order hazard.
+
+    Scale shape: inputs are already per-query top-k relations (queries
+    × k rows — tiny regardless of corpus size); the fusion is one
+    full-outer join on (query, id) plus a WindowGroupLimit top-k. The
+    expensive work happened upstream in the two retrievers; fusion
+    adds no corpus-sized stage."""
+    s = sparse.select(
+        F.col(query_col), F.col(id_col), F.col("rank").alias("__rs")
+    )
+    d = dense.select(
+        F.col(query_col), F.col(id_col), F.col("rank").alias("__rd")
+    )
+    fused = s.join(d, [query_col, id_col], "full_outer").select(
+        query_col,
+        id_col,
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("__rs")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("__rd")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_col, id_col, "rrf_score", "rank")
+    )

@@ -1846,6 +1846,38 @@ SELECT media_id, width, height,
 FROM d
 """
 
+ORACLES["hybrid_retrieval_docs"] = f"""
+WITH sparse AS ({{BM25}}),
+em AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+      CAST(CAST('0x' || substr(md5(md5(text) || '|' || CAST(j AS VARCHAR)), 1, 8)
+           AS BIGINT) AS DOUBLE) / 4294967296.0 - 0.5) AS v FROM documents),
+n0 AS (SELECT doc_id, v, sqrt({_sq('v', 16)}) AS nrm FROM em),
+uv AS (SELECT doc_id, CASE WHEN nrm = 0.0 THEN v
+       ELSE list_transform(v, x -> x / nrm) END AS v FROM n0),
+qd AS (SELECT doc_id AS query_id, v FROM uv WHERE doc_id % 97 = 0),
+ds AS (
+  SELECT query_id, c.doc_id, round({_dot('qd.v', 'c.v', 16)}, 6) AS cosine
+  FROM uv c, qd WHERE c.doc_id <> qd.query_id
+),
+dense AS (SELECT query_id, doc_id, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank FROM ds
+) WHERE rank <= 10),
+f AS (
+  SELECT coalesce(s.query_id, de.query_id) AS query_id,
+         coalesce(s.doc_id, de.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + s.rank), 0.0)
+               + coalesce(1.0 / (60 + de.rank), 0.0), 6) AS rrf_score
+  FROM sparse s FULL OUTER JOIN dense de
+    ON s.query_id = de.query_id AND s.doc_id = de.doc_id
+)
+SELECT query_id, doc_id, rrf_score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM f
+) WHERE rank <= 10
+"""
+
 ORACLES["training_data_pipeline"] = rf"""
 WITH d AS (SELECT doc_id, text, source, {_TOKS} AS toks FROM documents),
 m AS (
@@ -3130,6 +3162,13 @@ mq AS (
           + least(sraw * 10.0, 1.0) * 0.25, 6) AS quality
   FROM qq
 )"""
+
+# hybrid fusion nests the full BM25 oracle (defined just above) as its
+# sparse CTE; the placeholder keeps the hybrid SQL readable at its
+# definition site next to the other retrieval oracles
+ORACLES["hybrid_retrieval_docs"] = ORACLES["hybrid_retrieval_docs"].replace(
+    "{BM25}", ORACLES["bm25_topk_docs"]
+)
 
 ORACLES["neardup_canonical_docs"] = f"""
 WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip()},

@@ -1082,6 +1082,63 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, q, "text", "doc_id", k=10)
 
 
+def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the production
+    retrieval stack in one plan: for each query document (doc_id %
+    97 == 0), the SPARSE list is BM25 top-10 on its first-5-token
+    query (same retriever as ``bm25_topk_docs``) and the DENSE list is
+    content-embedding cosine top-10 ("more-like-this": the query doc's
+    own deterministic embedding vs the corpus, self excluded); the two
+    rankings fuse by RRF (k=60), which needs no score calibration
+    between lexical and vector space. Output
+    (query_id, doc_id, rrf_score, rank).
+
+    Scale shape: both retrievers keep the corpus map-side (BM25's
+    broadcast-semi-join token reduction; the dense side broadcasts the
+    query embeddings); fusion touches only queries × 10 rows per
+    list."""
+    from farmrpg_etl_spark.multimodal.binary_ops import embed_binary
+    from farmrpg_etl_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.coalesce(H.words(F.col("text")), F.array().cast("array<string>"))
+    q = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("query_text"),
+    )
+    sparse = bm25_topk(d, q, "text", "doc_id", k=10)
+
+    from pyspark.sql import Window
+
+    emb = embed_binary(
+        d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("data")),
+        "doc_id", "data", dim=16,
+    )
+    cu = similarity._unitize(
+        emb.select("doc_id", V.as_double(F.col("embedding")).alias("__raw")),
+        "__raw", "cv",
+    )
+    qu = F.broadcast(
+        cu.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"), F.col("cv").alias("qv")
+        )
+    )
+    scored = (
+        cu.crossJoin(qu)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(V.dot(F.col("qv"), F.col("cv")), 6))
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        scored.withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse(sparse, dense, "query_id", "doc_id", k_rrf=60, k=10)
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data preparation pipeline in one plan:
     language/quality gate → benchmark decontamination (13-gram overlap
@@ -4102,6 +4159,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_pq": ann_recall_pq,
     "ann_topk_pq_rerank": ann_topk_pq_rerank,
     "ann_recall_pq_rerank": ann_recall_pq_rerank,
+    "hybrid_retrieval_docs": hybrid_retrieval_docs,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     # Back-fill: high-value anchors re-verified each round — the
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
     # dedup/similarity/BPE/multimodal families, and the r5 first-timers
@@ -4116,10 +4175,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_message_roundtrip": parse_message_roundtrip,
     "parse_quarantine_channel": parse_quarantine_channel,
     "d1_message_cdc": d1_message_cdc,
-    "streaming_message_cdc": streaming_message_cdc,
     "streaming_cdc_events": streaming_cdc_events,
     "j1_resolve_join": j1_resolve_join,
-    "j4_upsert": j4_upsert,
     "k1_insert_absent_sink": k1_insert_absent_sink,
     "k3_upsert_sink": k3_upsert_sink,
     "exact_dedup_docs": exact_dedup_docs,
@@ -4133,6 +4190,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
     "training_data_pipeline": training_data_pipeline,
     # --- end of 50-entry prefix --------------------------------------
+    "j4_upsert": j4_upsert,
+    "streaming_message_cdc": streaming_message_cdc,
     "k_time_travel_sink": k_time_travel_sink,
     "k_delete_tombstones_sink": k_delete_tombstones_sink,
     "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -4240,7 +4299,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "median_value_by_type": median_value_by_type,
     "range_join_prior_events": range_join_prior_events,
     "q4_order_priority": q4_order_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,

@@ -196,3 +196,27 @@ def test_cut_not_idempotent_adversarial(spark):
     )
     r2 = {r["doc_id"]: r["text_cut"] for r in again.collect()}
     assert r2[1] == "" and r2[2] == ""  # second pass cuts the new dups
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: a doc in BOTH lists outranks a doc in either alone at
+    comparable ranks; absent lists contribute exactly 0; ties on the
+    rounded score break by id."""
+    from farmrpg_etl_spark.operators.retrieval import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    rows = {r["doc_id"]: r for r in
+            rrf_fuse(sparse, dense, "query_id", "doc_id", k_rrf=60, k=10).collect()}
+    # 11 in both: 1/62 + 1/61 beats 10's 1/61 alone
+    assert rows[11]["rank"] == 1 and rows[10]["rank"] == 2
+    assert rows[13]["rrf_score"] == round(1 / 62, 6)   # dense-only
+    assert rows[12]["rrf_score"] == round(1 / 63, 6)   # sparse-only
+    assert rows[11]["rrf_score"] == round(1 / 61 + 1 / 62, 6)
+    assert set(rows) == {10, 11, 12, 13}
