@@ -1032,6 +1032,35 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 ORACLES["ann_topk_pq_rerank"] = _pq_rerank_sql()
 
+
+def _pq_seed_codes_sql(m: int = 8, ks: int = 16) -> str:
+    """Full-batch seed-codebook PQ encode — the oracle for streaming
+    index maintenance (incremental ≡ batch)."""
+    sub = 64 // m
+
+    def chain(a: str, b: str, s: int) -> str:
+        return " + ".join(
+            f"({a}[{s * sub + j + 1}]-{b}[{s * sub + j + 1}])"
+            f"*({a}[{s * sub + j + 1}]-{b}[{s * sub + j + 1}])"
+            for j in range(sub)
+        )
+
+    cd = ", ".join(f"{chain('c.v', 'cb.bv', s)} AS d{s}" for s in range(m))
+    argmins = ", ".join(
+        f"CAST(list(k ORDER BY d{s}, k)[1] AS INT) AS c{s}" for s in range(m)
+    )
+    cols = ", ".join(f"c{s}" for s in range(m))
+    return f"""
+WITH {_EMB},
+cb AS (SELECT vec_id AS k, v AS bv FROM u WHERE vec_id < {ks}),
+pd AS (SELECT c.vec_id, cb.k, {cd} FROM u c CROSS JOIN cb),
+codes AS (SELECT vec_id, {argmins} FROM pd GROUP BY vec_id)
+SELECT vec_id, {cols} FROM codes
+"""
+
+
+ORACLES["streaming_pq_index"] = _pq_seed_codes_sql()
+
 ORACLES["ann_recall_pq_rerank"] = f"""
 WITH exact AS ({ORACLES["ann_topk_bruteforce"]}),
 approx AS ({_pq_rerank_sql()}),

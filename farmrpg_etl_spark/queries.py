@@ -1880,6 +1880,77 @@ def streaming_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "jaccard")
 
 
+def streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-index maintenance, the PQ counterpart of
+    ``streaming_incremental_lsh``: codebooks are trained OFFLINE once
+    (the production flow — here the sample-init seed vectors, vec_id <
+    16, committed to a codebook table before the stream starts), then
+    embeddings arrive as four micro-batches and each ``foreachBatch``
+    encodes ONLY the arriving rows against the STORED codebook
+    (re-read per batch, never a closure literal) and appends the
+    2-byte codes through the replay-idempotent K1 writer. History is
+    never re-encoded; a re-delivered batch is a no-op; batch arrival
+    order cannot matter because the codebook predates the stream.
+    Oracle: the one-shot full-batch encode — incremental ≡ batch is
+    exactly the claim that lets a 100 TB corpus maintain its ANN index
+    by delta."""
+    import tempfile
+
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src_dir = tempfile.mkdtemp(prefix="farmrpg_pqing_")
+    n_batches = 4
+    for i in range(n_batches):
+        e.filter(F.col("vec_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    def unitized(df: DataFrame) -> DataFrame:
+        return similarity._unitize(
+            df.select("vec_id", V.as_double(F.col("embedding")).alias("__raw")),
+            "__raw", "__cv",
+        )
+
+    # offline training job: commit the seed codebook before the stream
+    cb_tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_pqcb_"))
+    cb_tbl._commit(
+        unitized(e.filter(F.col("vec_id") < 16)).select(
+            F.col("vec_id").alias("k"), F.col("__cv").alias("__bv")
+        ),
+        batch_id=-1, writer="codebook",
+    )
+    index_tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_pqidx_"))
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        cb = cb_tbl.read()
+        codes = similarity.pq_seed_encode(
+            unitized(batch_df), cb, "vec_id", dim=64, m=8
+        )
+        insert_if_absent(
+            index_tbl, codes, ["vec_id"], batch_id=batch_id, writer="pqidx"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return index_tbl.read().select(
+        "vec_id", *[f"c{s}" for s in range(8)]
+    )
+
+
 def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming TRAINING-CORPUS ingest end-to-end: documents arrive as
     four micro-batches (file stream); each batch is quality-gated
@@ -4160,6 +4231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_pq_rerank": ann_topk_pq_rerank,
     "ann_recall_pq_rerank": ann_recall_pq_rerank,
     "hybrid_retrieval_docs": hybrid_retrieval_docs,
+    "streaming_pq_index": streaming_pq_index,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     # Back-fill: high-value anchors re-verified each round — the
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
@@ -4178,7 +4250,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_cdc_events": streaming_cdc_events,
     "j1_resolve_join": j1_resolve_join,
     "k1_insert_absent_sink": k1_insert_absent_sink,
-    "k3_upsert_sink": k3_upsert_sink,
     "exact_dedup_docs": exact_dedup_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "chunk_dedup_docs": chunk_dedup_docs,
@@ -4191,6 +4262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_data_pipeline": training_data_pipeline,
     # --- end of 50-entry prefix --------------------------------------
     "j4_upsert": j4_upsert,
+    "k3_upsert_sink": k3_upsert_sink,
     "streaming_message_cdc": streaming_message_cdc,
     "k_time_travel_sink": k_time_travel_sink,
     "k_delete_tombstones_sink": k_delete_tombstones_sink,
