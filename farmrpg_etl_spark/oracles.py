@@ -1061,6 +1061,32 @@ SELECT vec_id, {cols} FROM codes
 
 ORACLES["streaming_pq_index"] = _pq_seed_codes_sql()
 
+ORACLES["k_change_feed_sink"] = """
+WITH s0 AS (SELECT event_id, event_type, value FROM events
+            WHERE event_id % 3 = 0),
+su AS (SELECT event_id, event_type,
+       CASE WHEN event_id % 5 = 0 THEN value + 100.0 ELSE value END AS value
+       FROM s0),
+sd AS (SELECT * FROM su WHERE event_id % 7 <> 0),
+s3 AS (SELECT * FROM sd UNION ALL
+       SELECT event_id, event_type, value FROM events
+       WHERE event_id % 3 = 1 AND event_id % 5 = 0),
+j AS (SELECT coalesce(a.event_id, b.event_id) AS event_id,
+      a.event_type AS at, a.value AS av, b.event_type AS bt, b.value AS bv,
+      a.event_id IS NOT NULL AS ina, b.event_id IS NOT NULL AS inb
+      FROM s0 a FULL OUTER JOIN s3 b ON a.event_id = b.event_id)
+SELECT 'insert' AS _change_type, event_id, bt AS event_type, bv AS value
+FROM j WHERE NOT ina
+UNION ALL
+SELECT 'delete', event_id, at, av FROM j WHERE NOT inb
+UNION ALL
+SELECT 'update_preimage', event_id, at, av FROM j
+WHERE ina AND inb AND (at <> bt OR av <> bv)
+UNION ALL
+SELECT 'update_postimage', event_id, bt, bv FROM j
+WHERE ina AND inb AND (at <> bt OR av <> bv)
+"""
+
 ORACLES["ann_recall_pq_rerank"] = f"""
 WITH exact AS ({ORACLES["ann_topk_bruteforce"]}),
 approx AS ({_pq_rerank_sql()}),

@@ -3388,6 +3388,42 @@ def k_time_travel_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v0.unionByName(cur)
 
 
+def k_change_feed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-CDF-style change feed between versions
+    (``writers.version_changes``): seed v0 (insert, keys ≡0 mod 3),
+    correlated update v1 (+100 value, keys ≡0 mod 5), MERGE-DELETE v2
+    (keys ≡0 mod 7), upsert-insert v3 (new keys ≡1 mod 3 ∧ ≡0 mod 5);
+    the feed v0→v3 must emit exactly the inserts, the deletes (with
+    their PRE-delete values), both update images for updated-surviving
+    keys, and nothing for unchanged keys — update-then-deleted keys
+    collapse to a single delete, the CDF compaction rule. The table
+    keeps 5 versions (`keep_versions`), exercising the retention dial.
+    The oracle recomputes both snapshots from raw events and diffs
+    them independently."""
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("kcdf"), keep_versions=5)
+    writers.insert_if_absent(
+        t, ev.filter(F.col("event_id") % 3 == 0), ["event_id"], batch_id=0
+    )
+    upd = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", (F.col("value") + F.lit(100.0)).alias("value")
+    )
+    writers.merge_update(t, upd, on=["event_id"], set_cols=["value"], batch_id=1)
+    writers.delete_where(
+        t, ev.filter(F.col("event_id") % 7 == 0).select("event_id"),
+        ["event_id"], batch_id=2,
+    )
+    ins2 = ev.filter(
+        (F.col("event_id") % 3 == 1) & (F.col("event_id") % 5 == 0)
+    )
+    writers.upsert(t, ins2, ["event_id"], update_cols=["value"], batch_id=3)
+    return writers.version_changes(t, 0, 3, ["event_id"])
+
+
 def k_delete_tombstones_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-DELETE end state (right-to-be-forgotten): seed the table
     with events ≡0 (mod 3), then delete every key ≡0 (mod 7) — the
@@ -4232,6 +4268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_pq_rerank": ann_recall_pq_rerank,
     "hybrid_retrieval_docs": hybrid_retrieval_docs,
     "streaming_pq_index": streaming_pq_index,
+    "k_change_feed_sink": k_change_feed_sink,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     # Back-fill: high-value anchors re-verified each round — the
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
@@ -4247,7 +4284,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_message_roundtrip": parse_message_roundtrip,
     "parse_quarantine_channel": parse_quarantine_channel,
     "d1_message_cdc": d1_message_cdc,
-    "streaming_cdc_events": streaming_cdc_events,
     "j1_resolve_join": j1_resolve_join,
     "k1_insert_absent_sink": k1_insert_absent_sink,
     "exact_dedup_docs": exact_dedup_docs,
@@ -4263,6 +4299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- end of 50-entry prefix --------------------------------------
     "j4_upsert": j4_upsert,
     "k3_upsert_sink": k3_upsert_sink,
+    "streaming_cdc_events": streaming_cdc_events,
     "streaming_message_cdc": streaming_message_cdc,
     "k_time_travel_sink": k_time_travel_sink,
     "k_delete_tombstones_sink": k_delete_tombstones_sink,

@@ -349,3 +349,47 @@ def test_incremental_curation_equals_full_recompute(spark, tmp_path):
     }
     assert got == want
     assert set(got) == {1, 2, 5}  # 3 deleted (gate), 4 deleted (removed), 6 never in
+
+
+def test_version_changes_cdf_semantics(spark, tmp_path):
+    """Change feed between versions: inserts/deletes/update pre+post
+    images, unchanged keys suppressed, update-then-delete collapses to
+    one delete with the FROM-version values, retention honors
+    keep_versions."""
+    from farmrpg_etl_spark.sinks import writers
+
+    t = writers.ParquetTable(spark, str(tmp_path / "cdf"), keep_versions=4)
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double",
+    )
+    writers.insert_if_absent(t, base, ["k"], batch_id=0)               # v0
+    writers.merge_update(
+        t,
+        spark.createDataFrame([(2, 20.0), (3, 30.0)], "k long, v double"),
+        on=["k"], set_cols=["v"], batch_id=1,
+    )                                                                   # v1
+    writers.delete_where(
+        t, spark.createDataFrame([(3,)], "k long"), ["k"], batch_id=2
+    )                                                                   # v2
+    writers.upsert(
+        t, spark.createDataFrame([(4, "d", 4.0)], "k long, s string, v double"),
+        ["k"], update_cols=["v"], batch_id=3,
+    )                                                                   # v3
+    feed = {
+        (r["_change_type"], r["k"]): (r["s"], r["v"])
+        for r in writers.version_changes(t, 0, 3, ["k"]).collect()
+    }
+    assert feed == {
+        ("update_preimage", 2): ("b", 2.0),
+        ("update_postimage", 2): ("b", 20.0),
+        ("delete", 3): ("c", 3.0),      # updated THEN deleted -> one delete, v0 values
+        ("insert", 4): ("d", 4.0),
+    }                                    # k=1 unchanged: absent
+    # adjacent-version feed sees the intermediate update
+    mid = {(r["_change_type"], r["k"]) for r in
+           writers.version_changes(t, 0, 1, ["k"]).collect()}
+    assert mid == {("update_preimage", 2), ("update_postimage", 2),
+                   ("update_preimage", 3), ("update_postimage", 3)}
+    # retention: keep_versions=4 at v3 means v0 is still readable
+    assert t.read_version(0).count() == 3
