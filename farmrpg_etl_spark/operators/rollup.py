@@ -212,3 +212,30 @@ def histogram_quantiles(
             * F.lit(width)
         ).alias("p90_lo"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Key-distribution diagnostics — the measurement you SALT against:
+    per-key row counts collapsed into power-of-two buckets
+    (``bucket = floor(log2(count))`` via integer bit-length, no
+    transcendental), emitting ``(bucket, n_keys, n_rows)``. A uniform
+    key reads as one narrow band; a hot key shows as a lonely
+    high-bucket row whose ``n_rows`` share tells you the shuffle's
+    straggler factor before you pay for it. Sized for 100 TB: one
+    map-side-combined count per key, then a bucket-count aggregation
+    over the (key-cardinality-sized, fixed-width) count relation —
+    never a global sort, never a quantile pass over raw rows.
+
+    The exact-top-k complement (WHICH keys are hot) is
+    ``operators.heavyhitters.heavy_hitters``; this profile is the
+    cheap always-on gauge."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__cnt"))
+    bucket = (F.length(F.bin(F.col("__cnt"))) - F.lit(1)).alias("bucket")
+    return (
+        counts.select(bucket, "__cnt")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("__cnt").alias("n_rows"),
+        )
+    )

@@ -1061,6 +1061,14 @@ SELECT vec_id, {cols} FROM codes
 
 ORACLES["streaming_pq_index"] = _pq_seed_codes_sql()
 
+ORACLES["skew_profile_events"] = """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+SELECT length(bin(cnt)) - 1 AS bucket,
+       COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows
+FROM c GROUP BY 1
+"""
+
 ORACLES["k_change_feed_sink"] = """
 WITH s0 AS (SELECT event_id, event_type, value FROM events
             WHERE event_id % 3 = 0),

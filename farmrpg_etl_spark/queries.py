@@ -2593,6 +2593,15 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.repetition_metrics(d)
 
 
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics on (user_id): per-key counts bucketed by
+    integer floor(log2) — the pre-shuffle gauge that decides whether a
+    join needs salting (`salted_join_events` is the remedy this row
+    measures the need for)."""
+    ev = load_table(spark, sf_dir, "events")
+    return rollup.key_skew_profile(ev, ["user_id"])
+
+
 def hourly_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical rollup: hour buckets re-aggregated
     from minute partials (count/sum/min/max compose; the oracle
@@ -4269,6 +4278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_retrieval_docs": hybrid_retrieval_docs,
     "streaming_pq_index": streaming_pq_index,
     "k_change_feed_sink": k_change_feed_sink,
+    "skew_profile_events": skew_profile_events,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     # Back-fill: high-value anchors re-verified each round — the
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
@@ -4283,7 +4293,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
     "parse_quarantine_channel": parse_quarantine_channel,
-    "d1_message_cdc": d1_message_cdc,
     "j1_resolve_join": j1_resolve_join,
     "k1_insert_absent_sink": k1_insert_absent_sink,
     "exact_dedup_docs": exact_dedup_docs,
@@ -4298,6 +4307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_data_pipeline": training_data_pipeline,
     # --- end of 50-entry prefix --------------------------------------
     "j4_upsert": j4_upsert,
+    "d1_message_cdc": d1_message_cdc,
     "k3_upsert_sink": k3_upsert_sink,
     "streaming_cdc_events": streaming_cdc_events,
     "streaming_message_cdc": streaming_message_cdc,

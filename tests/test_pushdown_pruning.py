@@ -319,3 +319,44 @@ def test_tuned_ivf_plan_broadcasts_probes_and_centroids(spark):
     assert "BroadcastNestedLoopJoin" in plan  # centroid fan-out
     assert "BroadcastHashJoin" in plan        # probe-side candidate join
     assert "CartesianProduct" not in plan
+
+
+def test_pq_rerank_plan_shape(spark):
+    """The PQ retrieval plan's scale claims, asserted: the query side
+    (dtables) and seed codebooks reach the corpus via broadcast
+    exchanges, and no cartesian product appears anywhere (the
+    crossJoin is broadcast-nested-loop over a 10-row side)."""
+    import hashlib as h
+
+    from farmrpg_etl_spark.operators.similarity import pq_adc_rerank_topk
+
+    rows = [
+        (i, [int(h.md5(f"{i}|{j}".encode()).hexdigest()[:4], 16) / 65536.0 - 0.5
+             for j in range(8)])
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = df.filter("vec_id < 3")
+    out = pq_adc_rerank_topk(df, q, "v", "vec_id", k=3, dim=8, m=2, ks=4,
+                             shortlist=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_hybrid_retrieval_plan_no_cartesian(spark, tmp_path):
+    """Hybrid fusion: the dense side's query cross join must be a
+    broadcast nested loop (queries are benchmark-sized), never a
+    CartesianProduct, and the BM25 token reduction's semi-join
+    broadcast survives into the fused plan."""
+    from farmrpg_etl_spark.queries import QUERIES
+
+    docs = [(i, f"u{i}a u{i}b common tokens here doc {i}") for i in range(100)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = QUERIES["hybrid_retrieval_docs"](spark, str(tmp_path))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert out.count() >= 0  # executes end-to-end on the tiny corpus
