@@ -393,6 +393,14 @@ def main() -> None:
                 e, qb, "embedding", "vec_id", k=5, m=8, ks=16, shortlist=200
             )
 
+        def stretch_pipeline_v2():
+            # the full chunk→embed→pool→celled-dedup→decontaminate
+            # composition on the 10× corpus: the per-doc stages are
+            # map-side so cost should track corpus size; the dedup
+            # self-join is bounded by the LSH cells.
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+            return _Q["training_data_pipeline_v2"](spark, stretch_dir)
+
         def stretch_heavy_hitters():
             from farmrpg_etl_spark.functions import hashing as H
             from farmrpg_etl_spark.operators.heavyhitters import heavy_hitters
@@ -436,6 +444,7 @@ def main() -> None:
             ("cut_dup_span_10x", stretch_cut_dup_span),
             ("bpe_merges_10x", stretch_bpe_merges),
             ("pq_rerank_10x", stretch_pq_rerank),
+            ("pipeline_v2_10x", stretch_pipeline_v2),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:

@@ -1061,6 +1061,107 @@ SELECT vec_id, {cols} FROM codes
 
 ORACLES["streaming_pq_index"] = _pq_seed_codes_sql()
 
+
+def _ivfpq_sql(n_probe: int = 6, shortlist: int = 200, k: int = 10) -> str:
+    """IVF-PQ + refine fully composed: tuned kmeans cells prune, seed-
+    codebook ADC scores the probed candidates, exact cosine rescores
+    the shortlist. The cell chain mirrors _ann_recall_ivf_tuned_sql;
+    the PQ chains mirror _pq_rerank_sql."""
+    m, ks, sub = 8, 16, 8
+    d2 = " + ".join(
+        f"(ev.v[{i}]-cvec[{i}])*(ev.v[{i}]-cvec[{i}])" for i in range(1, 65)
+    )
+
+    def chain(a: str, b: str, s: int) -> str:
+        return " + ".join(
+            f"({a}[{s * sub + j + 1}]-{b}[{s * sub + j + 1}])"
+            f"*({a}[{s * sub + j + 1}]-{b}[{s * sub + j + 1}])"
+            for j in range(sub)
+        )
+
+    cd = ", ".join(f"{chain('c.v', 'cb.bv', s)} AS d{s}" for s in range(m))
+    qd = ", ".join(f"{chain('q.v', 'cb.bv', s)} AS d{s}" for s in range(m))
+    argmins = ", ".join(
+        f"CAST(list(k ORDER BY d{s}, k)[1] AS INT) AS c{s}" for s in range(m)
+    )
+    tbls = ", ".join(f"list(d{s} ORDER BY k) AS t{s}" for s in range(m))
+    adist = " + ".join(f"t{s}[c{s} + 1]" for s in range(m))
+    return f"""
+WITH {_EMB},
+g AS (SELECT unnest(generate_series(1, 64)) AS i),
+x AS (
+  SELECT label, g.i - 1 AS pos,
+         floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) / 1000000.0 AS qv
+  FROM embeddings CROSS JOIN g
+), cl AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(qv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid
+  FROM x GROUP BY label, pos
+), cv AS (
+  SELECT label, list(centroid ORDER BY pos ASC) AS cvec FROM cl GROUP BY label
+), ev AS (SELECT vec_id, v FROM e),
+sc AS (SELECT ev.vec_id, cv.label, {d2} AS d2 FROM ev CROSS JOIN cv),
+rk AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, label ASC) AS rn
+  FROM sc
+), asg AS (SELECT vec_id, label AS block FROM rk WHERE rn = 1),
+cb AS (SELECT vec_id AS k, v AS bv FROM u WHERE vec_id < {ks}),
+pd AS (SELECT c.vec_id, cb.k, {cd} FROM u c CROSS JOIN cb),
+codes AS (SELECT vec_id, {argmins} FROM pd GROUP BY vec_id),
+corp AS (
+  SELECT codes.vec_id AS neighbor_id, asg.block,
+         {', '.join(f'c{s}' for s in range(m))}
+  FROM codes JOIN asg ON codes.vec_id = asg.vec_id
+),
+qp AS (SELECT q.vec_id AS query_id, cb.k, {qd}
+       FROM u q CROSS JOIN cb WHERE q.vec_id < 10),
+qt AS (SELECT query_id, {tbls} FROM qp GROUP BY query_id),
+probes AS (SELECT vec_id AS query_id, label AS block FROM rk
+           WHERE vec_id < 10 AND rn <= {n_probe}),
+adc AS (
+  SELECT probes.query_id, corp.neighbor_id, round({adist}, 6) AS adist
+  FROM corp JOIN probes ON corp.block = probes.block
+  JOIN qt ON qt.query_id = probes.query_id
+  WHERE corp.neighbor_id <> probes.query_id
+),
+short AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS r
+    FROM adc) WHERE r <= {shortlist}),
+resc AS (SELECT s.query_id, s.neighbor_id,
+         round({_dot('qv.v', 'cv2.v')}, 6) AS cosine
+         FROM short s
+         JOIN u cv2 ON cv2.vec_id = s.neighbor_id
+         JOIN u qv ON qv.vec_id = s.query_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM resc) WHERE rank <= {k}
+"""
+
+
+ORACLES["ann_topk_ivfpq"] = _ivfpq_sql()
+
+ORACLES["ann_recall_ivfpq"] = f"""
+WITH exact AS (
+{ORACLES["ann_topk_bruteforce"].replace(") WHERE rank <= 5", ") WHERE rank <= 10")}
+),
+approx AS ({_ivfpq_sql()}),
+hit AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+base AS (SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY query_id)
+SELECT b.query_id, b.k_exact,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       round(COALESCE(h.hits, 0) / b.k_exact, 6) AS recall_at_k
+FROM base b LEFT JOIN hit h ON b.query_id = h.query_id
+"""
+
 ORACLES["skew_profile_events"] = """
 WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
 SELECT length(bin(cnt)) - 1 AS bucket,
