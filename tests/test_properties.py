@@ -133,7 +133,13 @@ def test_asof_join_matches_naive(sp, lrows, rrows):
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("k", "lid").orderBy(
+                # partition by (k, lts, lid): the generator dedups left
+                # rows on (k, t) only, so lid can repeat across
+                # timestamps — partitioning by (k, lid) alone would
+                # collapse two distinct left rows into one window and
+                # drop a naive-side row (hypothesis find; the operator
+                # was right, this reference was wrong)
+                Window.partitionBy("k", "lts", "lid").orderBy(
                     F.col("rts").desc_nulls_last(), F.col("rid").desc_nulls_last()
                 )
             ),
