@@ -186,6 +186,8 @@ def main() -> None:
         # round-6 additions
         "training_data_pipeline_v2",
         "ann_topk_pq_rerank",
+        "ann_topk_ivfpq",
+        "hybrid_retrieval_docs",
     ]:
         run(name)
         steady = []

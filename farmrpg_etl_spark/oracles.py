@@ -1735,6 +1735,20 @@ FROM (
 """
 
 
+ORACLES["cluster_quota_sample_embeddings"] = f"""
+WITH asg AS ({ORACLES["kmeans_assign_embeddings"]}),
+a AS (SELECT vec_id, CAST(assigned_label AS VARCHAR) AS cluster FROM asg)
+SELECT vec_id, cluster, sample_rank FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY md5(cluster || '|' || CAST(vec_id AS VARCHAR)) ASC,
+                    vec_id ASC
+         ) AS sample_rank
+  FROM a
+) WHERE sample_rank <= 150
+"""
+
 ORACLES["stratified_sample_docs"] = """
 SELECT doc_id, source FROM documents
 WHERE CAST('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8)

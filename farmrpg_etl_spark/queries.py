@@ -2554,6 +2554,25 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_quota_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling — topic-balance curation for training
+    mixtures: assign every embedding to its k-means cell (the
+    broadcast E-step), then cap each cell at 150 vectors chosen by the
+    deterministic md5 draw (`source_quota_sample` with the cluster as
+    the source). A dominant topic cluster cannot swamp the mixture,
+    exactly like a hot domain cannot under the C4-style domain quota
+    — same WindowGroupLimit shape, one shuffle on the cell key."""
+    from farmrpg_etl_spark.operators.curation import source_quota_sample
+
+    assigned = kmeans_assign_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("cluster")
+    )
+    return source_quota_sample(
+        assigned.withColumn("cluster", F.col("cluster").cast("string")),
+        "vec_id", "cluster", quota=150,
+    ).select("vec_id", "cluster", "sample_rank")
+
+
 def kmeans_lloyd(
     e: DataFrame,
     n_iters: int,
@@ -4436,6 +4455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_profile_events": skew_profile_events,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_recall_ivfpq": ann_recall_ivfpq,
+    "cluster_quota_sample_embeddings": cluster_quota_sample_embeddings,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     # Back-fill: high-value anchors re-verified each round — the
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
@@ -4454,13 +4474,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "chunk_dedup_docs": chunk_dedup_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "dup_span_docs": dup_span_docs,
     "cut_dup_span_docs": cut_dup_span_docs,
     "bpe_merges_docs": bpe_merges_docs,
     "bpe_token_counts_docs": bpe_token_counts_docs,
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
     "training_data_pipeline": training_data_pipeline,
     # --- end of 50-entry prefix --------------------------------------
+    "dup_span_docs": dup_span_docs,
     "j1_resolve_join": j1_resolve_join,
     "k1_insert_absent_sink": k1_insert_absent_sink,
     "j4_upsert": j4_upsert,
