@@ -3265,6 +3265,49 @@ FROM p1 JOIN p2 USING (doc_id)
 """
 
 
+ORACLES["cut_span_pipeline_docs"] = rf"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, text, toks,
+    {', '.join(f'{_hits(lang)} AS s_{lang}' for lang in sorted(_LANGS))},
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE CAST(len(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+              / len(text) END AS praw
+  FROM d
+), q AS (
+  SELECT *,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE CAST(s_en AS DOUBLE) / n_tok END AS sraw,
+    CASE WHEN len(text) >= 100 AND len(text) <= 4000 THEN 1.0
+         WHEN len(text) < 100 THEN CAST(len(text) AS DOUBLE) / 100.0
+         ELSE 4000.0 / CAST(len(text) AS DOUBLE) END AS len_score
+  FROM m
+), scored AS (
+  SELECT doc_id, toks,
+    {_LANG_CASE} AS lang_pred,
+    round(len_score * 0.5 + (1.0 - least(praw * 5.0, 1.0)) * 0.25
+          + least(sraw * 10.0, 1.0) * 0.25, 6) AS quality
+  FROM q
+), d1 AS (
+  SELECT doc_id, toks FROM scored
+  WHERE lang_pred = 'en' AND quality >= 0.5
+),
+{_cut_pass_cte('d1', 'p1')},
+c AS (
+  SELECT doc_id, kept_tok AS n_tok,
+         SUM(kept_tok) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM p1
+)
+SELECT CAST(floor((cum - n_tok) / 512) AS BIGINT) AS first_pack,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY CAST(floor((cum - n_tok) / 512) AS BIGINT)
+"""
+
 ORACLES["bm25_topk_docs"] = f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 lens AS (SELECT doc_id, len(toks) AS dl FROM d),

@@ -1082,6 +1082,35 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, q, "text", "doc_id", k=10)
 
 
+def cut_span_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span cutting composed into the corpus build (r5 verdict missing
+    item #4): language/quality gate → ExactSubstr span CUT (the
+    destructive Lee-et-al. stage, replacing v1's milder exact-dedup) →
+    512-token concat-and-split packing of the CUT text → per-pack
+    stats. One plan: the gate's persisted projection feeds the cut,
+    the cut's kept-token relation feeds packing directly — the packed
+    token counts are exactly ``kept_tok``, so no re-tokenization pass
+    is needed on the oracle side either."""
+    from farmrpg_etl_spark.operators.chunking import pack_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = T.text_metrics(d, "text").select(
+        "doc_id", "text", "lang_pred", "quality"
+    ).persist()
+    kept = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    ).select("doc_id", "text")
+    cut = dedup.cut_duplicated_spans(kept, "text", "doc_id", k=8)
+    packed = pack_documents(
+        cut.select("doc_id", F.col("text_cut").alias("text")),
+        "text", "doc_id", seq_len=512,
+    )
+    return packed.groupBy("first_pack").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion — the production
     retrieval stack in one plan: for each query document (doc_id %
@@ -4456,6 +4485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_recall_ivfpq": ann_recall_ivfpq,
     "cluster_quota_sample_embeddings": cluster_quota_sample_embeddings,
+    "cut_span_pipeline_docs": cut_span_pipeline_docs,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     # Back-fill: high-value anchors re-verified each round — the
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
@@ -4472,7 +4502,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_quarantine_channel": parse_quarantine_channel,
     "exact_dedup_docs": exact_dedup_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
-    "chunk_dedup_docs": chunk_dedup_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "cut_dup_span_docs": cut_dup_span_docs,
     "bpe_merges_docs": bpe_merges_docs,
@@ -4480,6 +4509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
     "training_data_pipeline": training_data_pipeline,
     # --- end of 50-entry prefix --------------------------------------
+    "chunk_dedup_docs": chunk_dedup_docs,
     "dup_span_docs": dup_span_docs,
     "j1_resolve_join": j1_resolve_join,
     "k1_insert_absent_sink": k1_insert_absent_sink,
