@@ -455,3 +455,75 @@ def test_prefix_sums_handle_negative_values(sp):
         run += v
         want_g[i] = run
     assert got_g == want_g
+
+
+PQ_VECS = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.lists(st.integers(-1000, 1000), min_size=8, max_size=8),
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@given(rows=PQ_VECS)
+@SETTINGS
+def test_pq_encode_matches_numpy_argmin(sp, rows):
+    """pq_encode == numpy nearest-centroid with lowest-index ties, on
+    random integer-valued vectors (exact in doubles, so cross-impl
+    float disagreement is impossible and any mismatch is logic)."""
+    import numpy as np
+
+    from farmrpg_etl_spark.operators.similarity import pq_codebooks, pq_encode
+
+    uniq = list({i: v for i, v in rows}.items())
+    df = sp.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in uniq],
+        "vec_id long, v array<double>",
+    )
+    got = {r["vec_id"]: (r["c0"], r["c1"])
+           for r in pq_encode(df, "v", "vec_id", dim=8, m=2, ks=4).collect()}
+    books = np.array(pq_codebooks(8, 2, 4))
+    for i, v in uniq:
+        a = np.array(v, dtype=np.float64)
+        want = tuple(
+            int(((a[s * 4:(s + 1) * 4] - books[s]) ** 2).sum(1).argmin())
+            for s in range(2)
+        )
+        assert got[i] == want, (i, v)
+
+
+CDF_ROWS = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 3)),  # (key, value)
+    min_size=0, max_size=10,
+)
+
+
+@given(a=CDF_ROWS, b=CDF_ROWS)
+@SETTINGS
+def test_version_changes_matches_naive_diff(sp, a, b, tmp_path_factory):
+    """version_changes == a per-key dict diff, on random snapshots:
+    inserts/deletes/update image pairs, unchanged suppressed."""
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, version_changes
+
+    da = dict(a)
+    db = dict(b)
+    t = ParquetTable(sp, str(tmp_path_factory.mktemp("cdfp")), keep_versions=3)
+    mk = lambda d: sp.createDataFrame(
+        [(k, float(v)) for k, v in d.items()] or [(99, 0.0)],
+        "k long, v double",
+    ).filter("k < 99" if not d else "k >= 0")
+    t._commit(mk(da), batch_id=0)
+    t._commit(mk(db), batch_id=1)
+    got = {(r["_change_type"], r["k"]): r["v"]
+           for r in version_changes(t, 0, 1, ["k"]).collect()}
+    want = {}
+    for k in set(da) | set(db):
+        if k in da and k not in db:
+            want[("delete", k)] = float(da[k])
+        elif k in db and k not in da:
+            want[("insert", k)] = float(db[k])
+        elif da[k] != db[k]:
+            want[("update_preimage", k)] = float(da[k])
+            want[("update_postimage", k)] = float(db[k])
+    assert got == want
