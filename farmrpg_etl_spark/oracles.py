@@ -1162,6 +1162,28 @@ SELECT b.query_id, b.k_exact,
 FROM base b LEFT JOIN hit h ON b.query_id = h.query_id
 """
 
+# SCD2 oracle = the one-shot batch recompute: dedup ties, CDC changes
+# per user, LEAD closes each version — incremental == batch is the row
+ORACLES["k_scd2_sink"] = """
+WITH o AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT user_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id ASC) AS rn
+    FROM events) WHERE rn = 1
+),
+ch AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER w AS p, lag(ts) OVER w AS pts
+    FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+  ) WHERE pts IS NULL OR event_type <> p
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS valid_to
+FROM ch
+"""
+
 ORACLES["skew_profile_events"] = """
 WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
 SELECT length(bin(cnt)) - 1 AS bucket,

@@ -3636,6 +3636,47 @@ def k_change_feed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return writers.version_changes(t, 0, 3, ["event_id"])
 
 
+def k_scd2_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 end state
+    (``writers.scd2_upsert``): per-user event_type observations arrive
+    as two time-ordered batches (split at Jan 16) plus a replay of the
+    second; the history table must hold one row per CHANGE with
+    contiguous ``[valid_from, valid_to)`` ranges and the latest version
+    open — and equal the one-shot batch recompute (CDC changes +
+    LEAD), which is exactly what the oracle computes from raw events.
+    Ties on (user_id, ts) are broken to the min event_id
+    deterministically before the writer sees them."""
+    from pyspark.sql import Window
+
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").asc())
+    obs = (
+        ev.withColumn("__rn", F.row_number().over(wdup))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    t = writers.ParquetTable(spark, _sink_scratch("kscd2"))
+    writers.scd2_upsert(
+        t, obs.filter(F.col("ts") < cutoff),
+        ["user_id"], "ts", ["event_type"], batch_id=0,
+    )
+    writers.scd2_upsert(
+        t, obs.filter(F.col("ts") >= cutoff),
+        ["user_id"], "ts", ["event_type"], batch_id=1,
+    )
+    # replayed batch: must be a no-op (the replay guard)
+    writers.scd2_upsert(
+        t, obs.filter(F.col("ts") >= cutoff),
+        ["user_id"], "ts", ["event_type"], batch_id=1,
+    )
+    return t.read().select("user_id", "event_type", "valid_from", "valid_to")
+
+
 def k_delete_tombstones_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-DELETE end state (right-to-be-forgotten): seed the table
     with events ≡0 (mod 3), then delete every key ≡0 (mod 7) — the
@@ -4486,6 +4527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_ivfpq": ann_recall_ivfpq,
     "cluster_quota_sample_embeddings": cluster_quota_sample_embeddings,
     "cut_span_pipeline_docs": cut_span_pipeline_docs,
+    "k_scd2_sink": k_scd2_sink,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     # Back-fill: high-value anchors re-verified each round — the
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
@@ -4499,7 +4541,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
-    "parse_quarantine_channel": parse_quarantine_channel,
     "exact_dedup_docs": exact_dedup_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -4509,6 +4550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
     "training_data_pipeline": training_data_pipeline,
     # --- end of 50-entry prefix --------------------------------------
+    "parse_quarantine_channel": parse_quarantine_channel,
     "chunk_dedup_docs": chunk_dedup_docs,
     "dup_span_docs": dup_span_docs,
     "j1_resolve_join": j1_resolve_join,

@@ -465,3 +465,70 @@ def version_changes(
         *key,
         *[F.col(f"__c.r.{c}").alias(c) for c in vals],
     )
+
+
+def scd2_upsert(
+    table: ParquetTable,
+    batch: DataFrame,
+    key: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    batch_id: int | None = None,
+    writer: str = "default",
+) -> None:
+    """Slowly-changing-dimension TYPE 2 MERGE — the warehouse-standard
+    history table: each key's attribute changes append as new versions
+    ``(key, attrs, valid_from, valid_to)``; the previously-open
+    version is closed (``valid_to`` = the new version's timestamp) and
+    the latest version stays open (``valid_to`` NULL). Observations
+    equal to the current open version are suppressed (the D4 no-op
+    rule), so replaying a batch — or a poller re-observing unchanged
+    state — converges.
+
+    Incremental contract: batches arrive in event-time order per key
+    (each batch's observations are >= the stored open version's
+    ``valid_from``). Late data needs the batch recompute — the oracle
+    row pins incremental ≡ batch under the ordered split.
+
+    Shape: the stored OPEN slice (≤1 row/key) joins the batch by
+    union + one per-key LAG window — the same fixed-width keyed
+    shuffle as the CDC operators; closed history is never rewritten,
+    only unioned through (at 100 TB: partition the table by
+    open/closed so the closed slice is pruned from the merge scan)."""
+    from farmrpg_etl_spark.operators.cdc import _change_predicate
+
+    if table._already_committed(batch_id, writer):
+        return
+    from pyspark.sql import Window
+
+    obs = batch.select(*key, ts_col, *attr_cols).withColumn(
+        "__stored", F.lit(0)
+    )
+    closed = None
+    existing = table.read()
+    if existing is not None:
+        openr = existing.filter(F.col("valid_to").isNull())
+        closed = existing.filter(F.col("valid_to").isNotNull())
+        obs = openr.select(
+            *key, F.col("valid_from").alias(ts_col), *attr_cols
+        ).withColumn("__stored", F.lit(1)).unionByName(obs)
+    w = Window.partitionBy(*key).orderBy(
+        F.col(ts_col).asc(), F.col("__stored").desc()
+    )
+    out = obs
+    for c in attr_cols:
+        out = out.withColumn(f"__prev_{c}", F.lag(F.col(c)).over(w))
+    is_first = F.lag(F.col("__stored")).over(w).isNull()
+    ch = out.withColumn(
+        "__chg", is_first | _change_predicate(attr_cols)
+    ).filter(F.col("__chg"))
+    vers = ch.select(
+        *key, *attr_cols, F.col(ts_col).alias("valid_from")
+    ).withColumn(
+        "valid_to",
+        F.lead("valid_from").over(
+            Window.partitionBy(*key).orderBy(F.col("valid_from").asc())
+        ),
+    )
+    merged = vers if closed is None else closed.unionByName(vers)
+    table._commit(merged, batch_id, writer)

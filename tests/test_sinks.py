@@ -393,3 +393,38 @@ def test_version_changes_cdf_semantics(spark, tmp_path):
                    ("update_preimage", 3), ("update_postimage", 3)}
     # retention: keep_versions=4 at v3 means v0 is still readable
     assert t.read_version(0).count() == 3
+
+
+def test_scd2_upsert_versions_and_noop(spark, tmp_path):
+    """SCD2 writer: change versions with contiguous [from, to) ranges,
+    latest open, unchanged observations suppressed, replayed batch a
+    no-op, and an observation equal to the stored OPEN version (first
+    row of the next batch) suppressed across the batch boundary."""
+    from datetime import datetime
+
+    from farmrpg_etl_spark.sinks import writers
+
+    def ts(d):
+        return datetime(2024, 1, d)
+
+    t = writers.ParquetTable(spark, str(tmp_path / "scd2"))
+    b1 = spark.createDataFrame(
+        [(1, ts(1), "a"), (1, ts(2), "a"), (1, ts(3), "b"), (2, ts(1), "x")],
+        "k long, ts timestamp, attr string",
+    )
+    writers.scd2_upsert(t, b1, ["k"], "ts", ["attr"], batch_id=0)
+    b2 = spark.createDataFrame(
+        [(1, ts(4), "b"), (1, ts(5), "c"), (2, ts(6), "y")],
+        "k long, ts timestamp, attr string",
+    )
+    writers.scd2_upsert(t, b2, ["k"], "ts", ["attr"], batch_id=1)
+    writers.scd2_upsert(t, b2, ["k"], "ts", ["attr"], batch_id=1)  # replay
+    rows = {(r["k"], r["valid_from"]): (r["attr"], r["valid_to"])
+            for r in t.read().collect()}
+    assert rows == {
+        (1, ts(1)): ("a", ts(3)),   # ts(2) "a" suppressed (no-op)
+        (1, ts(3)): ("b", ts(5)),   # ts(4) "b" suppressed ACROSS batches
+        (1, ts(5)): ("c", None),    # latest open
+        (2, ts(1)): ("x", ts(6)),
+        (2, ts(6)): ("y", None),
+    }
