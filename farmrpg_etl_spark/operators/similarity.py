@@ -599,7 +599,14 @@ def pq_adc_rerank_topk(
     here); the corpus streams ONCE map-side for encoding (ks-row
     broadcast join) and once for the ADC scan (query dtables
     broadcast); exact math touches only queries × shortlist rows.
-    Output (query_id, neighbor_id, cosine, rank)."""
+    Output (query_id, neighbor_id, cosine, rank).
+
+    Cache contract: the unit corpus is ``persist()``-ed because three
+    branches (encode, rescore join-back, seed pick) read it; the cache
+    stays pinned while the returned plan is live — callers that reuse
+    the session across many plans own ``spark.catalog.clearCache()`` /
+    ``unpersist()`` after their terminal action (the repo-wide persist
+    norm, see ``operators/dedup.py``)."""
     sub = dim // m
     cu = _unitize(
         corpus.select(
@@ -608,7 +615,10 @@ def pq_adc_rerank_topk(
         ),
         "__raw", "__cv",
     ).persist()
-    seeds = cu.filter(F.col("neighbor_id") < ks).select(
+    # seeds = the ks LOWEST-id unit vectors (sample-init training
+    # stand-in), keyed by their RAW id: robust for any corpus id set,
+    # unlike a `< ks` filter that underfills when ids don't start at 0
+    seeds = cu.orderBy(F.col("neighbor_id").asc()).limit(ks).select(
         F.col("neighbor_id").alias("k"), F.col("__cv").alias("__bv")
     )
     codes = pq_seed_encode(cu, seeds, "neighbor_id", dim=dim, m=m)
@@ -636,12 +646,17 @@ def pq_adc_rerank_topk(
     qpair = qu.crossJoin(
         F.broadcast(seeds)
     ).select("query_id", "__qv", F.col("k"), *qdists)
+    # ADC tables are MAPS keyed by the raw seed id — positional arrays
+    # (list ORDER BY k, indexed t[c+1]) are only correct when seed ids
+    # are exactly the contiguous 0..ks-1; a map lookup stays aligned
+    # with pq_seed_encode's codes for ANY corpus id set (NULL adist
+    # from an out-of-range index would otherwise silently sort FIRST
+    # and degrade the shortlist to near-random)
     tables = [
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("k"), F.col(f"__d{s}")))
-            ),
-            lambda st: st[f"__d{s}"],
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("k").cast("long"), F.col(f"__d{s}"))
+            )
         ).alias(f"t{s}")
         for s in range(m)
     ]
@@ -650,7 +665,9 @@ def pq_adc_rerank_topk(
     )
     adist: Column = F.lit(0.0)
     for s in range(m):
-        adist = adist + F.element_at(F.col(f"t{s}"), F.col(f"c{s}") + 1)
+        adist = adist + F.element_at(
+            F.col(f"t{s}"), F.col(f"c{s}").cast("long")
+        )
     scored = codes.crossJoin(F.broadcast(qt)).filter(
         F.col("neighbor_id") != F.col("query_id")
     ).select("query_id", "neighbor_id", F.round(adist, 6).alias("__adist"))

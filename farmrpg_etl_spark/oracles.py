@@ -1002,16 +1002,21 @@ def _pq_rerank_sql(m: int = 8, ks: int = 16, shortlist: int = 200) -> str:
     argmins = ", ".join(
         f"CAST(list(k ORDER BY d{s}, k)[1] AS INT) AS c{s}" for s in range(m)
     )
+    # tables keyed by raw seed id via list_position — aligned with the
+    # codes for ANY corpus id set, not just the contiguous 0..ks-1
     tbls = ", ".join(f"list(d{s} ORDER BY k) AS t{s}" for s in range(m))
-    adist = " + ".join(f"t{s}[c{s} + 1]" for s in range(m))
+    adist = " + ".join(
+        f"t{s}[list_position(kk, c{s})]" for s in range(m)
+    )
     return f"""
 WITH {_EMB},
-cb AS (SELECT vec_id AS k, v AS bv FROM u WHERE vec_id < {ks}),
+cb AS (SELECT vec_id AS k, v AS bv FROM u ORDER BY vec_id LIMIT {ks}),
 pd AS (SELECT c.vec_id, cb.k, {cd} FROM u c CROSS JOIN cb),
 codes AS (SELECT vec_id AS neighbor_id, {argmins} FROM pd GROUP BY vec_id),
 qp AS (SELECT q.vec_id AS query_id, cb.k, {qd}
        FROM u q CROSS JOIN cb WHERE q.vec_id < 10),
-qt AS (SELECT query_id, {tbls} FROM qp GROUP BY query_id),
+qt AS (SELECT query_id, list(k ORDER BY k) AS kk, {tbls}
+      FROM qp GROUP BY query_id),
 sc AS (SELECT query_id, neighbor_id, round({adist}, 6) AS adist
        FROM codes CROSS JOIN qt WHERE neighbor_id <> query_id),
 short AS (SELECT query_id, neighbor_id FROM (
@@ -1052,7 +1057,7 @@ def _pq_seed_codes_sql(m: int = 8, ks: int = 16) -> str:
     cols = ", ".join(f"c{s}" for s in range(m))
     return f"""
 WITH {_EMB},
-cb AS (SELECT vec_id AS k, v AS bv FROM u WHERE vec_id < {ks}),
+cb AS (SELECT vec_id AS k, v AS bv FROM u ORDER BY vec_id LIMIT {ks}),
 pd AS (SELECT c.vec_id, cb.k, {cd} FROM u c CROSS JOIN cb),
 codes AS (SELECT vec_id, {argmins} FROM pd GROUP BY vec_id)
 SELECT vec_id, {cols} FROM codes
@@ -1084,8 +1089,12 @@ def _ivfpq_sql(n_probe: int = 6, shortlist: int = 200, k: int = 10) -> str:
     argmins = ", ".join(
         f"CAST(list(k ORDER BY d{s}, k)[1] AS INT) AS c{s}" for s in range(m)
     )
+    # tables keyed by raw seed id via list_position — aligned with the
+    # codes for ANY corpus id set, not just the contiguous 0..ks-1
     tbls = ", ".join(f"list(d{s} ORDER BY k) AS t{s}" for s in range(m))
-    adist = " + ".join(f"t{s}[c{s} + 1]" for s in range(m))
+    adist = " + ".join(
+        f"t{s}[list_position(kk, c{s})]" for s in range(m)
+    )
     return f"""
 WITH {_EMB},
 g AS (SELECT unnest(generate_series(1, 64)) AS i),
@@ -1107,7 +1116,7 @@ rk AS (
                             ORDER BY d2 ASC, label ASC) AS rn
   FROM sc
 ), asg AS (SELECT vec_id, label AS block FROM rk WHERE rn = 1),
-cb AS (SELECT vec_id AS k, v AS bv FROM u WHERE vec_id < {ks}),
+cb AS (SELECT vec_id AS k, v AS bv FROM u ORDER BY vec_id LIMIT {ks}),
 pd AS (SELECT c.vec_id, cb.k, {cd} FROM u c CROSS JOIN cb),
 codes AS (SELECT vec_id, {argmins} FROM pd GROUP BY vec_id),
 corp AS (
@@ -1117,7 +1126,8 @@ corp AS (
 ),
 qp AS (SELECT q.vec_id AS query_id, cb.k, {qd}
        FROM u q CROSS JOIN cb WHERE q.vec_id < 10),
-qt AS (SELECT query_id, {tbls} FROM qp GROUP BY query_id),
+qt AS (SELECT query_id, list(k ORDER BY k) AS kk, {tbls}
+      FROM qp GROUP BY query_id),
 probes AS (SELECT vec_id AS query_id, label AS block FROM rk
            WHERE vec_id < 10 AND rn <= {n_probe}),
 adc AS (

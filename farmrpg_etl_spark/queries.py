@@ -1462,7 +1462,13 @@ def _ivfpq_topk(
     Scale shape: centroids + codebooks + query dtables all broadcast;
     the corpus is assigned and encoded map-side, streams once through
     the cell-keyed candidate join carrying only (id, cell, 2-byte
-    codes), and never shuffles for the index."""
+    codes), and never shuffles for the index.
+
+    Cache contract: ``ranked`` and ``unit`` are ``persist()``-ed (each
+    feeds 2-3 branches) and stay pinned while the returned plan is
+    live; callers reusing the session across many plans own
+    ``spark.catalog.clearCache()`` after their terminal action (the
+    repo-wide persist norm, see ``operators/dedup.py``)."""
     from pyspark.sql import Window
 
     cents = (
@@ -1496,7 +1502,9 @@ def _ivfpq_topk(
     unit = e.withColumn("__nrm", V.norm(F.col("v"))).select(
         "vec_id", V.unit(F.col("v"), F.col("__nrm")).alias("__cv")
     ).persist()
-    seeds = unit.filter(F.col("vec_id") < 16).select(
+    # ks lowest-id unit vectors keyed by RAW id (robust for any corpus
+    # id set); ADC tables below are maps keyed by the same raw id
+    seeds = unit.orderBy(F.col("vec_id").asc()).limit(16).select(
         F.col("vec_id").alias("k"), F.col("__cv").alias("__bv")
     )
     codes = similarity.pq_seed_encode(unit, seeds, "vec_id", dim=64, m=8)
@@ -1524,10 +1532,14 @@ def _ivfpq_topk(
     qpair = unit.filter(F.col("vec_id") < 10).crossJoin(
         F.broadcast(seeds)
     ).select(F.col("vec_id").alias("query_id"), "__cv", F.col("k"), *qdists)
+    # ADC tables as MAPS keyed by raw seed id — a positional array
+    # indexed t[c+1] is only aligned with the codes when seed ids are
+    # exactly 0..ks-1 (see pq_adc_rerank_topk)
     tables = [
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("k"), F.col(f"__d{s}")))),
-            lambda st: st[f"__d{s}"],
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("k").cast("long"), F.col(f"__d{s}"))
+            )
         ).alias(f"t{s}")
         for s in range(8)
     ]
@@ -1538,7 +1550,9 @@ def _ivfpq_topk(
     qside = F.broadcast(probes.join(qt, "query_id"))
     adist: Column = F.lit(0.0)
     for s in range(8):
-        adist = adist + F.element_at(F.col(f"t{s}"), F.col(f"c{s}") + 1)
+        adist = adist + F.element_at(
+            F.col(f"t{s}"), F.col(f"c{s}").cast("long")
+        )
     scored = corpus.join(qside, "__block").filter(
         F.col("neighbor_id") != F.col("query_id")
     ).select("query_id", "neighbor_id", F.round(adist, 6).alias("__adist"))
@@ -2099,7 +2113,7 @@ def streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # offline training job: commit the seed codebook before the stream
     cb_tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_pqcb_"))
     cb_tbl._commit(
-        unitized(e.filter(F.col("vec_id") < 16)).select(
+        unitized(e.orderBy(F.col("vec_id").asc()).limit(16)).select(
             F.col("vec_id").alias("k"), F.col("__cv").alias("__bv")
         ),
         batch_id=-1, writer="codebook",

@@ -434,10 +434,10 @@ def version_changes(
     rows — no second pass over either snapshot. Both versions must be
     inside the table's ``keep_versions`` retention window.
 
-    Null caveat: the update detection compares value structs with
-    ``!=``, which is null-safe field-wise here because the writers
-    never store SQL NULL inside value columns for these sinks; for
-    null-bearing tables swap in a null-safe comparison."""
+    Update detection is NULL-SAFE (``eqNullSafe`` on the value
+    structs): a value column flipping to or from SQL NULL is a real
+    update and must reach the feed — plain ``!=`` yields NULL for
+    such rows and would silently drop them."""
     a = table.read_version(v_from)
     b = table.read_version(v_to)
     vals = [c for c in a.columns if c not in key]
@@ -456,7 +456,7 @@ def version_changes(
     changes = (
         F.when(F.col("__a").isNull(), F.array(ins))
         .when(F.col("__b").isNull(), F.array(dele))
-        .when(F.col("__a") != F.col("__b"), F.array(pre, post))
+        .when(~F.col("__a").eqNullSafe(F.col("__b")), F.array(pre, post))
         .otherwise(empty)
     )
     out = j.select(*key, F.explode(changes).alias("__c"))
@@ -522,13 +522,20 @@ def scd2_upsert(
     ch = out.withColumn(
         "__chg", is_first | _change_predicate(attr_cols)
     ).filter(F.col("__chg"))
-    vers = ch.select(
-        *key, *attr_cols, F.col(ts_col).alias("valid_from")
-    ).withColumn(
+    # valid_to ordering carries the SAME tiebreakers as the change
+    # window above (__stored desc, then attrs): if a batch observation
+    # shares its timestamp with the stored open version but differs in
+    # attrs, both versions survive with equal valid_from, and ordering
+    # by valid_from alone would assign valid_to nondeterministically
+    vers = ch.withColumn(
         "valid_to",
-        F.lead("valid_from").over(
-            Window.partitionBy(*key).orderBy(F.col("valid_from").asc())
+        F.lead(F.col(ts_col)).over(
+            Window.partitionBy(*key).orderBy(
+                F.col(ts_col).asc(),
+                F.col("__stored").desc(),
+                *[F.col(c).asc() for c in attr_cols],
+            )
         ),
-    )
+    ).select(*key, *attr_cols, F.col(ts_col).alias("valid_from"), "valid_to")
     merged = vers if closed is None else closed.unionByName(vers)
     table._commit(merged, batch_id, writer)

@@ -117,7 +117,10 @@ def _cdc_core(
         # one global (obs_ts, pos) order across the batch's chunks —
         # Arrow may deliver a key's rows as several DataFrames
         whole = batch[0] if len(batch) == 1 else pd.concat(batch)
-        whole = whole.sort_values(["obs_ts", "pos"])
+        # kind="stable": rows tied on (obs_ts, pos) must fold in their
+        # arrival order on every run/backend — the default unstable
+        # quicksort can flip which tied observation wins a transition
+        whole = whole.sort_values(["obs_ts", "pos"], kind="stable")
         for r in whole.itertuples(index=False):
             raw_dts = getattr(r, "deleted_ts", None)  # input col is optional
             r_deleted_ts = None if raw_dts is None or pd.isna(raw_dts) else raw_dts
