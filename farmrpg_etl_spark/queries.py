@@ -2081,8 +2081,8 @@ def streaming_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN-index maintenance, the PQ counterpart of
     ``streaming_incremental_lsh``: codebooks are trained OFFLINE once
-    (the production flow — here the sample-init seed vectors, vec_id <
-    16, committed to a codebook table before the stream starts), then
+    (the production flow — here the ks lowest-id vectors, committed to
+    a codebook table before the stream starts), then
     embeddings arrive as four micro-batches and each ``foreachBatch``
     encodes ONLY the arriving rows against the STORED codebook
     (re-read per batch, never a closure literal) and appends the

@@ -512,8 +512,14 @@ def scd2_upsert(
         obs = openr.select(
             *key, F.col("valid_from").alias(ts_col), *attr_cols
         ).withColumn("__stored", F.lit(1)).unionByName(obs)
+    # Attr tiebreakers make lag/change SUPPRESSION deterministic too:
+    # two batch rows sharing (key, ts) with different attrs would
+    # otherwise be lag-compared in arbitrary order, changing which
+    # observation survives as the no-op (r7 ADVICE #1).
     w = Window.partitionBy(*key).orderBy(
-        F.col(ts_col).asc(), F.col("__stored").desc()
+        F.col(ts_col).asc(),
+        F.col("__stored").desc(),
+        *[F.col(c).asc() for c in attr_cols],
     )
     out = obs
     for c in attr_cols:
@@ -523,10 +529,10 @@ def scd2_upsert(
         "__chg", is_first | _change_predicate(attr_cols)
     ).filter(F.col("__chg"))
     # valid_to ordering carries the SAME tiebreakers as the change
-    # window above (__stored desc, then attrs): if a batch observation
-    # shares its timestamp with the stored open version but differs in
-    # attrs, both versions survive with equal valid_from, and ordering
-    # by valid_from alone would assign valid_to nondeterministically
+    # window w above: if a batch observation shares its timestamp with
+    # the stored open version but differs in attrs, both versions
+    # survive with equal valid_from, and ordering by valid_from alone
+    # would assign valid_to nondeterministically
     vers = ch.withColumn(
         "valid_to",
         F.lead(F.col(ts_col)).over(

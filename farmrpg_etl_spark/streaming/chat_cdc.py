@@ -117,9 +117,11 @@ def _cdc_core(
         # one global (obs_ts, pos) order across the batch's chunks —
         # Arrow may deliver a key's rows as several DataFrames
         whole = batch[0] if len(batch) == 1 else pd.concat(batch)
-        # kind="stable": rows tied on (obs_ts, pos) must fold in their
-        # arrival order on every run/backend — the default unstable
-        # quicksort can flip which tied observation wins a transition
+        # rows tied on (obs_ts, pos) must fold in their arrival order
+        # on every run/backend; multi-column sort_values always uses a
+        # stable lexsort (kind= is applied only for single-column
+        # sorts), so stability already holds — kind="stable" is kept
+        # purely as documentation of that requirement
         whole = whole.sort_values(["obs_ts", "pos"], kind="stable")
         for r in whole.itertuples(index=False):
             raw_dts = getattr(r, "deleted_ts", None)  # input col is optional
