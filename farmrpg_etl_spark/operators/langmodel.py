@@ -1,0 +1,150 @@
+"""N-gram language-model quality filtering (CCNet-style).
+
+The production recipe for LLM training corpora (Wenzek et al.,
+"CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+Data") scores every document by the perplexity of a small n-gram LM
+and keeps the low-perplexity head/middle of the distribution. This
+module is the distributed form of that pipeline: train a bigram LM
+over the corpus with add-one smoothing, score each document's mean
+negative log-likelihood, bucket into head/middle/tail.
+
+Scale shape (100 TB corpus):
+* training is two partial-aggregated shuffles on the token keys —
+  bigram counts on ``(prev, w)`` and context totals on ``prev``; Zipf
+  skew on hot contexts ("the", "of") lands in the partial aggregation,
+  never a hot reduce task;
+* the vocabulary is Heaps-law small relative to the corpus, so the
+  scoring join of instances ⋈ probabilities shuffles the corpus ONCE
+  on ``(prev, w)`` and AQE broadcasts the LM side when it fits (hot
+  bigram keys are handled by AQE skew-join splitting);
+* the per-document mean uses the quantize → decimal-sum discipline so
+  the double aggregate is order-independent and oracle-exact.
+
+Cross-engine numeric notes: smoothed probabilities are exact-integer
+divisions, bit-identical in Spark and DuckDB; ``-ln(p)`` is quantized
+per row with ``floor(x * 1e6) / 1e6`` BEFORE summation (both engines'
+libm ln agree to 1 ulp, so a floor flip needs the true value within
+1 ulp of a micro boundary — negligible at these magnitudes, and the
+final round-to-4 absorbs summation-order ulps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.functions.hashing import words
+
+BOS = "<s>"
+
+
+def _toks(text_col: Column) -> Column:
+    return F.coalesce(words(text_col), F.array().cast("array<string>"))
+
+
+def bigram_instances(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per token occurrence: ``(id, prev, w)`` with a BOS
+    sentinel as the first token's context (so every token is predicted
+    and short documents are not silently dropped)."""
+    toks = _toks(F.col(text_col))
+    n = F.size(toks)
+    prevs = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.concat(
+            F.array(F.lit(BOS)),
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        )
+    )
+    pair = F.explode(F.arrays_zip(prevs.alias("prev"), toks.alias("w")))
+    return df.select(F.col(id_col), pair.alias("pr")).select(
+        id_col, F.col("pr.prev").alias("prev"), F.col("pr.w").alias("w")
+    )
+
+
+def train_bigram_lm(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Add-one-smoothed bigram LM: ``p(w | prev) = (c(prev,w) + 1) /
+    (c(prev) + V)`` with ``V`` = observed vocabulary size. Returns
+    ``(prev, w, c, p)`` for every observed bigram.
+
+    ``V`` is an exact distinct count (one extra shuffle) because the
+    oracle must reproduce it bit-for-bit; a 100 TB deployment that
+    only filters can swap in ``approx_count_distinct`` — documented
+    trade, not a silent one.
+    """
+    inst = bigram_instances(df, text_col, id_col)
+    cpw = inst.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c"))
+    cp = cpw.groupBy("prev").agg(F.sum("c").alias("cp"))
+    voc = inst.agg(F.countDistinct("w").alias("V"))
+    return (
+        cpw.join(cp, "prev")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "prev",
+            "w",
+            "c",
+            (
+                (F.col("c") + 1).cast("double")
+                / (F.col("cp") + F.col("V")).cast("double")
+            ).alias("p"),
+        )
+    )
+
+
+def doc_nll(
+    df: DataFrame, text_col: str, id_col: str, lm: DataFrame | None = None
+) -> DataFrame:
+    """Mean negative log-likelihood per document under the bigram LM
+    (monotone in perplexity — ``ppl = exp(nll)`` — without the final
+    transcendental, which keeps the score oracle-stable). Documents
+    with no tokens score ``(0, 0.0)`` rather than disappearing.
+
+    Each ``-ln(p)`` is floor-quantized to micros per row, then summed
+    exactly in decimal and rounded to 4 dp, so partial-aggregation
+    order cannot move the hash."""
+    from farmrpg_etl_spark.queries import _dec_sum
+
+    if lm is None:
+        lm = train_bigram_lm(df, text_col, id_col)
+    inst = bigram_instances(df, text_col, id_col)
+    q = F.floor(-F.log(F.col("p")) * F.lit(1000000.0)) / F.lit(1000000.0)
+    scored = (
+        inst.join(lm.select("prev", "w", "p"), ["prev", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(_dec_sum(q).cast("double") / F.count(F.lit(1)), 4).alias(
+                "nll"
+            ),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+        F.coalesce("nll", F.lit(0.0)).alias("nll"),
+    )
+
+
+def ppl_bucket_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    head_nll: float,
+    tail_nll: float,
+) -> DataFrame:
+    """CCNet bucketing: documents score into ``head`` (fluent),
+    ``middle``, or ``tail`` (gibberish / boilerplate) by fixed NLL
+    thresholds, and the tail is CUT. Fixed literals rather than
+    corpus quantiles keep the operator deterministic and incremental
+    (a new batch never re-buckets history); production recalibrates
+    the two constants per language from a sample, exactly as CCNet
+    does with its per-language Wikipedia LM."""
+    nll = doc_nll(df, text_col, id_col)
+    bucket = (
+        F.when(F.col("nll") <= F.lit(head_nll), F.lit("head"))
+        .when(F.col("nll") <= F.lit(tail_nll), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        nll.withColumn("bucket", bucket)
+        .filter(F.col("bucket") != "tail")
+        .select(id_col, "n_tok", "nll", "bucket")
+    )

@@ -1390,6 +1390,19 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
+ORACLES["q12_shipmode_priority"] = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+"""
+
 ORACLES["q4_order_priority"] = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
@@ -3129,6 +3142,68 @@ SELECT s.doc_id,
             ELSE round(CAST(coalesce(n_boiler, 0) AS DOUBLE) / len(sh), 6)
        END AS boiler_ratio
 FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+"""
+
+# Shared bigram-LM CTE prefix (CCNet-style quality filtering): BOS-
+# prefixed bigram instances, add-one-smoothed conditional probs.
+_BIGRAM_LM = f"""
+WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+ii AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks))) AS i
+       FROM d),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS prev,
+         toks[i] AS w
+  FROM ii
+),
+cpw AS (SELECT prev, w, count(*) AS c FROM pairs GROUP BY prev, w),
+cp AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp FROM cpw GROUP BY prev),
+voc AS (SELECT count(DISTINCT w) AS V FROM pairs),
+prob AS (
+  SELECT prev, w, c,
+         CAST(c + 1 AS DOUBLE) / CAST(cp + V AS DOUBLE) AS p
+  FROM cpw JOIN cp USING (prev) CROSS JOIN voc
+)
+""".replace("{toks}", _TOKS)
+
+_DOC_NLL = _BIGRAM_LM + """,
+scored AS (
+  SELECT doc_id,
+         floor(-ln(p) * 1000000.0) / 1000000.0 AS q
+  FROM pairs JOIN prob USING (prev, w)
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS nll
+  FROM scored GROUP BY doc_id
+),
+nlls AS (
+  SELECT dd.doc_id,
+         coalesce(n_tok, 0) AS n_tok,
+         coalesce(nll, 0.0) AS nll
+  FROM documents dd LEFT JOIN s USING (doc_id)
+)
+"""
+
+ORACLES["bigram_lm_docs"] = _BIGRAM_LM + """
+SELECT prev, w, c,
+       CAST(floor(p * 1000000.0) AS BIGINT) AS prob_micros
+FROM prob
+ORDER BY c DESC, prev, w
+LIMIT 200
+"""
+
+ORACLES["perplexity_docs"] = _DOC_NLL + """
+SELECT doc_id, n_tok, nll FROM nlls
+"""
+
+ORACLES["ppl_filter_docs"] = _DOC_NLL + """
+SELECT doc_id, n_tok, nll,
+       CASE WHEN nll <= 3.37 THEN 'head' ELSE 'middle' END AS bucket
+FROM nlls
+WHERE nll <= 3.41
 """
 
 ORACLES["unigram_surprise_docs"] = f"""

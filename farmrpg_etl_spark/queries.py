@@ -2369,6 +2369,33 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: this schema has no l_shipmode or
+    commit/receipt dates): orders ⋈ lineitem with DUAL conditional
+    counts — per lineitem status, how many 1995-shipped late items
+    belong to high-priority orders vs low. 'Late' keeps Q12's
+    date-arithmetic predicate as shipped >30 days after the order
+    date. Both sides key on orderkey so the join shuffles once on the
+    natural key; the two conditional sums are map-side partial. This
+    row completes the engine's TPC-H Q1–Q22 sweep (the reference has
+    no TPC-H surface — the sweep is demanded analytics coverage)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: left-outer join + two-level aggregation —
     distribution of customers by how many non-urgent orders they have
@@ -4497,6 +4524,55 @@ def s4_demand_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r8: n-gram LM quality filtering (CCNet-style) ------------------------
+
+
+def bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM training over the corpus (add-one smoothing), the
+    model half of CCNet-style perplexity filtering: the 200 strongest
+    bigrams with their smoothed conditional probabilities as integer
+    micros (exact-integer division → bit-identical cross-engine)."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = LM.train_bigram_lm(docs, "text", "doc_id")
+    return (
+        lm.orderBy(F.col("c").desc(), "prev", "w")
+        .limit(200)
+        .select(
+            "prev",
+            "w",
+            "c",
+            F.floor(F.col("p") * F.lit(1000000.0))
+            .cast("long")
+            .alias("prob_micros"),
+        )
+    )
+
+
+def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus
+    bigram LM — the scoring half of CCNet filtering (monotone in
+    perplexity without the final exp)."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    return LM.doc_nll(docs, "text", "doc_id")
+
+
+def ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing with the tail cut: fixed NLL
+    thresholds (3.37 / 3.41, calibrated once on this corpus exactly as
+    CCNet calibrates per-language constants) keep the operator
+    deterministic and incremental-safe."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    return LM.ppl_bucket_filter(
+        docs, "text", "doc_id", head_nll=3.37, tail_nll=3.41
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -4693,6 +4769,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_important_stock": q11_important_stock,
     "q16_supplier_count": q16_supplier_count,
     "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "bigram_lm_docs": bigram_lm_docs,
+    "perplexity_docs": perplexity_docs,
+    "ppl_filter_docs": ppl_filter_docs,
     "q13_customer_distribution": q13_customer_distribution,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,

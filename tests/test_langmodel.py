@@ -1,0 +1,81 @@
+"""Bigram-LM perplexity filtering (operators/langmodel.py).
+
+Hand-computed smoothing math on a corpus small enough to verify on
+paper, plus the empty-document and bucket-cut contracts.
+"""
+
+import math
+
+import pytest
+
+from farmrpg_etl_spark.operators import langmodel as LM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b"),
+            (3, "c c c"),
+            (4, "   "),  # tokenizes to nothing
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bigram_instances_bos_and_empty(docs):
+    rows = {
+        (r.doc_id, r.prev, r.w)
+        for r in LM.bigram_instances(docs, "text", "doc_id").collect()
+    }
+    # doc 1: (<s>,a) (a,b) (b,a) (a,b); doc 2: (<s>,a) (a,b); doc 3:
+    # (<s>,c) (c,c) (c,c); doc 4: nothing.
+    assert (1, "<s>", "a") in rows and (1, "b", "a") in rows
+    assert (2, "a", "b") in rows
+    assert (3, "c", "c") in rows
+    assert not any(d == 4 for d, _, _ in rows)
+
+
+def test_train_bigram_lm_addone_math(docs):
+    lm = {
+        (r.prev, r.w): (r.c, r.p)
+        for r in LM.train_bigram_lm(docs, "text", "doc_id").collect()
+    }
+    # vocab = {a, b, c} → V = 3.
+    # c(a,b)=3, c(a,·)=3 → p = (3+1)/(3+3)
+    assert lm[("a", "b")][0] == 3
+    assert lm[("a", "b")][1] == pytest.approx(4 / 6)
+    # c(<s>,a)=2, c(<s>,·)=3 → p = (2+1)/(3+3)
+    assert lm[("<s>", "a")][1] == pytest.approx(3 / 6)
+    # c(c,c)=2, c(c,·)=2 → p = (2+1)/(2+3)
+    assert lm[("c", "c")][1] == pytest.approx(3 / 5)
+
+
+def test_doc_nll_matches_hand_sum(docs):
+    out = {r.doc_id: (r.n_tok, r.nll) for r in
+           LM.doc_nll(docs, "text", "doc_id").collect()}
+
+    def q(p):
+        return math.floor(-math.log(p) * 1e6) / 1e6
+
+    # doc 2: (<s>,a) p=3/6, (a,b) p=4/6
+    exp2 = round((q(3 / 6) + q(4 / 6)) / 2, 4)
+    assert out[2] == (2, exp2)
+    # empty doc scores (0, 0.0) rather than disappearing
+    assert out[4] == (0, 0.0)
+
+
+def test_ppl_bucket_filter_cuts_tail(docs):
+    all_nll = {r.doc_id: r.nll for r in
+               LM.doc_nll(docs, "text", "doc_id").collect()}
+    lo = min(v for v in all_nll.values() if v > 0)
+    hi = max(all_nll.values())
+    kept = LM.ppl_bucket_filter(
+        docs, "text", "doc_id", head_nll=lo, tail_nll=(lo + hi) / 2
+    ).collect()
+    ids = {r.doc_id for r in kept}
+    # the max-NLL doc is cut; the min-NLL doc is head
+    assert all_nll and max(all_nll, key=all_nll.get) not in ids
+    buckets = {r.doc_id: r.bucket for r in kept}
+    assert buckets[min((v, k) for k, v in all_nll.items() if v > 0)[1]] == "head"
