@@ -188,6 +188,15 @@ def main() -> None:
         "ann_topk_pq_rerank",
         "ann_topk_ivfpq",
         "hybrid_retrieval_docs",
+        # round-8/9 additions
+        "perplexity_docs",
+        "ppl_external_lm_docs",
+        "line_dedup_docs",
+        "url_canonicalize_docs",
+        "quality_logit_docs",
+        "training_data_pipeline_v3",
+        "funnel_events",
+        "cohort_retention_events",
     ]:
         run(name)
         steady = []
@@ -420,6 +429,21 @@ def main() -> None:
             )
             return heavy_hitters(toks, "tok", k=200)
 
+        def stretch_line_dedup():
+            # line-level dedup at 10×: the frequency partial-agg on the
+            # line key, the broadcast anti-join against the boilerplate
+            # set, and per-doc reassembly. The k-mutated replicas
+            # fragment most lines, so the frequent set stays small and
+            # realistic. The n_kept < n_lines filter forces the dedup
+            # subtree (same anti-plan-elision rule as dup_span_10x: a
+            # bare count() of a unique-right-key left join lets
+            # Catalyst prune the whole computation).
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["line_dedup_docs"](spark, stretch_dir).filter(
+                F.col("n_kept") < F.col("n_lines")
+            )
+
         def stretch_ann(impl):
             # A/B of the two ann_topk_bruteforce impls at 10× corpus —
             # the scale regime where the arrow prune+rescore kernel is
@@ -447,6 +471,7 @@ def main() -> None:
             ("bpe_merges_10x", stretch_bpe_merges),
             ("pq_rerank_10x", stretch_pq_rerank),
             ("pipeline_v2_10x", stretch_pipeline_v2),
+            ("line_dedup_10x", stretch_line_dedup),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:

@@ -63,7 +63,10 @@ def bigram_instances(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def train_bigram_lm(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Add-one-smoothed bigram LM: ``p(w | prev) = (c(prev,w) + 1) /
     (c(prev) + V)`` with ``V`` = observed vocabulary size. Returns
-    ``(prev, w, c, p)`` for every observed bigram.
+    ``(prev, w, c, cp, V, p)`` for every observed bigram — ``cp``
+    (context total) and ``V`` ride along so a scorer given this LM as
+    a frozen model can assign smoothed fallback mass to bigrams the
+    LM never saw (``doc_nll``'s out-of-vocabulary path).
 
     ``V`` is an exact distinct count (one extra shuffle) because the
     oracle must reproduce it bit-for-bit; a 100 TB deployment that
@@ -81,6 +84,8 @@ def train_bigram_lm(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "prev",
             "w",
             "c",
+            "cp",
+            "V",
             (
                 (F.col("c") + 1).cast("double")
                 / (F.col("cp") + F.col("V")).cast("double")
@@ -97,6 +102,16 @@ def doc_nll(
     transcendental, which keeps the score oracle-stable). Documents
     with no tokens score ``(0, 0.0)`` rather than disappearing.
 
+    When a pre-trained ``lm`` is passed (the CCNet use-case: score a
+    new batch against one frozen per-language model), bigrams the LM
+    never saw are NOT dropped — they receive the add-one fallback
+    mass ``1 / (c(prev) + V)`` for a known context and ``1 / V`` for
+    an unseen context, exactly the probability the smoothed model
+    assigns to a zero-count event. ``n_tok`` is always the document's
+    token count from the instances themselves, invariant to LM
+    coverage. The ``lm`` frame must carry ``(prev, w, cp, V, p)`` as
+    produced by :func:`train_bigram_lm`.
+
     Each ``-ln(p)`` is floor-quantized to micros per row, then summed
     exactly in decimal and rounded to 4 dp, so partial-aggregation
     order cannot move the hash."""
@@ -104,10 +119,28 @@ def doc_nll(
 
     if lm is None:
         lm = train_bigram_lm(df, text_col, id_col)
+    for need in ("prev", "w", "cp", "V", "p"):
+        if need not in lm.columns:
+            raise ValueError(
+                f"lm must come from train_bigram_lm (missing {need!r})"
+            )
     inst = bigram_instances(df, text_col, id_col)
-    q = F.floor(-F.log(F.col("p")) * F.lit(1000000.0)) / F.lit(1000000.0)
+    # Per-context denominators for the known-context fallback, and the
+    # scalar V for the unseen-context fallback. Both are LM-sized
+    # (Heaps-law small), broadcast by AQE; the corpus still shuffles
+    # exactly once on (prev, w).
+    ctx = lm.select("prev", F.col("cp").alias("_cp")).distinct()
+    voc = lm.select(F.col("V").alias("_v")).distinct()
+    p_eff = F.coalesce(
+        F.col("p"),
+        F.lit(1.0) / (F.col("_cp") + F.col("_v")).cast("double"),
+        F.lit(1.0) / F.col("_v").cast("double"),
+    )
+    q = F.floor(-F.log(p_eff) * F.lit(1000000.0)) / F.lit(1000000.0)
     scored = (
-        inst.join(lm.select("prev", "w", "p"), ["prev", "w"])
+        inst.join(lm.select("prev", "w", "p"), ["prev", "w"], "left")
+        .join(ctx, "prev", "left")
+        .crossJoin(F.broadcast(voc))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
@@ -129,15 +162,24 @@ def ppl_bucket_filter(
     id_col: str,
     head_nll: float,
     tail_nll: float,
+    lm: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet bucketing: documents score into ``head`` (fluent),
     ``middle``, or ``tail`` (gibberish / boilerplate) by fixed NLL
     thresholds, and the tail is CUT. Fixed literals rather than
-    corpus quantiles keep the operator deterministic and incremental
-    (a new batch never re-buckets history); production recalibrates
-    the two constants per language from a sample, exactly as CCNet
-    does with its per-language Wikipedia LM."""
-    nll = doc_nll(df, text_col, id_col)
+    corpus quantiles keep the thresholds deterministic; production
+    recalibrates the two constants per language from a sample,
+    exactly as CCNet does with its per-language Wikipedia LM.
+
+    Incrementality: with ``lm=None`` the LM is (re)trained on each
+    input batch, so SCORES are batch-relative and not comparable
+    across batches — only the thresholds are stable. For CCNet's
+    actual regime (one frozen model, every batch scored against it,
+    history never re-bucketed) pass a pre-trained ``lm`` from
+    :func:`train_bigram_lm`; unseen bigrams then get the smoothed
+    zero-count fallback rather than being dropped (see
+    :func:`doc_nll`)."""
+    nll = doc_nll(df, text_col, id_col, lm=lm)
     bucket = (
         F.when(F.col("nll") <= F.lit(head_nll), F.lit("head"))
         .when(F.col("nll") <= F.lit(tail_nll), F.lit("middle"))

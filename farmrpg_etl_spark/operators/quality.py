@@ -177,3 +177,72 @@ def token_budget_mixture(
         F.lit(default_budget),
     )
     return cum.filter(F.col("cum") <= budget).drop("__h")
+
+
+# Fixed weights for the linear quality classifier below. In production
+# these come from a trained fastText/logistic model (the GPT-3 /
+# LLaMA-recipe "quality classifier" stage); pinned literals here keep
+# the operator deterministic and oracle-checkable. All weights are
+# DYADIC (exact in binary floating point) so the SQL oracle's
+# decimal-literal → double conversion is bit-identical to Spark's.
+# Order: (bias, n_tok, punct_ratio, stopword_ratio, distinct_ratio).
+QUALITY_LOGIT_WEIGHTS = (-0.75, 0.00390625, -3.0, 2.0, 0.75)
+
+
+def quality_logit(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Linear (logistic-regression-style) document quality classifier —
+    the model-based filtering stage of the GPT-3/LLaMA data recipes,
+    with the learned weights pinned as literals. Features are cheap
+    one-pass column expressions (token count, punctuation ratio,
+    English-stopword ratio, distinct-token ratio); the score is the
+    raw linear logit (monotone in the sigmoid, which is skipped so the
+    value stays oracle-exact), floor-quantized to micros; ``label`` is
+    ``keep`` iff the logit is non-negative.
+
+    Scale shape: pure projection — no shuffle, no UDF, whole-stage
+    codegen; the weights are literals, not a join. Feature math is
+    written in the exact association order the oracle uses so the
+    doubles agree bit-for-bit.
+    """
+    from farmrpg_etl_spark.functions.hashing import words
+    from farmrpg_etl_spark.functions.text import punct_ratio
+
+    w0, w_ntok, w_punct, w_stop, w_dist = QUALITY_LOGIT_WEIGHTS
+    t = F.col(text_col)
+    toks = F.coalesce(words(t), F.array().cast("array<string>"))
+    d = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tok"),
+        punct_ratio(t).alias("punct_r"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_dist"),
+        toks.alias("__toks"),
+    )
+    from farmrpg_etl_spark.functions.text import LANG_MARKERS
+
+    stop_hits = F.size(
+        F.filter(F.col("__toks"), lambda x: x.isin(*LANG_MARKERS["en"]))
+    )
+    stop_r = F.when(F.col("n_tok") == 0, F.lit(0.0)).otherwise(
+        stop_hits.cast("double") / F.col("n_tok").cast("double")
+    )
+    dist_r = F.when(F.col("n_tok") == 0, F.lit(0.0)).otherwise(
+        F.col("n_dist").cast("double") / F.col("n_tok").cast("double")
+    )
+    logit = (
+        F.lit(w0)
+        + F.lit(w_ntok) * F.col("n_tok").cast("double")
+        + F.lit(w_punct) * F.col("punct_r")
+        + F.lit(w_stop) * stop_r
+        + F.lit(w_dist) * dist_r
+    )
+    return d.select(
+        id_col,
+        "n_tok",
+        F.round(F.col("punct_r"), 6).alias("punct_r"),
+        F.round(stop_r, 6).alias("stop_r"),
+        F.round(dist_r, 6).alias("dist_r"),
+        (F.floor(logit * F.lit(1000000.0)) / F.lit(1000000.0)).alias("logit"),
+        F.when(logit >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
+    )

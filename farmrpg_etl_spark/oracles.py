@@ -3958,3 +3958,350 @@ SELECT label, CAST(p AS INT) AS p,
        count(*) AS n
 FROM inst GROUP BY label, p
 """
+
+# --- r9: frozen-LM scoring, line dedup, URL curation, quality logit,
+#     compaction, within-watermark dedup ----------------------------------
+
+# CCNet frozen-LM regime: model trained on the even-doc_id half only;
+# every document scored against it with add-one zero-count fallback
+# (1/(c(prev)+V) for a known context, 1/V for an unseen one).
+ORACLES["ppl_external_lm_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ii AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+       FROM d),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS prev,
+         toks[i] AS w
+  FROM ii
+),
+tpairs AS (SELECT * FROM pairs WHERE doc_id % 2 = 0),
+cpw AS (SELECT prev, w, count(*) AS c FROM tpairs GROUP BY prev, w),
+cp AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp FROM cpw GROUP BY prev),
+voc AS (SELECT count(DISTINCT w) AS V FROM tpairs),
+prob AS (
+  SELECT prev, w,
+         CAST(c + 1 AS DOUBLE) / CAST(cp + V AS DOUBLE) AS p
+  FROM cpw JOIN cp USING (prev) CROSS JOIN voc
+),
+scored AS (
+  SELECT pairs.doc_id,
+         floor(-ln(coalesce(
+             p,
+             CAST(1.0 AS DOUBLE) / CAST(cp + V AS DOUBLE),
+             CAST(1.0 AS DOUBLE) / CAST(V AS DOUBLE)
+           )) * 1000000.0) / 1000000.0 AS q
+  FROM pairs
+  LEFT JOIN prob USING (prev, w)
+  LEFT JOIN cp USING (prev)
+  CROSS JOIN voc
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT dd.doc_id, coalesce(n_tok, 0) AS n_tok, coalesce(nll, 0.0) AS nll
+FROM documents dd LEFT JOIN s USING (doc_id)
+"""
+
+# Lines = non-overlapping 8-token windows (the corpus has no newlines);
+# any line occurring >= 2 times corpus-wide is boilerplate and cut.
+ORACLES["line_dedup_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ml AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN ''
+         ELSE array_to_string(list_transform(
+            generate_series(0,
+              CAST(ceil(CAST(len(toks) AS DOUBLE) / 8.0) AS BIGINT) - 1),
+            j -> array_to_string(toks[j*8+1:j*8+8], ' ')), chr(10))
+    END AS text_ml
+  FROM d
+),
+l AS (SELECT doc_id, string_split(text_ml, chr(10)) AS ls FROM ml),
+ii AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM l),
+lines AS (SELECT doc_id, i AS pos, ls[i] AS line FROM ii),
+freq AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 2),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM freq)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_out
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(text_out, '')) AS out_digest
+FROM l LEFT JOIN agg USING (doc_id)
+"""
+
+# Synthetic crawl URLs (tracking junk varies per fetch) -> canonical
+# form -> dup-group size. Rules mirror functions/urls.py exactly.
+ORACLES["url_canonicalize_docs"] = r"""
+WITH u AS (
+  SELECT doc_id,
+    'HTTPS://WWW.' || source || '.Example.COM:443/Docs/'
+      || CAST(doc_id % 50 AS VARCHAR)
+      || '/?utm_source=feed&page=' || CAST(doc_id % 4 AS VARCHAR)
+      || '&sessionid=' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+      AS hostport,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS rawpath,
+    regexp_extract(url, '[?]([^#]*)', 1) AS rawq
+  FROM u
+),
+n AS (
+  SELECT doc_id, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+             THEN substr(hostport, 1, len(hostport) - 4)
+           WHEN scheme = 'http' AND hostport LIKE '%:80'
+             THEN substr(hostport, 1, len(hostport) - 3)
+           ELSE hostport END,
+      '^www\.', '') AS host,
+    CASE WHEN rawpath = '' THEN '/'
+         WHEN len(rawpath) > 1 AND rawpath LIKE '%/'
+           THEN substr(rawpath, 1, len(rawpath) - 1)
+         ELSE rawpath END AS path,
+    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      x -> len(x) > 0 AND NOT regexp_matches(x,
+        '^(utm_[^=]*|ref|sessionid|fbclid|gclid|msclkid)='))), '&') AS q
+  FROM c
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path
+           || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+  FROM n
+)
+SELECT doc_id, canon_url,
+       count(*) OVER (PARTITION BY canon_url) AS n_dups
+FROM canon
+"""
+
+# Linear quality classifier with dyadic pinned weights; logit math in
+# the exact association order of operators/quality.quality_logit.
+ORACLES["quality_logit_docs"] = f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tok,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE CAST(len(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+              / len(text) END AS praw,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
+    len(list_filter(toks,
+        x -> list_contains(['the','and','of','to','a'], x))) AS stop_hits
+  FROM d
+),
+g AS (
+  SELECT doc_id, n_tok, praw,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS sraw,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE CAST(n_dist AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS draw
+  FROM f
+),
+h AS (
+  SELECT doc_id, n_tok, praw, sraw, draw,
+    -0.75 + 0.00390625 * CAST(n_tok AS DOUBLE) + (-3.0) * praw
+      + 2.0 * sraw + 0.75 * draw AS logit_raw
+  FROM g
+)
+SELECT doc_id, n_tok,
+  round(praw, 6) AS punct_r,
+  round(sraw, 6) AS stop_r,
+  round(draw, 6) AS dist_r,
+  floor(logit_raw * 1000000.0) / 1000000.0 AS logit,
+  CASE WHEN logit_raw >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM h
+"""
+
+# Compaction integrity: four modular append batches cover every event
+# exactly once; the file count and version are pinned by the commit
+# protocol (4 appends = v0..v3, compact(2) = v4 with exactly 2 files).
+ORACLES["k_compact_sink"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS value_micros,
+       CAST(2 AS BIGINT) AS n_files,
+       CAST(4 AS BIGINT) AS version
+FROM events
+"""
+
+# dropDuplicatesWithinWatermark over unique event ids == distinct set.
+ORACLES["streaming_dedup_watermark_events"] = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+# Ordered 3-step funnel, first-touch semantics, 24h step windows.
+_FUNNEL_STEPS = """
+s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+"""
+
+ORACLES["funnel_events"] = f"""
+WITH {_FUNNEL_STEPS}
+SELECT s1.user_id, t1, t2, t3,
+  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INTEGER)
+    AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+ORACLES["funnel_summary_events"] = f"""
+WITH {_FUNNEL_STEPS}
+SELECT CAST(1 AS INTEGER) AS step,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS INTEGER),
+       CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS INTEGER),
+       CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+ORACLES["cohort_retention_events"] = """
+WITH first AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+# r9 composed pipeline: line dedup -> quality logit gate -> perplexity
+# bucket with tail cut (RefinedWeb/CCNet recipe order). Mirrors
+# queries.training_data_pipeline_v3 stage for stage.
+ORACLES["training_data_pipeline_v3"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ml AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN ''
+         ELSE array_to_string(list_transform(
+            generate_series(0,
+              CAST(ceil(CAST(len(toks) AS DOUBLE) / 8.0) AS BIGINT) - 1),
+            j -> array_to_string(toks[j*8+1:j*8+8], ' ')), chr(10))
+    END AS text_ml
+  FROM d
+),
+l AS (SELECT doc_id, string_split(text_ml, chr(10)) AS ls FROM ml),
+ii AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM l),
+lines AS (SELECT doc_id, i AS pos, ls[i] AS line FROM ii),
+freq AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 2),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM freq)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_out
+  FROM kept GROUP BY doc_id
+),
+cleaned AS (
+  SELECT l.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         coalesce(text_out, '') AS text_out
+  FROM l LEFT JOIN agg USING (doc_id)
+),
+ct AS (
+  SELECT doc_id, n_lines, n_kept, text_out,
+         list_filter(string_split_regex(lower(trim(text_out)), '\\s+'),
+                     x -> len(x) > 0) AS toks2
+  FROM cleaned
+),
+qf AS (
+  SELECT doc_id, n_lines, n_kept, toks2,
+    CAST(len(toks2) AS BIGINT) AS n_tok_q,
+    CASE WHEN len(text_out) = 0 THEN 0.0
+         ELSE CAST(len(regexp_replace(text_out, '{_PUNCT}', '', 'g'))
+                   AS DOUBLE) / len(text_out) END AS praw,
+    CAST(len(list_distinct(toks2)) AS BIGINT) AS n_dist,
+    len(list_filter(toks2,
+        x -> list_contains(['the','and','of','to','a'], x))) AS stop_hits
+  FROM ct
+),
+qg AS (
+  SELECT doc_id, n_lines, n_kept, toks2, n_tok_q, praw,
+    CASE WHEN n_tok_q = 0 THEN 0.0
+         ELSE CAST(stop_hits AS DOUBLE) / CAST(n_tok_q AS DOUBLE) END AS sraw,
+    CASE WHEN n_tok_q = 0 THEN 0.0
+         ELSE CAST(n_dist AS DOUBLE) / CAST(n_tok_q AS DOUBLE) END AS draw
+  FROM qf
+),
+keepers AS (
+  SELECT doc_id, n_lines, n_kept, toks2,
+         floor(logit_raw * 1000000.0) / 1000000.0 AS logit
+  FROM (
+    SELECT *,
+      -0.75 + 0.00390625 * CAST(n_tok_q AS DOUBLE) + (-3.0) * praw
+        + 2.0 * sraw + 0.75 * draw AS logit_raw
+    FROM qg
+  ) WHERE logit_raw >= 0
+),
+kii AS (SELECT doc_id, toks2 AS toks,
+               unnest(generate_series(1, len(toks2))) AS i
+        FROM keepers),
+kpairs AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS prev,
+         toks[i] AS w
+  FROM kii
+),
+kcpw AS (SELECT prev, w, count(*) AS c FROM kpairs GROUP BY prev, w),
+kcp AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp FROM kcpw GROUP BY prev),
+kvoc AS (SELECT count(DISTINCT w) AS V FROM kpairs),
+kprob AS (
+  SELECT prev, w,
+         CAST(c + 1 AS DOUBLE) / CAST(cp + V AS DOUBLE) AS p
+  FROM kcpw JOIN kcp USING (prev) CROSS JOIN kvoc
+),
+kscored AS (
+  SELECT doc_id, floor(-ln(p) * 1000000.0) / 1000000.0 AS q
+  FROM kpairs JOIN kprob USING (prev, w)
+),
+ks AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS nll
+  FROM kscored GROUP BY doc_id
+),
+knll AS (
+  SELECT k.doc_id, coalesce(n_tok, 0) AS n_tok, coalesce(nll, 0.0) AS nll
+  FROM keepers k LEFT JOIN ks USING (doc_id)
+)
+SELECT k.doc_id, k.n_lines, k.n_kept, k.logit, n.n_tok, n.nll,
+       CASE WHEN n.nll <= 3.30 THEN 'head' ELSE 'middle' END AS bucket
+FROM keepers k JOIN knll n ON k.doc_id = n.doc_id
+WHERE n.nll <= 3.42
+"""

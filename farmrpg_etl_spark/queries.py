@@ -4573,34 +4573,276 @@ def ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r9: frozen-LM scoring, line-level dedup, URL curation, quality
+#     classifier, sink compaction, within-watermark dedup -----------------
+
+
+def ppl_external_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual deployment regime: ONE frozen LM — here trained
+    on the even-``doc_id`` half of the corpus — and every document
+    scored against it, so scores are comparable across batches and
+    history is never re-bucketed. Bigrams the frozen model never saw
+    get the smoothed zero-count fallback ``1/(c(prev)+V)`` (known
+    context) or ``1/V`` (unseen context) instead of being silently
+    dropped, and ``n_tok`` is the document's own token count,
+    invariant to LM coverage (r8 ADVICE items 1–3)."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = LM.train_bigram_lm(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    )
+    return LM.doc_nll(docs, "text", "doc_id", lm=lm)
+
+
+def _docs_as_multiline(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus has no newlines; derive "lines"
+    deterministically as non-overlapping 8-token windows (the oracles
+    derive them identically). Returns ``(doc_id, text_ml)``."""
+    from farmrpg_etl_spark.functions.hashing import words
+
+    toks = F.coalesce(words(F.col("text")), F.array().cast("array<string>"))
+    n_win = F.ceil(F.size(toks).cast("double") / F.lit(8.0)).cast("int")
+    lines_arr = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda j: F.array_join(F.slice(toks, j * 8 + 1, 8), " "),
+        )
+    )
+    return docs.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text_ml")
+    )
+
+
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-level exact dedup (Penedo et al. 2023):
+    lines repeated across the corpus (navigation chrome, boilerplate)
+    are cut from every document and the survivors reassembled in
+    order. Output is the per-document line census plus a digest of
+    the reassembled text."""
+    from farmrpg_etl_spark.operators.linededup import remove_frequent_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    ml = _docs_as_multiline(docs)
+    out = remove_frequent_lines(ml, "text_ml", "doc_id", min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_kept",
+        F.md5(F.col("text_out")).alias("out_digest"),
+    )
+
+
+def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dup grouping, the first stage
+    of crawl curation (the same page arrives under scheme/host case
+    variants, default ports, tracking parameters, fragments). URLs are
+    synthesized deterministically from doc fields — session/tracking
+    junk differs per fetch, the canonical form collapses to the true
+    page identity — and ``n_dups`` counts the canonical group. Pure
+    column expressions (`functions/urls.py`), no UDFs, no shuffle
+    beyond the group count."""
+    from pyspark.sql import Window
+
+    from farmrpg_etl_spark.functions import urls as U
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&page="),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("&sessionid="),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    d = docs.select(
+        "doc_id", U.canonicalize_url(url).alias("canon_url")
+    )
+    w = Window.partitionBy("canon_url")
+    return d.select(
+        "doc_id",
+        "canon_url",
+        F.count(F.lit(1)).over(w).alias("n_dups"),
+    )
+
+
+def quality_logit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the GPT-3/LLaMA-recipe linear
+    classifier stage) with pinned dyadic weights: one codegen
+    projection computes the features and the raw logit; ``keep``/
+    ``drop`` is the sign. No shuffle, no UDF."""
+    from farmrpg_etl_spark.operators.quality import quality_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_logit(docs, "text", "doc_id")
+
+
+def k_compact_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, the Delta OPTIMIZE analog every
+    incrementally-written table needs: four insert-if-absent commits
+    write four versions' worth of shuffle-sized files; ``compact``
+    rewrites the current snapshot into exactly 2 files sorted by
+    ``event_id`` (tight row-group min/max → file-level pruning on the
+    common filter key) under the same atomic version-pointer commit.
+    Output = post-compaction integrity (row count, distinct keys,
+    exact value-micros sum) plus the pinned deterministic file count
+    and version — the oracle recomputes the data facts from raw
+    events and the pins from the commit protocol."""
+    import os as _os
+
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("kcompact"))
+    for i in range(4):
+        writers.insert_if_absent(
+            t, ev.filter(F.col("event_id") % 4 == i), ["event_id"], batch_id=i
+        )
+    t.compact(target_partitions=2, sort_by=["event_id"])
+    v = t.current_version()
+    vdir = _os.path.join(t.path, f"v{v}")
+    n_files = len(
+        [f for f in _os.listdir(vdir) if f.endswith(".parquet")]
+    )
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_keys"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+        ).cast("long").alias("value_micros"),
+        F.lit(n_files).cast("long").alias("n_files"),
+        F.lit(v).cast("long").alias("version"),
+    )
+
+
+def streaming_dedup_watermark_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D2 via the native ``dropDuplicatesWithinWatermark`` operator
+    (Spark 3.5+): unlike plain watermarked ``dropDuplicates``, state
+    for a key is dropped as soon as the watermark passes its first
+    event's timestamp plus the delay — the state store is bounded by
+    the watermark interval, which is exactly the semantics of the
+    reference's fixed-capacity FIFO seen-cache
+    (scrapers/mailbox.py:101: a duplicate arriving inside the window
+    is dropped, one arriving after eviction re-emits). On this
+    bounded corpus with unique event ids the emitted set equals the
+    distinct set, so the batch oracle is exact."""
+    from farmrpg_etl_spark.streaming import ops
+
+    sdf = ops.stream_events(spark, sf_dir)
+    deduped = sdf.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return ops.run_available_now(
+        deduped.select("event_id", "user_id", "event_type"), "append"
+    )
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase, each step
+    within 24 h of the previous, first-touch times): the workhorse
+    product-analytics query, built as per-step frontier joins — the
+    frontier is users-sized and each step's type filter is pushed to
+    the scan; the raw event log is never windowed or sorted."""
+    from farmrpg_etl_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+def funnel_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion counts: users completing at least step k."""
+    from farmrpg_etl_spark.operators.funnel import funnel, funnel_summary
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_summary(funnel(ev, ["view", "click", "purchase"]), 3)
+
+
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix (cohort = first-event day,
+    offset 0 row = cohort size): two uniform-key shuffles, DISTINCT
+    collapse before the count."""
+    from farmrpg_etl_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 curation stages composed into the corpus build — the
+    RefinedWeb/CCNet recipe order: line-level boilerplate removal →
+    model-based quality gate → perplexity bucketing with the tail
+    cut, ONE Catalyst plan over one documents scan.
+
+    Plan shape: ``cleaned`` (the line-dedup output) persists once and
+    feeds the quality gate, the LM training branch, the scoring
+    branch, and the final join-back (the branch-shared persist rule —
+    without it every branch would re-explode the corpus into lines);
+    ``keep`` persists because the LM is trained on the SURVIVORS and
+    scored over the same relation. Output: surviving (doc_id,
+    n_lines, n_kept, logit, n_tok, nll, bucket)."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+    from farmrpg_etl_spark.operators.linededup import remove_frequent_lines
+    from farmrpg_etl_spark.operators.quality import quality_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    ml = _docs_as_multiline(docs)
+    cleaned = remove_frequent_lines(
+        ml, "text_ml", "doc_id", min_count=2
+    ).persist()
+    ql = quality_logit(cleaned, "text_out", "doc_id")
+    keep = cleaned.join(
+        ql.filter(F.col("label") == "keep").select("doc_id", "logit"),
+        "doc_id",
+    ).persist()
+    scored = LM.ppl_bucket_filter(
+        keep, "text_out", "doc_id", head_nll=3.30, tail_nll=3.42
+    )
+    return keep.select("doc_id", "n_lines", "n_kept", "logit").join(
+        scored.select("doc_id", "n_tok", "nll", "bucket"), "doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r6 DRIVER-COVERAGE ROTATION ---------------------------------
+    # --- r9 DRIVER-COVERAGE ROTATION ---------------------------------
     # The driver verifies exactly the FIRST 50 entries per round.
-    # Head (16): the 15 rows never driver-checked through r5 (the 13-
-    # row r5 queue plus resize/embed_media_docs, which rows 51-52 of
-    # the r5 ordering silently displaced past the cut — r5 ADVICE #1)
-    # and json_props_stats, the one driver-red row ever recorded (its
-    # oracle SUM is now CAST to BIGINT; see oracles.py).
-    "parse_profile_roundtrip": parse_profile_roundtrip,
-    "parse_online_roundtrip": parse_online_roundtrip,
-    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
-    "datetime_semantics": datetime_semantics,
-    "simhash_docs": simhash_docs,
-    "pack_sequences_docs": pack_sequences_docs,
-    "minhash_signatures_docs": minhash_signatures_docs,
-    "minhash_estimate_error_docs": minhash_estimate_error_docs,
-    "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    # Head (10): the 4 rows the r8 cut had never driver-checked (the
+    # r8 additions, all green in local full-registry runs) plus the 6
+    # new r9 rows (frozen-LM scoring with OOV fallback, line-level
+    # dedup, URL canonicalization, quality classifier, sink
+    # compaction, within-watermark streaming dedup).
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "bigram_lm_docs": bigram_lm_docs,
+    "perplexity_docs": perplexity_docs,
+    "ppl_filter_docs": ppl_filter_docs,
+    "ppl_external_lm_docs": ppl_external_lm_docs,
+    "line_dedup_docs": line_dedup_docs,
+    "url_canonicalize_docs": url_canonicalize_docs,
+    "quality_logit_docs": quality_logit_docs,
+    "k_compact_sink": k_compact_sink,
+    "streaming_dedup_watermark_events": streaming_dedup_watermark_events,
+    "funnel_events": funnel_events,
+    "funnel_summary_events": funnel_summary_events,
+    "cohort_retention_events": cohort_retention_events,
+    "training_data_pipeline_v3": training_data_pipeline_v3,
+    # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_quantized": ann_topk_quantized,
     "embedding_centroids": embedding_centroids,
     "resize_media_docs": resize_media_docs,
     "embed_media_docs": embed_media_docs,
-    "json_props_stats": json_props_stats,
-    # New in r6:
     "training_data_pipeline_v2": training_data_pipeline_v2,
     "cut_dup_span_fixpoint_docs": cut_dup_span_fixpoint_docs,
     "streaming_cdc_tws": streaming_cdc_tws,
@@ -4635,11 +4877,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "cut_dup_span_docs": cut_dup_span_docs,
+    # --- end of 50-entry prefix --------------------------------------
+    # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
     "bpe_merges_docs": bpe_merges_docs,
     "bpe_token_counts_docs": bpe_token_counts_docs,
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
     "training_data_pipeline": training_data_pipeline,
-    # --- end of 50-entry prefix --------------------------------------
+    "parse_profile_roundtrip": parse_profile_roundtrip,
+    "parse_online_roundtrip": parse_online_roundtrip,
+    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
+    "datetime_semantics": datetime_semantics,
+    "simhash_docs": simhash_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "minhash_signatures_docs": minhash_signatures_docs,
+    "minhash_estimate_error_docs": minhash_estimate_error_docs,
+    "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    "json_props_stats": json_props_stats,
     "parse_quarantine_channel": parse_quarantine_channel,
     "chunk_dedup_docs": chunk_dedup_docs,
     "dup_span_docs": dup_span_docs,
@@ -4769,10 +5022,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_important_stock": q11_important_stock,
     "q16_supplier_count": q16_supplier_count,
     "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
-    "q12_shipmode_priority": q12_shipmode_priority,
-    "bigram_lm_docs": bigram_lm_docs,
-    "perplexity_docs": perplexity_docs,
-    "ppl_filter_docs": ppl_filter_docs,
     "q13_customer_distribution": q13_customer_distribution,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,

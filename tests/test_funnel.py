@@ -1,0 +1,80 @@
+"""Funnel + cohort retention (operators/funnel.py)."""
+
+import datetime as dt
+
+import pytest
+
+from farmrpg_etl_spark.operators.funnel import (
+    cohort_retention,
+    funnel,
+    funnel_summary,
+)
+
+
+def ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # u1 completes all 3 steps in order within windows
+        (1, ts(1, 0), 1, "view"),
+        (2, ts(1, 5), 1, "click"),
+        (3, ts(1, 9), 1, "purchase"),
+        # u2: click BEFORE view -> step2 not completed
+        (4, ts(2, 0), 2, "click"),
+        (5, ts(2, 1), 2, "view"),
+        # u3: click more than 24h after view -> window missed
+        (6, ts(3, 0), 3, "view"),
+        (7, ts(4, 1), 3, "click"),
+        # u4: never enters (no view)
+        (8, ts(5, 0), 4, "purchase"),
+        # u1 again on day 3 (retention)
+        (9, ts(3, 2), 1, "view"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_funnel_steps_and_windows(events):
+    out = {r.user_id: r for r in
+           funnel(events, ["view", "click", "purchase"]).collect()}
+    assert out[1].steps_completed == 3 and out[1].t3 == ts(1, 9)
+    assert out[2].steps_completed == 1 and out[2].t2 is None
+    assert out[3].steps_completed == 1  # 25h gap > 24h window
+    assert 4 not in out  # never viewed -> not in funnel
+
+
+def test_funnel_first_touch_is_min(spark):
+    rows = [
+        (1, ts(1, 0), 1, "view"),
+        (2, ts(1, 2), 1, "click"),
+        (3, ts(1, 1), 1, "click"),  # earlier qualifying click wins
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    (row,) = funnel(ev, ["view", "click"]).collect()
+    assert row.t2 == ts(1, 1)
+
+
+def test_funnel_summary_monotone(events):
+    out = {r.step: r.n_users for r in
+           funnel_summary(funnel(events, ["view", "click", "purchase"]), 3)
+           .collect()}
+    assert out == {1: 3, 2: 1, 3: 1}
+
+
+def test_cohort_retention_matrix(events):
+    out = {(r.cohort_day, r.day_offset): r.n_users
+           for r in cohort_retention(events).collect()}
+    # u1 cohort Jan 1, active day 0 and day 2; u2 Jan 2; u3 cohort Jan 3,
+    # active days 0 and 1; u4 Jan 5.
+    assert out[(dt.date(2024, 1, 1), 0)] == 1
+    assert out[(dt.date(2024, 1, 1), 2)] == 1
+    assert out[(dt.date(2024, 1, 3), 0)] == 1  # u1 Jan-3 activity counts in
+    # its OWN cohort (Jan 1, offset 2); only u3 has cohort Jan 3
+
+    assert out[(dt.date(2024, 1, 3), 1)] == 1  # u3 active Jan 4 (click)

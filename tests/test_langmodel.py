@@ -79,3 +79,45 @@ def test_ppl_bucket_filter_cuts_tail(docs):
     assert all_nll and max(all_nll, key=all_nll.get) not in ids
     buckets = {r.doc_id: r.bucket for r in kept}
     assert buckets[min((v, k) for k, v in all_nll.items() if v > 0)[1]] == "head"
+
+
+def test_doc_nll_external_lm_fallback(spark):
+    """Frozen-LM scoring (r8 ADVICE): unseen bigrams get the smoothed
+    zero-count mass, n_tok counts the document's tokens."""
+    train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    score = spark.createDataFrame([(9, "a c d")], "doc_id long, text string")
+    lm = LM.train_bigram_lm(train, "text", "doc_id")
+    out = {r.doc_id: (r.n_tok, r.nll) for r in
+           LM.doc_nll(score, "text", "doc_id", lm=lm).collect()}
+
+    def q(p):
+        return math.floor(-math.log(p) * 1e6) / 1e6
+
+    # LM: V=2; (<s>,a) c=1 cp=1 -> p=2/3; (a,b) c=1 cp=1 -> p=2/3.
+    # doc 9 pairs: (<s>,a) hit 2/3; (a,c) known context, unseen word
+    # -> 1/(cp(a)+V)=1/3; (c,d) unseen context -> 1/V=1/2.
+    exp = round((q(2 / 3) + q(1 / 3) + q(1 / 2)) / 3, 4)
+    assert out[9] == (3, exp)
+
+
+def test_doc_nll_external_lm_n_tok_invariant(spark):
+    """A fully out-of-vocabulary document must NOT fall through to
+    (0, 0.0) / bucket head — it gets full fallback mass (the r8
+    correctness inversion)."""
+    train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    gib = spark.createDataFrame([(7, "x y z")], "doc_id long, text string")
+    lm = LM.train_bigram_lm(train, "text", "doc_id")
+    (row,) = LM.doc_nll(gib, "text", "doc_id", lm=lm).collect()
+    assert row.n_tok == 3 and row.nll > 0.0
+    # and it buckets tail (cut), not head, under tight thresholds
+    kept = LM.ppl_bucket_filter(
+        gib, "text", "doc_id", head_nll=0.1, tail_nll=0.2, lm=lm
+    ).collect()
+    assert kept == []
+
+
+def test_doc_nll_rejects_bare_lm(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    bad = LM.train_bigram_lm(docs, "text", "doc_id").select("prev", "w", "p")
+    with pytest.raises(ValueError, match="train_bigram_lm"):
+        LM.doc_nll(docs, "text", "doc_id", lm=bad)
