@@ -197,6 +197,7 @@ def main() -> None:
         "training_data_pipeline_v3",
         "funnel_events",
         "cohort_retention_events",
+        "bloom_decontaminate_docs",
     ]:
         run(name)
         steady = []

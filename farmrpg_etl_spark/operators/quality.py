@@ -246,3 +246,87 @@ def quality_logit(
         (F.floor(logit * F.lit(1000000.0)) / F.lit(1000000.0)).alias("logit"),
         F.when(logit >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
     )
+
+
+# Bloom-filter geometry for bloom_prune_contamination. m is a power of
+# two so the modulo is a cheap mask; k=3 md5-slice hashes are portable
+# (bit-identical in Spark and the DuckDB oracle).
+BLOOM_M = 1 << 18
+BLOOM_K = 3
+
+
+def _bloom_pos(gram: Column, i: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(gram), 1 + 8 * i, 8), 16, 10).cast("long")
+        % F.lit(BLOOM_M)
+    )
+
+
+def bloom_prune_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination with a Bloom-filter prune — the shape
+    a 100 TB corpus actually runs: the eval benchmark's n-grams are
+    folded into a Bloom bit set (here the relational rendering: the
+    DISTINCT set of k md5-slice bit positions, ≤ 3·|eval grams| ints
+    bounded by ``BLOOM_M`` — far smaller to broadcast than the gram
+    strings), every train gram probes the broadcast bits map-side, and
+    only grams whose k positions ALL hit proceed to the exact
+    verification join. Bloom false positives are a measured column,
+    not a hope: the output carries both ``n_cand_grams`` (passed the
+    probe) and ``n_contaminated_ngrams`` (exact matches), so the FP
+    rate is visible per document and the filter can never FALSELY
+    CLEAR a document (no false negatives by construction).
+
+    Position arrays are per-gram ``array_distinct``-ed so an internal
+    hash collision cannot let a 2-of-3 gram masquerade as a full hit.
+    """
+    tgrams = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "gram"
+        ),
+    )
+    egrams = (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    bits = (
+        egrams.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("gram"), i) for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    parr = F.array_distinct(
+        F.array(*[_bloom_pos(F.col("gram"), i) for i in range(BLOOM_K)])
+    )
+    tpos = tgrams.select(
+        id_col,
+        "gram",
+        F.size(parr).alias("npos"),
+        F.explode(parr).alias("pos"),
+    )
+    cand = (
+        tpos.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "gram", "npos")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == F.col("npos"))
+        .select(id_col, "gram")
+    )
+    marked = cand.join(
+        egrams.select("gram", F.lit(True).alias("__e")), "gram", "left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_cand_grams"),
+        F.count("__e").alias("n_contaminated_ngrams"),
+    )

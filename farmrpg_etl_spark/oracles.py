@@ -4305,3 +4305,95 @@ SELECT k.doc_id, k.n_lines, k.n_kept, k.logit, n.n_tok, n.nll,
 FROM keepers k JOIN knll n ON k.doc_id = n.doc_id
 WHERE n.nll <= 3.42
 """
+
+# Bloom-pruned decontamination: md5-slice bit positions (m = 262144,
+# k = 3) are portable, so the prune itself is oracle-checked, and the
+# exact column must equal decontaminate_docs' counts.
+ORACLES["bloom_decontaminate_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= 13
+                THEN list_transform(generate_series(1, len(toks) - 12),
+                                    i -> array_to_string(toks[i:i+12], ' '))
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM d
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 250),
+bits AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(gram), 1 + 8*i, 8) AS BIGINT) % 262144 AS pos
+  FROM ev, unnest([0, 1, 2]) AS t(i)
+),
+tp AS (
+  SELECT doc_id, gram,
+    list_distinct(list_transform([0, 1, 2],
+      i -> CAST('0x' || substr(md5(gram), 1 + 8*i, 8) AS BIGINT) % 262144))
+      AS parr
+  FROM g WHERE doc_id >= 250
+),
+tpe AS (SELECT doc_id, gram, len(parr) AS npos, unnest(parr) AS pos FROM tp),
+cand AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, npos, count(*) AS nhit
+    FROM tpe JOIN bits USING (pos) GROUP BY doc_id, gram, npos
+  ) WHERE nhit = npos
+),
+mk AS (
+  SELECT c.doc_id, ev.gram AS eg
+  FROM cand c LEFT JOIN ev ON c.gram = ev.gram
+)
+SELECT doc_id, count(*) AS n_cand_grams,
+       count(eg) AS n_contaminated_ngrams
+FROM mk GROUP BY doc_id
+"""
+
+# Streaming frozen-LM filter == the batch recompute: score every doc
+# against the even-half LM (add-one zero-count fallback), cut the tail.
+ORACLES["streaming_ppl_filter_docs"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ii AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+       FROM d),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS prev,
+         toks[i] AS w
+  FROM ii
+),
+tpairs AS (SELECT * FROM pairs WHERE doc_id % 2 = 0),
+cpw AS (SELECT prev, w, count(*) AS c FROM tpairs GROUP BY prev, w),
+cp AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp FROM cpw GROUP BY prev),
+voc AS (SELECT count(DISTINCT w) AS V FROM tpairs),
+prob AS (
+  SELECT prev, w,
+         CAST(c + 1 AS DOUBLE) / CAST(cp + V AS DOUBLE) AS p
+  FROM cpw JOIN cp USING (prev) CROSS JOIN voc
+),
+scored AS (
+  SELECT pairs.doc_id,
+         floor(-ln(coalesce(
+             p,
+             CAST(1.0 AS DOUBLE) / CAST(cp + V AS DOUBLE),
+             CAST(1.0 AS DOUBLE) / CAST(V AS DOUBLE)
+           )) * 1000000.0) / 1000000.0 AS q
+  FROM pairs
+  LEFT JOIN prob USING (prev, w)
+  LEFT JOIN cp USING (prev)
+  CROSS JOIN voc
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS nll
+  FROM scored GROUP BY doc_id
+),
+nlls AS (
+  SELECT dd.doc_id, coalesce(n_tok, 0) AS n_tok, coalesce(nll, 0.0) AS nll
+  FROM documents dd LEFT JOIN s USING (doc_id)
+)
+SELECT doc_id, n_tok, nll,
+       CASE WHEN nll <= 3.40 THEN 'head' ELSE 'middle' END AS bucket
+FROM nlls
+WHERE nll <= 3.47
+"""

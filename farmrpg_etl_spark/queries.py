@@ -4776,6 +4776,71 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev)
 
 
+def streaming_ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's deployment regime end-to-end in streaming: the bigram
+    LM is trained ONCE on the even-``doc_id`` half (batch, frozen),
+    then documents arrive as four micro-batches and each batch is
+    scored/bucketed against that frozen model and merged through the
+    replay-idempotent K1 writer. Because the frozen LM makes every
+    document's score self-contained (no cross-doc dependency — the r8
+    ADVICE regime), continuous ingest ≡ the batch recompute, which is
+    exactly what the oracle pins. Unseen bigrams take the add-one
+    zero-count fallback; the tail bucket is cut before the sink."""
+    import tempfile
+
+    from farmrpg_etl_spark.operators import langmodel as LM
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = LM.train_bigram_lm(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    ).persist()
+    src_dir = tempfile.mkdtemp(prefix="farmrpg_ppl_")
+    n_batches = 4
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = ParquetTable(spark, _sink_scratch("pplsink"))
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        out = LM.ppl_bucket_filter(
+            batch_df, "text", "doc_id", head_nll=3.40, tail_nll=3.47, lm=lm
+        )
+        insert_if_absent(sink, out, ["doc_id"], batch_id=batch_id, writer="ppl")
+
+    q = (
+        stream.writeStream.foreachBatch(score)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    lm.unpersist()
+    return sink.read()
+
+
+def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram decontamination behind a Bloom-filter prune (the 100 TB
+    shape: broadcast bit positions instead of gram strings; exact
+    verify only on probe survivors; per-doc false-positive accounting
+    in the output). Same train/eval split as ``decontaminate_docs`` so
+    the exact column must agree with that row."""
+    from farmrpg_etl_spark.operators import quality
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality.bloom_prune_contamination(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250), n=13
+    )
+
+
 def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r9 curation stages composed into the corpus build — the
     RefinedWeb/CCNet recipe order: line-level boilerplate removal →
@@ -4836,6 +4901,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_summary_events": funnel_summary_events,
     "cohort_retention_events": cohort_retention_events,
     "training_data_pipeline_v3": training_data_pipeline_v3,
+    "bloom_decontaminate_docs": bloom_decontaminate_docs,
+    "streaming_ppl_filter_docs": streaming_ppl_filter_docs,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -4873,12 +4940,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
-    "exact_dedup_docs": exact_dedup_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "cut_dup_span_docs": cut_dup_span_docs,
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "exact_dedup_docs": exact_dedup_docs,
+    "cut_dup_span_docs": cut_dup_span_docs,
     "bpe_merges_docs": bpe_merges_docs,
     "bpe_token_counts_docs": bpe_token_counts_docs,
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,

@@ -117,3 +117,33 @@ def test_heavy_hitters_threshold_is_strict(spark):
     df = spark.createDataFrame(rows, "item string")
     got = heavy_hitters(df, "item", k=10).collect()
     assert [(r["item"], r["n_occurrences"]) for r in got] == [("x", 11)]
+
+
+class TestBloomPruneContamination:
+    def test_exact_column_matches_unpruned_and_no_false_negatives(self, spark):
+        from farmrpg_etl_spark.operators.quality import (
+            bloom_prune_contamination,
+            ngram_contamination,
+        )
+
+        base = "one two three four five six seven eight nine ten eleven twelve thirteen"
+        rows = [
+            (1, base + " shared tail of the corpus document body"),
+            (2, base + " entirely different continuation text here now"),
+            (3, "no overlap with anything at all in this one "
+                "padded out to reach thirteen tokens total yes"),
+        ]
+        evr = [(100, base + " shared tail of the corpus document body")]
+        train = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame(evr, "doc_id long, text string")
+        pruned = {r.doc_id: r for r in
+                  bloom_prune_contamination(train, ev, n=13).collect()}
+        exact = {r.doc_id: r.n_contaminated_ngrams for r in
+                 ngram_contamination(train, ev, n=13).collect()}
+        # every exactly-contaminated doc appears with the same exact
+        # count (Bloom has no false negatives)
+        for doc, n in exact.items():
+            assert pruned[doc].n_contaminated_ngrams == n
+        # candidates always >= exact matches (false positives only)
+        for r in pruned.values():
+            assert r.n_cand_grams >= r.n_contaminated_ngrams
