@@ -4397,3 +4397,85 @@ SELECT doc_id, n_tok, nll,
 FROM nlls
 WHERE nll <= 3.47
 """
+
+# Domain-level curation aggregates over the same synthetic URLs and
+# quality-logit features as their standalone rows.
+ORACLES["domain_stats_docs"] = f"""
+WITH u AS (
+  SELECT doc_id,
+    'HTTPS://WWW.' || source || '.Example.COM:443/Docs/'
+      || CAST(doc_id % 50 AS VARCHAR)
+      || '/?utm_source=feed&page=' || CAST(doc_id % 4 AS VARCHAR)
+      || '&sessionid=' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+      AS hostport,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS rawpath,
+    regexp_extract(url, '[?]([^#]*)', 1) AS rawq
+  FROM u
+),
+n AS (
+  SELECT doc_id, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+             THEN substr(hostport, 1, len(hostport) - 4)
+           WHEN scheme = 'http' AND hostport LIKE '%:80'
+             THEN substr(hostport, 1, len(hostport) - 3)
+           ELSE hostport END,
+      '^www\\.', '') AS host,
+    CASE WHEN rawpath = '' THEN '/'
+         WHEN len(rawpath) > 1 AND rawpath LIKE '%/'
+           THEN substr(rawpath, 1, len(rawpath) - 1)
+         ELSE rawpath END AS path,
+    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      x -> len(x) > 0 AND NOT regexp_matches(x,
+        '^(utm_[^=]*|ref|sessionid|fbclid|gclid|msclkid)='))), '&') AS q
+  FROM c
+),
+canon AS (
+  SELECT doc_id, host,
+         scheme || '://' || host || path
+           || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+  FROM n
+),
+d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tok,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE CAST(len(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+              / len(text) END AS praw,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
+    len(list_filter(toks,
+        x -> list_contains(['the','and','of','to','a'], x))) AS stop_hits
+  FROM d
+),
+g AS (
+  SELECT doc_id, n_tok, praw,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS sraw,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE CAST(n_dist AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS draw
+  FROM f
+),
+q2 AS (
+  SELECT doc_id, n_tok,
+    CASE WHEN (-0.75 + 0.00390625 * CAST(n_tok AS DOUBLE) + (-3.0) * praw
+               + 2.0 * sraw + 0.75 * draw) >= 0
+         THEN 'keep' ELSE 'drop' END AS label
+  FROM g
+)
+SELECT host, count(*) AS n_docs,
+       count(DISTINCT canon_url) AS n_pages,
+       round(CAST(SUM(n_tok) AS DOUBLE) / count(*), 6) AS mean_tok,
+       round(CAST(SUM(CASE WHEN label = 'keep' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS keep_rate
+FROM canon JOIN q2 USING (doc_id)
+GROUP BY host
+"""

@@ -4671,6 +4671,57 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation aggregates — the decision table behind
+    per-domain blocklists and quotas (RefinedWeb/Dolma curate at the
+    host level before any per-document filter): per canonical host,
+    the page count, distinct canonical URLs, mean document token
+    count, and the keep-rate of the quality classifier. One uniform
+    groupBy on the host key; the URL/quality features are the same
+    codegen expressions as their standalone rows, so this composes
+    rather than re-defines."""
+    from farmrpg_etl_spark.functions import urls as U
+    from farmrpg_etl_spark.operators.quality import quality_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&page="),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("&sessionid="),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    withurl = docs.select(
+        "doc_id",
+        U.url_host(url).alias("host"),
+        U.canonicalize_url(url).alias("canon_url"),
+    )
+    ql = quality_logit(docs, "text", "doc_id").select(
+        "doc_id", "n_tok", "label"
+    )
+    return (
+        withurl.join(ql, "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canon_url").alias("n_pages"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_tok"),
+            F.round(
+                F.sum(F.when(F.col("label") == "keep", 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+
+
 def quality_logit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the GPT-3/LLaMA-recipe linear
     classifier stage) with pinned dyadic weights: one codegen
@@ -4903,6 +4954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_data_pipeline_v3": training_data_pipeline_v3,
     "bloom_decontaminate_docs": bloom_decontaminate_docs,
     "streaming_ppl_filter_docs": streaming_ppl_filter_docs,
+    "domain_stats_docs": domain_stats_docs,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -4940,10 +4992,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
-    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "exact_dedup_docs": exact_dedup_docs,
     "cut_dup_span_docs": cut_dup_span_docs,
     "bpe_merges_docs": bpe_merges_docs,

@@ -78,3 +78,18 @@ def test_cohort_retention_matrix(events):
     # its OWN cohort (Jan 1, offset 2); only u3 has cohort Jan 3
 
     assert out[(dt.date(2024, 1, 3), 1)] == 1  # u3 active Jan 4 (click)
+
+
+def test_funnel_step_filters_pushed_to_scan(spark):
+    """Each step's event_type filter must reach the parquet scan
+    (PushedFilters), so at 100 TB a step reads only its row groups —
+    the frontier-join design is pointless if every step scans the
+    full log."""
+    from farmrpg_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = funnel(ev, ["view", "click", "purchase"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    for step in ("view", "click", "purchase"):
+        assert any(f"EqualTo(event_type,{step})" in l for l in pushed), step
