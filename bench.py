@@ -198,6 +198,7 @@ def main() -> None:
         "funnel_events",
         "cohort_retention_events",
         "bloom_decontaminate_docs",
+        "pagerank_docs",
     ]:
         run(name)
         steady = []

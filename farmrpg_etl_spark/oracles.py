@@ -4479,3 +4479,46 @@ SELECT host, count(*) AS n_docs,
 FROM canon JOIN q2 USING (doc_id)
 GROUP BY host
 """
+
+
+def _pagerank_sql(n_iter: int = 5) -> str:
+    """Generate the chained-CTE recompute of operators/graph.pagerank:
+    one CTE per round, micro-quantized contribution sums, dyadic
+    damping — every arithmetic step written with the same operand
+    types and association order as the Spark expressions."""
+    ctes = [
+        "nodes AS (SELECT doc_id AS id FROM documents)",
+        "nn AS (SELECT count(*) AS N FROM nodes)",
+        "edges AS (\n"
+        "  SELECT doc_id AS src,\n"
+        "         (doc_id * 31 + j * 17) % (SELECT N FROM nn) AS dst\n"
+        "  FROM documents, unnest([1, 2, 3]) AS t(j)\n"
+        ")",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT N FROM nn) AS rank"
+        " FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"r{i} AS (\n"
+            "  SELECT n.id,\n"
+            "         CAST(0.125 AS DOUBLE) / (SELECT N FROM nn)\n"
+            "           + CAST(coalesce(s.sm, 0) AS DOUBLE) / 1000000.0"
+            " AS rank\n"
+            "  FROM nodes n LEFT JOIN (\n"
+            "    SELECT e.dst AS id,\n"
+            "           SUM(CAST(floor(((r.rank * 0.875) / d.outdeg)"
+            " * 1000000.0) AS BIGINT)) AS sm\n"
+            f"    FROM edges e JOIN r{i - 1} r ON e.src = r.id"
+            " JOIN deg d ON e.src = d.src\n"
+            "    GROUP BY e.dst\n"
+            "  ) s ON n.id = s.id\n"
+            ")"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, round(rank, 6) AS rank FROM r{n_iter}"
+    )
+
+
+ORACLES["pagerank_docs"] = _pagerank_sql(5)

@@ -4671,6 +4671,35 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (5 rounds, dyadic damping 0.875) over
+    a deterministic synthetic link graph: every document links to the
+    3 pseudo-random neighbors ``(doc_id*31 + j*17) % N`` — fixed
+    out-degree (no dangling mass), hubs arise from modular collisions
+    so the in-degree distribution is non-trivial. The iterative-join
+    workload class: one dst-keyed partial-agg shuffle per round,
+    micro-quantized contributions so the sums are order-independent
+    and the oracle reproduces every round exactly, reliable-checkpoint
+    lineage cuts between rounds (the BPE-loop analyzer discipline)."""
+    from farmrpg_etl_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        "src",
+        ((F.col("src") * 31 + F.col("j") * 17) % F.lit(n)).alias("dst"),
+    )
+    pr = pagerank(
+        docs.withColumnRenamed("doc_id", "id"), edges, n_iter=5
+    )
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
 def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level curation aggregates — the decision table behind
     per-domain blocklists and quotas (RefinedWeb/Dolma curate at the
@@ -4955,6 +4984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontaminate_docs": bloom_decontaminate_docs,
     "streaming_ppl_filter_docs": streaming_ppl_filter_docs,
     "domain_stats_docs": domain_stats_docs,
+    "pagerank_docs": pagerank_docs,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -4992,9 +5022,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "exact_dedup_docs": exact_dedup_docs,
     "cut_dup_span_docs": cut_dup_span_docs,
