@@ -446,6 +446,28 @@ def main() -> None:
                 F.col("n_kept") < F.col("n_lines")
             )
 
+        def stretch_funnel():
+            # 3-step funnel at 10× events (consistent universe
+            # replication keeps funnels within-universe). The
+            # steps_completed >= 2 filter forces the step joins — a
+            # bare count() of the frontier left-joins lets Catalyst
+            # elide steps 2-3 entirely (unique-key left joins preserve
+            # cardinality) and time only the step-1 aggregation.
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["funnel_events"](spark, stretch_dir).filter(
+                F.col("steps_completed") >= 2
+            )
+
+        def stretch_pagerank():
+            # 5-round PageRank at 10× nodes/edges: per-round cost is
+            # one dst-keyed shuffle over a fixed-out-degree edge list,
+            # so time should scale ~linearly with the node count; the
+            # eager per-round checkpoints are inside the timed call.
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["pagerank_docs"](spark, stretch_dir)
+
         def stretch_ann(impl):
             # A/B of the two ann_topk_bruteforce impls at 10× corpus —
             # the scale regime where the arrow prune+rescore kernel is
@@ -474,6 +496,8 @@ def main() -> None:
             ("pq_rerank_10x", stretch_pq_rerank),
             ("pipeline_v2_10x", stretch_pipeline_v2),
             ("line_dedup_10x", stretch_line_dedup),
+            ("funnel_10x", stretch_funnel),
+            ("pagerank_10x", stretch_pagerank),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:

@@ -328,3 +328,52 @@ def bloom_prune_contamination(
         F.count(F.lit(1)).alias("n_cand_grams"),
         F.count("__e").alias("n_contaminated_ngrams"),
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    gibberish/binary-noise detector (low entropy = repeated filler,
+    abnormally high = random bytes; both are cut candidates in
+    C4/Gopher-style cleaning).
+
+    Shapes: explode to (id, char) — a bounded-cardinality second key —
+    then two partial-aggregated shuffles ((id, char) counts, per-id
+    sum). Each entropy term ``-p·ln(p)`` is floor-quantized to micros
+    and summed exactly in decimal, so the per-doc result is
+    order-independent and oracle-exact (the langmodel discipline).
+    """
+    from farmrpg_etl_spark.queries import _dec_sum
+
+    chars = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.length(F.col(text_col)).alias("__n"),
+    ).select(
+        id_col,
+        "__n",
+        F.explode(
+            F.when(F.col("__n") == 0, F.array().cast("array<int>")).otherwise(
+                F.sequence(F.lit(1), F.col("__n"))
+            )
+        ).alias("__i"),
+        F.col("__t"),
+    ).select(
+        id_col, "__n", F.substring(F.col("__t"), F.col("__i"), F.lit(1)).alias("__c")
+    )
+    counts = chars.groupBy(id_col, "__n", "__c").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    p = F.col("__cnt").cast("double") / F.col("__n").cast("double")
+    q = F.floor(-(p * F.log(p)) * F.lit(1000000.0)) / F.lit(1000000.0)
+    ent = counts.groupBy(id_col).agg(
+        F.max("__n").cast("long").alias("n_chars"),
+        F.round(_dec_sum(q).cast("double"), 4).alias("entropy"),
+    )
+    base = df.select(F.col(id_col))
+    return base.join(ent, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+    )

@@ -4522,3 +4522,30 @@ def _pagerank_sql(n_iter: int = 5) -> str:
 
 
 ORACLES["pagerank_docs"] = _pagerank_sql(5)
+
+# Character-level Shannon entropy: micro-quantized -p*ln(p) terms,
+# exact decimal sum (langmodel discipline).
+ORACLES["char_entropy_docs"] = """
+WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+ch AS (
+  SELECT doc_id, n, substr(text, i, 1) AS c
+  FROM d, unnest(generate_series(1, n)) AS t(i)
+  WHERE n > 0
+),
+cnt AS (SELECT doc_id, n, c, count(*) AS cc FROM ch GROUP BY doc_id, n, c),
+terms AS (
+  SELECT doc_id, n,
+    floor(-((CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
+            * ln(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0)
+      / 1000000.0 AS q
+  FROM cnt
+),
+s AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE), 4) AS entropy
+  FROM terms GROUP BY doc_id
+)
+SELECT dd.doc_id, coalesce(s.n_chars, 0) AS n_chars,
+       coalesce(s.entropy, 0.0) AS entropy
+FROM documents dd LEFT JOIN s USING (doc_id)
+"""

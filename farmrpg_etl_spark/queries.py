@@ -4671,6 +4671,16 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (the C4/Gopher
+    gibberish detector): micro-quantized ``-p·ln(p)`` terms, exact
+    decimal sum, two uniform-key partial-agg shuffles."""
+    from farmrpg_etl_spark.operators.quality import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs, "text", "doc_id")
+
+
 def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (5 rounds, dyadic damping 0.875) over
     a deterministic synthetic link graph: every document links to the
@@ -4985,6 +4995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ppl_filter_docs": streaming_ppl_filter_docs,
     "domain_stats_docs": domain_stats_docs,
     "pagerank_docs": pagerank_docs,
+    "char_entropy_docs": char_entropy_docs,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -5018,12 +5029,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flags_pipeline_e2e": flags_pipeline_e2e,
     "user_pipeline_e2e": user_pipeline_e2e,
     "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
-    "scalar_text_functions": scalar_text_functions,
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "scalar_text_functions": scalar_text_functions,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "exact_dedup_docs": exact_dedup_docs,

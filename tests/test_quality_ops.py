@@ -147,3 +147,22 @@ class TestBloomPruneContamination:
         # candidates always >= exact matches (false positives only)
         for r in pruned.values():
             assert r.n_cand_grams >= r.n_contaminated_ngrams
+
+
+class TestCharEntropy:
+    def test_hand_computed_entropy(self, spark):
+        from math import floor, log
+
+        from farmrpg_etl_spark.operators.quality import char_entropy
+
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "ab"), (3, "")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in char_entropy(df, "text", "doc_id").collect()}
+        # uniform single char: entropy 0 (p=1, -1*ln(1)=0)
+        assert out[1].n_chars == 4 and out[1].entropy == 0.0
+        # two distinct chars: H = ln 2, via two quantized 0.5*ln2 terms
+        q = floor(-(0.5 * log(0.5)) * 1e6) / 1e6
+        assert out[2].entropy == round(q + q, 4)
+        # empty doc: (0, 0.0), not dropped
+        assert out[3].n_chars == 0 and out[3].entropy == 0.0
