@@ -49,3 +49,25 @@ def test_canonical_forms(spark, url, expected):
 def test_no_scheme_is_null(spark):
     assert canon(spark, "not a url") is None
     assert canon(spark, "site.com/a") is None
+
+
+def test_canonicalization_is_idempotent(spark):
+    """canon(canon(u)) == canon(u): the canonical form must be a fixed
+    point, else URL-level dedup depends on how many times a crawler
+    normalized before us."""
+    from pyspark.sql import functions as F
+
+    urls = [
+        "HTTPS://WWW.Site.COM:443/A/b/?utm_source=x&z=1&a=2#f",
+        "http://site.com:80/",
+        "https://site.com:8443/Case/Path?b=2&a=1",
+        "https://www.example.org/a/b/c/?gclid=1",
+        "https://example.org",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "c1", canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c2 == r.c1, (r.c1, r.c2)
