@@ -127,3 +127,98 @@ def cohort_retention(
         act.groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``(from_type, to_type, n, p)`` with ``p`` normalized
+    per source state. The sequence order is (ts, tiebreak) so ties
+    are deterministic.
+
+    Shapes: ONE per-user window (uniform key, bounded per-user
+    history — the sessionize shape) for the lead, then two
+    partial-agg shuffles over the tiny type×type key space. ``p`` is
+    an exact integer-count ratio, bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    seq = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("__tn"))
+    return t.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("__tn").cast("double"), 6)
+        .alias("p"),
+    )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_type: str = "click",
+    window_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: every conversion splits one
+    unit of credit equally over the user's touch events in the
+    preceding ``window_hours`` (strictly before the conversion,
+    inclusive window start is open: ``conv_ts - W < touch_ts <
+    conv_ts``). Complements the last-touch model of the as-of join
+    row. Per-pair credit is floor-quantized to micros and summed as
+    exact integers, so a touch credited by many conversions gets an
+    order-independent total.
+
+    Shapes: both sides filter on their type at the scan; the pair
+    join keys on the user (uniform, per-user bounded) with the range
+    as a residual predicate — the bucketed band join in
+    ``operators/asof.py`` is the drop-in upgrade if per-user history
+    stops being bounded."""
+    convs = events.filter(F.col(type_col) == conv_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        F.col(ts_col).alias("__cts"),
+    )
+    touches = events.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__tid"),
+        F.col(ts_col).alias("__tts"),
+    )
+    pairs = convs.join(touches, "__u").filter(
+        (F.col("__tts") < F.col("__cts"))
+        & (
+            F.col("__tts")
+            > F.col("__cts") - F.expr(f"INTERVAL {int(window_hours)} HOURS")
+        )
+    )
+    sized = pairs.join(
+        pairs.groupBy("__cid").agg(F.count(F.lit(1)).alias("__nt")), "__cid"
+    )
+    credited = sized.select(
+        "__tid",
+        "__cid",
+        F.floor(F.lit(1000000.0) / F.col("__nt")).cast("long").alias("__cm"),
+    )
+    return credited.groupBy("__tid").agg(
+        F.countDistinct("__cid").alias("n_conversions"),
+        (F.sum("__cm").cast("double") / F.lit(1000000.0)).alias("credit"),
+    ).select(
+        F.col("__tid").alias("event_id"), "n_conversions", "credit"
+    )

@@ -4549,3 +4549,47 @@ SELECT dd.doc_id, coalesce(s.n_chars, 0) AS n_chars,
        coalesce(s.entropy, 0.0) AS entropy
 FROM documents dd LEFT JOIN s USING (doc_id)
 """
+
+# First-order event-transition matrix; p is an exact count ratio.
+ORACLES["event_transitions_events"] = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS to_type
+  FROM events
+),
+t AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tn FROM t GROUP BY from_type)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS p
+FROM t JOIN tot USING (from_type)
+"""
+
+# Multi-touch linear attribution with micro-quantized per-pair credit.
+ORACLES["linear_attribution_events"] = """
+WITH convs AS (
+  SELECT user_id AS u, event_id AS cid, ts AS cts
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id AS u, event_id AS tid, ts AS tts
+  FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT cid, tid FROM convs JOIN touches USING (u)
+  WHERE tts < cts AND tts > cts - INTERVAL 24 HOUR
+),
+nt AS (SELECT cid, count(*) AS n FROM pairs GROUP BY cid),
+cr AS (
+  SELECT tid, p.cid,
+         CAST(floor(CAST(1000000.0 AS DOUBLE) / n) AS BIGINT) AS cm
+  FROM pairs p JOIN nt USING (cid)
+)
+SELECT tid AS event_id, count(DISTINCT cid) AS n_conversions,
+       CAST(SUM(cm) AS DOUBLE) / 1000000.0 AS credit
+FROM cr GROUP BY tid
+"""

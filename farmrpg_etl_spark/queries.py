@@ -4671,6 +4671,28 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (from_type, to_type, n, p): the path-analysis
+    complement of the funnel — one per-user window for the lead, two
+    tiny-key aggregations."""
+    from farmrpg_etl_spark.operators.funnel import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+def linear_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution (complements the as-of row's
+    last-touch model): each purchase splits one credit unit equally
+    over the user's clicks in the prior 24 h; micro-quantized per-pair
+    credit so multi-conversion touch totals are order-independent."""
+    from farmrpg_etl_spark.operators.funnel import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return linear_attribution(ev)
+
+
 def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document (the C4/Gopher
     gibberish detector): micro-quantized ``-p·ln(p)`` terms, exact
@@ -4996,6 +5018,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_stats_docs": domain_stats_docs,
     "pagerank_docs": pagerank_docs,
     "char_entropy_docs": char_entropy_docs,
+    "event_transitions_events": event_transitions_events,
+    "linear_attribution_events": linear_attribution_events,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -5029,11 +5053,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flags_pipeline_e2e": flags_pipeline_e2e,
     "user_pipeline_e2e": user_pipeline_e2e,
     "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
-    "parse_chat_roundtrip": parse_chat_roundtrip,
-    "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_message_roundtrip": parse_message_roundtrip,
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "parse_flags_roundtrip": parse_flags_roundtrip,
+    "parse_chat_roundtrip": parse_chat_roundtrip,
     "scalar_text_functions": scalar_text_functions,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,

@@ -93,3 +93,51 @@ def test_funnel_step_filters_pushed_to_scan(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     for step in ("view", "click", "purchase"):
         assert any(f"EqualTo(event_type,{step})" in l for l in pushed), step
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from farmrpg_etl_spark.operators.funnel import event_transitions
+
+    rows = [
+        (1, ts(1, 0), 1, "view"),
+        (2, ts(1, 1), 1, "click"),
+        (3, ts(1, 2), 1, "view"),
+        (4, ts(1, 3), 1, "click"),
+        (5, ts(1, 4), 1, "purchase"),
+        (6, ts(2, 0), 2, "view"),
+        (7, ts(2, 1), 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {(r.from_type, r.to_type): (r.n, r.p)
+           for r in event_transitions(ev).collect()}
+    # from 'view': 2x ->click, 1x ->purchase
+    assert out[("view", "click")] == (2, round(2 / 3, 6))
+    assert out[("view", "purchase")] == (1, round(1 / 3, 6))
+    # from 'click': ->view, ->purchase once each
+    assert out[("click", "view")][0] == 1
+    assert out[("click", "purchase")][0] == 1
+    # user boundary: no transition purchase(u1)->view(u2)
+    assert ("purchase", "view") not in out
+
+
+def test_linear_attribution_splits_credit(spark):
+    from farmrpg_etl_spark.operators.funnel import linear_attribution
+
+    rows = [
+        (1, ts(1, 0), 1, "click"),
+        (2, ts(1, 1), 1, "click"),
+        (3, ts(1, 2), 1, "purchase"),   # splits over clicks 1,2
+        (4, ts(1, 3), 1, "purchase"),   # also splits over clicks 1,2
+        (5, ts(3, 0), 2, "click"),
+        (6, ts(4, 5), 2, "purchase"),   # click 5 is >24h before -> no credit
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.event_id: r for r in linear_attribution(ev).collect()}
+    assert set(out) == {1, 2}
+    for eid in (1, 2):
+        assert out[eid].n_conversions == 2
+        assert out[eid].credit == 1.0  # 2 conversions x 0.5
