@@ -239,3 +239,70 @@ def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
             F.sum("__cnt").alias("n_rows"),
         )
     )
+
+
+def gap_fill_hourly(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense hourly time series per key with gap filling — the
+    resample step every metrics pipeline needs before joins or
+    charting: hours with no events appear with ``n_events = 0`` and a
+    FORWARD-FILLED ``value_ffill_micros`` (last known hourly total),
+    so downstream window math never sees holes.
+
+    The hour grid spans the GLOBAL [min, max] event hour and is built
+    with ``sequence()`` per key — grid size = keys × hours, dimension
+    data next to the event log, generated where it is joined rather
+    than shuffled in. Values are floor-quantized to micros per event
+    and summed as exact integers (order-independent, oracle-exact);
+    the forward fill is a per-key ``last(ignorenulls)`` window over
+    the dense grid — bounded by hours-per-key, not by event count.
+    """
+    from pyspark.sql import Window
+
+    hour = F.date_trunc("hour", F.col(ts_col))
+    per = df.select(
+        F.col(key_col).alias("key"),
+        hour.alias("hour"),
+        F.floor(F.col(value_col) * F.lit(1000000.0)).cast("long").alias("__vm"),
+    ).groupBy("key", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__vm").alias("__sm"),
+    )
+    span = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("h0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("h1"),
+    )
+    grid = (
+        df.select(F.col(key_col).alias("key"))
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per, ["key", "hour"], "left")
+        .withColumn(
+            "value_ffill_micros",
+            F.coalesce(F.last("__sm", ignorenulls=True).over(w), F.lit(0)),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("__sm", F.lit(0)).alias("value_micros"),
+            "value_ffill_micros",
+        )
+    )

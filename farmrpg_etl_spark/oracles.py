@@ -4593,3 +4593,38 @@ SELECT tid AS event_id, count(DISTINCT cid) AS n_conversions,
        CAST(SUM(cm) AS DOUBLE) / 1000000.0 AS credit
 FROM cr GROUP BY tid
 """
+
+# Dense hourly grid per event type; zero-filled counts, forward-filled
+# micro-quantized value totals.
+ORACLES["gap_fill_events"] = """
+WITH per AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sm
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT k.key, g.hour
+  FROM (SELECT DISTINCT event_type AS key FROM events) k,
+       span,
+       unnest(generate_series(span.h0, span.h1, INTERVAL 1 HOUR)) AS g(hour)
+),
+j AS (
+  SELECT grid.key, grid.hour,
+         coalesce(per.n_events, 0) AS n_events,
+         per.sm AS sm
+  FROM grid LEFT JOIN per ON grid.key = per.key AND grid.hour = per.hour
+)
+SELECT key AS event_type, hour, n_events,
+       coalesce(sm, 0) AS value_micros,
+       coalesce(
+         last_value(sm IGNORE NULLS) OVER (
+           PARTITION BY key ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ), 0) AS value_ffill_micros
+FROM j
+"""

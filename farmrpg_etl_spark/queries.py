@@ -4671,6 +4671,17 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample per event type with zero-filled counts
+    and forward-filled value totals — holes in a metrics series break
+    window math downstream; this row pins the dense-grid + ffill
+    semantics (micro-quantized order-independent hourly sums)."""
+    from farmrpg_etl_spark.operators.rollup import gap_fill_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill_hourly(ev)
+
+
 def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (from_type, to_type, n, p): the path-analysis
@@ -5020,6 +5031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy_docs": char_entropy_docs,
     "event_transitions_events": event_transitions_events,
     "linear_attribution_events": linear_attribution_events,
+    "gap_fill_events": gap_fill_events,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -5053,9 +5065,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flags_pipeline_e2e": flags_pipeline_e2e,
     "user_pipeline_e2e": user_pipeline_e2e,
     "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
-    "parse_message_roundtrip": parse_message_roundtrip,
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "parse_message_roundtrip": parse_message_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_chat_roundtrip": parse_chat_roundtrip,
     "scalar_text_functions": scalar_text_functions,

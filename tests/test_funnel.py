@@ -141,3 +141,33 @@ def test_linear_attribution_splits_credit(spark):
     for eid in (1, 2):
         assert out[eid].n_conversions == 2
         assert out[eid].credit == 1.0  # 2 conversions x 0.5
+
+
+def test_gap_fill_hourly_dense_grid_and_ffill(spark):
+    """Lives here with the other event-analytics ops: the grid is
+    dense over the global span, zero counts in holes, forward-filled
+    value totals reset never (they carry until the next real hour)."""
+    from farmrpg_etl_spark.operators.rollup import gap_fill_hourly
+
+    rows = [
+        (1, ts(1, 0), 1, "a", 1.5),
+        (2, ts(1, 3), 1, "a", 2.25),
+        (3, ts(1, 1), 1, "b", 10.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {(r.event_type, r.hour.hour): r
+           for r in gap_fill_hourly(ev).collect()}
+    # grid: 2 keys x 4 hours (00..03)
+    assert len(out) == 8
+    assert out[("a", 0)].value_micros == 1_500_000
+    # hole at hour 1-2 for 'a': zero events, ffill carries 1.5
+    assert out[("a", 1)].n_events == 0
+    assert out[("a", 1)].value_ffill_micros == 1_500_000
+    assert out[("a", 2)].value_ffill_micros == 1_500_000
+    assert out[("a", 3)].value_micros == 2_250_000
+    # 'b' before its first event: ffill floor 0
+    assert out[("b", 0)].value_ffill_micros == 0
+    assert out[("b", 1)].value_micros == 10_000_000
