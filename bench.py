@@ -199,6 +199,10 @@ def main() -> None:
         "cohort_retention_events",
         "bloom_decontaminate_docs",
         "pagerank_docs",
+        "char_entropy_docs",
+        "event_transitions_events",
+        "linear_attribution_events",
+        "gap_fill_events",
     ]:
         run(name)
         steady = []

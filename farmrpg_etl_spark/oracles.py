@@ -4628,3 +4628,20 @@ SELECT key AS event_type, hour, n_events,
          ), 0) AS value_ffill_micros
 FROM j
 """
+
+# Dynamic-partition-overwrite end state: day 2024-01-05 rewritten with
+# values +100, every other day untouched; one directory per day.
+ORACLES["k_partitioned_sink"] = """
+WITH d AS (
+  SELECT event_id, CAST(ts AS DATE) AS day,
+         CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+              THEN value + 100.0 ELSE value END AS value
+  FROM events
+),
+nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_day_dirs FROM d)
+SELECT day, count(*) AS n,
+       CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS value_micros,
+       (SELECT n_day_dirs FROM nd) AS n_day_dirs
+FROM d GROUP BY day
+"""

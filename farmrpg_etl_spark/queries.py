@@ -4671,6 +4671,51 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style date-partitioned parquet sink with DYNAMIC partition
+    overwrite — the layout a 100 TB event table actually uses
+    (partition pruning on the date key; backfills rewrite ONE day
+    without touching the others). Seed every day, then rewrite day
+    2024-01-05 with values +100 under
+    ``partitionOverwriteMode=dynamic``: untouched partitions must
+    survive and the rewritten day must be REPLACED, not appended —
+    exactly what the oracle recomputes from raw events. Output =
+    per-day (n, value_micros) of the final table state."""
+    import os as _os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("day"), "value"
+    )
+    path = _sink_scratch("kpart")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    upd = ev.filter(F.col("day") == F.lit("2024-01-05").cast("date")).select(
+        "event_id", "day", (F.col("value") + F.lit(100.0)).alias("value")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        upd.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # prove the non-target partitions were not rewritten: directory
+    # count equals day count (no orphaned temporary dirs)
+    n_dirs = len(
+        [d for d in _os.listdir(path) if d.startswith("day=")]
+    )
+    out = (
+        spark.read.parquet(path)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+            ).cast("long").alias("value_micros"),
+        )
+        .withColumn("n_day_dirs", F.lit(n_dirs).cast("long"))
+    )
+    return out
+
+
 def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly resample per event type with zero-filled counts
     and forward-filled value totals — holes in a metrics series break
@@ -5032,6 +5077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions_events": event_transitions_events,
     "linear_attribution_events": linear_attribution_events,
     "gap_fill_events": gap_fill_events,
+    "k_partitioned_sink": k_partitioned_sink,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -5061,12 +5107,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
     # dedup/similarity/BPE/multimodal families, and the r5 first-timers
     # that cleared their first driver check.
-    "chat_pipeline_e2e": chat_pipeline_e2e,
     "flags_pipeline_e2e": flags_pipeline_e2e,
     "user_pipeline_e2e": user_pipeline_e2e,
     "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "chat_pipeline_e2e": chat_pipeline_e2e,
     "parse_message_roundtrip": parse_message_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
     "parse_chat_roundtrip": parse_chat_roundtrip,

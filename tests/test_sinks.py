@@ -428,3 +428,40 @@ def test_scd2_upsert_versions_and_noop(spark, tmp_path):
         (2, ts(1)): ("x", ts(6)),
         (2, ts(6)): ("y", None),
     }
+
+
+def test_dynamic_partition_overwrite_touches_only_target(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: rewriting one day's partition
+    must leave the other partitions' FILES untouched (not merely
+    content-equal — the backfill contract at 100 TB is that 1/N of
+    the table is rewritten, not all of it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "id long, day string, v double",
+    )
+    df.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    def files(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before_b = files("b")
+    upd = spark.createDataFrame([(9, "a", 100.0)], "id long, day string, v double")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        upd.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert files("b") == before_b  # same files, same mtimes
+    back = spark.read.parquet(path)
+    rows = {(r.id, r.day) for r in back.collect()}
+    assert rows == {(9, "a"), (3, "b")}  # day=a replaced, not appended
