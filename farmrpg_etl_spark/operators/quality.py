@@ -341,11 +341,13 @@ def char_entropy(
     Shapes: explode to (id, char) — a bounded-cardinality second key —
     then two partial-aggregated shuffles ((id, char) counts, per-id
     sum). Each entropy term ``-p·ln(p)`` is floor-quantized to micros
-    and summed exactly in decimal, so the per-doc result is
-    order-independent and oracle-exact (the langmodel discipline).
+    and summed as exact INTEGER micros — the output stays an integer
+    (``entropy_micros``), never a rounded double: a round-to-4 of the
+    sum sat exactly on .00005 boundaries for ~1/1000 documents, where
+    Spark's decimal-string HALF_UP and DuckDB's binary-multiply round
+    disagree (found at sf0.1; integer output removes the boundary
+    entirely).
     """
-    from farmrpg_etl_spark.queries import _dec_sum
-
     chars = df.select(
         F.col(id_col),
         F.col(text_col).alias("__t"),
@@ -366,14 +368,14 @@ def char_entropy(
         F.count(F.lit(1)).alias("__cnt")
     )
     p = F.col("__cnt").cast("double") / F.col("__n").cast("double")
-    q = F.floor(-(p * F.log(p)) * F.lit(1000000.0)) / F.lit(1000000.0)
+    qm = F.floor(-(p * F.log(p)) * F.lit(1000000.0)).cast("long")
     ent = counts.groupBy(id_col).agg(
         F.max("__n").cast("long").alias("n_chars"),
-        F.round(_dec_sum(q).cast("double"), 4).alias("entropy"),
+        F.sum(qm).cast("long").alias("entropy_micros"),
     )
     base = df.select(F.col(id_col))
     return base.join(ent, id_col, "left").select(
         id_col,
         F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
-        F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        F.coalesce("entropy_micros", F.lit(0)).alias("entropy_micros"),
     )

@@ -4535,18 +4535,18 @@ ch AS (
 cnt AS (SELECT doc_id, n, c, count(*) AS cc FROM ch GROUP BY doc_id, n, c),
 terms AS (
   SELECT doc_id, n,
-    floor(-((CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
+    CAST(floor(-((CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
             * ln(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0)
-      / 1000000.0 AS q
+      AS BIGINT) AS qm
   FROM cnt
 ),
 s AS (
   SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
-         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE), 4) AS entropy
+         CAST(SUM(qm) AS BIGINT) AS entropy_micros
   FROM terms GROUP BY doc_id
 )
 SELECT dd.doc_id, coalesce(s.n_chars, 0) AS n_chars,
-       coalesce(s.entropy, 0.0) AS entropy
+       coalesce(s.entropy_micros, 0) AS entropy_micros
 FROM documents dd LEFT JOIN s USING (doc_id)
 """
 

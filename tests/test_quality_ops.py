@@ -160,9 +160,9 @@ class TestCharEntropy:
         )
         out = {r.doc_id: r for r in char_entropy(df, "text", "doc_id").collect()}
         # uniform single char: entropy 0 (p=1, -1*ln(1)=0)
-        assert out[1].n_chars == 4 and out[1].entropy == 0.0
+        assert out[1].n_chars == 4 and out[1].entropy_micros == 0
         # two distinct chars: H = ln 2, via two quantized 0.5*ln2 terms
-        q = floor(-(0.5 * log(0.5)) * 1e6) / 1e6
-        assert out[2].entropy == round(q + q, 4)
-        # empty doc: (0, 0.0), not dropped
-        assert out[3].n_chars == 0 and out[3].entropy == 0.0
+        qm = floor(-(0.5 * log(0.5)) * 1e6)
+        assert out[2].entropy_micros == 2 * qm
+        # empty doc: (0, 0), not dropped
+        assert out[3].n_chars == 0 and out[3].entropy_micros == 0
