@@ -1,0 +1,31 @@
+"""Registry invariants the driver contract depends on."""
+
+import re
+
+import farmrpg_etl_spark.oracles as O
+import farmrpg_etl_spark.queries as Q
+
+
+def test_prefix_is_exactly_50():
+    """The driver verifies exactly the FIRST 50 registry entries; a
+    registry edit that silently displaces rows past the marker (the
+    r5 incident: 52 rows above the cut, two rows never checked) must
+    fail loudly here instead."""
+    src = open(Q.__file__).read()
+    head = src.split("QUERIES:")[1].partition("# --- end of 50-entry prefix")[0]
+    names = re.findall(r'^    "([a-z0-9_]+)":', head, re.M)
+    assert len(names) == 50, f"prefix has {len(names)} rows, driver checks 50"
+    # the prefix names must be real, distinct registry entries
+    assert len(set(names)) == 50
+    for n in names:
+        assert n in Q.QUERIES, n
+
+
+def test_every_query_has_an_oracle():
+    missing = [k for k in Q.QUERIES if k not in O.ORACLES]
+    assert missing == [], missing
+
+
+def test_no_orphan_oracles():
+    orphans = [k for k in O.ORACLES if k not in Q.QUERIES]
+    assert orphans == [], orphans
