@@ -4645,3 +4645,37 @@ SELECT day, count(*) AS n,
        (SELECT n_day_dirs FROM nd) AS n_day_dirs
 FROM d GROUP BY day
 """
+
+# Record linkage: blocked fuzzy pairs (levenshtein <= 2 inside phone-
+# tail blocks) -> recursive transitive closure, cluster = min id.
+ORACLES["record_linkage_customer"] = """
+WITH RECURSIVE r0 AS (
+  SELECT c_custkey,
+         c_name || ' '
+           || substr(md5('ph|' || CAST(c_custkey AS VARCHAR)), 1, 8) AS rec
+  FROM customer
+),
+base AS (SELECT c_custkey AS id, rec FROM r0),
+var AS (
+  SELECT c_custkey + 1000000 AS id,
+         substr(rec, 1, 8) || substr(rec, 10) AS rec
+  FROM r0 WHERE c_custkey % 5 = 0
+),
+recs AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+blocked AS (SELECT id, rec, right(rec, 4) AS blk FROM recs),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+  WHERE levenshtein(a.rec, b.rec) <= 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""

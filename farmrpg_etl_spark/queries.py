@@ -4671,6 +4671,43 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def record_linkage_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: every 5th customer record
+    re-arrives as a typo'd variant (one character deleted from the
+    name part; id offset +1,000,000), records are blocked on the
+    tail of a synthetic md5-derived phone field (unchanged by the
+    typo — true pairs always share a block, while distinct customers
+    differ across the whole phone string so edit distance keeps them
+    apart), verified with exact Levenshtein ≤ 2, and clustered by
+    min-label transitive closure.
+    Output: (id, cluster_id) for every linked record — each variant
+    must resolve to its original as the canonical id."""
+    from farmrpg_etl_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+        resolve_entities,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    phone = F.substring(
+        F.md5(F.concat(F.lit("ph|"), F.col("c_custkey").cast("string"))), 1, 8
+    )
+    rec = F.concat(F.col("c_name"), F.lit(" "), phone)
+    base = cust.select(F.col("c_custkey").alias("id"), rec.alias("rec"))
+    variant = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("id"),
+        F.concat(
+            F.substring(rec, 1, 8),
+            F.substring(rec, 10, 1_000_000),
+            F.lit(""),
+        ).alias("rec"),
+    )
+    records = base.unionByName(variant)
+    pairs = blocked_fuzzy_pairs(
+        records, "rec", "id", F.expr("right(rec, 4)"), max_distance=2
+    )
+    return resolve_entities(pairs)
+
+
 def k_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style date-partitioned parquet sink with DYNAMIC partition
     overwrite — the layout a 100 TB event table actually uses
@@ -5078,6 +5115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linear_attribution_events": linear_attribution_events,
     "gap_fill_events": gap_fill_events,
     "k_partitioned_sink": k_partitioned_sink,
+    "record_linkage_customer": record_linkage_customer,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -5107,11 +5145,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
     # dedup/similarity/BPE/multimodal families, and the r5 first-timers
     # that cleared their first driver check.
-    "flags_pipeline_e2e": flags_pipeline_e2e,
     "user_pipeline_e2e": user_pipeline_e2e,
     "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "flags_pipeline_e2e": flags_pipeline_e2e,
     "chat_pipeline_e2e": chat_pipeline_e2e,
     "parse_message_roundtrip": parse_message_roundtrip,
     "parse_flags_roundtrip": parse_flags_roundtrip,
