@@ -203,6 +203,8 @@ def main() -> None:
         "event_transitions_events",
         "linear_attribution_events",
         "gap_fill_events",
+        "k_partitioned_sink",
+        "record_linkage_customer",
     ]:
         run(name)
         steady = []
