@@ -474,6 +474,16 @@ def main() -> None:
 
             return _Q["pagerank_docs"](spark, stretch_dir)
 
+        def stretch_linkage():
+            # entity resolution at 10× customers: block sizes stay
+            # bounded (md5-tail blocks), the Levenshtein verify is
+            # per-block quadratic but block-capped, and the closure
+            # rounds are O(star diameter)=1 — time should track the
+            # blocked-pair count, not customers².
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["record_linkage_customer"](spark, stretch_dir)
+
         def stretch_ann(impl):
             # A/B of the two ann_topk_bruteforce impls at 10× corpus —
             # the scale regime where the arrow prune+rescore kernel is
@@ -504,6 +514,7 @@ def main() -> None:
             ("line_dedup_10x", stretch_line_dedup),
             ("funnel_10x", stretch_funnel),
             ("pagerank_10x", stretch_pagerank),
+            ("record_linkage_10x", stretch_linkage),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:
