@@ -4679,3 +4679,27 @@ reach(a, b) AS (
 )
 SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a
 """
+
+# Exact per-type 1%/99% winsorization under (value, event_id) order.
+ORACLES["winsorize_events"] = """
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value ASC, event_id ASC
+         ) AS rn
+  FROM events
+),
+counts AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+bounds AS (
+  SELECT r.event_type, min(value) AS lo, max(value) AS hi
+  FROM ranked r JOIN counts c ON r.event_type = c.event_type
+  WHERE r.rn = CAST(floor(n * 0.01) + 1 AS INTEGER)
+     OR r.rn = CAST(n - floor(n * 0.01) AS INTEGER)
+  GROUP BY r.event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST(floor(e.value * 1000000.0) AS BIGINT) AS value_micros,
+       CAST(floor(least(greatest(e.value, b.lo), b.hi) * 1000000.0)
+            AS BIGINT) AS clipped_micros
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+"""

@@ -4671,6 +4671,46 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization (1st/99th-percentile clipping) — the
+    robust-statistics preprocessing step before any mean-based metric.
+    EXACT percentile semantics: the k-th smallest value under the
+    deterministic (value, event_id) order, k = floor(0.01·n)+1 and
+    n−floor(0.01·n) — this row pins exactness; the histogram-sketch
+    quantile row is the approximate production path at 100 TB (an
+    exact per-type rank needs the per-type sort this window pays).
+    Output: per event, the raw and clipped value in micros."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    k_lo = (F.floor(F.col("n") * F.lit(0.01)) + 1).cast("int")
+    k_hi = (F.col("n") - F.floor(F.col("n") * F.lit(0.01))).cast("int")
+    bounds = (
+        ranked.join(counts, "event_type")
+        .filter((F.col("rn") == k_lo) | (F.col("rn") == k_hi))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias(
+            "value_micros"
+        ),
+        F.floor(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+            * F.lit(1000000.0)
+        ).cast("long").alias("clipped_micros"),
+    )
+
+
 def record_linkage_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end: every 5th customer record
     re-arrives as a typo'd variant (one character deleted from the
@@ -5116,6 +5156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill_events": gap_fill_events,
     "k_partitioned_sink": k_partitioned_sink,
     "record_linkage_customer": record_linkage_customer,
+    "winsorize_events": winsorize_events,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -5145,10 +5186,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
     # dedup/similarity/BPE/multimodal families, and the r5 first-timers
     # that cleared their first driver check.
-    "user_pipeline_e2e": user_pipeline_e2e,
     "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "user_pipeline_e2e": user_pipeline_e2e,
     "flags_pipeline_e2e": flags_pipeline_e2e,
     "chat_pipeline_e2e": chat_pipeline_e2e,
     "parse_message_roundtrip": parse_message_roundtrip,
