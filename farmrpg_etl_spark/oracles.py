@@ -4703,3 +4703,39 @@ SELECT e.event_id, e.event_type,
             AS BIGINT) AS clipped_micros
 FROM events e JOIN bounds b ON e.event_type = b.event_type
 """
+
+# One-scan DQ suite: three conditional counts + a distinct-count fold.
+ORACLES["dq_checks_events"] = """
+WITH n AS (SELECT count(*) AS n_checked FROM events)
+SELECT 'nonnull_value' AS check, n_checked,
+       (SELECT CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events) AS n_violations
+FROM n
+UNION ALL
+SELECT 'value_le_100', n_checked,
+       (SELECT CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events)
+FROM n
+UNION ALL
+SELECT 'ts_in_window', n_checked,
+       (SELECT CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                              OR ts >= TIMESTAMP '2024-02-01'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events)
+FROM n
+UNION ALL
+SELECT 'unique_event_id', n_checked,
+       (SELECT CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+        FROM events)
+FROM n
+"""
+
+# Orphan orders after a simulated corrupted dimension load.
+ORACLES["dq_orphan_orders"] = """
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 97 <> 0
+)
+"""

@@ -4671,6 +4671,51 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/dbt-test-style data-quality suite over the event log in
+    ONE scan (Catalyst fuses the conditional sums): null check, range
+    check, timestamp-window check, and key-uniqueness (distinct-count
+    fold). Output (check, n_checked, n_violations) — a mix of zero
+    and non-zero rows so the checks are demonstrably live."""
+    from farmrpg_etl_spark.operators.dq import check_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    base = check_counts(
+        ev,
+        {
+            "nonnull_value": F.col("value").isNull(),
+            "value_le_100": F.col("value") > F.lit(100.0),
+            "ts_in_window": (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")),
+        },
+    )
+    uniq = ev.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("long")
+        .alias("n_violations"),
+    ).select(
+        F.lit("unique_event_id").alias("check"), "n_checked", "n_violations"
+    )
+    return base.unionByName(uniq)
+
+
+def dq_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity check as the ORPHAN SET (quarantine
+    channel, not just a count): customers ≡ 0 (mod 97) are dropped
+    from the dimension to simulate a corrupted load, and every order
+    referencing one must surface. Broadcast anti-join on the FK."""
+    from farmrpg_etl_spark.operators.dq import fk_violations
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 97 != 0
+    )
+    return fk_violations(orders, dim, "o_custkey", "c_custkey")
+
+
 def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization (1st/99th-percentile clipping) — the
     robust-statistics preprocessing step before any mean-based metric.
@@ -5157,6 +5202,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_partitioned_sink": k_partitioned_sink,
     "record_linkage_customer": record_linkage_customer,
     "winsorize_events": winsorize_events,
+    "dq_checks_events": dq_checks_events,
+    "dq_orphan_orders": dq_orphan_orders,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -5181,14 +5228,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_quota_sample_embeddings": cluster_quota_sample_embeddings,
     "cut_span_pipeline_docs": cut_span_pipeline_docs,
     "k_scd2_sink": k_scd2_sink,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
     # Back-fill: high-value anchors re-verified each round — the
     # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
     # dedup/similarity/BPE/multimodal families, and the r5 first-timers
     # that cleared their first driver check.
-    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
     "user_pipeline_e2e": user_pipeline_e2e,
     "flags_pipeline_e2e": flags_pipeline_e2e,
     "chat_pipeline_e2e": chat_pipeline_e2e,
