@@ -34,3 +34,21 @@ def test_check_counts_one_scan_many_checks(spark):
         },
     ).collect()}
     assert out == {"nonnull_v": (3, 1), "v_le_100": (3, 1)}
+
+
+def test_check_counts_is_one_scan(spark):
+    """The suite's value is fusion: N checks must not become N scans."""
+    from farmrpg_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = check_counts(
+        ev,
+        {
+            "a": F.col("value").isNull(),
+            "b": F.col("value") > 100.0,
+            "c": F.col("event_type") == "error",
+        },
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, plan
