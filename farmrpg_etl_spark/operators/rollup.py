@@ -306,3 +306,40 @@ def gap_fill_hourly(
             "value_ffill_micros",
         )
     )
+
+
+def zscore_anomalies(
+    hourly: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value_micros",
+    threshold: int = 3,
+) -> DataFrame:
+    """Z-score anomaly flags over a (dense) per-key hourly series —
+    the alerting step after :func:`gap_fill_hourly`. The test
+    ``|v − μ| ≥ t·σ`` is evaluated as the EXACT integer inequality
+    ``(n·v − Σv)² ≥ t²·(n·Σv² − (Σv)²)`` over decimal(38) arithmetic
+    (population variance, cleared of the n² denominator), so no
+    floating-point stddev enters — Spark's and an oracle engine's
+    stddev kernels sum in different orders and can differ in the last
+    ulp, while integer sums cannot. Two partial-agg shuffles: per-key
+    moments, then a broadcast join-back of the (keys-sized) moment
+    table."""
+    v = F.col(value_col).cast("decimal(38,0)")
+    moments = hourly.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(v).alias("__s1"),
+        F.sum(v * v).alias("__s2"),
+    )
+    lhs_root = F.col("__n") * v - F.col("__s1")
+    rhs = (
+        F.lit(threshold * threshold).cast("decimal(38,0)")
+        * (F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+    )
+    return hourly.join(F.broadcast(moments), key_col).select(
+        key_col,
+        "hour",
+        value_col,
+        F.when(lhs_root * lhs_root >= rhs, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_anomaly"),
+    )

@@ -4739,3 +4739,38 @@ WHERE NOT EXISTS (
   WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 97 <> 0
 )
 """
+
+# Exact-integer z-score anomaly flags over the gap-filled hourly grid.
+ORACLES["anomaly_hours_events"] = """
+WITH per AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sm
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT k.key, g.hour
+  FROM (SELECT DISTINCT event_type AS key FROM events) k,
+       span,
+       unnest(generate_series(span.h0, span.h1, INTERVAL 1 HOUR)) AS g(hour)
+),
+g AS (
+  SELECT grid.key, grid.hour, coalesce(per.sm, 0) AS vm
+  FROM grid LEFT JOIN per ON grid.key = per.key AND grid.hour = per.hour
+),
+m AS (
+  SELECT key, CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(vm AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT)) AS HUGEINT) AS s2
+  FROM g GROUP BY key
+)
+SELECT g.key AS event_type, g.hour, g.vm AS value_micros,
+       CAST(CASE WHEN (m.n * CAST(g.vm AS HUGEINT) - m.s1)
+                      * (m.n * CAST(g.vm AS HUGEINT) - m.s1)
+                  >= 9 * (m.n * m.s2 - m.s1 * m.s1)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM g JOIN m ON g.key = m.key
+"""

@@ -4671,6 +4671,21 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anomaly_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection over the gap-filled hourly series —
+    the alerting composition (resample → moments → flag). The |v−μ| ≥
+    3σ test runs as an exact integer inequality over decimal(38)
+    sums, so no engine's floating-point stddev kernel enters the
+    result (see ``rollup.zscore_anomalies``)."""
+    from farmrpg_etl_spark.operators.rollup import (
+        gap_fill_hourly,
+        zscore_anomalies,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_anomalies(gap_fill_hourly(ev))
+
+
 def dq_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ/dbt-test-style data-quality suite over the event log in
     ONE scan (Catalyst fuses the conditional sums): null check, range
@@ -5204,12 +5219,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_events": winsorize_events,
     "dq_checks_events": dq_checks_events,
     "dq_orphan_orders": dq_orphan_orders,
+    "anomaly_hours_events": anomaly_hours_events,
     # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_quantized": ann_topk_quantized,
     "embedding_centroids": embedding_centroids,
-    "resize_media_docs": resize_media_docs,
     "embed_media_docs": embed_media_docs,
     "training_data_pipeline_v2": training_data_pipeline_v2,
     "cut_dup_span_fixpoint_docs": cut_dup_span_fixpoint_docs,
@@ -5234,6 +5249,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # that cleared their first driver check.
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "resize_media_docs": resize_media_docs,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
     "user_pipeline_e2e": user_pipeline_e2e,

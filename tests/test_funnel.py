@@ -171,3 +171,20 @@ def test_gap_fill_hourly_dense_grid_and_ffill(spark):
     # 'b' before its first event: ffill floor 0
     assert out[("b", 0)].value_ffill_micros == 0
     assert out[("b", 1)].value_micros == 10_000_000
+
+
+def test_zscore_anomalies_exact_integer_flagging(spark):
+    from farmrpg_etl_spark.operators.rollup import zscore_anomalies
+
+    # 9 quiet hours at 10 micros, one spike at 1000:
+    # mean=109, var=(n*s2-s1^2)/n^2 -> spike is way past 3 sigma,
+    # quiet hours are not.
+    rows = [("a", dt.datetime(2024, 1, 1, h), 10) for h in range(9)]
+    rows.append(("a", dt.datetime(2024, 1, 1, 9), 1000))
+    hourly = spark.createDataFrame(
+        rows, "event_type string, hour timestamp, value_micros long"
+    )
+    out = {r.hour.hour: r.is_anomaly for r in
+           zscore_anomalies(hourly).collect()}
+    assert out[9] == 1
+    assert all(out[h] == 0 for h in range(9))
