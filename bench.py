@@ -205,6 +205,10 @@ def main() -> None:
         "gap_fill_events",
         "k_partitioned_sink",
         "record_linkage_customer",
+        "winsorize_events",
+        "dq_checks_events",
+        "dq_orphan_orders",
+        "anomaly_hours_events",
     ]:
         run(name)
         steady = []
