@@ -82,9 +82,14 @@ def funnel_summary(funnel_df: DataFrame, n_steps: int) -> DataFrame:
     that step. One tiny aggregation over the users-sized frame."""
     counts = funnel_df.agg(
         *[
-            F.sum(
-                F.when(F.col("steps_completed") >= k, 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("steps_completed") >= k, 1).otherwise(0)
+                ),
+                F.lit(0),
             ).cast("long").alias(f"s{k}")
+            # coalesce: an EMPTY funnel (nobody entered) must report
+            # zeros, not NULL sums (hypothesis-found edge)
             for k in range(1, n_steps + 1)
         ]
     )

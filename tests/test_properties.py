@@ -527,3 +527,86 @@ def test_version_changes_matches_naive_diff(sp, a, b, tmp_path_factory):
             want[("update_preimage", k)] = float(da[k])
             want[("update_postimage", k)] = float(db[k])
     assert got == want
+
+
+# --- r9 operator properties ----------------------------------------------
+
+WORD = st.text(alphabet="abcd", min_size=1, max_size=4)
+LINE_DOCS = st.lists(
+    st.tuples(st.integers(0, 50), st.lists(WORD, min_size=0, max_size=6)),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=LINE_DOCS)
+@SETTINGS
+def test_line_dedup_identity_when_threshold_unreachable(sp, docs):
+    """With min_count above any possible corpus frequency, every
+    document round-trips byte-identically (split/reassemble is
+    lossless, including empty lines)."""
+    from farmrpg_etl_spark.operators.linededup import remove_frequent_lines
+
+    rows = [(i, "\n".join(ws)) for i, ws in docs]
+    df = sp.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text_out for r in
+           remove_frequent_lines(df, "text", "doc_id", min_count=10**6)
+           .collect()}
+    assert out == dict(rows)
+
+
+@given(docs=LINE_DOCS)
+@SETTINGS
+def test_line_dedup_census_consistency(sp, docs):
+    """n_kept <= n_lines always; a line survives iff its corpus
+    frequency is below the threshold (checked via a python oracle)."""
+    from collections import Counter
+
+    from farmrpg_etl_spark.operators.linededup import remove_frequent_lines
+
+    rows = [(i, "\n".join(ws)) for i, ws in docs]
+    freq = Counter(l for _, t in rows for l in t.split("\n"))
+    df = sp.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_frequent_lines(df, "text", "doc_id", min_count=2)
+           .collect()}
+    for i, t in rows:
+        lines = t.split("\n")
+        kept = [l for l in lines if freq[l] < 2]
+        assert out[i].n_lines == len(lines)
+        assert out[i].n_kept == len(kept)
+        assert out[i].text_out == "\n".join(kept)
+
+
+EVENT_SETS = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # user
+        st.integers(0, 48),                   # hour offset
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=EVENT_SETS)
+@SETTINGS
+def test_funnel_counts_are_monotone(sp, evs):
+    """Completing step k+1 requires completing step k, so the summary
+    counts must be non-increasing for every random event set."""
+    import datetime as dt
+
+    from farmrpg_etl_spark.operators.funnel import funnel, funnel_summary
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), u, t)
+        for i, (u, h, t) in enumerate(evs)
+    ]
+    df = sp.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    counts = {r.step: r.n_users for r in
+              funnel_summary(funnel(df, ["view", "click", "purchase"]), 3)
+              .collect()}
+    assert counts[1] >= counts[2] >= counts[3]
