@@ -610,3 +610,79 @@ def test_funnel_counts_are_monotone(sp, evs):
               funnel_summary(funnel(df, ["view", "click", "purchase"]), 3)
               .collect()}
     assert counts[1] >= counts[2] >= counts[3]
+
+
+GRAPHS = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),  # directed edges
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=GRAPHS)
+@SETTINGS
+def test_pagerank_mass_conservation_and_floor(sp, edges):
+    """For any graph where every NODE has out-degree >= 1 (we add a
+    self-loop to sinks), total rank stays ~1 (quantization only
+    floors: deficit < nodes*rounds*1e-6) and every rank is at least
+    the teleport floor."""
+    from farmrpg_etl_spark.operators.graph import DAMPING, pagerank
+
+    nodes = sorted({n for e in edges for n in e})
+    srcs = {a for a, _ in edges}
+    full = list(edges) + [(n, n) for n in nodes if n not in srcs]
+    ndf = sp.createDataFrame([(n,) for n in nodes], "id long")
+    edf = sp.createDataFrame(full, "src long, dst long")
+    n_iter = 3
+    ranks = [r.rank for r in pagerank(ndf, edf, n_iter=n_iter).collect()]
+    n = len(nodes)
+    floor = (1 - DAMPING) / n
+    assert all(r >= floor - 1e-12 for r in ranks)
+    total = sum(ranks)
+    assert total <= 1.0 + 1e-9
+    assert total >= 1.0 - n * n_iter * 3e-6
+
+
+ATTR_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 2),                        # user
+        st.integers(0, 72),                       # hour
+        st.sampled_from(["click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(evs=ATTR_EVENTS)
+@SETTINGS
+def test_linear_attribution_conserves_credit(sp, evs):
+    """Each conversion with >= 1 in-window touch distributes exactly
+    ~1 unit of credit (floor-quantized: deficit < n_touches micro),
+    and total credit never exceeds the attributable conversions."""
+    import datetime as dt
+
+    from farmrpg_etl_spark.operators.funnel import linear_attribution
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), u, t)
+        for i, (u, h, t) in enumerate(evs)
+    ]
+    df = sp.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = linear_attribution(df).collect()
+    total_credit = sum(r.credit for r in out)
+    # python oracle: conversions that have at least one in-window touch
+    convs = [(u, ts) for _, ts, u, t in rows if t == "purchase"]
+    touches = [(u, ts) for _, ts, u, t in rows if t == "click"]
+    attributable = sum(
+        1
+        for cu, cts in convs
+        if any(
+            tu == cu and tts < cts and tts > cts - dt.timedelta(hours=24)
+            for tu, tts in touches
+        )
+    )
+    assert total_credit <= attributable + 1e-9
+    assert total_credit >= attributable - attributable * 25e-6
