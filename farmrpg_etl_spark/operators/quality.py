@@ -330,6 +330,90 @@ def bloom_prune_contamination(
     )
 
 
+def bloom_bitmap_prune_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """``bloom_prune_contamination`` with the probe side taken to its
+    100 TB endpoint: instead of joining train grams against a relation
+    of set bit POSITIONS (k chained broadcast left-semi joins), the
+    whole Bloom bit set is packed into a single ``array<bigint>``
+    literal of exactly ``BLOOM_M / 64`` words (m = 2^18 bits → 4096
+    longs → 32 KiB) that ships inside the serialized plan to every
+    task. The probe is then PURE whole-stage-codegen column math —
+    ``element_at`` + ``shiftright`` + ``& 1`` per hash — with ZERO
+    joins until the exact verification of survivors. Semantics are
+    bit-identical to the position-set form (membership in the same
+    position set), so the two rows share one oracle and the output
+    must hash-match ``bloom_decontaminate_docs``.
+
+    Scale: the bitmap is FIXED-SIZE regardless of eval-set size — a
+    billion eval grams still broadcast as 32 KiB (vs. a positions
+    relation that grows toward min(3·|grams|, m) rows) — and the probe
+    cost per train gram is 3 array loads instead of 3 hash-join
+    probes. The one driver-side step, collecting ≤ 4096 (word, mask)
+    rows to build the literal, is the same bounded-scalar contract as
+    the k-means centroid collect (a fixed 32 KiB independent of data
+    scale). Reference parity: models the eval-decontamination pass of
+    quality.py's n-gram overlap checks at the scale the reference
+    never reaches (its corpus fits in one process)."""
+    tgrams = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "gram"
+        ),
+    )
+    egrams = (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    words = (
+        egrams.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("gram"), i) for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .selectExpr(
+            "CAST(pos DIV 64 AS INT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS m",
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    arr = [0] * (BLOOM_M // 64)
+    for r in words.collect():  # bounded: ≤ BLOOM_M/64 = 4096 longs, 32 KiB
+        arr[r["w"]] = r["mask"]
+    cand = tgrams.select(
+        id_col,
+        "gram",
+        *[_bloom_pos(F.col("gram"), i).alias(f"__p{i}") for i in range(BLOOM_K)],
+    ).withColumn("__bm", F.lit(arr))
+    for i in range(BLOOM_K):
+        cand = cand.filter(
+            F.expr(
+                f"(shiftright(element_at(__bm, CAST(__p{i} DIV 64 AS INT) + 1),"
+                f" CAST(__p{i} % 64 AS INT)) & 1) = 1"
+            )
+        )
+    marked = cand.select(id_col, "gram").join(
+        F.broadcast(egrams.select("gram", F.lit(True).alias("__e"))),
+        "gram",
+        "left",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_cand_grams"),
+        F.count("__e").alias("n_contaminated_ngrams"),
+    )
+
+
 def char_entropy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

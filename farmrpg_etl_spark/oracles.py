@@ -4398,6 +4398,13 @@ FROM nlls
 WHERE nll <= 3.47
 """
 
+# The bitmap-literal Bloom probe is semantically identical to the
+# position-set form (membership in the same k-position set), so the
+# two rows share one oracle text and must hash-match each other.
+ORACLES["bloom_bitmap_decontaminate_docs"] = ORACLES[
+    "bloom_decontaminate_docs"
+]
+
 # Domain-level curation aggregates over the same synthetic URLs and
 # quality-logit features as their standalone rows.
 ORACLES["domain_stats_docs"] = f"""

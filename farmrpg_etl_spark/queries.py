@@ -5146,6 +5146,24 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_bitmap_decontaminate_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Bloom prune with the bit set packed into a 32 KiB
+    ``array<bigint>`` plan literal — probe is pure codegen column
+    math, zero joins before the exact verify. Same split and same
+    semantics as ``bloom_decontaminate_docs`` (one shared oracle);
+    the r9 SCALE.md postscript predicted this form should beat both
+    the semi-chain and the plain string-broadcast join, and this row
+    is the measurement."""
+    from farmrpg_etl_spark.operators import quality
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality.bloom_bitmap_prune_contamination(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250), n=13
+    )
+
+
 def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r9 curation stages composed into the corpus build — the
     RefinedWeb/CCNet recipe order: line-level boilerplate removal →
@@ -5249,6 +5267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # that cleared their first driver check.
     # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
+    "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
     "resize_media_docs": resize_media_docs,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "mailbox_pipeline_e2e": mailbox_pipeline_e2e,

@@ -149,6 +149,46 @@ class TestBloomPruneContamination:
             assert r.n_cand_grams >= r.n_contaminated_ngrams
 
 
+class TestBloomBitmapPruneContamination:
+    def test_bitmap_form_identical_to_position_form(self, spark):
+        from farmrpg_etl_spark.operators.quality import (
+            bloom_bitmap_prune_contamination,
+            bloom_prune_contamination,
+        )
+
+        base = "one two three four five six seven eight nine ten eleven twelve thirteen"
+        rows = [
+            (1, base + " shared tail of the corpus document body"),
+            (2, base + " entirely different continuation text here now"),
+            (3, "no overlap with anything at all in this one "
+                "padded out to reach thirteen tokens total yes"),
+        ]
+        evr = [(100, base + " shared tail of the corpus document body")]
+        train = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame(evr, "doc_id long, text string")
+        pos = sorted(map(tuple, bloom_prune_contamination(train, ev, n=13).collect()))
+        bmp = sorted(map(tuple, bloom_bitmap_prune_contamination(train, ev, n=13).collect()))
+        # membership in the same bit-position set → row-identical output
+        assert bmp == pos
+
+    def test_probe_plan_has_no_join_before_exact_verify(self, spark):
+        from farmrpg_etl_spark.operators.quality import (
+            bloom_bitmap_prune_contamination,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l m n")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(
+            [(2, "a b c d e f g h i j k l m n")], "doc_id long, text string"
+        )
+        out = bloom_bitmap_prune_contamination(train, ev, n=13)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # exactly ONE join in the whole plan: the exact verification of
+        # probe survivors. The probe itself is a literal-array filter.
+        assert plan.count("Join") == 1, plan
+
+
 class TestCharEntropy:
     def test_hand_computed_entropy(self, spark):
         from math import floor, log
