@@ -4141,6 +4141,24 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM events
 """
 
+# Schema evolution: even ids inserted pre-evolve carry the -1
+# backfill default; odd ids post-evolve carry real micros. Version
+# pinned by the commit protocol (insert=v0, evolve=v1, insert=v2).
+ORACLES["k_schema_evolve_sink"] = """
+WITH t AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN CAST(-1 AS BIGINT)
+              ELSE CAST(floor(value * 1000000.0) AS BIGINT)
+         END AS value_micros
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN value_micros = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_backfilled,
+       CAST(SUM(value_micros) AS BIGINT) AS micros_sum,
+       CAST(2 AS BIGINT) AS version
+FROM t
+"""
+
 # dropDuplicatesWithinWatermark over unique event ids == distinct set.
 ORACLES["streaming_dedup_watermark_events"] = """
 SELECT event_id, user_id, event_type FROM events

@@ -5027,6 +5027,48 @@ def k_compact_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_schema_evolve_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema migration (``ParquetTable.evolve``), the
+    engine-side alembic revision (reference migrations/versions/
+    a3542154dbaa_firebase_uid_is_optional.py:21-24): v1 rows (even
+    event ids, narrow schema) are inserted, the table evolves to add
+    ``value_micros`` with a ``-1`` backfill default, then v2 rows (odd
+    ids, carrying real micros) merge through the SAME writer — one
+    read at the end sees both generations through one schema. Output
+    pins row coverage, the backfilled-vs-real split, the exact micros
+    sum, and the version counter fixed by the commit protocol
+    (insert=v0, evolve=v1, insert=v2)."""
+    from farmrpg_etl_spark.sinks import writers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("kevolve"))
+    writers.insert_if_absent(
+        t,
+        ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type"),
+        ["event_id"],
+        batch_id=0,
+    )
+    t.evolve({"value_micros": ("long", -1)})
+    v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0))
+        .cast("long")
+        .alias("value_micros"),
+    )
+    writers.insert_if_absent(t, v2, ["event_id"], batch_id=1)
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("value_micros") == -1).cast("long"))
+        .cast("long")
+        .alias("n_backfilled"),
+        F.sum("value_micros").cast("long").alias("micros_sum"),
+        F.lit(t.current_version()).cast("long").alias("version"),
+    )
+
+
 def streaming_dedup_watermark_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5219,6 +5261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize_docs": url_canonicalize_docs,
     "quality_logit_docs": quality_logit_docs,
     "k_compact_sink": k_compact_sink,
+    "k_schema_evolve_sink": k_schema_evolve_sink,
     "streaming_dedup_watermark_events": streaming_dedup_watermark_events,
     "funnel_events": funnel_events,
     "funnel_summary_events": funnel_summary_events,

@@ -114,6 +114,44 @@ class ParquetTable:
             out = out.sortWithinPartitions(*sort_by)
         self._commit(out, None)
 
+    def evolve(self, added: dict[str, tuple[str, object]]) -> None:
+        """Additive schema migration under the same atomic pointer
+        swap — the engine-side answer to the reference's alembic
+        migrations (migrations/versions/a3542154dbaa_firebase_uid_is_
+        optional.py:21-24: ALTER TABLE + backfill as one revision).
+
+        ``added`` maps new column name → (Spark SQL type string,
+        default). Existing rows are backfilled with the default (cast
+        to the declared type; ``None`` gives a nullable column exactly
+        like ALTER TABLE ADD COLUMN); later batches carrying the new
+        columns merge through the normal writers with no special
+        casing, and batches still on the OLD schema keep working via
+        ``upsert(..., merge_schema=True)`` semantics in reverse — the
+        writer sees the stored column and the batch without it.
+
+        Only ADD is supported, matching the safe subset of Delta's
+        schema evolution: dropping or retyping a column on a 100 TB
+        table is a full rewrite plus a reader-breaking change, and
+        belongs to an explicit backfill job, not a migration one-liner.
+        Evolving a name that already exists raises (an alembic
+        revision applied twice should fail loudly, not clobber data).
+
+        The backfill itself is a metadata-cheap narrow rewrite: one
+        scan, one project, no shuffle — at scale, Delta/Iceberg make
+        this a pure metadata operation; here the versioned-parquet
+        analog pays one sequential rewrite but keeps the identical
+        atomic-commit contract (crash mid-evolve leaves the old
+        version current)."""
+        cur = self.read()
+        if cur is None:
+            raise ValueError("cannot evolve an empty table")
+        dup = [c for c in added if c in cur.columns]
+        if dup:
+            raise ValueError(f"columns already exist: {dup}")
+        for name, (dtype, default) in added.items():
+            cur = cur.withColumn(name, F.lit(default).cast(dtype))
+        self._commit(cur, None)
+
     def read_version(self, v: int) -> DataFrame:
         """Time-travel read of a retained snapshot (Delta-style
         ``VERSION AS OF``). Retention matches `_commit`'s vacuum: the

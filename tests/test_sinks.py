@@ -465,3 +465,36 @@ def test_dynamic_partition_overwrite_touches_only_target(spark, tmp_path):
     back = spark.read.parquet(path)
     rows = {(r.id, r.day) for r in back.collect()}
     assert rows == {(9, "a"), (3, "b")}  # day=a replaced, not appended
+
+
+def test_evolve_adds_column_with_backfill(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "users"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    insert_if_absent(t, v1, ["id"], batch_id=0)
+    t.evolve({"score": ("long", -1), "tag": ("string", None)})
+    # post-evolve batches carry the new columns and merge normally
+    v2 = spark.createDataFrame(
+        [(3, "c", 7, "x")], "id long, name string, score long, tag string"
+    )
+    insert_if_absent(t, v2, ["id"], batch_id=1)
+    got = {r["id"]: (r["score"], r["tag"]) for r in t.read().collect()}
+    assert got == {1: (-1, None), 2: (-1, None), 3: (7, "x")}
+    assert t.current_version() == 2  # insert=0, evolve=1, insert=2
+    assert [f.dataType.simpleString() for f in t.read().schema.fields] == [
+        "bigint", "string", "bigint", "string",
+    ]
+
+
+def test_evolve_rejects_existing_column_and_empty_table(spark, tmp_path):
+    import pytest as _pytest
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    with _pytest.raises(ValueError, match="empty"):
+        t.evolve({"x": ("long", 0)})
+    insert_if_absent(
+        t, spark.createDataFrame([(1,)], "id long"), ["id"], batch_id=0
+    )
+    with _pytest.raises(ValueError, match="already exist"):
+        t.evolve({"id": ("long", 0)})
+    # failed evolve must not have committed a version
+    assert t.current_version() == 0
