@@ -172,6 +172,64 @@ def lang_id(text_col: Column) -> Column:
     return F.when(best > 0, F.element_at(lang_arr, idx)).otherwise(F.lit("und"))
 
 
+# Character-trigram profiles for lang_id_ngram: per language, a small
+# pinned set of its highest-frequency / most distinctive trigrams with
+# integer weights (2 = near-unique orthographic signal, 1 = frequent).
+# Hand-derived from the languages' function words and orthography —
+# the classic Cavnar-Trenkle n-gram-profile approach shrunk to a
+# codegen-friendly fixed set. Every needle is EXACTLY 3 characters so
+# occurrence counting is a shared (len - len(replace))/3 expression in
+# both engines.
+LANG_TRIGRAM_PROFILES: dict[str, dict[str, int]] = {
+    "en": {"the": 2, "ing": 2, " of": 2, " to": 1, "nd ": 1, "ed ": 1},
+    "de": {"sch": 2, "ich": 2, "und": 2, "der": 1, "die": 1, "ein": 1, "cht": 1},
+    "es": {" el": 2, "ión": 2, " y ": 2, "ado": 1, "que": 1, "los": 1},
+    "fr": {"aux": 2, "eau": 2, "oir": 1, " le": 1, "ent": 1, "des": 1},
+    "it": {"gli": 2, "lla": 2, " il": 2, "zio": 1, "che": 1, "ato": 1},
+    "pt": {"ção": 2, "ão ": 2, "os ": 1, " um": 1, "ara": 1, "ade": 1},
+}
+
+
+def _trigram_score(lowered: Column, profile: dict[str, int]) -> Column:
+    """Weighted trigram occurrence score over an already-lowercased
+    column: Σ weight · count(trigram). Pure string scans (replace +
+    length), no regex; the lowered input is structurally identical
+    across languages so codegen CSE computes it once per row."""
+    score: Column | None = None
+    for tg, w in profile.items():
+        assert len(tg) == 3, tg
+        n = (F.length(lowered) - F.length(F.replace(lowered, F.lit(tg)))) / F.lit(3)
+        term = n * F.lit(w)
+        score = term if score is None else score + term
+    return score.cast("long")
+
+
+def lang_id_ngram(text_col: Column) -> Column:
+    """Char-trigram-profile language ID over six Latin-script
+    languages (de/en/es/fr/it/pt) — the scale path past the
+    stopword-marker heuristic of :func:`lang_id`: trigram profiles
+    see morphology ("sch", "ção", "gli") and don't need exact token
+    boundaries, so they classify text the marker lists miss (no
+    shared stopwords, glued punctuation, short fragments).
+
+    Same argmax-over-array-literal shape as :func:`lang_id` (each
+    score appears once in the plan; a when-chain would re-evaluate
+    them exponentially — see that docstring). Deterministic
+    alphabetical tie-break; 'und' when no profile trigram occurs.
+    One pure-codegen projection: no shuffle, no UDF, ~40 string
+    scans per row over a text column — embarrassingly parallel at
+    any scale."""
+    lowered = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    langs = sorted(LANG_TRIGRAM_PROFILES)
+    scores = F.array(
+        *[_trigram_score(lowered, LANG_TRIGRAM_PROFILES[lang]) for lang in langs]
+    )
+    best = F.array_max(scores)
+    idx = F.array_position(scores, best).cast("int")
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(best > 0, F.element_at(lang_arr, idx)).otherwise(F.lit("und"))
+
+
 def token_count(text_col: Column) -> Column:
     """Whitespace token count (0 for NULL/empty)."""
     t = F.trim(text_col)

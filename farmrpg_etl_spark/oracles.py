@@ -635,6 +635,61 @@ _LANG_CASE = (
     + " END"
 )
 
+# Char-trigram lang-id (functions/text.py LANG_TRIGRAM_PROFILES and
+# queries._LANGID_TEMPLATES, pinned verbatim). Counting is
+# (len - len(replace))/3 on the space-padded lowercase probe; integer
+# weights; argmax with alphabetical tie-break via a strictly-first
+# CASE chain, 'und' when no trigram hits.
+_TRIGRAM_PROFILES = {
+    "en": {"the": 2, "ing": 2, " of": 2, " to": 1, "nd ": 1, "ed ": 1},
+    "de": {"sch": 2, "ich": 2, "und": 2, "der": 1, "die": 1, "ein": 1, "cht": 1},
+    "es": {" el": 2, "ión": 2, " y ": 2, "ado": 1, "que": 1, "los": 1},
+    "fr": {"aux": 2, "eau": 2, "oir": 1, " le": 1, "ent": 1, "des": 1},
+    "it": {"gli": 2, "lla": 2, " il": 2, "zio": 1, "che": 1, "ato": 1},
+    "pt": {"ção": 2, "ão ": 2, "os ": 1, " um": 1, "ara": 1, "ade": 1},
+}
+
+_LANGID_TEMPLATES = [
+    "the cat and the dog are walking in the garden with their friends of the town",
+    "der hund und die katze gehen durch den wald und schauen sich die lichter an",
+    "el perro y el gato caminan por el parque que está cerca de la casa y los árboles",
+    "le chien et le chat marchent dans les beaux jardins aux enfants avec leur espoir",
+    "il cane e il gatto camminano nel parco che si trova vicino alla casa degli amici",
+    "o cão e o gato caminham pelo parque com uma alegria que fica perto da casa não longe",
+]
+
+
+def _tg_score(lang: str) -> str:
+    terms = " + ".join(
+        f"(length(lt) - length(replace(lt, '{tg}', ''))) / 3 * {w}"
+        for tg, w in _TRIGRAM_PROFILES[lang].items()
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_TGL = sorted(_TRIGRAM_PROFILES)
+_TG_TPL_CASE = "CASE CAST(doc_id % 6 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{t}'" for i, t in enumerate(_LANGID_TEMPLATES)
+) + " END"
+_TG_MAX = "greatest(" + ", ".join(f"s_{lang}" for lang in _TGL) + ")"
+
+ORACLES["lang_id_ngram_docs"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         ' ' || {_TG_TPL_CASE} || ' ' ||
+         lower(substring(coalesce(text, ''), 1, 60)) || ' ' AS lt
+  FROM documents
+), s AS (
+  SELECT doc_id, {', '.join(f'{_tg_score(lang)} AS s_{lang}' for lang in _TGL)}
+  FROM t
+), m AS (SELECT *, {_TG_MAX} AS mx FROM s)
+SELECT doc_id,
+       CASE WHEN mx <= 0 THEN 'und'
+            {' '.join(f"WHEN s_{lang} = mx THEN '{lang}'" for lang in _TGL)}
+       END AS lang
+FROM m
+"""
+
 ORACLES["text_metrics_docs"] = rf"""
 WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 m AS (

@@ -25,6 +25,7 @@ from farmrpg_etl_spark.sinks.writers import (
     partial_document_update,
     upsert,
 )
+from farmrpg_etl_spark.plans.router import TopicRouter
 from farmrpg_etl_spark.streaming.flags_join import flags_resolution_join
 
 
@@ -40,13 +41,63 @@ def chat_observations(payloads: DataFrame) -> DataFrame:
     )
 
 
+def register_chat_sinks(
+    router: "TopicRouter", messages: ParquetTable, chat_docs: ParquetTable
+) -> None:
+    """Register the E1 sink fan-out under the ``chat`` topic prefix:
+    a batch emitted as ``chat.<room>`` (or bare ``chat``) fires K1
+    then K4, mirroring the reference's hub listeners on ``"chat"``
+    receiving every ``chat.{room}`` emission (events.py:17-25).
+    Registration order is commit order — K1 before K4 is what the
+    restart-recovery replay guards assume."""
+
+    @router.on("chat")
+    def write_messages(enriched: DataFrame, batch_id: int | None) -> None:
+        # a CDC batch can carry several observations of one key — the
+        # insert sink takes the first (unique-index semantics)
+        first_obs = dedup.keep_first_per_key(enriched, ["id"], "obs_ts")
+        # K1: Postgres-style insert-if-absent keyed by the message id
+        insert_if_absent(
+            messages,
+            first_obs.select(
+                "room", "id", "ts", "emblem", "username", "content",
+                "flags", "deleted", "deleted_ts",
+            ),
+            ["id"],
+            batch_id=batch_id,
+            writer="chat_insert",
+        )
+
+    @router.on("chat")
+    def write_docs(enriched: DataFrame, batch_id: int | None) -> None:
+        # the document sink takes the latest (set-with-merge semantics)
+        latest_obs = latest.latest_per_key(enriched, ["room", "id"], "obs_ts")
+        # K4: partial document write — never clobbers flags; deleted_ts
+        # only when deleted (firestore/chat.py:40-50)
+        partial_document_update(
+            chat_docs,
+            latest_obs.select(
+                "room", "id", "ts", "username",
+                F.concat_ws(",", F.col("mentions")).alias("mentions"),
+                "content", "deleted", "deleted_ts",
+                F.lit(None).cast("int").alias("flags"),
+            ),
+            ["room", "id"],
+            always_cols=["ts", "username", "mentions", "content", "deleted"],
+            conditional_cols={"deleted_ts": "deleted"},
+            batch_id=batch_id,
+            writer="chat_docs",
+        )
+
+
 def chat_pipeline_batch(
     payloads: DataFrame,
     messages: ParquetTable,
     chat_docs: ParquetTable,
     batch_id: int | None = None,
 ) -> DataFrame:
-    """E1: chat payloads → parse → D1 CDC → K1 insert + K4 doc write.
+    """E1: chat payloads → parse → D1 CDC → K1 insert + K4 doc write,
+    fanned out through the ``chat`` topic (plans/router.py).
 
     Returns the CDC change events (with A2 mention enrichment) so
     callers/tests can observe the emitted stream."""
@@ -54,38 +105,9 @@ def chat_pipeline_batch(
         chat_observations(payloads).drop("pos"), ["room", "id"], "obs_ts"
     )
     enriched = events.withColumn("mentions", T.mentions(F.col("content")))
-    # a CDC batch can carry several observations of one key — the insert
-    # sink takes the first (unique-index semantics), the document sink
-    # the latest (set-with-merge semantics)
-    first_obs = dedup.keep_first_per_key(enriched, ["id"], "obs_ts")
-    latest_obs = latest.latest_per_key(enriched, ["room", "id"], "obs_ts")
-    # K1: Postgres-style insert-if-absent keyed by the unique message id
-    insert_if_absent(
-        messages,
-        first_obs.select(
-            "room", "id", "ts", "emblem", "username", "content",
-            "flags", "deleted", "deleted_ts",
-        ),
-        ["id"],
-        batch_id=batch_id,
-        writer="chat_insert",
-    )
-    # K4: partial document write — never clobbers flags; deleted_ts only
-    # when deleted (firestore/chat.py:40-50)
-    partial_document_update(
-        chat_docs,
-        latest_obs.select(
-            "room", "id", "ts", "username",
-            F.concat_ws(",", F.col("mentions")).alias("mentions"),
-            "content", "deleted", "deleted_ts",
-            F.lit(None).cast("int").alias("flags"),
-        ),
-        ["room", "id"],
-        always_cols=["ts", "username", "mentions", "content", "deleted"],
-        conditional_cols={"deleted_ts": "deleted"},
-        batch_id=batch_id,
-        writer="chat_docs",
-    )
+    router = TopicRouter()
+    register_chat_sinks(router, messages, chat_docs)
+    router.emit("chat.batch", enriched, batch_id)
     return enriched
 
 
@@ -139,58 +161,61 @@ def chat_pipeline_streaming(
     landing_dir: str,
     messages: ParquetTable,
     chat_docs: ParquetTable,
+    checkpoint_dir: str | None = None,
+    state_ttl_ms: int | None = 3_600_000,
 ):
     """E1 streaming form: payload landing zone (parquet file stream) →
     parse → stateful CDC → foreachBatch MERGE writers. Returns the
-    started StreamingQuery; callers own its lifecycle."""
+    started StreamingQuery; callers own its lifecycle.
+
+    ``checkpoint_dir`` makes the query restartable: source offsets and
+    the CDC state store are checkpointed, so a crashed or stopped query
+    resumed with the same directory redelivers the in-flight batch
+    (the MERGE writers' batch-id guards make the redelivery converge —
+    the exactly-once contract the reference gets from Postgres unique
+    indexes, db/chat.py:13-19) and restores per-message CDC state
+    rather than re-deriving it from scratch.
+
+    ``state_ttl_ms`` is the CDC state-eviction TTL (see
+    ``chat_cdc_stream``). CAVEAT for bounded runs: with a processing-
+    time TTL, a RESTARTED available-now query inherits registered
+    timers from the checkpoint and keeps scheduling timer-check
+    micro-batches instead of terminating once the data is drained —
+    pass ``None`` (no eviction) for bounded replay/recovery jobs, and
+    keep a TTL only on genuinely continuous deployments where the
+    query is not expected to self-terminate."""
     from farmrpg_etl_spark.streaming.chat_cdc import chat_cdc_stream
 
     schema = spark.read.parquet(landing_dir).schema
     payloads = spark.readStream.schema(schema).parquet(landing_dir)
     observations = chat_observations(payloads)
-    changes = chat_cdc_stream(observations)
+    changes = chat_cdc_stream(observations, state_ttl_ms=state_ttl_ms)
+    router = TopicRouter()
+    register_chat_sinks(router, messages, chat_docs)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        enriched = batch_df.withColumn("mentions", T.mentions(F.col("content")))
-        first_obs = dedup.keep_first_per_key(enriched, ["id"], "obs_ts")
-        latest_obs = latest.latest_per_key(enriched, ["room", "id"], "obs_ts")
-        insert_if_absent(
-            messages,
-            first_obs.select(
-                "room", "id", "ts", F.lit("").alias("emblem"), "username",
-                "content", "flags", "deleted", "deleted_ts",
-            ),
-            ["id"],
-            batch_id=batch_id,
-            writer="chat_insert",
-        )
-        partial_document_update(
-            chat_docs,
-            latest_obs.select(
-                "room", "id", "ts", "username",
-                F.concat_ws(",", F.col("mentions")).alias("mentions"),
-                "content", "deleted", "deleted_ts",
-                F.lit(None).cast("int").alias("flags"),
-            ),
-            ["room", "id"],
-            always_cols=["ts", "username", "mentions", "content", "deleted"],
-            conditional_cols={"deleted_ts": "deleted"},
-            batch_id=batch_id,
-            writer="chat_docs",
-        )
+        # the CDC state schema drops emblem; restore it for the shared
+        # chat sink handlers (the batch form carries the real column)
+        enriched = batch_df.withColumn(
+            "mentions", T.mentions(F.col("content"))
+        ).withColumn("emblem", F.lit(""))
+        router.emit("chat.stream", enriched, batch_id)
 
-    return (
+    writer = (
         changes.writeStream.foreachBatch(write_batch)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def flags_pipeline_streaming(
     spark: SparkSession,
     landing_dir: str,
     messages: ParquetTable,
+    checkpoint_dir: str | None = None,
 ):
     """E2 streaming form: flags payload stream → parse → resolve ids
     against the messages sink state → K2 correlated flags update.
@@ -217,9 +242,11 @@ def flags_pipeline_streaming(
         merge_update(messages, resolved, ["id"], ["flags"], batch_id=batch_id,
                      writer="flags_update")
 
-    return (
+    writer = (
         flags_rows.writeStream.foreachBatch(write_batch)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

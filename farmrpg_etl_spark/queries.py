@@ -686,6 +686,39 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multilingual probe sentences for lang_id_ngram_docs, index = doc_id
+# % 6 (en, de, es, fr, it, pt). All lowercase; pinned verbatim in the
+# DuckDB oracle.
+_LANGID_TEMPLATES = [
+    "the cat and the dog are walking in the garden with their friends of the town",
+    "der hund und die katze gehen durch den wald und schauen sich die lichter an",
+    "el perro y el gato caminan por el parque que está cerca de la casa y los árboles",
+    "le chien et le chat marchent dans les beaux jardins aux enfants avec leur espoir",
+    "il cane e il gatto camminano nel parco che si trova vicino alla casa degli amici",
+    "o cão e o gato caminham pelo parque com uma alegria que fica perto da casa não longe",
+]
+
+
+def lang_id_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (functions/text.py
+    ``lang_id_ngram``) over a synthesized multilingual corpus: each
+    document is prefixed with a pinned probe sentence in one of six
+    Latin-script languages (doc_id % 6) plus 60 chars of its own
+    English-ish text as adversarial noise — the classifier must
+    out-score the noise from the probe's morphology alone. One
+    pure-codegen projection (≈40 shared string scans per row), no
+    shuffle, no UDF; the DuckDB oracle recomputes the identical
+    weighted trigram argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    tpl = F.element_at(
+        F.array(*[F.lit(t) for t in _LANGID_TEMPLATES]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    noise = F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60))
+    probe = F.concat_ws(" ", tpl, noise)
+    return d.select("doc_id", T.lang_id_ngram(probe).alias("lang"))
+
+
 def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     m = T.text_metrics(d, "text")
@@ -5262,6 +5295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_logit_docs": quality_logit_docs,
     "k_compact_sink": k_compact_sink,
     "k_schema_evolve_sink": k_schema_evolve_sink,
+    "lang_id_ngram_docs": lang_id_ngram_docs,
     "streaming_dedup_watermark_events": streaming_dedup_watermark_events,
     "funnel_events": funnel_events,
     "funnel_summary_events": funnel_summary_events,

@@ -71,3 +71,36 @@ def test_profile_link_rewrite(spark):  # noqa: F811
 def test_flags_count(spark, txt, n):  # noqa: F811
     df = spark.createDataFrame([(txt,)], "c string")
     assert df.select(T.flags_count(F.col("c")).alias("o")).first()["o"] == n
+
+
+def test_lang_id_ngram_classifies_six_languages(spark):
+    samples = [
+        ("en", "The cat and the dog are walking in the garden with their friends"),
+        ("de", "Der Hund und die Katze gehen durch den Wald und schauen sich um"),
+        ("es", "El perro y el gato caminan por el parque que está cerca de la casa"),
+        ("fr", "Le chien et le chat marchent dans les beaux jardins aux enfants"),
+        ("it", "Il cane e il gatto camminano nel parco vicino alla casa degli amici"),
+        ("pt", "O cão e o gato caminham pelo parque com uma alegria que fica perto"),
+        ("und", "xxxx qqqq zzzz 12345"),
+        ("und", ""),
+    ]
+    df = spark.createDataFrame(samples, "expected string, text string")
+    out = df.select("expected", T.lang_id_ngram(F.col("text")).alias("got")).collect()
+    assert all(r["expected"] == r["got"] for r in out), [
+        (r["expected"], r["got"]) for r in out
+    ]
+
+
+def test_lang_id_ngram_beats_marker_heuristic_on_morphology(spark):
+    # no stopword from LANG_MARKERS appears as a standalone token, so
+    # the marker heuristic has nothing to count — trigram morphology
+    # ("sch", "ich", "cht") still identifies the language.
+    df = spark.createDataFrame(
+        [("Geschichtsschreibung! Wissenschaftliche Nachrichten;",)], "text string"
+    )
+    row = df.select(
+        T.lang_id_ngram(F.col("text")).alias("ng"),
+        T.lang_id(F.col("text")).alias("marker"),
+    ).first()
+    assert row["ng"] == "de"
+    assert row["marker"] == "und"
