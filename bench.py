@@ -539,6 +539,96 @@ def main() -> None:
                 "sec": round(min(steady), 3), "cold_sec": cold_sec, "rows": n,
             }
             spark.catalog.clearCache()
+        # AQE-runtime-skew-split vs manual salt, A/B on a PLANTED
+        # power-law key at 10×: half the fact rows share key 0, the
+        # rest spread over 999 keys — the shape where a plain shuffle
+        # join pins one straggler task. Broadcast is disabled (the dim
+        # fits in memory here; at 100 TB the interesting dims don't)
+        # so both variants pay the shuffle, and the ONLY difference is
+        # who breaks the hot partition: AQE's post-shuffle split
+        # (skewedPartitionThresholdInBytes lowered to fire at this
+        # scale) or salted_join's 16-way pre-shuffle spread. Outputs
+        # are asserted identical; the executed plan is grepped for the
+        # skew=true marker so "AQE handled it" is a recorded fact, not
+        # an assumption. docs/SCALE.md "Skew strategy A/B" discusses
+        # the crossover.
+        from farmrpg_etl_spark.operators import joins as J_ops
+
+        def run_skew(mode):
+            ev = spark.read.parquet(f"{stretch_dir}/events.parquet")
+            fact = ev.select(
+                F.when(F.col("event_id") % 2 == 0, F.lit(0))
+                .otherwise(F.pmod(F.col("event_id"), F.lit(1000)))
+                .cast("long")
+                .alias("k"),
+                "value",
+            )
+            dim = spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+            )
+            if mode == "aqe":
+                j = fact.join(dim, "k")
+            else:
+                j = J_ops.salted_join(fact, dim, "k", num_salts=16)
+            return j.groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * F.col("w"))).alias("s"),
+            )
+
+        _SKEW_CONFS = {
+            "aqe": {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.skewJoin.enabled": "true",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+            },
+            "salted": {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.skewJoin.enabled": "false",
+            },
+        }
+        phase("skew join A/B start")
+        _all_keys = sorted({k2 for v in _SKEW_CONFS.values() for k2 in v})
+        _saved_confs = {}
+        for k2 in _all_keys:
+            try:
+                _saved_confs[k2] = spark.conf.get(k2)
+            except Exception:
+                _saved_confs[k2] = None
+        _skew_rows = {}
+        try:
+            for mode in ("aqe", "salted"):
+                for k2, v2 in _SKEW_CONFS[mode].items():
+                    spark.conf.set(k2, v2)
+                t0 = time.time()
+                df = run_skew(mode)
+                row = df.collect()[0]
+                cold_sec = round(time.time() - t0, 3)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                steady = []
+                for _ in range(2):
+                    t0 = time.time()
+                    run_skew(mode).collect()
+                    steady.append(time.time() - t0)
+                _skew_rows[mode] = (row["n"], row["s"])
+                stretch[f"skew_join_{mode}_10x"] = {
+                    "sec": round(min(steady), 3),
+                    "cold_sec": cold_sec,
+                    "rows": row["n"],
+                    "skew_split_in_plan": "skew=true" in plan.lower(),
+                }
+                spark.catalog.clearCache()
+        finally:
+            for k2, v2 in _saved_confs.items():
+                if v2 is None:
+                    spark.conf.unset(k2)
+                else:
+                    spark.conf.set(k2, v2)
+        # salting is a physical strategy, not a semantic one
+        assert _skew_rows["aqe"] == _skew_rows["salted"], _skew_rows
+
         out["sf1_stretch"] = stretch
 
         # Full-headline sf1: the 12 headline queries on the 10×

@@ -2791,6 +2791,12 @@ FROM r
 """
 
 
+# Restart-recovery end state == the single-batch e2e end state; the
+# oracle is shared verbatim (state restoration is what makes the
+# two-run streaming path converge to it).
+ORACLES["streaming_restart_recovery"] = ORACLES["chat_pipeline_e2e"]
+
+
 # two-pass exact heavy hitters (phi = 1/200)
 ORACLES["heavy_hitter_tokens"] = f"""
 WITH toks AS (

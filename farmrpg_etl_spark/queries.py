@@ -4111,20 +4111,11 @@ def parse_message_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "username", "ts", "subject", "content")
 
 
-def chat_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 END-TO-END as one driver row: two chat polls (poll 2 edits
-    every ≡0 mod 4 message, deletes every ≡0 mod 5) are synthesized as
-    real HTML, pushed through parse → D1 message CDC (deleted-flip
-    stamping) → A2 mention enrichment → K1 insert-if-absent + K4
-    partial-document sinks, and the returned row set is the JOIN of
-    both sink end states — the reference's whole chat path
-    (scrapers/chat.py → db/chat.py + firestore/chat.py) in one
-    hash-checked result. The message table must hold first-observation
-    values; the doc table latest-emitted values with the flip's
-    deleted_ts and never-clobbered flags (null here)."""
-    from farmrpg_etl_spark.plans import topology
-    from farmrpg_etl_spark.sinks.writers import ParquetTable
-
+def _chat_e2e_polls(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The two synthesized chat polls shared by ``chat_pipeline_e2e``
+    (single batch) and ``streaming_restart_recovery`` (two checkpointed
+    runs): poll 2 edits every ≡0 mod 4 message and deletes every ≡0
+    mod 5."""
     d = load_table(spark, sf_dir, "documents")
     base = F.regexp_replace(F.substring(F.col("text"), 1, 40), "[<>&@:]", "")
     content1 = F.concat(
@@ -4160,9 +4151,12 @@ def chat_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         content2,
         F.when(F.col("doc_id") % 5 == 0, F.lit(" redstripes")).otherwise(F.lit("")),
     )
-    messages = ParquetTable(spark, _sink_scratch("e2e_msg"))
-    docs = ParquetTable(spark, _sink_scratch("e2e_doc"))
-    topology.chat_pipeline_batch(p1.unionByName(p2), messages, docs, batch_id=0)
+    return p1, p2
+
+
+def _chat_e2e_result(messages, docs) -> DataFrame:
+    """Join of the K1 message-table and K4 doc-table end states — the
+    shared output shape of the chat e2e rows."""
     m = messages.read().select(
         "id",
         F.col("ts").alias("msg_ts"),
@@ -4179,6 +4173,69 @@ def chat_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("flags").alias("doc_flags"),
     )
     return m.join(dc, "id")
+
+
+def chat_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 END-TO-END as one driver row: two chat polls (poll 2 edits
+    every ≡0 mod 4 message, deletes every ≡0 mod 5) are synthesized as
+    real HTML, pushed through parse → D1 message CDC (deleted-flip
+    stamping) → A2 mention enrichment → K1 insert-if-absent + K4
+    partial-document sinks, and the returned row set is the JOIN of
+    both sink end states — the reference's whole chat path
+    (scrapers/chat.py → db/chat.py + firestore/chat.py) in one
+    hash-checked result. The message table must hold first-observation
+    values; the doc table latest-emitted values with the flip's
+    deleted_ts and never-clobbered flags (null here)."""
+    from farmrpg_etl_spark.plans import topology
+    from farmrpg_etl_spark.sinks.writers import ParquetTable
+
+    p1, p2 = _chat_e2e_polls(spark, sf_dir)
+    messages = ParquetTable(spark, _sink_scratch("e2e_msg"))
+    docs = ParquetTable(spark, _sink_scratch("e2e_doc"))
+    topology.chat_pipeline_batch(p1.unionByName(p2), messages, docs, batch_id=0)
+    return _chat_e2e_result(messages, docs)
+
+
+def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint restart-recovery as a driver row: the SAME two polls
+    as ``chat_pipeline_e2e``, but poll 1 is processed by a checkpointed
+    streaming run that then STOPS; poll 2 lands and a NEW query resumes
+    from the checkpoint. The final sink join must hash-match the
+    single-batch oracle — which pins genuine CDC state restoration: a
+    resumed query that lost state would re-emit every poll-2
+    observation, overwriting unchanged documents with poll-2 content
+    (the oracle keeps poll-1 content wherever poll 2 changed nothing)
+    and breaking the emitted-only-on-change contract. The reference
+    gets this crash-resume behavior from Postgres unique indexes
+    (db/chat.py:13-19); here it is Spark's offset WAL + state
+    checkpoint + the MERGE writers' batch-id replay guards. The
+    crash-mid-batch variant (kill between the K1 and K4 commits) is
+    pinned by tests/test_streaming_recovery.py."""
+    import os as _os
+
+    from farmrpg_etl_spark.plans import topology
+    from farmrpg_etl_spark.sinks.writers import ParquetTable
+
+    p1, p2 = _chat_e2e_polls(spark, sf_dir)
+    base = _sink_scratch("recovery")
+    landing = _os.path.join(base, "landing")
+    ckpt = _os.path.join(base, "ckpt")
+    messages = ParquetTable(spark, _os.path.join(base, "messages"))
+    docs = ParquetTable(spark, _os.path.join(base, "docs"))
+
+    p1.write.parquet(landing)
+    q = topology.chat_pipeline_streaming(
+        spark, landing, messages, docs, checkpoint_dir=ckpt, state_ttl_ms=None
+    )
+    q.awaitTermination(300)
+    q.stop()
+    p2.write.mode("append").parquet(landing)
+    q = topology.chat_pipeline_streaming(
+        spark, landing, messages, docs, checkpoint_dir=ckpt, state_ttl_ms=None
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return _chat_e2e_result(messages, docs)
 
 
 _FLAGS_E2E_TEMPLATE = (
@@ -5296,6 +5353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_compact_sink": k_compact_sink,
     "k_schema_evolve_sink": k_schema_evolve_sink,
     "lang_id_ngram_docs": lang_id_ngram_docs,
+    "streaming_restart_recovery": streaming_restart_recovery,
     "streaming_dedup_watermark_events": streaming_dedup_watermark_events,
     "funnel_events": funnel_events,
     "funnel_summary_events": funnel_summary_events,
