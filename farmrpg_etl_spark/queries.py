@@ -5335,13 +5335,69 @@ def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r9 DRIVER-COVERAGE ROTATION ---------------------------------
+    # --- r10 DRIVER-COVERAGE ROTATION --------------------------------
     # The driver verifies exactly the FIRST 50 entries per round.
-    # Head (10): the 4 rows the r8 cut had never driver-checked (the
-    # r8 additions, all green in local full-registry runs) plus the 6
-    # new r9 rows (frozen-LM scoring with OOV fallback, line-level
-    # dedup, URL canonicalization, quality classifier, sink
-    # compaction, within-watermark streaming dedup).
+    # Head (4): this round's never-driver-checked rows (the r9
+    # post-verdict bitmap Bloom variant + the three r10 additions:
+    # schema-evolution sink, char-trigram lang-id, checkpoint
+    # restart-recovery).
+    # Then the 46 STALEST driver records: the whole r2-era relational
+    # block (TPC-H-shape queries, window/set/pivot family - none
+    # driver-checked since round 2), the five r3 rows, and the oldest
+    # r4 row. Maximizes age-of-last-driver-record per VERDICT r9 #1.
+    "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
+    "k_schema_evolve_sink": k_schema_evolve_sink,
+    "lang_id_ngram_docs": lang_id_ngram_docs,
+    "streaming_restart_recovery": streaming_restart_recovery,
+    "q1_pricing_summary": q1_pricing_summary,
+    "j3_fk_hydrate": j3_fk_hydrate,
+    "j2_correlated_update": j2_correlated_update,
+    "d4_noop_eliminate": d4_noop_eliminate,
+    "d1_changes_events": d1_changes_events,
+    "a1_latest_event_per_user": a1_latest_event_per_user,
+    "d1_deleted_transitions": d1_deleted_transitions,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "regional_revenue": regional_revenue,
+    "top_customers_per_nation": top_customers_per_nation,
+    "rollup_revenue": rollup_revenue,
+    "cube_revenue": cube_revenue,
+    "salted_sum_returnflag": salted_sum_returnflag,
+    "running_total_orders": running_total_orders,
+    "window_panel_events": window_panel_events,
+    "trailing_1h_sum_events": trailing_1h_sum_events,
+    "set_ops_events": set_ops_events,
+    "sessionize_events": sessionize_events,
+    "pivot_event_counts": pivot_event_counts,
+    "unpivot_event_counts": unpivot_event_counts,
+    "median_value_by_type": median_value_by_type,
+    "range_join_prior_events": range_join_prior_events,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q10_returned_items": q10_returned_items,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_count": q16_supplier_count,
+    "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q22_idle_balances": q22_idle_balances,
+    "k3_snapshot_append_sink": k3_snapshot_append_sink,
+    "int8_quantize_embeddings": int8_quantize_embeddings,
+    "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
+    "d5_change_pairs": d5_change_pairs,
+    "parse_quarantine_channel": parse_quarantine_channel,
+    # --- end of 50-entry prefix --------------------------------------
+    # Rotated below the cut in r10: everything here has a driver-green
+    # record from r5-r9 (see docs/COVERAGE.md cumulative map).
     "q12_shipmode_priority": q12_shipmode_priority,
     "bigram_lm_docs": bigram_lm_docs,
     "perplexity_docs": perplexity_docs,
@@ -5351,9 +5407,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize_docs": url_canonicalize_docs,
     "quality_logit_docs": quality_logit_docs,
     "k_compact_sink": k_compact_sink,
-    "k_schema_evolve_sink": k_schema_evolve_sink,
-    "lang_id_ngram_docs": lang_id_ngram_docs,
-    "streaming_restart_recovery": streaming_restart_recovery,
     "streaming_dedup_watermark_events": streaming_dedup_watermark_events,
     "funnel_events": funnel_events,
     "funnel_summary_events": funnel_summary_events,
@@ -5373,7 +5426,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_checks_events": dq_checks_events,
     "dq_orphan_orders": dq_orphan_orders,
     "anomaly_hours_events": anomaly_hours_events,
-    # r6-r8 rows holding their driver-green records:
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_quantized": ann_topk_quantized,
@@ -5396,13 +5448,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_quota_sample_embeddings": cluster_quota_sample_embeddings,
     "cut_span_pipeline_docs": cut_span_pipeline_docs,
     "k_scd2_sink": k_scd2_sink,
-    # Back-fill: high-value anchors re-verified each round — the
-    # four e2e topologies, parser roundtrips, CDC/join/sink cores, the
-    # dedup/similarity/BPE/multimodal families, and the r5 first-timers
-    # that cleared their first driver check.
-    # --- end of 50-entry prefix --------------------------------------
-    # Rotated below the cut in r9 (driver-green r6-r8, multiple records):
-    "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
     "resize_media_docs": resize_media_docs,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
@@ -5431,7 +5476,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_estimate_error_docs": minhash_estimate_error_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "json_props_stats": json_props_stats,
-    "parse_quarantine_channel": parse_quarantine_channel,
     "chunk_dedup_docs": chunk_dedup_docs,
     "dup_span_docs": dup_span_docs,
     "j1_resolve_join": j1_resolve_join,
@@ -5448,10 +5492,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_lsh_docs": incremental_lsh_docs,
     "decode_real_media_docs": decode_real_media_docs,
     "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
-    "q1_pricing_summary": q1_pricing_summary,
-    # Remaining rows: all driver-green in earlier rounds (cumulative
-    # record in docs/COVERAGE.md); order within this block is not
-    # load-bearing.
     "streaming_chained_stateful": streaming_chained_stateful,
     "incremental_curation_sink": incremental_curation_sink,
     "bm25_topk_docs": bm25_topk_docs,
@@ -5519,48 +5559,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_ivf_probe": ann_recall_ivf_probe,
     "revenue_by_nation": revenue_by_nation,
     "asof_click_attribution": asof_click_attribution,
-    "k3_snapshot_append_sink": k3_snapshot_append_sink,
-    "int8_quantize_embeddings": int8_quantize_embeddings,
-    "kmeans_assign_embeddings": kmeans_assign_embeddings,
-    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
-    "j3_fk_hydrate": j3_fk_hydrate,
-    "j2_correlated_update": j2_correlated_update,
-    "d4_noop_eliminate": d4_noop_eliminate,
-    "d1_changes_events": d1_changes_events,
-    "d5_change_pairs": d5_change_pairs,
-    "a1_latest_event_per_user": a1_latest_event_per_user,
-    "d1_deleted_transitions": d1_deleted_transitions,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q14_promo_revenue": q14_promo_revenue,
-    "regional_revenue": regional_revenue,
-    "top_customers_per_nation": top_customers_per_nation,
-    "rollup_revenue": rollup_revenue,
-    "cube_revenue": cube_revenue,
-    "salted_sum_returnflag": salted_sum_returnflag,
-    "running_total_orders": running_total_orders,
-    "window_panel_events": window_panel_events,
-    "trailing_1h_sum_events": trailing_1h_sum_events,
-    "set_ops_events": set_ops_events,
-    "sessionize_events": sessionize_events,
-    "pivot_event_counts": pivot_event_counts,
-    "unpivot_event_counts": unpivot_event_counts,
-    "median_value_by_type": median_value_by_type,
-    "range_join_prior_events": range_join_prior_events,
-    "q4_order_priority": q4_order_priority,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q9_profit_by_nation_year": q9_profit_by_nation_year,
-    "q10_returned_items": q10_returned_items,
-    "q15_top_supplier": q15_top_supplier,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q11_important_stock": q11_important_stock,
-    "q16_supplier_count": q16_supplier_count,
-    "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q18_large_volume_orders": q18_large_volume_orders,
-    "q22_idle_balances": q22_idle_balances,
 }
