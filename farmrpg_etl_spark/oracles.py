@@ -2682,6 +2682,24 @@ SELECT source, key,
 FROM (VALUES {_LANDING_VALUES}) AS t(source, key)
 """
 
+ORACLES["s_http_poll_roundtrip"] = f"""
+SELECT source, key,
+       TIMESTAMP '2024-06-01 12:00:00' AS fetch_ts,
+       200 AS status,
+       CAST(length(source || '|' || coalesce(key, '')) AS INT) AS n_bytes,
+       md5(source || '|' || coalesce(key, '')) AS body_digest
+FROM (VALUES {_LANDING_VALUES}) AS t(source, key)
+"""
+
+ORACLES["s_http_demand_fanout"] = """
+SELECT 'message' AS source,
+       CAST(event_id AS VARCHAR) AS key,
+       200 AS status,
+       CAST(length('message:' || CAST(event_id AS VARCHAR)) AS INT) AS n_bytes,
+       md5('message:' || CAST(event_id AS VARCHAR)) AS body_digest
+FROM events WHERE event_id % 97 = 0
+"""
+
 ORACLES["s4_demand_fanout"] = """
 SELECT 'message' AS source,
        CAST(event_id AS VARCHAR) AS key,

@@ -4590,6 +4590,125 @@ def s_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _local_game_site():
+    """Ephemeral in-process stand-in for the reference site (threaded
+    stdlib http.server) used by the real-HTTP driver rows. Serves the
+    same deterministic bodies as the stub rows — 'source|key' for
+    polls, 'message:<id>' for the demand fan-out — iff the request
+    carries the auth cookie, so the oracle can recompute every digest."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            if self.headers.get("Cookie") != "HighwindFRPG=s3cret":
+                body = b"no access"
+            elif u.path == "/worker.php":
+                body = f"chat|{q.get('room', '')}".encode()
+            elif u.path == "/log.php":
+                body = f"flags|{q.get('room', '')}".encode()
+            elif u.path == "/messages.php":
+                body = b"mailbox|"
+            elif u.path == "/online.php":
+                body = b"online|"
+            elif u.path == "/members.php":
+                body = b"staff|"
+            elif u.path == "/message.php":
+                body = f"message:{q.get('id', '')}".encode()
+            else:
+                body = b"not found"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def s_http_poll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S6 over REAL HTTP: the full reference poll topology executed
+    by the urllib fetch layer (`sources/http.py` — auth cookie, UA/
+    Referer, per-endpoint query strings, cachebuster on chat polls,
+    reference http.py:6-18 + scrapers/*) against an in-process HTTP
+    server, landed and read back. Bodies are deterministic in
+    (source, key), so the oracle recomputes every digest; the only
+    difference from `s_landing_roundtrip` is that these payloads
+    travelled over real sockets."""
+    import tempfile
+    from datetime import datetime
+
+    from farmrpg_etl_spark.sources import landing
+    from farmrpg_etl_spark.sources.http import HttpClientConfig, HttpFetcher
+
+    srv = _local_game_site()
+    try:
+        fetcher = HttpFetcher(
+            HttpClientConfig(
+                base_url=f"http://127.0.0.1:{srv.server_address[1]}/",
+                cookie="s3cret",
+            )
+        )
+        d = tempfile.mkdtemp(prefix="farmrpg_http_landing_")
+        landing.land_poll_sweep(
+            spark, d, fetcher=fetcher, fetch_ts=datetime(2024, 6, 1, 12, 0, 0)
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    out = landing.read_landing(spark, d)
+    return out.select(
+        "source", "key", "fetch_ts", "status",
+        F.length(F.col("body")).alias("n_bytes"),
+        F.md5(F.col("body")).alias("body_digest"),
+    )
+
+
+def s_http_demand_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S7 over REAL HTTP: the demand fan-out's keys ship to Spark's
+    Python workers, each of which issues its own authenticated GETs
+    (message.php?id=N) against the in-process server — the reference's
+    per-message fetch tasks (scrapers/mailbox.py:63-72) with the
+    network path real. Materialized to parquet inside the row so the
+    server can be torn down before the driver consumes the result."""
+    import tempfile
+
+    from farmrpg_etl_spark.sources import landing
+    from farmrpg_etl_spark.sources.http import HttpClientConfig, HttpFetcher
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").cast("string").alias("key")
+    )
+    srv = _local_game_site()
+    d = tempfile.mkdtemp(prefix="farmrpg_http_fanout_")
+    try:
+        fetcher = HttpFetcher(
+            HttpClientConfig(
+                base_url=f"http://127.0.0.1:{srv.server_address[1]}/",
+                cookie="s3cret",
+            )
+        )
+        landing.demand_fanout(keys, "message", fetcher=fetcher).write.mode(
+            "overwrite"
+        ).parquet(d)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return spark.read.parquet(d).select(
+        "source", "key", "status",
+        F.length(F.col("body")).alias("n_bytes"),
+        F.md5(F.col("body")).alias("body_digest"),
+    )
+
+
 def s4_demand_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S7 — demand-driven fetch fan-out as a driver row: 'unread'
     keys (events ≡0 mod 97, the mailbox-row model) fan out through the
@@ -5535,6 +5654,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_poll_schedule": s_poll_schedule,
     "s_landing_roundtrip": s_landing_roundtrip,
     "s4_demand_fanout": s4_demand_fanout,
+    "s_http_poll_roundtrip": s_http_poll_roundtrip,
+    "s_http_demand_fanout": s_http_demand_fanout,
     "f1_http_guard": f1_http_guard,
     "f_filters_combined": f_filters_combined,
     "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,

@@ -1,0 +1,207 @@
+"""Real-socket tests for the HTTP fetch layer (`sources/http.py`).
+
+A stdlib ``ThreadingHTTPServer`` stands in for the game site: it
+records every request's path, query string, and headers, and serves
+per-endpoint canned bodies — so the reference's client semantics
+(auth cookie, UA/Referer, cachebuster, flag=1, land-and-skip on
+non-200 / b"no access") are pinned against real HTTP, not a stub.
+The demand fan-out test drives executor-side fetches through Spark's
+Python workers over the same server.
+"""
+
+from __future__ import annotations
+
+import threading
+from datetime import datetime
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from farmrpg_etl_spark.operators.filters import http_guard
+from farmrpg_etl_spark.sources import landing
+from farmrpg_etl_spark.sources.http import ENDPOINTS, HttpClientConfig, HttpFetcher
+
+
+class _GameHandler(BaseHTTPRequestHandler):
+    """Routes like the reference site; records requests on the server."""
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        u = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        with self.server.lock:
+            self.server.seen.append(
+                {"path": u.path, "query": q, "headers": dict(self.headers)}
+            )
+            fail_budget = self.server.fail_budget
+            if fail_budget > 0:
+                self.server.fail_budget -= 1
+        if fail_budget > 0:
+            self.send_response(503)
+            self.end_headers()
+            self.wfile.write(b"upstream sad")
+            return
+        if self.headers.get("Cookie", "") != "HighwindFRPG=s3cret":
+            body, status = b"no access", 200  # the site's soft-auth failure
+        elif u.path == "/worker.php":
+            body, status = f"chat|{q.get('room', '')}".encode(), 200
+        elif u.path == "/log.php":
+            body, status = f"flags|{q.get('room', '')}".encode(), 200
+        elif u.path == "/messages.php":
+            body, status = b"mailbox|", 200
+        elif u.path == "/online.php":
+            body, status = b"online|", 200
+        elif u.path == "/members.php":
+            body, status = b"staff|", 200
+        elif u.path == "/message.php":
+            body, status = f"message:{q.get('id', '')}".encode(), 200
+        elif u.path == "/profile.php":
+            body, status = f"profile:{q.get('user_name', '')}".encode(), 200
+        else:
+            body, status = b"not found", 404
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def site():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _GameHandler)
+    srv.seen = []
+    srv.lock = threading.Lock()
+    srv.fail_budget = 0
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield srv
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _cfg(srv, **kw):
+    return HttpClientConfig(
+        base_url=f"http://127.0.0.1:{srv.server_address[1]}/",
+        cookie="s3cret",
+        **kw,
+    )
+
+
+def test_poll_sweep_over_real_http(spark, site, tmp_path):
+    fetcher = HttpFetcher(_cfg(site), clock=lambda: 1717243200.0)
+    d = str(tmp_path / "landing")
+    n = landing.land_poll_sweep(
+        spark, d, fetcher=fetcher, fetch_ts=datetime(2024, 6, 1, 12, 0)
+    )
+    assert n == len(landing.REFERENCE_POLLS) == 17
+    rows = {
+        (r["source"], r["key"]): r
+        for r in landing.read_landing(spark, d).collect()
+    }
+    assert rows[("chat", "help")]["body"] == b"chat|help"
+    assert rows[("flags", "trade")]["body"] == b"flags|trade"
+    assert rows[("mailbox", None)]["body"] == b"mailbox|"
+    assert rows[("staff", None)]["body"] == b"staff|"
+    assert all(r["status"] == 200 for r in rows.values())
+
+    # every request authenticated + identified (reference http.py:8-14)
+    assert len(site.seen) == 17
+    for req in site.seen:
+        assert req["headers"]["Cookie"] == "HighwindFRPG=s3cret"
+        assert req["headers"]["User-Agent"] == "farmrpg-etl (contact coderanger)"
+        assert req["headers"]["Referer"].startswith("http://127.0.0.1:")
+    # chat carries the cachebuster, flags carries flag=1 (chat.py:127-142)
+    chat = [r for r in site.seen if r["path"] == "/worker.php"]
+    flags = [r for r in site.seen if r["path"] == "/log.php"]
+    assert len(chat) == 7 and len(flags) == 7
+    assert all(r["query"]["cachebuster"] == "1717243200.0" for r in chat)
+    assert all(r["query"]["go"] == "getchat" for r in chat)
+    assert all(r["query"] == {"type": "chat", "room": r["query"]["room"], "flag": "1"} for r in flags)
+
+
+def test_guard_lands_then_drops_auth_failures(spark, site, tmp_path):
+    """The 'no access' body lands in the zone verbatim and the F1
+    guard removes it — the engine's form of chat.py:151-154."""
+    bad = HttpFetcher(HttpClientConfig(base_url=_cfg(site).base_url, cookie="wrong"))
+    d = str(tmp_path / "landing")
+    landing.land_poll_sweep(
+        spark, d, specs=[landing.PollSpec("chat", "help", 1)], fetcher=bad,
+        fetch_ts=datetime(2024, 6, 1, 12, 0),
+    )
+    zone = landing.read_landing(spark, d)
+    assert zone.count() == 1  # recorded for audit...
+    assert zone.first()["body"] == b"no access"
+    assert http_guard(zone).count() == 0  # ...dropped from the pipeline
+
+
+def test_http_error_status_lands_and_guard_drops(spark, site, tmp_path):
+    fetcher = HttpFetcher(_cfg(site))
+    site.fail_budget = 10**6  # always 503
+    d = str(tmp_path / "landing")
+    landing.land_poll_sweep(
+        spark, d, specs=[landing.PollSpec("online", None, 600)], fetcher=fetcher,
+        fetch_ts=datetime(2024, 6, 1, 12, 0),
+    )
+    zone = landing.read_landing(spark, d)
+    row = zone.first()
+    assert row["status"] == 503 and row["body"] == b"upstream sad"
+    assert http_guard(zone).count() == 0
+
+
+def test_retry_heals_transient_5xx(site):
+    site.fail_budget = 2
+    fetcher = HttpFetcher(_cfg(site, retries=3, backoff_sec=0.01))
+    status, body = fetcher(landing.PollSpec("online", None, 600))
+    assert (status, body) == (200, b"online|")
+    assert len(site.seen) == 3  # 2 failures + 1 success
+
+
+def test_no_retry_by_default_matches_reference(site):
+    site.fail_budget = 1
+    fetcher = HttpFetcher(_cfg(site))
+    status, _ = fetcher(landing.PollSpec("online", None, 600))
+    assert status == 503
+    assert len(site.seen) == 1
+
+
+def test_connection_refused_lands_status_zero():
+    fetcher = HttpFetcher(
+        HttpClientConfig(base_url="http://127.0.0.1:9/", timeout_sec=0.2)
+    )
+    status, body = fetcher(landing.PollSpec("online", None, 600))
+    assert status == 0 and body  # error text, visible in the zone
+
+
+def test_demand_fanout_executor_side_http(spark, site):
+    """S4/S7 over real sockets: the fetcher pickles into Spark's Python
+    workers and each partition issues its own HTTP requests."""
+    fetcher = HttpFetcher(_cfg(site))
+    keys = spark.range(0, 40).selectExpr("cast(id as string) as key").repartition(4)
+    out = landing.demand_fanout(keys, "message", fetcher=fetcher)
+    got = {(r["key"], r["status"], bytes(r["body"])) for r in out.collect()}
+    assert got == {(str(i), 200, f"message:{i}".encode()) for i in range(40)}
+    assert len(site.seen) == 40
+    assert {r["query"]["id"] for r in site.seen} == {str(i) for i in range(40)}
+
+
+def test_unknown_source_raises():
+    fetcher = HttpFetcher(HttpClientConfig(base_url="http://127.0.0.1:9/"))
+    with pytest.raises(ValueError):
+        fetcher(landing.PollSpec("nope", None, 1))
+
+
+def test_endpoint_map_matches_reference():
+    """Pin the full endpoint map (scrapers/{chat,mailbox,user}.py)."""
+    assert ENDPOINTS["chat"][0] == "worker.php"
+    assert ENDPOINTS["flags"][0] == "log.php"
+    assert ENDPOINTS["mailbox"][0] == "messages.php"
+    assert ENDPOINTS["message"][0] == "message.php"
+    assert ENDPOINTS["profile"][0] == "profile.php"
+    assert ENDPOINTS["online"][0] == "online.php"
+    assert ENDPOINTS["staff"][0] == "members.php"
+    assert ENDPOINTS["profile"][1]("bob", 0.0) == {"user_name": "bob"}
+    assert ENDPOINTS["staff"][1](None, 0.0) == {"type": "staff"}
