@@ -2682,6 +2682,29 @@ SELECT source, key,
 FROM (VALUES {_LANDING_VALUES}) AS t(source, key)
 """
 
+_SQLDB_MSG = """
+SELECT id,
+       'room' || CAST(id % 7 AS VARCHAR) AS room,
+       TIMESTAMP '2024-06-01 00:00:00' + id * INTERVAL 1 SECOND AS ts
+FROM (SELECT DISTINCT event_id % {modulo} AS id FROM events)
+"""
+
+ORACLES["k_sqldb_insert_absent"] = f"""
+SELECT id, room, ts, CAST(id * 3 AS BIGINT) AS flags
+FROM ({_SQLDB_MSG.format(modulo=500)})
+"""
+
+ORACLES["k_sqldb_merge_update"] = f"""
+SELECT id, room, ts,
+       CAST(CASE WHEN id % 3 = 0 THEN id + 1 ELSE 0 END AS BIGINT) AS flags
+FROM ({_SQLDB_MSG.format(modulo=400)})
+"""
+
+ORACLES["k_sqldb_upsert"] = f"""
+SELECT id, room, ts, CAST(2 AS BIGINT) AS flags
+FROM ({_SQLDB_MSG.format(modulo=400)})
+"""
+
 ORACLES["s_http_poll_roundtrip"] = f"""
 SELECT source, key,
        TIMESTAMP '2024-06-01 12:00:00' AS fetch_ts,

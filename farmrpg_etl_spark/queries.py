@@ -5278,6 +5278,85 @@ def k_schema_evolve_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sqldb_spec(prefix: str, **kw):
+    import os as _os
+
+    from farmrpg_etl_spark.sinks.sqldb import SqlTableSpec
+
+    defaults = dict(
+        db_path=_os.path.join(_sink_scratch(prefix), "sink.db"),
+        table="message",
+        schema="id bigint, room string, ts timestamp, flags bigint",
+        key=("id",),
+    )
+    defaults.update(kw)
+    return SqlTableSpec(**defaults)
+
+
+def _sqldb_messages(ev: DataFrame, modulo: int, flags_expr: str) -> DataFrame:
+    """Deterministic-in-the-key message rows derived from events: the
+    modulo manufactures duplicate keys (multiple poll sightings of one
+    message) whose payloads are identical, so any insert-race winner
+    is byte-identical — the same property the reference relies on when
+    two pollers race on one unique id (db/chat.py:17-19)."""
+    return ev.selectExpr(f"event_id % {modulo} as id").selectExpr(
+        "id",
+        "concat('room', id % 7) as room",
+        "timestamp'2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as ts",
+        f"{flags_expr} as flags",
+    )
+
+
+def k_sqldb_insert_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/D3 against a LIVE SQL database (`sinks/sqldb.py`): message
+    rows (with manufactured duplicate keys) insert through per-
+    partition connections as INSERT OR IGNORE on the unique index —
+    the reference's create + swallowed IntegrityError, db/chat.py:
+    13-19 — then the whole batch REPLAYS (task-retry model) and must
+    be a no-op. Output = the table read back through the partitioned
+    rowid-range reader."""
+    from farmrpg_etl_spark.sinks import sqldb
+
+    ev = load_table(spark, sf_dir, "events")
+    spec = _sqldb_spec("sqlk1")
+    msgs = _sqldb_messages(ev, 500, "id * 3")
+    sqldb.insert_absent(msgs, spec)
+    sqldb.insert_absent(msgs, spec)  # replay: no duplicates
+    return sqldb.read_table(spark, spec).select("id", "room", "ts", "flags")
+
+
+def k_sqldb_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 against a live SQL database: the flags pipeline's correlated
+    UPDATE (db/chat.py:22-26) — base rows insert with flags=0, then
+    flag sightings (ids ≡0 mod 3) update flags on the matching key;
+    unmatched updates are no-ops."""
+    from farmrpg_etl_spark.sinks import sqldb
+
+    ev = load_table(spark, sf_dir, "events")
+    spec = _sqldb_spec("sqlk2")
+    sqldb.insert_absent(_sqldb_messages(ev, 400, "0"), spec)
+    upd = _sqldb_messages(ev, 400, "id + 1").filter(F.col("id") % 3 == 0)
+    sqldb.correlated_update(upd, spec, set_cols=("flags",))
+    return sqldb.read_table(spark, spec).select("id", "room", "ts", "flags")
+
+
+def k_sqldb_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 against a live SQL database: get_or_create-then-update as
+    atomic INSERT ... ON CONFLICT DO UPDATE (db/user.py:35). Wave 1
+    (ids < 300 of mod 400) inserts flags=1; wave 2 (all mod-400 ids)
+    upserts flags=2 — updating the overlap and inserting the rest.
+    Final state is all-flags=2 with exactly the mod-400 key set."""
+    from farmrpg_etl_spark.sinks import sqldb
+
+    ev = load_table(spark, sf_dir, "events")
+    spec = _sqldb_spec("sqlk3")
+    sqldb.upsert(
+        _sqldb_messages(ev, 400, "1").filter(F.col("id") < 300), spec
+    )
+    sqldb.upsert(_sqldb_messages(ev, 400, "2"), spec)
+    return sqldb.read_table(spark, spec).select("id", "room", "ts", "flags")
+
+
 def streaming_dedup_watermark_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5656,6 +5735,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_demand_fanout": s4_demand_fanout,
     "s_http_poll_roundtrip": s_http_poll_roundtrip,
     "s_http_demand_fanout": s_http_demand_fanout,
+    "k_sqldb_insert_absent": k_sqldb_insert_absent,
+    "k_sqldb_merge_update": k_sqldb_merge_update,
+    "k_sqldb_upsert": k_sqldb_upsert,
     "f1_http_guard": f1_http_guard,
     "f_filters_combined": f_filters_combined,
     "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
