@@ -463,3 +463,144 @@ def char_entropy(
         F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
         F.coalesce("entropy_micros", F.lit(0)).alias("entropy_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4 / FineWeb / Gopher heuristic document filters
+# --------------------------------------------------------------------------
+
+# Gopher's canonical stop set (Rae et al. 2021, §A.1.1): a document
+# must contain >= 2 of these to pass the "stop word" rule.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Rule thresholds, expressed in integer micros where they are ratios
+# so the keep flags compare exactly in both engines.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN_MICROS = 3_000_000
+GOPHER_MAX_MEAN_WLEN_MICROS = 10_000_000
+GOPHER_MAX_BULLET_RATIO_MICROS = 900_000   # <= 90% bullet-started lines
+GOPHER_MAX_ELLIPSIS_RATIO_MICROS = 300_000  # <= 30% ellipsis-ended lines
+GOPHER_MIN_ALPHA_RATIO_MICROS = 800_000    # >= 80% lines with a letter
+GOPHER_MIN_STOP_HITS = 2
+C4_MIN_SENTENCES = 3
+
+
+def c4_fineweb_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The C4 (Raffel et al. 2020, §2.2) + Gopher/FineWeb (Rae et al.
+    2021; Penedo et al. 2024) heuristic filter bundle as ONE pass of
+    pure column expressions over a multi-line text column — the
+    standard first quality gate of a web-scale pretraining pipeline.
+
+    Per document: word/line censuses, mean word length, the line-shape
+    ratios (terminal-punctuation, bullet-start, ellipsis-end,
+    has-a-letter), Gopher stop-word hits, the C4 page-level drop flags
+    (``lorem ipsum``, ``{``, the token ``javascript``), and the two
+    composed keep flags:
+
+    - ``keep_c4``: no lorem-ipsum / brace / javascript, and at least
+      ``C4_MIN_SENTENCES`` terminal-punctuated lines. (C4 additionally
+      cuts non-terminal LINES; that transform is
+      :func:`farmrpg_etl_spark.operators.linededup.remove_frequent_lines`'s
+      sibling and composes downstream — this operator scores pages.)
+    - ``keep_gopher``: word count in [50, 100k], mean word length in
+      [3, 10], bullet ratio <= 0.9, ellipsis ratio <= 0.3, >= 80% of
+      lines contain a letter, >= 2 distinct Gopher stop words.
+
+    All ratios are floor'd integer micros (exact integer division →
+    bit-identical cross-engine); a line ending in ``...`` counts as
+    ellipsis-ended, not terminal. Tokens are whitespace splits;
+    stop-word membership strips non-letters after lowercasing.
+
+    Scale: zero shuffles and zero UDFs — every signal is a
+    whole-stage-codegen expression over the row's own arrays, so the
+    operator runs at scan speed and composes with any downstream gate.
+    One caveat the Gopher paper also hits: per-row array transforms
+    are O(document length); the arrays here are bounded by the text
+    column itself, and no array leaves the row (no explode), so
+    memory per task is the document size it already holds.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    stop_clean = F.array_distinct(
+        F.transform(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: F.length(t) > 0,
+            ),
+            lambda t: F.regexp_replace(t, "[^a-z]", ""),
+        )
+    )
+
+    def ratio_micros(cnt: Column, total: Column) -> Column:
+        return F.when(total == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(cnt.cast("long") * F.lit(1_000_000) / total)
+        ).cast("long")
+
+    is_ellipsis = lambda ln: ln.endswith("...")
+    is_terminal = lambda ln: (
+        ln.endswith(".") | ln.endswith("!") | ln.endswith("?") | ln.endswith('"')
+    ) & ~ln.endswith("...")
+
+    n_lines = F.size(lines)
+    n_words = F.size(toks)
+    sum_wlen = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_term = F.size(F.filter(lines, is_terminal))
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.startswith("- ") | ln.startswith("* "))
+    )
+    n_ellip = F.size(F.filter(lines, is_ellipsis))
+    n_alpha = F.size(F.filter(lines, lambda ln: ln.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            stop_clean, F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
+        )
+    )
+    low = F.lower(F.col(text_col))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    has_js = F.array_contains(stop_clean, "javascript")
+
+    sig = df.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor(sum_wlen * F.lit(1_000_000) / n_words))
+        .cast("long")
+        .alias("mean_wlen_micros"),
+        n_term.cast("long").alias("n_terminal_lines"),
+        ratio_micros(n_term, n_lines).alias("terminal_ratio_micros"),
+        ratio_micros(n_bullet, n_lines).alias("bullet_ratio_micros"),
+        ratio_micros(n_ellip, n_lines).alias("ellipsis_ratio_micros"),
+        ratio_micros(n_alpha, n_lines).alias("alpha_ratio_micros"),
+        stop_hits.cast("long").alias("stop_hits"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_js"),
+    )
+    return sig.select(
+        "*",
+        (
+            ~F.col("has_lorem")
+            & ~F.col("has_brace")
+            & ~F.col("has_js")
+            & (F.col("n_terminal_lines") >= C4_MIN_SENTENCES)
+        ).alias("keep_c4"),
+        (
+            F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & F.col("mean_wlen_micros").between(
+                GOPHER_MIN_MEAN_WLEN_MICROS, GOPHER_MAX_MEAN_WLEN_MICROS
+            )
+            & (F.col("bullet_ratio_micros") <= GOPHER_MAX_BULLET_RATIO_MICROS)
+            & (F.col("ellipsis_ratio_micros") <= GOPHER_MAX_ELLIPSIS_RATIO_MICROS)
+            & (F.col("alpha_ratio_micros") >= GOPHER_MIN_ALPHA_RATIO_MICROS)
+            & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+        ).alias("keep_gopher"),
+    )

@@ -4108,6 +4108,95 @@ SELECT dd.doc_id, coalesce(n_tok, 0) AS n_tok, coalesce(nll, 0.0) AS nll
 FROM documents dd LEFT JOIN s USING (doc_id)
 """
 
+# C4/FineWeb/Gopher bundle: re-derive the decorated multi-line pages
+# (8-token lines, bullet every 5th (doc_id+j) slot, ellipsis every
+# 7th, terminal '.' otherwise, stop-word closing line on even docs,
+# planted lorem/brace/javascript markers) and recompute every signal.
+ORACLES["c4_fineweb_filter_docs"] = rf"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+st AS (
+  SELECT doc_id,
+    list_concat(
+      CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+           ELSE list_transform(
+             generate_series(0,
+               CAST(ceil(CAST(len(toks) AS DOUBLE) / 8.0) AS BIGINT) - 1),
+             j -> (CASE WHEN (doc_id + j) % 5 = 0 THEN '- ' ELSE '' END)
+                  || array_to_string(toks[j*8+1:j*8+8], ' ')
+                  || (CASE WHEN (doc_id + j) % 7 = 0 THEN '...' ELSE '.' END))
+      END,
+      list_filter([
+        CASE WHEN doc_id % 2 = 0 THEN 'That is of the and to be with have.' END,
+        CASE WHEN doc_id % 97 = 0 THEN 'lorem ipsum dolor sit.' END,
+        CASE WHEN doc_id % 89 = 0 THEN 'var x = {{ javascript }}.' END
+      ], x -> x IS NOT NULL)
+    ) AS ls0
+  FROM d
+),
+feat AS (
+  SELECT doc_id,
+    array_to_string(ls0, chr(10)) AS txt,
+    string_split(array_to_string(ls0, chr(10)), chr(10)) AS ls,
+    list_filter(string_split_regex(array_to_string(ls0, chr(10)), '\s+'),
+                w -> w <> '') AS ws,
+    list_distinct(list_transform(
+      list_filter(string_split_regex(lower(array_to_string(ls0, chr(10))),
+                                     '\s+'), w -> w <> ''),
+      w -> regexp_replace(w, '[^a-z]', '', 'g'))) AS sc
+  FROM st
+),
+agg AS (
+  SELECT doc_id,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(CASE WHEN len(ws) = 0 THEN 0 ELSE floor(
+      list_aggregate(list_transform(ws, w -> len(w)), 'sum')
+      * 1000000.0 / len(ws)) END AS BIGINT) AS mean_wlen_micros,
+    CAST(len(list_filter(ls, l ->
+      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+      AND NOT l LIKE '%...')) AS BIGINT) AS n_terminal_lines,
+    CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'))
+      AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS n_ellip,
+    CAST(len(list_filter(ls, l -> regexp_matches(l, '[A-Za-z]')))
+      AS BIGINT) AS n_alpha,
+    CAST(len(list_intersect(sc,
+      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      AS stop_hits,
+    contains(lower(txt), 'lorem ipsum') AS has_lorem,
+    contains(txt, '{{') AS has_brace,
+    list_contains(sc, 'javascript') AS has_js
+  FROM feat
+),
+r AS (
+  SELECT doc_id, n_lines, n_words, mean_wlen_micros, n_terminal_lines,
+    CAST(CASE WHEN n_lines = 0 THEN 0
+         ELSE floor(n_terminal_lines * 1000000.0 / n_lines) END AS BIGINT)
+      AS terminal_ratio_micros,
+    CAST(CASE WHEN n_lines = 0 THEN 0
+         ELSE floor(n_bullet * 1000000.0 / n_lines) END AS BIGINT)
+      AS bullet_ratio_micros,
+    CAST(CASE WHEN n_lines = 0 THEN 0
+         ELSE floor(n_ellip * 1000000.0 / n_lines) END AS BIGINT)
+      AS ellipsis_ratio_micros,
+    CAST(CASE WHEN n_lines = 0 THEN 0
+         ELSE floor(n_alpha * 1000000.0 / n_lines) END AS BIGINT)
+      AS alpha_ratio_micros,
+    stop_hits, has_lorem, has_brace, has_js
+  FROM agg
+)
+SELECT *,
+  (NOT has_lorem AND NOT has_brace AND NOT has_js
+   AND n_terminal_lines >= 3) AS keep_c4,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_wlen_micros BETWEEN 3000000 AND 10000000
+   AND bullet_ratio_micros <= 900000
+   AND ellipsis_ratio_micros <= 300000
+   AND alpha_ratio_micros >= 800000
+   AND stop_hits >= 2) AS keep_gopher
+FROM r
+"""
+
 # Lines = non-overlapping 8-token windows (the corpus has no newlines);
 # any line occurring >= 2 times corpus-wide is boilerplate and cut.
 ORACLES["line_dedup_docs"] = f"""

@@ -4844,6 +4844,57 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c4_fineweb_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb/Gopher heuristic filter bundle
+    (`operators/quality.c4_fineweb_signals`) over a structured corpus:
+    the flat synthetic documents are deterministically decorated into
+    multi-line pages — 8-token lines, a bullet prefix every 5th
+    (doc_id+line) slot, an ellipsis ending every 7th, a terminal ``.``
+    otherwise, a stop-word-rich closing sentence on even docs, and the
+    C4 page-drop markers (lorem ipsum / ``{`` / javascript) planted on
+    the 97- and 89-residue docs — then scored in one codegen pass.
+    Output = every signal and both keep flags; the oracle re-derives
+    the same decorated pages and recomputes each signal independently
+    in SQL."""
+    from farmrpg_etl_spark.functions.hashing import words
+    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.coalesce(words(F.col("text")), F.array().cast("array<string>"))
+    n_win = F.ceil(F.size(toks).cast("double") / F.lit(8.0)).cast("int")
+    body = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda j: F.concat(
+                F.when((F.col("doc_id") + j) % 5 == 0, F.lit("- "))
+                .otherwise(F.lit("")),
+                F.array_join(F.slice(toks, j * 8 + 1, 8), " "),
+                F.when((F.col("doc_id") + j) % 7 == 0, F.lit("..."))
+                .otherwise(F.lit(".")),
+            ),
+        )
+    )
+    nul = F.lit(None).cast("string")
+    extra = F.filter(
+        F.array(
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("That is of the and to be with have.")).otherwise(nul),
+            F.when(F.col("doc_id") % 97 == 0,
+                   F.lit("lorem ipsum dolor sit.")).otherwise(nul),
+            F.when(F.col("doc_id") % 89 == 0,
+                   F.lit("var x = { javascript }.")).otherwise(nul),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.array_join(F.concat(body, extra), "\n").alias("text_struct"),
+    )
+    return c4_fineweb_signals(pages, "text_struct", "doc_id")
+
+
 def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dup grouping, the first stage
     of crawl curation (the same page arrives under scheme/host case
@@ -5602,6 +5653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppl_filter_docs": ppl_filter_docs,
     "ppl_external_lm_docs": ppl_external_lm_docs,
     "line_dedup_docs": line_dedup_docs,
+    "c4_fineweb_filter_docs": c4_fineweb_filter_docs,
     "url_canonicalize_docs": url_canonicalize_docs,
     "quality_logit_docs": quality_logit_docs,
     "k_compact_sink": k_compact_sink,
