@@ -2314,16 +2314,17 @@ def streaming_cdc_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical input frame, identical output schema, the SAME oracle
     SQL — the cross-backend equivalence proof that the CDC transition
     function is backend-independent (both backends call the shared
-    ``_cdc_core``). HONEST GATE: the TWS Python worker needs protobuf
-    (absent from the test container), so when ``tws_available()`` is
-    false this row runs the legacy backend — the transition code under
-    oracle check is the same object either way, and the TWS-specific
-    glue (ValueState marshalling, TTL plumbing) is unit-tested against
-    a fake state handle in tests/test_streaming.py, with a skipif-
-    gated true-TWS equivalence test for protobuf-equipped
-    environments. The RocksDB provider conf the TWS API requires is
-    restored after the bounded run so later streaming rows in the same
-    session keep their provider."""
+    ``_cdc_core``). The TWS Python worker needs ``google.protobuf``
+    for its state protocol; since r10 the vendored mini runtime
+    (``farmrpg_etl_spark/vendor``) supplies it in containers without a
+    protobuf install, so ``tws_available()`` is true here and this row
+    exercises the REAL transformWithStateInPandas path (state
+    requests encoded by the mini runtime, decoded by the JVM's real
+    protobuf). If neither is available the row falls back to the
+    legacy backend — the transition code under oracle check is the
+    same object either way. The RocksDB provider conf the TWS API
+    requires is restored after the bounded run so later streaming rows
+    in the same session keep their provider."""
     from farmrpg_etl_spark.streaming import ops
     from farmrpg_etl_spark.streaming.chat_cdc import (
         chat_cdc_stream,

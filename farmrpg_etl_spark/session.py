@@ -19,6 +19,12 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "farmrpg-etl-spark") -> SparkSession:
+    # Before the JVM starts: make google.protobuf importable (vendored
+    # mini runtime) so transformWithStateInPandas workers can speak
+    # the TWS state protocol in containers without protobuf.
+    from farmrpg_etl_spark.vendor import enable_miniproto
+
+    enable_miniproto()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_partitions = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     builder = (
