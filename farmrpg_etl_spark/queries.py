@@ -5587,18 +5587,29 @@ def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r10 DRIVER-COVERAGE ROTATION --------------------------------
     # The driver verifies exactly the FIRST 50 entries per round.
-    # Head (4): this round's never-driver-checked rows (the r9
-    # post-verdict bitmap Bloom variant + the three r10 additions:
-    # schema-evolution sink, char-trigram lang-id, checkpoint
-    # restart-recovery).
-    # Then the 46 STALEST driver records: the whole r2-era relational
-    # block (TPC-H-shape queries, window/set/pivot family - none
-    # driver-checked since round 2), the five r3 rows, and the oldest
-    # r4 row. Maximizes age-of-last-driver-record per VERDICT r9 #1.
+    # Head (11): this round's never-driver-checked rows - the r9
+    # post-verdict additions (bitmap Bloom variant, schema-evolution
+    # sink, char-trigram lang-id, checkpoint restart-recovery) plus
+    # the r10 builds (real-HTTP poll/fan-out, the three live-sqlite
+    # sink rows, the C4/FineWeb filter bundle) and streaming_cdc_tws,
+    # whose backend switched from the fallback to REAL
+    # transformWithStateInPandas when the vendored mini-protobuf
+    # runtime landed.
+    # Then the 39 STALEST driver records: the r2-era relational block
+    # (TPC-H-shape queries, window/set/pivot family - none driver-
+    # checked since round 2) and one r3 sink row. Maximizes
+    # age-of-last-driver-record per VERDICT r9 #1.
     "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
     "k_schema_evolve_sink": k_schema_evolve_sink,
     "lang_id_ngram_docs": lang_id_ngram_docs,
     "streaming_restart_recovery": streaming_restart_recovery,
+    "s_http_poll_roundtrip": s_http_poll_roundtrip,
+    "s_http_demand_fanout": s_http_demand_fanout,
+    "k_sqldb_insert_absent": k_sqldb_insert_absent,
+    "k_sqldb_merge_update": k_sqldb_merge_update,
+    "k_sqldb_upsert": k_sqldb_upsert,
+    "c4_fineweb_filter_docs": c4_fineweb_filter_docs,
+    "streaming_cdc_tws": streaming_cdc_tws,
     "q1_pricing_summary": q1_pricing_summary,
     "j3_fk_hydrate": j3_fk_hydrate,
     "j2_correlated_update": j2_correlated_update,
@@ -5637,15 +5648,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_count": q16_supplier_count,
     "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
     "q13_customer_distribution": q13_customer_distribution,
+    "k3_snapshot_append_sink": k3_snapshot_append_sink,
+    # --- end of 50-entry prefix --------------------------------------
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,
-    "k3_snapshot_append_sink": k3_snapshot_append_sink,
     "int8_quantize_embeddings": int8_quantize_embeddings,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
     "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
     "d5_change_pairs": d5_change_pairs,
     "parse_quarantine_channel": parse_quarantine_channel,
-    # --- end of 50-entry prefix --------------------------------------
     # Rotated below the cut in r10: everything here has a driver-green
     # record from r5-r9 (see docs/COVERAGE.md cumulative map).
     "q12_shipmode_priority": q12_shipmode_priority,
@@ -5654,7 +5665,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppl_filter_docs": ppl_filter_docs,
     "ppl_external_lm_docs": ppl_external_lm_docs,
     "line_dedup_docs": line_dedup_docs,
-    "c4_fineweb_filter_docs": c4_fineweb_filter_docs,
     "url_canonicalize_docs": url_canonicalize_docs,
     "quality_logit_docs": quality_logit_docs,
     "k_compact_sink": k_compact_sink,
@@ -5684,7 +5694,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_media_docs": embed_media_docs,
     "training_data_pipeline_v2": training_data_pipeline_v2,
     "cut_dup_span_fixpoint_docs": cut_dup_span_fixpoint_docs,
-    "streaming_cdc_tws": streaming_cdc_tws,
     "pq_encode_embeddings": pq_encode_embeddings,
     "ann_topk_pq": ann_topk_pq,
     "ann_recall_pq": ann_recall_pq,
@@ -5786,11 +5795,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_poll_schedule": s_poll_schedule,
     "s_landing_roundtrip": s_landing_roundtrip,
     "s4_demand_fanout": s4_demand_fanout,
-    "s_http_poll_roundtrip": s_http_poll_roundtrip,
-    "s_http_demand_fanout": s_http_demand_fanout,
-    "k_sqldb_insert_absent": k_sqldb_insert_absent,
-    "k_sqldb_merge_update": k_sqldb_merge_update,
-    "k_sqldb_upsert": k_sqldb_upsert,
     "f1_http_guard": f1_http_guard,
     "f_filters_combined": f_filters_combined,
     "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
