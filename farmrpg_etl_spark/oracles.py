@@ -1766,6 +1766,42 @@ GROUP BY event_type
 
 
 # streaming session_window: [first, last+gap) windows, >= gap starts new
+# TWS timer sessionization: µs-exact lag splitting; each user's LAST
+# session is emitted only by its event-time timer, whose predicate is
+# ms-quantized exactly as Spark quantizes timers/watermarks:
+# ceil_ms(last+gap) <= floor_ms(global max ts). Earlier sessions are
+# closed inline by their successor event and always emit.
+ORACLES["streaming_session_timeout"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM g
+), sid AS (
+  SELECT *, SUM(ns) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s
+), a AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(epoch_us(ts)) + 1800000000 AS end_us
+  FROM sid GROUP BY user_id, session_id
+), m AS (
+  SELECT user_id, MAX(session_id) AS max_sid FROM a GROUP BY user_id
+)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events
+FROM a JOIN m USING (user_id)
+WHERE a.session_id < m.max_sid
+   OR (a.end_us + 999) // 1000
+      <= (SELECT max(epoch_us(ts)) FROM events) // 1000
+"""
+
 ORACLES["streaming_sessionize"] = """
 WITH g AS (
   SELECT user_id, ts,

@@ -2038,6 +2038,25 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.streaming_sessionize(spark, sf_dir)
 
 
+def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeout-emitting sessionization on transformWithStateInPandas
+    EVENT-TIME TIMERS (`streaming/sessions.py`) — the stateful form
+    the vendored mini-protobuf runtime unlocked: per-user open-session
+    state, inline emission when a successor event proves the 30-min
+    gap, timer emission when the watermark passes ``last_ts + gap``,
+    open tails withheld. Splitting is µs-exact (same lag semantics as
+    ``streaming_sessionize``); the tail-emission predicate is
+    ms-quantized exactly as Spark quantizes timers/watermarks —
+    ``ceil_ms(session_end) <= floor_ms(max(ts))`` — which the oracle
+    states in integer arithmetic."""
+    from farmrpg_etl_spark.streaming import ops, sessions
+
+    sdf = ops.stream_events(spark, sf_dir)
+    return ops.run_available_now(
+        sessions.sessionize_with_timeout(sdf), "append"
+    )
+
+
 def streaming_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from farmrpg_etl_spark.streaming import ops
 
@@ -5648,8 +5667,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_count": q16_supplier_count,
     "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
     "q13_customer_distribution": q13_customer_distribution,
-    "k3_snapshot_append_sink": k3_snapshot_append_sink,
+    "streaming_session_timeout": streaming_session_timeout,
     # --- end of 50-entry prefix --------------------------------------
+    "k3_snapshot_append_sink": k3_snapshot_append_sink,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,
     "int8_quantize_embeddings": int8_quantize_embeddings,

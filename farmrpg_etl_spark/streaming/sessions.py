@@ -1,0 +1,131 @@
+"""Timeout-emitting streaming sessionization on transformWithStateInPandas
+event-time timers — the operator family the vendored mini-protobuf
+runtime unlocked (timers were gated until r10).
+
+``session_window`` (streaming/ops.streaming_sessionize) merges windows
+but only exposes aggregates Catalyst can express; this processor owns
+the per-user session record, so it can carry arbitrary payloads and —
+the part no window aggregate gives you — EMIT EACH SESSION EXACTLY
+WHEN IT PROVABLY CLOSES: inline when a successor event arrives past
+the gap, or from an event-time TIMER when the watermark passes
+``last_ts + gap`` with no successor. Open sessions are withheld
+(same contract as the watermarked window rows: nothing is emitted
+that a late event could still extend).
+
+Timer-boundary semantics, pinned by tests/test_tws_sessions.py:
+session SPLITTING is microsecond-exact (gap compared in µs, identical
+to the batch lag oracle), but Spark timers and watermarks are
+millisecond-quantized (watermark = floor_ms(max event time); a timer
+fires once watermark_ms >= expiry_ms). The processor registers
+``expiry_ms = ceil_ms(last_us + gap_us)`` — never early — so the
+tail-session emission predicate is exactly
+``ceil_ms(session_end) <= floor_ms(max(ts))``, which the oracle
+states verbatim in integer arithmetic.
+
+Scale notes (100 TB): state is ONE fixed-width row per open session
+per user (RocksDB-backed, beyond-heap), timers are one per user, and
+emission is incremental — no complete-mode re-emission of the whole
+result every batch, which is what makes this form deployable where
+``streaming_sessionize``'s complete-mode twin is not. The per-batch
+sort is per-user within the Arrow batch (bounded by a user's events
+in one trigger), never a global sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+SESSION_OUTPUT = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, timer_ms bigint"
+
+
+def _us(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1_000)
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    """Per-user open-session record + one event-time timer at
+    ``last_ts + gap``; see module docstring for emission contract."""
+
+    def __init__(self, gap_us: int = 1_800_000_000):
+        self._gap = gap_us
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("session", _STATE_SCHEMA)
+
+    def _emit(self, user_id: int, st: tuple) -> pd.DataFrame:
+        start_us, last_us, n, _ = st
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us + self._gap, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        st = tuple(self._state.get()) if self._state.exists() else None
+        old_timer = st[3] if st is not None else -1
+        events = []
+        for pdf in rows:
+            events.extend(zip(pdf["ts"], pdf["event_id"]))
+        events.sort(key=lambda e: (_us(e[0]), int(e[1])))
+        for ts, _ in events:
+            ev = _us(ts)
+            if st is None:
+                st = (ev, ev, 1, -1)
+            elif ev - st[1] >= self._gap:  # gap reached: session closed
+                yield self._emit(user_id, st)
+                st = (ev, ev, 1, -1)
+            else:
+                st = (st[0], max(st[1], ev), st[2] + 1, st[3])
+        # ceil to ms: Spark timers are ms-based; never fire early
+        expiry = (st[1] + self._gap + 999) // 1000
+        self._state.update((st[0], st[1], st[2], expiry))
+        if old_timer >= 0 and old_timer != expiry:
+            self._handle.deleteTimer(old_timer)
+        if old_timer != expiry:
+            self._handle.registerTimer(expiry)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if not self._state.exists():
+            return
+        st = tuple(self._state.get())
+        if st[3] == expiredTimerInfo.getExpiryTimeInMs():
+            yield self._emit(key[0], st)
+            self._state.clear()
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_with_timeout(
+    events: DataFrame,
+    gap_us: int = 1_800_000_000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Wire the processor: watermark on ``ts`` (event-time timers need
+    one), group by user, RocksDB provider for beyond-heap state."""
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return (
+        events.select("user_id", "ts", "event_id")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionTimeoutProcessor(gap_us), SESSION_OUTPUT, "append",
+            "EventTime",
+        )
+    )

@@ -1,0 +1,129 @@
+"""Tests for timeout-emitting TWS sessionization
+(`streaming/sessions.py`) — inline close on successor, event-time
+timer close at the watermark, exact boundary semantics, and
+open-session withholding."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from farmrpg_etl_spark.streaming.ops import run_available_now
+from farmrpg_etl_spark.streaming.sessions import sessionize_with_timeout
+
+SCHEMA = "user_id long, ts timestamp, event_id long"
+
+
+def _t(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+_RUN_SEQ = [0]
+
+
+def _run(spark, tmp_path, files, **kw):
+    _RUN_SEQ[0] += 1
+    d = str(tmp_path / f"events_src_{_RUN_SEQ[0]}")
+    for rows in files:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    sdf = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    out = run_available_now(sessionize_with_timeout(sdf, **kw), "append")
+    return {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in out.collect()
+    }
+
+
+def test_inline_close_on_successor(spark, tmp_path):
+    """A successor event past the gap closes the previous session in
+    the same batch, no timer involvement."""
+    got = _run(
+        spark, tmp_path,
+        [[
+            (1, _t("2024-06-01 10:00:00"), 1),
+            (1, _t("2024-06-01 10:05:00"), 2),
+            (1, _t("2024-06-01 11:00:00"), 3),  # 55 min gap: closes s1
+            (1, _t("2024-06-01 13:00:00"), 4),  # closes s2; s3 stays open
+        ]],
+    )
+    assert got[(1, _t("2024-06-01 10:00:00"))] == (_t("2024-06-01 10:35:00"), 2)
+    assert got[(1, _t("2024-06-01 11:00:00"))] == (_t("2024-06-01 11:30:00"), 1)
+    # the 13:00 session is open: its expiry 13:30 > final watermark 13:00
+    assert len(got) == 2
+
+
+def test_timer_fires_at_exact_watermark_boundary(spark, tmp_path):
+    """watermark >= expiry: a session whose last_ts+gap EQUALS the
+    final watermark is emitted by its timer (pins the oracle's <=)."""
+    got = _run(
+        spark, tmp_path,
+        [
+            [(1, _t("2024-06-01 10:00:00"), 1),
+             (1, _t("2024-06-01 10:10:00"), 2)],
+            [(2, _t("2024-06-01 10:40:00"), 3)],  # watermark -> exactly 10:40
+        ],
+    )
+    assert got == {
+        (1, _t("2024-06-01 10:00:00")): (_t("2024-06-01 10:40:00"), 2),
+    }
+
+
+def test_timer_moves_as_session_extends(spark, tmp_path):
+    """An extension in a later batch must re-register the timer: the
+    session emits with the EXTENDED end, once."""
+    got = _run(
+        spark, tmp_path,
+        [
+            [(1, _t("2024-06-01 10:00:00"), 1)],
+            [(1, _t("2024-06-01 10:20:00"), 2)],   # extends: expiry 10:50
+            [(2, _t("2024-06-01 12:00:00"), 3)],   # watermark passes 10:50
+        ],
+    )
+    assert got == {
+        (1, _t("2024-06-01 10:00:00")): (_t("2024-06-01 10:50:00"), 2),
+    }
+
+
+def test_exact_gap_starts_new_session(spark, tmp_path):
+    """>= gap convention (same as streaming_sessionize): an event
+    exactly 30 minutes after the last starts a NEW session."""
+    got = _run(
+        spark, tmp_path,
+        [
+            [(1, _t("2024-06-01 10:00:00"), 1),
+             (1, _t("2024-06-01 10:30:00"), 2)],
+            [(2, _t("2024-06-01 12:00:00"), 3)],
+        ],
+    )
+    assert got[(1, _t("2024-06-01 10:00:00"))] == (_t("2024-06-01 10:30:00"), 1)
+    assert got[(1, _t("2024-06-01 10:30:00"))] == (_t("2024-06-01 11:00:00"), 1)
+
+
+def test_state_survives_batches_within_gap(spark, tmp_path):
+    """Events split across batches but within the gap merge into one
+    session with the right census."""
+    got = _run(
+        spark, tmp_path,
+        [
+            [(1, _t("2024-06-01 10:00:00"), 1)],
+            [(1, _t("2024-06-01 10:10:00"), 2),
+             (1, _t("2024-06-01 10:12:00"), 3)],
+            [(1, _t("2024-06-01 23:00:00"), 4)],  # closes inline
+        ],
+    )
+    assert got[(1, _t("2024-06-01 10:00:00"))] == (_t("2024-06-01 10:42:00"), 3)
+
+
+def test_ms_quantized_timer_boundary_sub_ms(spark, tmp_path):
+    """Spark timers/watermarks are ms-quantized; splitting stays
+    µs-exact. expiry = ceil_ms(end_us): end 10:40:00.000500 fires
+    under watermark floor_ms(10:40:00.001700) but is withheld under
+    floor_ms(10:40:00.000900) — the oracle's integer predicate."""
+    base = [(1, _t("2024-06-01 10:10:00.000500"), 1)]
+    fires = _run(spark, tmp_path, [base, [(2, _t("2024-06-01 10:40:00.001700"), 2)]])
+    assert (1, _t("2024-06-01 10:10:00.000500")) in fires
+    withheld = _run(spark, tmp_path, [base, [(2, _t("2024-06-01 10:40:00.000900"), 2)]])
+    assert withheld == {}
