@@ -209,6 +209,13 @@ def main() -> None:
         "dq_checks_events",
         "dq_orphan_orders",
         "anomaly_hours_events",
+        # round-10 additions
+        "bloom_bitmap_decontaminate_docs",
+        "lang_id_ngram_docs",
+        "c4_fineweb_filter_docs",
+        "training_data_pipeline_v4",
+        "streaming_session_timeout",
+        "k_sqldb_insert_absent",
     ]:
         run(name)
         steady = []

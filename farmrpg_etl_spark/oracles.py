@@ -4144,11 +4144,10 @@ SELECT dd.doc_id, coalesce(n_tok, 0) AS n_tok, coalesce(nll, 0.0) AS nll
 FROM documents dd LEFT JOIN s USING (doc_id)
 """
 
-# C4/FineWeb/Gopher bundle: re-derive the decorated multi-line pages
-# (8-token lines, bullet every 5th (doc_id+j) slot, ellipsis every
-# 7th, terminal '.' otherwise, stop-word closing line on even docs,
-# planted lorem/brace/javascript markers) and recompute every signal.
-ORACLES["c4_fineweb_filter_docs"] = rf"""
+# Shared CTE chain for the C4/FineWeb oracles: decorated pages +
+# per-page signals/ratios (see _docs_as_structured and
+# operators/quality.c4_fineweb_signals).
+_C4_PAGE_CTES = rf"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 st AS (
   SELECT doc_id,
@@ -4221,6 +4220,11 @@ r AS (
     stop_hits, has_lorem, has_brace, has_js
   FROM agg
 )
+"""
+
+# C4/FineWeb/Gopher bundle: recompute every signal independently.
+ORACLES["c4_fineweb_filter_docs"] = rf"""
+{_C4_PAGE_CTES}
 SELECT *,
   (NOT has_lorem AND NOT has_brace AND NOT has_js
    AND n_terminal_lines >= 3) AS keep_c4,
@@ -4231,6 +4235,51 @@ SELECT *,
    AND alpha_ratio_micros >= 800000
    AND stop_hits >= 2) AS keep_gopher
 FROM r
+"""
+
+
+# v4 pipeline: C4+Gopher page gate -> line dedup over SURVIVORS ->
+# census + reassembly digest + final token count. Frequency counting
+# runs over kept pages only, mirroring the Spark plan's gate-first
+# pruning.
+ORACLES["training_data_pipeline_v4"] = rf"""
+{_C4_PAGE_CTES},
+k AS (
+  SELECT doc_id, n_words FROM r
+  WHERE NOT has_lorem AND NOT has_brace AND NOT has_js
+    AND n_terminal_lines >= 3
+    AND n_words BETWEEN 50 AND 100000
+    AND mean_wlen_micros BETWEEN 3000000 AND 10000000
+    AND bullet_ratio_micros <= 900000
+    AND ellipsis_ratio_micros <= 300000
+    AND alpha_ratio_micros >= 800000
+    AND stop_hits >= 2
+),
+surv AS (SELECT s.doc_id, s.ls0 FROM st s JOIN k USING (doc_id)),
+l2 AS (
+  SELECT doc_id,
+         string_split(array_to_string(ls0, chr(10)), chr(10)) AS lsx
+  FROM surv
+),
+ii2 AS (SELECT doc_id, lsx, unnest(generate_series(1, len(lsx))) AS i FROM l2),
+lines2 AS (SELECT doc_id, i AS pos, lsx[i] AS line FROM ii2),
+freq2 AS (SELECT line FROM lines2 GROUP BY line HAVING count(*) >= 2),
+kept2 AS (
+  SELECT doc_id, pos, line FROM lines2
+  WHERE line NOT IN (SELECT line FROM freq2)
+),
+reagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_out
+  FROM kept2 GROUP BY doc_id
+)
+SELECT l2.doc_id, k.n_words,
+       CAST(len(lsx) AS BIGINT) AS n_lines,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(text_out, '')) AS out_digest,
+       CAST(len(list_filter(string_split_regex(coalesce(text_out, ''),
+            '\s+'), w -> w <> '')) AS BIGINT) AS n_tok_out
+FROM l2 JOIN k USING (doc_id) LEFT JOIN reagg USING (doc_id)
 """
 
 # Lines = non-overlapping 8-token windows (the corpus has no newlines);

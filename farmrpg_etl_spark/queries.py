@@ -4864,22 +4864,17 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def c4_fineweb_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4/FineWeb/Gopher heuristic filter bundle
-    (`operators/quality.c4_fineweb_signals`) over a structured corpus:
-    the flat synthetic documents are deterministically decorated into
-    multi-line pages — 8-token lines, a bullet prefix every 5th
+def _docs_as_structured(docs: DataFrame) -> DataFrame:
+    """Deterministically decorate the flat corpus into multi-line
+    crawl-like pages: 8-token lines, a bullet prefix every 5th
     (doc_id+line) slot, an ellipsis ending every 7th, a terminal ``.``
-    otherwise, a stop-word-rich closing sentence on even docs, and the
-    C4 page-drop markers (lorem ipsum / ``{`` / javascript) planted on
-    the 97- and 89-residue docs — then scored in one codegen pass.
-    Output = every signal and both keep flags; the oracle re-derives
-    the same decorated pages and recomputes each signal independently
-    in SQL."""
+    otherwise, a stop-word-rich closing sentence on even docs (planted
+    corpus-wide boilerplate), and the C4 page-drop markers (lorem
+    ipsum / ``{`` / javascript) on the 97- and 89-residue docs. The
+    oracles re-derive the identical pages in SQL. Returns
+    ``(doc_id, text_struct)``."""
     from farmrpg_etl_spark.functions.hashing import words
-    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.coalesce(words(F.col("text")), F.array().cast("array<string>"))
     n_win = F.ceil(F.size(toks).cast("double") / F.lit(8.0)).cast("int")
     body = F.when(
@@ -4908,10 +4903,23 @@ def c4_fineweb_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
-    pages = docs.select(
+    return docs.select(
         "doc_id",
         F.array_join(F.concat(body, extra), "\n").alias("text_struct"),
     )
+
+
+def c4_fineweb_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb/Gopher heuristic filter bundle
+    (`operators/quality.c4_fineweb_signals`) over the structured-page
+    corpus (`_docs_as_structured`), scored in one codegen pass.
+    Output = every signal and both keep flags; the oracle re-derives
+    the same decorated pages and recomputes each signal independently
+    in SQL."""
+    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = _docs_as_structured(docs)
     return c4_fineweb_signals(pages, "text_struct", "doc_id")
 
 
@@ -5600,6 +5608,46 @@ def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_data_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v4 recipe — the FineWeb ordering with this round's page gate in
+    front: structured crawl pages → C4 + Gopher heuristic page gate
+    (`c4_fineweb_signals`, one codegen pass) → corpus-wide line-level
+    dedup over the SURVIVORS (the planted even-doc stop sentence is
+    corpus-frequent boilerplate, so the very line that helped a page
+    pass the stop-word rule is then cut as chrome — the real C4→
+    RefinedWeb interplay) → per-document census, reassembly digest,
+    and final token count.
+
+    Plan shape: ``pages`` persists once and feeds the gate and the
+    dedup branch (branch-shared persist rule); frequency counting runs
+    over survivors only — the gate prunes BEFORE the line shuffle, so
+    the expensive corpus-wide group-by sees only kept pages (at 100 TB
+    the heuristic gate typically drops 30-60% of raw crawl before any
+    shuffle spend)."""
+    from farmrpg_etl_spark.operators.linededup import remove_frequent_lines
+    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = _docs_as_structured(docs).persist()
+    sig = c4_fineweb_signals(pages, "text_struct", "doc_id")
+    keep = sig.filter(F.col("keep_c4") & F.col("keep_gopher")).select(
+        "doc_id", "n_words"
+    )
+    survivors = pages.join(keep, "doc_id")
+    out = remove_frequent_lines(survivors, "text_struct", "doc_id", min_count=2)
+    toks_out = F.filter(
+        F.split(F.col("text_out"), r"\s+"), lambda t: F.length(t) > 0
+    )
+    return out.join(keep, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_kept",
+        F.md5(F.col("text_out")).alias("out_digest"),
+        F.size(toks_out).cast("long").alias("n_tok_out"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -5670,6 +5718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_session_timeout": streaming_session_timeout,
     # --- end of 50-entry prefix --------------------------------------
     "k3_snapshot_append_sink": k3_snapshot_append_sink,
+    "training_data_pipeline_v4": training_data_pipeline_v4,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,
     "int8_quantize_embeddings": int8_quantize_embeddings,
