@@ -214,7 +214,6 @@ def main() -> None:
         "lang_id_ngram_docs",
         "c4_fineweb_filter_docs",
         "training_data_pipeline_v4",
-        "streaming_session_timeout",
         "k_sqldb_insert_absent",
     ]:
         run(name)
