@@ -282,6 +282,48 @@ def fingerprint(text_col: Column) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+# Unicode normalization rules for :func:`normalize_text` — each is a
+# (pattern, replacement) applied globally, engine-portable (Java regex
+# in Spark, RE2-ish in DuckDB with the 'g' flag), ordered so earlier
+# rewrites cannot create inputs for later ones except where intended
+# (dash/ellipsis folding happens before whitespace collapsing).
+NORMALIZE_RULES: list[tuple[str, str]] = [
+    # C0 control chars except \t and \n, plus DEL -> removed
+    (r"[\x00-\x08\x0b-\x1f\x7f]", ""),
+    # zero-width space/non-joiner/joiner and BOM -> removed
+    (r"[\x{200b}\x{200c}\x{200d}\x{feff}]", ""),
+    # curly single quotes / prime to apostrophe
+    (r"[\x{2018}\x{2019}\x{2032}]", "'"),
+    # curly double quotes / double prime to straight quote
+    (r"[\x{201c}\x{201d}\x{2033}]", '"'),
+    # en/em/horizontal-bar dashes to hyphen
+    (r"[\x{2013}\x{2014}\x{2015}]", "-"),
+    # ellipsis char to three dots
+    (r"\x{2026}", "..."),
+    # NBSP and thin/figure/narrow spaces to plain space
+    (r"[\x{00a0}\x{2007}\x{2009}\x{202f}]", " "),
+    # collapse runs of spaces/tabs (NOT newlines: line structure is
+    # load-bearing for the line-level operators)
+    (r"[ \t]+", " "),
+    # strip spaces around newlines (trailing/leading per line)
+    (" ?\n ?", "\n"),
+    # cap blank-line runs at one blank line
+    ("\n{3,}", "\n\n"),
+]
+
+
+def normalize_text(text_col: Column) -> Column:
+    """Unicode/whitespace normalization — the standard pre-tokenization
+    cleanup (quote/dash folding, zero-width and control-char removal,
+    whitespace discipline) as a chain of global ``regexp_replace``
+    passes, fully codegen'd, with the identical rule list mirrored in
+    the DuckDB oracle. Trims the final result."""
+    out = text_col
+    for pat, rep in NORMALIZE_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
 # PII patterns — conservative, engine-portable (Java regex + RE2 both
 # support these verbatim). Order matters: emails first so their local
 # part can't be half-eaten by the id pattern.

@@ -4238,6 +4238,53 @@ FROM r
 """
 
 
+# Unicode/whitespace normalization: the rule chain restated here
+# (independent of functions/text.NORMALIZE_RULES by design — the
+# patterns are engine-portable regex escapes, the replacements are
+# built with chr() so no control/invisible bytes live in the SQL).
+_NORM_STEPS: list[tuple[str, str]] = [
+    (r"[\x00-\x08\x0b-\x1f\x7f]", "''"),
+    (r"[\x{200b}\x{200c}\x{200d}\x{feff}]", "''"),
+    (r"[\x{2018}\x{2019}\x{2032}]", "''''"),          # -> '
+    (r"[\x{201c}\x{201d}\x{2033}]", "'\"'"),
+    (r"[\x{2013}\x{2014}\x{2015}]", "'-'"),
+    (r"\x{2026}", "'...'"),
+    (r"[\x{00a0}\x{2007}\x{2009}\x{202f}]", "' '"),
+    (r"[ \t]+", "' '"),
+    (" ?\n ?", "chr(10)"),
+    ("\n{3,}", "chr(10) || chr(10)"),
+]
+
+
+def _norm_expr(col: str) -> str:
+    expr = col
+    for pat, rep_expr in _NORM_STEPS:
+        p = pat.replace("\n", "' || chr(10) || '")
+        expr = f"regexp_replace({expr}, '{p}', {rep_expr}, 'g')"
+    return f"trim({expr})"
+
+
+ORACLES["text_normalize_docs"] = f"""
+WITH m AS (
+  SELECT doc_id,
+    chr(8220) || 'Title' || chr(8221) || ' ' || chr(8212) || ' intro'
+      || chr(8230) || chr(160)
+    || CASE WHEN doc_id % 2 = 0
+            THEN chr(8203) || 'zw' || chr(8204) ELSE '' END
+    || text
+    || CASE WHEN doc_id % 3 = 0
+            THEN '  ' || chr(9) || ' tail  ' || repeat(chr(10), 4)
+                 || ' end ' || chr(7)
+            ELSE ' it' || chr(8217) || 's fine ' END AS messy
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(messy) AS BIGINT) AS n_before,
+       CAST(length({_norm_expr("messy")}) AS BIGINT) AS n_after,
+       md5({_norm_expr("messy")}) AS out_digest
+FROM m
+"""
+
 # v4 pipeline: C4+Gopher page gate -> line dedup over SURVIVORS ->
 # census + reassembly digest + final token count. Frequency counting
 # runs over kept pages only, mirroring the Spark plan's gate-first

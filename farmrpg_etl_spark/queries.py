@@ -5608,6 +5608,38 @@ def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace normalization (`functions/text.normalize_text`)
+    — the standard pre-tokenization cleanup — over a deterministically
+    dirtied corpus: every doc gets a curly-quoted em-dashed ellipsis
+    prefix with an NBSP, even docs get zero-width chars, ≡0 mod 3 docs
+    get a control char + tab/space runs + a blank-line pileup. Output
+    = per-doc before/after lengths and the digest of the normalized
+    text; the oracle applies the identical rule chain in DuckDB (the
+    patterns are engine-portable regex escapes, written once in each
+    engine's source)."""
+    from farmrpg_etl_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("“Title” — intro…\u00a0"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\u200bzw\u200c"))
+        .otherwise(F.lit("")),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("  \t tail  \n\n\n\n end \x07"),
+        ).otherwise(F.lit(" it’s fine ")),
+    )
+    d = docs.select("doc_id", messy.alias("messy"))
+    return d.select(
+        "doc_id",
+        F.length("messy").cast("long").alias("n_before"),
+        F.length(normalize_text(F.col("messy"))).cast("long").alias("n_after"),
+        F.md5(normalize_text(F.col("messy")).cast("binary")).alias("out_digest"),
+    )
+
+
 def training_data_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v4 recipe — the FineWeb ordering with this round's page gate in
     front: structured crawl pages → C4 + Gopher heuristic page gate
@@ -5714,9 +5746,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_important_stock": q11_important_stock,
     "q16_supplier_count": q16_supplier_count,
     "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
-    "q13_customer_distribution": q13_customer_distribution,
+    "text_normalize_docs": text_normalize_docs,
     "streaming_session_timeout": streaming_session_timeout,
     # --- end of 50-entry prefix --------------------------------------
+    "q13_customer_distribution": q13_customer_distribution,
     "k3_snapshot_append_sink": k3_snapshot_append_sink,
     "training_data_pipeline_v4": training_data_pipeline_v4,
     "q18_large_volume_orders": q18_large_volume_orders,

@@ -104,3 +104,38 @@ def test_lang_id_ngram_beats_marker_heuristic_on_morphology(spark):
     ).first()
     assert row["ng"] == "de"
     assert row["marker"] == "und"
+
+
+class TestNormalizeText:
+    def _norm(self, spark, s):
+        from farmrpg_etl_spark.functions.text import normalize_text
+
+        return (
+            spark.createDataFrame([(s,)], "s string")
+            .select(normalize_text(F.col("s")).alias("o"))
+            .first()["o"]
+        )
+
+    def test_quote_dash_ellipsis_folding(self, spark):
+        assert (
+            self._norm(spark, "“Hi” — it’s fine…")
+            == '"Hi" - it\'s fine...'
+        )
+
+    def test_control_and_zero_width_removed(self, spark):
+        assert self._norm(spark, "a\x07b\u200bc\u200dd\ufeffe") == "abcde"
+
+    def test_whitespace_discipline(self, spark):
+        # space runs collapse, line edges trim, blank runs cap at one
+        assert self._norm(spark, "a  \t b \n\n\n\n  c") == "a b\n\nc"
+
+    def test_nbsp_variants(self, spark):
+        assert self._norm(spark, "a\xa0b\u2009c\u202fd") == "a b c d"
+
+    def test_tab_and_newline_survive_control_strip(self, spark):
+        # \t and \n are NOT in the C0 strip class
+        assert self._norm(spark, "a\tb\nc") == "a b\nc"
+
+    def test_idempotent(self, spark):
+        once = self._norm(spark, "“x”  y… \n\n\n z\x1f")
+        assert self._norm(spark, once) == once
