@@ -87,6 +87,8 @@ class SessionTimeoutProcessor(StatefulProcessor):
                 st = (ev, ev, 1, -1)
             else:
                 st = (st[0], max(st[1], ev), st[2] + 1, st[3])
+        if st is None:  # empty batch for an unseen key: nothing to do
+            return
         # ceil to ms: Spark timers are ms-based; never fire early
         expiry = (st[1] + self._gap + 999) // 1000
         self._state.update((st[0], st[1], st[2], expiry))
