@@ -475,6 +475,18 @@ def main() -> None:
                 F.col("steps_completed") >= 2
             )
 
+        def stretch_c4_filter():
+            # C4/Gopher page-filter bundle at 10× docs: zero shuffles,
+            # zero UDFs — the "runs at scan speed" claim as a measured
+            # point. Filtering on keep_gopher forces the full signal
+            # expression tree (a bare count() would let Catalyst prune
+            # every signal column and time an empty scan).
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["c4_fineweb_filter_docs"](spark, stretch_dir).filter(
+                ~F.col("keep_gopher") | ~F.col("keep_c4")
+            )
+
         def stretch_pagerank():
             # 5-round PageRank at 10× nodes/edges: per-round cost is
             # one dst-keyed shuffle over a fixed-out-degree edge list,
@@ -523,6 +535,7 @@ def main() -> None:
             ("pipeline_v2_10x", stretch_pipeline_v2),
             ("line_dedup_10x", stretch_line_dedup),
             ("funnel_10x", stretch_funnel),
+            ("c4_filter_10x", stretch_c4_filter),
             ("pagerank_10x", stretch_pagerank),
             ("record_linkage_10x", stretch_linkage),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
