@@ -619,6 +619,18 @@ def main() -> None:
         _skew_rows = {}
         try:
             for mode in ("aqe", "salted"):
+                # reset EVERY A/B key to its saved baseline first, so a
+                # mode never inherits the other mode's overrides (the
+                # aqe-only advisory/threshold keys would otherwise leak
+                # into the salted measurement)
+                for k2 in _all_keys:
+                    if _saved_confs[k2] is None:
+                        try:
+                            spark.conf.unset(k2)
+                        except Exception:
+                            pass
+                    else:
+                        spark.conf.set(k2, _saved_confs[k2])
                 for k2, v2 in _SKEW_CONFS[mode].items():
                     spark.conf.set(k2, v2)
                 t0 = time.time()

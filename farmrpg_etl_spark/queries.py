@@ -2052,9 +2052,21 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from farmrpg_etl_spark.streaming import ops, sessions
 
     sdf = ops.stream_events(spark, sf_dir)
-    return ops.run_available_now(
-        sessions.sessionize_with_timeout(sdf), "append"
-    )
+    # TWS requires the RocksDB provider; restore the session conf after
+    # the bounded run (same discipline as streaming_cdc_tws) so later
+    # streaming rows keep whatever provider they were green under.
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        return ops.run_available_now(
+            sessions.sessionize_with_timeout(sdf), "append"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
 
 
 def streaming_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4611,46 +4623,15 @@ def s_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _local_game_site():
-    """Ephemeral in-process stand-in for the reference site (threaded
-    stdlib http.server) used by the real-HTTP driver rows. Serves the
-    same deterministic bodies as the stub rows — 'source|key' for
-    polls, 'message:<id>' for the demand fan-out — iff the request
-    carries the auth cookie, so the oracle can recompute every digest."""
-    import threading
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-    from urllib.parse import parse_qs, urlparse
+    """Ephemeral in-process stand-in for the reference site — the
+    shared fake-server (`sources/fakesite.py`, one route table for
+    driver rows AND the socket tests). Bodies are deterministic —
+    'source|key' for polls, 'message:<id>' for the demand fan-out —
+    iff the request carries the auth cookie, so the oracle can
+    recompute every digest."""
+    from farmrpg_etl_spark.sources.fakesite import serve_game_site
 
-    class H(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
-
-        def do_GET(self):
-            u = urlparse(self.path)
-            q = {k: v[0] for k, v in parse_qs(u.query).items()}
-            if self.headers.get("Cookie") != "HighwindFRPG=s3cret":
-                body = b"no access"
-            elif u.path == "/worker.php":
-                body = f"chat|{q.get('room', '')}".encode()
-            elif u.path == "/log.php":
-                body = f"flags|{q.get('room', '')}".encode()
-            elif u.path == "/messages.php":
-                body = b"mailbox|"
-            elif u.path == "/online.php":
-                body = b"online|"
-            elif u.path == "/members.php":
-                body = b"staff|"
-            elif u.path == "/message.php":
-                body = f"message:{q.get('id', '')}".encode()
-            else:
-                body = b"not found"
-            self.send_response(200)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    return srv
+    return serve_game_site()
 
 
 def s_http_poll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5744,14 +5725,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
-    "q16_supplier_count": q16_supplier_count,
+    "training_data_pipeline_v4": training_data_pipeline_v4,
     "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
     "text_normalize_docs": text_normalize_docs,
     "streaming_session_timeout": streaming_session_timeout,
     # --- end of 50-entry prefix --------------------------------------
+    "q16_supplier_count": q16_supplier_count,
     "q13_customer_distribution": q13_customer_distribution,
     "k3_snapshot_append_sink": k3_snapshot_append_sink,
-    "training_data_pipeline_v4": training_data_pipeline_v4,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,
     "int8_quantize_embeddings": int8_quantize_embeddings,

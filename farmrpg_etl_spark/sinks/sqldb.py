@@ -58,23 +58,51 @@ class SqlTableSpec:
     schema: str  # Spark DDL, e.g. "id bigint, room string, ts timestamp, flags int"
     key: tuple[str, ...]
 
+    def _fields(self) -> list[tuple[str, str]]:
+        """Split the DDL on commas OUTSIDE parens (``decimal(10,2)``
+        is one field) and validate each field has a name and a mapped
+        type, so a malformed spec fails loudly at spec time rather
+        than producing a corrupt CREATE TABLE."""
+        fields, depth, cur = [], 0, []
+        for ch in self.schema:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                fields.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        fields.append("".join(cur))
+        out = []
+        for f in fields:
+            parts = f.split(None, 1)
+            if len(parts) != 2:
+                raise ValueError(f"malformed DDL field {f!r} in {self.schema!r}")
+            name, typ = parts[0], parts[1].strip().lower()
+            base = typ.split("(")[0].strip()
+            if base not in _SQLITE_TYPE:
+                raise ValueError(
+                    f"unsupported column type {typ!r} for {name!r} "
+                    f"(supported: {sorted(_SQLITE_TYPE)})"
+                )
+            out.append((name, typ))
+        return out
+
     @property
     def columns(self) -> tuple[str, ...]:
-        return tuple(f.split()[0] for f in self.schema.split(","))
+        return tuple(n for n, _ in self._fields())
 
     @property
     def types(self) -> dict[str, str]:
-        out = {}
-        for f in self.schema.split(","):
-            name, typ = f.split(None, 1)
-            out[name] = typ.strip().lower()
-        return out
+        return dict(self._fields())
 
 
 _SQLITE_TYPE = {
     "bigint": "INTEGER", "int": "INTEGER", "integer": "INTEGER",
     "long": "INTEGER", "smallint": "INTEGER", "boolean": "INTEGER",
-    "double": "REAL", "float": "REAL",
+    "double": "REAL", "float": "REAL", "decimal": "NUMERIC",
     "string": "TEXT", "timestamp": "TEXT", "date": "TEXT",
     "binary": "BLOB",
 }
@@ -93,7 +121,8 @@ def ensure_table(spec: SqlTableSpec) -> None:
     """CREATE TABLE IF NOT EXISTS + the unique index (the reference's
     alembic create_table + UniqueConstraint)."""
     cols = ", ".join(
-        f"{c} {_SQLITE_TYPE[t]}" for c, t in spec.types.items()
+        f"{c} {_SQLITE_TYPE[t.split('(')[0].strip()]}"
+        for c, t in spec.types.items()
     )
     conn = _connect(spec.db_path)
     try:
@@ -246,6 +275,7 @@ def read_table(spark: SparkSession, spec: SqlTableSpec,
                 finally:
                     conn.close()
                 for c, t in types.items():
+                    t = t.split("(")[0].strip()
                     if t == "timestamp":
                         out[c] = pd.to_datetime(out[c])
                     elif t == "boolean":

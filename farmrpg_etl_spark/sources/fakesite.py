@@ -1,0 +1,81 @@
+"""In-process stand-in for the game site (reference endpoints,
+deterministic bodies) — the single fake-server implementation shared
+by the real-HTTP driver rows (`queries.s_http_*`) and the socket
+tests (`tests/test_http_source.py`), so the route table lives in ONE
+place next to the client's `ENDPOINTS` map.
+
+Bodies are deterministic in (source, key) — ``'chat|help'``,
+``'message:42'`` — so oracles can recompute every digest. The handler
+optionally records requests (headers + parsed query) and can serve a
+budget of 503s for retry tests; requests lacking the expected auth
+cookie get the site's soft-auth failure body ``b"no access"``
+(reference scrapers/chat.py:151-154).
+"""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+__all__ = ["serve_game_site", "GameSiteHandler"]
+
+
+class GameSiteHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # silence request logging
+        pass
+
+    def do_GET(self):
+        u = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        with self.server.lock:
+            if self.server.record:
+                self.server.seen.append(
+                    {"path": u.path, "query": q, "headers": dict(self.headers)}
+                )
+            fail_budget = self.server.fail_budget
+            if fail_budget > 0:
+                self.server.fail_budget -= 1
+        if fail_budget > 0:
+            self.send_response(503)
+            self.end_headers()
+            self.wfile.write(b"upstream sad")
+            return
+        cookie = f"HighwindFRPG={self.server.cookie}"
+        if self.headers.get("Cookie", "") != cookie:
+            body, status = b"no access", 200
+        elif u.path == "/worker.php":
+            body, status = f"chat|{q.get('room', '')}".encode(), 200
+        elif u.path == "/log.php":
+            body, status = f"flags|{q.get('room', '')}".encode(), 200
+        elif u.path == "/messages.php":
+            body, status = b"mailbox|", 200
+        elif u.path == "/online.php":
+            body, status = b"online|", 200
+        elif u.path == "/members.php":
+            body, status = b"staff|", 200
+        elif u.path == "/message.php":
+            body, status = f"message:{q.get('id', '')}".encode(), 200
+        elif u.path == "/profile.php":
+            body, status = f"profile:{q.get('user_name', '')}".encode(), 200
+        else:
+            body, status = b"not found", 404
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def serve_game_site(
+    cookie: str = "s3cret", record: bool = False
+) -> ThreadingHTTPServer:
+    """Start a threaded fake site on an ephemeral 127.0.0.1 port.
+    Caller owns shutdown: ``srv.shutdown(); srv.server_close()``."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), GameSiteHandler)
+    srv.lock = threading.Lock()
+    srv.seen = []
+    srv.record = record
+    srv.fail_budget = 0
+    srv.cookie = cookie
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

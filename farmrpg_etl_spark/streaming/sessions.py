@@ -115,7 +115,15 @@ def sessionize_with_timeout(
     watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Wire the processor: watermark on ``ts`` (event-time timers need
-    one), group by user, RocksDB provider for beyond-heap state."""
+    one), group by user, RocksDB provider for beyond-heap state.
+
+    NOTE: TWS requires the RocksDB state-store provider, and the conf
+    is session-wide and read at QUERY START — so it must still be set
+    when the caller starts the query and cannot be restored here.
+    Callers running other streaming queries afterwards should
+    save/restore ``spark.sql.streaming.stateStore.providerClass``
+    around the bounded run (see the ``streaming_session_timeout``
+    registry row)."""
     spark = events.sparkSession
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",

@@ -1,8 +1,8 @@
 """Real-socket tests for the HTTP fetch layer (`sources/http.py`).
 
-A stdlib ``ThreadingHTTPServer`` stands in for the game site: it
-records every request's path, query string, and headers, and serves
-per-endpoint canned bodies — so the reference's client semantics
+The shared fake site (`sources/fakesite.py`) records every request's
+path, query string, and headers, and serves per-endpoint canned
+bodies — so the reference's client semantics
 (auth cookie, UA/Referer, cachebuster, flag=1, land-and-skip on
 non-200 / b"no access") are pinned against real HTTP, not a stub.
 The demand fan-out test drives executor-side fetches through Spark's
@@ -11,71 +11,19 @@ Python workers over the same server.
 
 from __future__ import annotations
 
-import threading
 from datetime import datetime
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
 
 import pytest
 
 from farmrpg_etl_spark.operators.filters import http_guard
+from farmrpg_etl_spark.sources.fakesite import serve_game_site
 from farmrpg_etl_spark.sources import landing
 from farmrpg_etl_spark.sources.http import ENDPOINTS, HttpClientConfig, HttpFetcher
 
 
-class _GameHandler(BaseHTTPRequestHandler):
-    """Routes like the reference site; records requests on the server."""
-
-    def log_message(self, *a):  # silence
-        pass
-
-    def do_GET(self):
-        u = urlparse(self.path)
-        q = {k: v[0] for k, v in parse_qs(u.query).items()}
-        with self.server.lock:
-            self.server.seen.append(
-                {"path": u.path, "query": q, "headers": dict(self.headers)}
-            )
-            fail_budget = self.server.fail_budget
-            if fail_budget > 0:
-                self.server.fail_budget -= 1
-        if fail_budget > 0:
-            self.send_response(503)
-            self.end_headers()
-            self.wfile.write(b"upstream sad")
-            return
-        if self.headers.get("Cookie", "") != "HighwindFRPG=s3cret":
-            body, status = b"no access", 200  # the site's soft-auth failure
-        elif u.path == "/worker.php":
-            body, status = f"chat|{q.get('room', '')}".encode(), 200
-        elif u.path == "/log.php":
-            body, status = f"flags|{q.get('room', '')}".encode(), 200
-        elif u.path == "/messages.php":
-            body, status = b"mailbox|", 200
-        elif u.path == "/online.php":
-            body, status = b"online|", 200
-        elif u.path == "/members.php":
-            body, status = b"staff|", 200
-        elif u.path == "/message.php":
-            body, status = f"message:{q.get('id', '')}".encode(), 200
-        elif u.path == "/profile.php":
-            body, status = f"profile:{q.get('user_name', '')}".encode(), 200
-        else:
-            body, status = b"not found", 404
-        self.send_response(status)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
-
-
 @pytest.fixture()
 def site():
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), _GameHandler)
-    srv.seen = []
-    srv.lock = threading.Lock()
-    srv.fail_budget = 0
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
+    srv = serve_game_site(record=True)
     try:
         yield srv
     finally:

@@ -220,3 +220,28 @@ def test_tws_full_protocol_e2e(spark, tmp_path):
     assert got["alice"]["n_types"] == 2
     assert got["alice"]["expired_ms"] == 1
     assert got["bob"]["n"] == 1 and got["bob"]["map_sum"] == 7
+
+
+def test_truncated_length_delimited_raises():
+    m = sm.StateResponse()
+    # field 3 (bytes) declares 5 bytes but only 2 follow
+    with pytest.raises(ValueError, match="truncated"):
+        m.ParseFromString(b"\x1a\x05ab")
+
+
+def test_read_vivified_oneof_sibling_never_serializes():
+    """Reading a oneof member vivifies it locally, but serialization
+    emits only the LAST-SET member — a mere read can't put two oneof
+    fields on the wire."""
+    req = sm.StateRequest()
+    _ = req.statefulProcessorCall  # read-vivify
+    req.timerRequest = sm.TimerRequest(
+        expiryTimerRequest=sm.ExpiryTimerRequest(iteratorId="i")
+    )
+    _ = req.stateVariableRequest  # read-vivify AFTER the assignment
+    wire = req.SerializeToString()
+    back = sm.StateRequest()
+    back.ParseFromString(wire)
+    assert back.HasField("timerRequest")
+    assert not back.HasField("statefulProcessorCall")
+    assert not back.HasField("stateVariableRequest")

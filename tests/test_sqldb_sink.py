@@ -133,3 +133,16 @@ def test_concurrent_partition_writers(spark, tmp_path):
     big = _messages(spark, n=5000).repartition(16)
     sqldb.insert_absent(big, spec)
     assert sqldb.read_table(spark, spec, num_partitions=8).count() == 5000
+
+
+def test_ddl_parse_parameterized_and_malformed(tmp_path):
+    import pytest
+
+    spec = _spec(tmp_path, schema="id bigint, amount decimal(10,2), note string")
+    assert spec.columns == ("id", "amount", "note")
+    assert spec.types["amount"] == "decimal(10,2)"
+    sqldb.ensure_table(spec)  # NUMERIC affinity, no KeyError
+    with pytest.raises(ValueError, match="malformed"):
+        _spec(tmp_path, schema="id bigint, oops").columns
+    with pytest.raises(ValueError, match="unsupported"):
+        _spec(tmp_path, schema="id bigint, v map<string,int>").columns

@@ -30,7 +30,12 @@ def _run(spark, tmp_path, files, **kw):
     sdf = spark.readStream.schema(SCHEMA).option(
         "maxFilesPerTrigger", 1
     ).parquet(d)
-    out = run_available_now(sessionize_with_timeout(sdf, **kw), "append")
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    try:
+        out = run_available_now(sessionize_with_timeout(sdf, **kw), "append")
+    finally:  # shared session fixture: don't leak the RocksDB provider
+        spark.conf.unset(conf) if prev is None else spark.conf.set(conf, prev)
     return {
         (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
         for r in out.collect()
