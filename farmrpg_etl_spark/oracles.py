@@ -4238,6 +4238,43 @@ FROM r
 """
 
 
+# RFC 9309 robots matching: longest prefix wins, allow wins ties
+# (struct comparison orders (len, allow) lexicographically in both
+# engines), no-match allows. Rules derive from the corpus's own
+# source domains, mirroring the Spark row.
+ORACLES["robots_filter_docs"] = r"""
+WITH u AS (
+  SELECT doc_id,
+         source || '.example.com' AS host,
+         '/Docs/' || CAST(doc_id % 50 AS VARCHAR) AS path
+  FROM documents
+),
+hosts AS (SELECT DISTINCT host FROM u),
+rules AS (
+  SELECT host, prefix, allow
+  FROM hosts, (VALUES ('/Docs/1', FALSE), ('/Docs/12', TRUE),
+                      ('/Docs/3', FALSE), ('/Docs/3', TRUE))
+       AS t(prefix, allow)
+  UNION ALL
+  SELECT host, '/', FALSE FROM hosts
+  WHERE regexp_matches(host, '^src[0-9]*0\.')
+),
+cand AS (
+  SELECT u.doc_id, r.prefix, r.allow
+  FROM u JOIN rules r
+    ON u.host = r.host AND starts_with(u.path, r.prefix)
+),
+w AS (
+  SELECT doc_id,
+         max(struct_pack(l := length(prefix), a := allow)) AS wn
+  FROM cand GROUP BY doc_id
+)
+SELECT u.doc_id, u.host, u.path,
+       CAST(coalesce(wn.l, 0) AS BIGINT) AS matched_len,
+       coalesce(wn.a, TRUE) AS allowed
+FROM u LEFT JOIN w USING (doc_id)
+"""
+
 # Unicode/whitespace normalization: the rule chain restated here
 # (independent of functions/text.NORMALIZE_RULES by design — the
 # patterns are engine-portable regex escapes, the replacements are

@@ -5589,6 +5589,58 @@ def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots-rule URL filtering (`operators/crawl.py`) over
+    the synthesized crawl URLs: canonical host/path
+    (`functions/urls.py`) joined against a per-host rules relation
+    built from the corpus's own source domains — a deny on
+    ``/Docs/1`` (prefix-matching /Docs/1 and /Docs/10-19), a longer
+    allow carve-out on ``/Docs/12``, an equal-length allow/deny pair
+    on ``/Docs/3`` (allow must win the tie), and a whole-host deny on
+    the ``*0`` domains. Exercises longest-match, tie-break, no-match
+    default, and host scoping in one row; the rules side broadcasts,
+    the corpus never shuffles."""
+    from farmrpg_etl_spark.functions import urls as U
+    from farmrpg_etl_spark.operators.crawl import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&sessionid="),
+        F.col("doc_id").cast("string"),
+    )
+    u = docs.select(
+        "doc_id",
+        U.url_host(url).alias("host"),
+        U.url_path(url).alias("path"),
+    )
+    hosts = u.select("host").distinct()
+    base = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                F.struct(F.lit("/Docs/1").alias("prefix"),
+                         F.lit(False).alias("allow")),
+                F.struct(F.lit("/Docs/12").alias("prefix"),
+                         F.lit(True).alias("allow")),
+                F.struct(F.lit("/Docs/3").alias("prefix"),
+                         F.lit(False).alias("allow")),
+                F.struct(F.lit("/Docs/3").alias("prefix"),
+                         F.lit(True).alias("allow")),
+            )
+        ).alias("r"),
+    ).select("host", F.col("r.prefix").alias("prefix"),
+             F.col("r.allow").alias("allow"))
+    whole_host = hosts.filter(F.col("host").rlike(r"^src\d*0\.")).select(
+        "host", F.lit("/").alias("prefix"), F.lit(False).alias("allow")
+    )
+    rules = base.unionByName(whole_host)
+    return robots_filter(u, rules)
+
+
 def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode/whitespace normalization (`functions/text.normalize_text`)
     — the standard pre-tokenization cleanup — over a deterministically
@@ -5724,12 +5776,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q11_important_stock": q11_important_stock,
+    "robots_filter_docs": robots_filter_docs,
     "training_data_pipeline_v4": training_data_pipeline_v4,
     "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
     "text_normalize_docs": text_normalize_docs,
     "streaming_session_timeout": streaming_session_timeout,
     # --- end of 50-entry prefix --------------------------------------
+    "q11_important_stock": q11_important_stock,
     "q16_supplier_count": q16_supplier_count,
     "q13_customer_distribution": q13_customer_distribution,
     "k3_snapshot_append_sink": k3_snapshot_append_sink,
