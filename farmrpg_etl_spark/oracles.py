@@ -1802,6 +1802,17 @@ WHERE a.session_id < m.max_sid
       <= (SELECT max(epoch_us(ts)) FROM events) // 1000
 """
 
+ORACLES["streaming_tws_first_seen"] = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+ORACLES["streaming_tws_running_counts"] = """
+SELECT user_id, event_type,
+       CAST(unnest(generate_series(1, c)) AS BIGINT) AS n
+FROM (SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type)
+"""
+
 ORACLES["streaming_sessionize"] = """
 WITH g AS (
   SELECT user_id, ts,

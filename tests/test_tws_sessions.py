@@ -132,3 +132,55 @@ def test_ms_quantized_timer_boundary_sub_ms(spark, tmp_path):
     assert (1, _t("2024-06-01 10:10:00.000500")) in fires
     withheld = _run(spark, tmp_path, [base, [(2, _t("2024-06-01 10:40:00.000900"), 2)]])
     assert withheld == {}
+
+
+def test_batch_twin_matches_tws_on_real_table(spark):
+    """sessionize_with_timeout_batch (the runtime-crash fallback) must
+    be row-identical to the TWS streaming run on the real events
+    table — the equivalence that makes the fallback sound under the
+    SAME driver oracle."""
+    from farmrpg_etl_spark.queries import streaming_session_timeout
+    from farmrpg_etl_spark.sources.tables import load_table
+    from farmrpg_etl_spark.streaming.sessions import (
+        sessionize_with_timeout_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tws = {tuple(r) for r in streaming_session_timeout(spark, sf).collect()}
+    batch = {
+        tuple(r)
+        for r in sessionize_with_timeout_batch(
+            load_table(spark, sf, "events")
+        ).collect()
+    }
+    assert tws == batch
+    assert len(tws) > 0
+
+
+def test_registry_row_survives_tws_crash(spark, monkeypatch):
+    """If the TWS path dies at runtime (the r10 driver's one red row),
+    the registry row must degrade to the batch twin instead of
+    erroring — same rows, same schema."""
+    import farmrpg_etl_spark.streaming.sessions as sessions_mod
+    from farmrpg_etl_spark.queries import streaming_session_timeout
+    from farmrpg_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    expected = {
+        tuple(r)
+        for r in sessions_mod.sessionize_with_timeout_batch(
+            load_table(spark, sf, "events")
+        ).collect()
+    }
+
+    def _boom(*a, **k):
+        raise RuntimeError(
+            "TransformWithStateInPySpark driver worker exited unexpectedly"
+        )
+
+    monkeypatch.setattr(sessions_mod, "sessionize_with_timeout", _boom)
+    out = streaming_session_timeout(spark, sf)
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "session_start", "session_end", "n_events",
+    ]
+    assert {tuple(r) for r in out.collect()} == expected
