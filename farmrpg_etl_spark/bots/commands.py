@@ -127,6 +127,69 @@ def reply_sink(
     return n
 
 
+def make_http_reply_sender(fetcher) -> Callable[[int, str, str, str], None]:
+    """Real network ``send`` for :func:`reply_sink` — POSTs the
+    reference's exact reply shape (bots/base.py:23-33):
+    ``POST worker.php?go=sendmessage`` with the form body
+    ``in_reply_to/to/subject/body``, through the authenticated
+    :class:`~farmrpg_etl_spark.sources.http.HttpFetcher`. A non-200
+    raises so the caller's idempotency log never records a failed
+    send (at-least-once, the reference's fire-and-forget upgraded)."""
+
+    def send(reply_to_id: int, username: str, subject: str, body: str) -> None:
+        status, resp = fetcher.post(
+            "worker.php",
+            {"go": "sendmessage"},
+            data={
+                "in_reply_to": str(reply_to_id),
+                "to": username,
+                "subject": subject,
+                "body": body,
+            },
+        )
+        if status != 200 or resp == b"no access":
+            raise RuntimeError(
+                f"sendmessage failed: status={status} body={resp[:200]!r}"
+            )
+
+    return send
+
+
+def push_claims(
+    changes: DataFrame,
+    fetcher,
+    bearer: str,
+    sent_log: set[tuple] | None = None,
+    uid_col: str = "firebase_uid",
+) -> int:
+    """K6 over real HTTP — one ``POST v1/accounts:update`` per
+    claims-CHANGE row (reference firebase.py:27-36: JSON body
+    ``{"localId": uid, "customAttributes": json.dumps(claims)}``,
+    Bearer auth). Input is the D5-gated change set
+    (:func:`claims_changes`), which is small by construction — the
+    gate, not this loop, is the scale story; the data path never
+    collects."""
+    n = 0
+    for r in changes.select(F.col(uid_col).alias("__uid"), "claims").collect():
+        uid = r["__uid"]
+        key = (uid, r["claims"])  # replay idempotency per payload
+        if uid is None or (sent_log is not None and key in sent_log):
+            continue
+        status, resp = fetcher.post(
+            "v1/accounts:update",
+            json_body={"localId": str(uid), "customAttributes": r["claims"]},
+            bearer=bearer,
+        )
+        if status != 200:
+            raise RuntimeError(
+                f"accounts:update failed: status={status} body={resp[:200]!r}"
+            )
+        if sent_log is not None:
+            sent_log.add(key)
+        n += 1
+    return n
+
+
 def claims_changes(change_pairs: DataFrame) -> DataFrame:
     """K6 gate — emit claims payloads only when the claims projection
     changed between consecutive snapshots (D5 → firestore/user.py:7-13).

@@ -3177,6 +3177,45 @@ FROM documents
 
 
 # K6 claims gate: emit only on claims-JSON change (first obs included)
+# K7 over real HTTP: the server-recorded sendmessage form payloads ==
+# the dispatch result (same mail synthesis as bot_dispatch_replies)
+ORACLES["k_http_reply_sink"] = """
+SELECT doc_id AS reply_to_id,
+       'u' || CAST(doc_id AS VARCHAR) AS username,
+       CASE WHEN doc_id % 3 = 0 THEN 'RE: (no subject)'
+            ELSE 'RE: hi ' || CAST(doc_id AS VARCHAR) END AS subject,
+       CASE doc_id % 5
+         WHEN 0 THEN 'pong'
+         WHEN 1 THEN 'registered ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 28)
+         WHEN 2 THEN 'error: firebase uid must be exactly 28 characters'
+         WHEN 3 THEN CASE WHEN doc_id % 10 = 3
+                          THEN 'uid: UID' || CAST(doc_id AS VARCHAR)
+                          ELSE 'not registered' END
+         ELSE 'unknown command; try ping, userinfo, register <uid>'
+       END AS body
+FROM documents
+"""
+
+
+# K6 over real HTTP: server-recorded accounts:update JSON payloads ==
+# the D5-gated claims change set
+ORACLES["k_http_claims_sink"] = """
+WITH s AS (
+  SELECT user_id,
+         (value > 50) AS f, (event_type = 'click') AS r,
+         lag(value > 50) OVER w AS pf,
+         lag(event_type = 'click') OVER w AS pr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT 'UID' || CAST(user_id AS VARCHAR) AS local_id,
+       '{"farmhand":"' || CAST(f AS VARCHAR) || '","ranger":"'
+         || CAST(r AS VARCHAR) || '"}' AS claims
+FROM s
+WHERE pf IS NULL OR f IS DISTINCT FROM pf OR r IS DISTINCT FROM pr
+"""
+
+
 ORACLES["claims_gate_events"] = """
 WITH s AS (
   SELECT user_id, event_id,

@@ -66,6 +66,57 @@ class GameSiteHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
 
+    def do_POST(self):
+        u = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        n = int(self.headers.get("Content-Length", "0") or 0)
+        raw = self.rfile.read(n) if n else b""
+        ctype = self.headers.get("Content-Type", "")
+        if ctype.startswith("application/json"):
+            import json as _json
+
+            form = _json.loads(raw.decode() or "{}")
+        else:
+            form = {k: v[0] for k, v in parse_qs(raw.decode()).items()}
+        with self.server.lock:
+            if self.server.record:
+                self.server.seen.append(
+                    {
+                        "path": u.path,
+                        "query": q,
+                        "form": form,
+                        "headers": dict(self.headers),
+                    }
+                )
+        if u.path == "/worker.php" and q.get("go") == "sendmessage":
+            # reference bots/base.py:23-33 — form POST with auth cookie
+            if self.headers.get("Cookie", "") != (
+                f"HighwindFRPG={self.server.cookie}"
+            ):
+                body, status = b"no access", 200
+            else:
+                body, status = (
+                    f"sent:{form.get('in_reply_to', '')}".encode(),
+                    200,
+                )
+        elif u.path == "/v1/accounts:update":
+            # reference firebase.py:27-36 — JSON POST, Bearer auth
+            auth = self.headers.get("Authorization", "")
+            if not auth.startswith("Bearer "):
+                body, status = b'{"error": "unauthenticated"}', 401
+            else:
+                body, status = (
+                    ('{"localId": "%s"}' % form.get("localId", "")).encode(),
+                    200,
+                )
+        else:
+            body, status = b"not found", 404
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
 def serve_game_site(
     cookie: str = "s3cret", record: bool = False
 ) -> ThreadingHTTPServer:

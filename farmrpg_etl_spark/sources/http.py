@@ -101,13 +101,28 @@ class HttpFetcher:
     config: HttpClientConfig
     clock: Callable[[], float] = field(default=time.time)
 
-    def get(self, path: str, params: dict[str, str]) -> tuple[int, bytes]:
-        """One authenticated GET. Returns (status, body); HTTP error
-        statuses are returned, not raised (the landing zone records
-        them; F1 drops them downstream). Network-level failures after
-        the retry budget surface as status 0 with the error text as
-        the body, so a dead endpoint is visible in the zone rather
-        than poisoning the poll loop."""
+    def request(
+        self,
+        path: str,
+        params: dict[str, str] | None = None,
+        *,
+        method: str = "GET",
+        data: dict[str, str] | None = None,
+        json_body: dict | None = None,
+        bearer: str | None = None,
+    ) -> tuple[int, bytes]:
+        """One authenticated request. Returns (status, body); HTTP
+        error statuses are returned, not raised (the landing zone
+        records them; F1 drops them downstream). Network-level
+        failures after the retry budget surface as status 0 with the
+        error text as the body, so a dead endpoint is visible in the
+        zone rather than poisoning the poll loop.
+
+        ``data`` sends a form-urlencoded body (the reference's bot
+        reply POST, bots/base.py:23-33); ``json_body`` a JSON body
+        with an optional ``bearer`` Authorization header (the
+        reference's Google identitytoolkit POST, firebase.py:27-36).
+        """
         cfg = self.config
         url = urllib.parse.urljoin(cfg.base_url, path)
         if params:
@@ -118,9 +133,22 @@ class HttpFetcher:
         }
         if cfg.cookie:
             headers["Cookie"] = f"{cfg.cookie_name}={cfg.cookie}"
+        if bearer:
+            headers["Authorization"] = f"Bearer {bearer}"
+        body: bytes | None = None
+        if data is not None:
+            body = urllib.parse.urlencode(data).encode()
+            headers["Content-Type"] = "application/x-www-form-urlencoded"
+        elif json_body is not None:
+            import json as _json
+
+            body = _json.dumps(json_body, sort_keys=True).encode()
+            headers["Content-Type"] = "application/json"
         last: tuple[int, bytes] = (0, b"")
         for attempt in range(cfg.retries + 1):
-            req = urllib.request.Request(url, headers=headers, method="GET")
+            req = urllib.request.Request(
+                url, data=body, headers=headers, method=method
+            )
             try:
                 with urllib.request.urlopen(req, timeout=cfg.timeout_sec) as resp:
                     return resp.status, resp.read()
@@ -133,6 +161,27 @@ class HttpFetcher:
             if attempt < cfg.retries:
                 time.sleep(cfg.backoff_sec * (2**attempt))
         return last
+
+    def get(self, path: str, params: dict[str, str]) -> tuple[int, bytes]:
+        return self.request(path, params, method="GET")
+
+    def post(
+        self,
+        path: str,
+        params: dict[str, str] | None = None,
+        *,
+        data: dict[str, str] | None = None,
+        json_body: dict | None = None,
+        bearer: str | None = None,
+    ) -> tuple[int, bytes]:
+        return self.request(
+            path,
+            params,
+            method="POST",
+            data=data,
+            json_body=json_body,
+            bearer=bearer,
+        )
 
     def __call__(self, spec: PollSpec) -> tuple[int, bytes]:
         try:

@@ -153,3 +153,93 @@ def test_endpoint_map_matches_reference():
     assert ENDPOINTS["staff"][0] == "members.php"
     assert ENDPOINTS["profile"][1]("bob", 0.0) == {"user_name": "bob"}
     assert ENDPOINTS["staff"][1](None, 0.0) == {"type": "staff"}
+
+
+# ---------------------------------------------------------------- POST
+
+
+def test_post_sendmessage_exact_reference_shape(spark, site):
+    """K7 real send path: reply_sink → form POST worker.php?go=sendmessage
+    with in_reply_to/to/subject/body (reference bots/base.py:23-33)."""
+    from farmrpg_etl_spark.bots.commands import (
+        make_http_reply_sender,
+        reply_sink,
+    )
+
+    replies = spark.createDataFrame(
+        [(42, "alice", "RE: hi", "pong")],
+        "reply_to_id bigint, username string, subject string, body string",
+    )
+    log: set = set()
+    assert reply_sink(replies, make_http_reply_sender(HttpFetcher(_cfg(site))), log) == 1
+    # replay is a no-op
+    assert reply_sink(replies, make_http_reply_sender(HttpFetcher(_cfg(site))), log) == 0
+    with site.lock:
+        posts = [s for s in site.seen if s.get("form")]
+    assert len(posts) == 1
+    p = posts[0]
+    assert p["path"] == "/worker.php"
+    assert p["query"] == {"go": "sendmessage"}
+    assert p["form"] == {
+        "in_reply_to": "42", "to": "alice", "subject": "RE: hi", "body": "pong",
+    }
+    assert p["headers"]["Content-Type"] == "application/x-www-form-urlencoded"
+    assert p["headers"]["Cookie"] == "HighwindFRPG=s3cret"
+
+
+def test_post_sendmessage_auth_failure_raises(spark, site):
+    """A 'no access' reply body must raise so the idempotency log never
+    records a failed send."""
+    from farmrpg_etl_spark.bots.commands import (
+        make_http_reply_sender,
+        reply_sink,
+    )
+
+    replies = spark.createDataFrame(
+        [(1, "bob", "RE: x", "pong")],
+        "reply_to_id bigint, username string, subject string, body string",
+    )
+    bad = HttpFetcher(
+        HttpClientConfig(
+            base_url=f"http://127.0.0.1:{site.server_address[1]}/",
+            cookie="wrong",
+        )
+    )
+    log: set = set()
+    with pytest.raises(RuntimeError, match="sendmessage failed"):
+        reply_sink(replies, make_http_reply_sender(bad), log)
+    assert log == set()  # nothing recorded as sent
+
+
+def test_post_accounts_update_json_bearer(spark, site):
+    """K6 real send path: JSON POST v1/accounts:update with Bearer auth
+    (reference firebase.py:27-36); payload is localId + the claims doc
+    as a JSON string in customAttributes."""
+    from farmrpg_etl_spark.bots.commands import push_claims
+
+    changes = spark.createDataFrame(
+        [("UID7", '{"farmhand":"true","ranger":"false"}')],
+        "firebase_uid string, claims string",
+    )
+    n = push_claims(changes, HttpFetcher(_cfg(site)), bearer="tok-123")
+    assert n == 1
+    with site.lock:
+        posts = [s for s in site.seen if s["path"] == "/v1/accounts:update"]
+    assert len(posts) == 1
+    p = posts[0]
+    assert p["form"] == {
+        "localId": "UID7",
+        "customAttributes": '{"farmhand":"true","ranger":"false"}',
+    }
+    assert p["headers"]["Authorization"] == "Bearer tok-123"
+    assert p["headers"]["Content-Type"] == "application/json"
+
+
+def test_post_accounts_update_missing_bearer_401(spark, site):
+    from farmrpg_etl_spark.bots.commands import push_claims
+
+    changes = spark.createDataFrame(
+        [("UID7", "{}")], "firebase_uid string, claims string"
+    )
+    with pytest.raises(RuntimeError, match="accounts:update failed: status=401"):
+        push_claims(changes, HttpFetcher(_cfg(site)), bearer="")
