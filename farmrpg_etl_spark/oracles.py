@@ -2604,6 +2604,10 @@ SELECT coalesce(s.id, b.id) AS id,
 FROM seed s FULL OUTER JOIN b ON s.id = b.id
 """
 
+# live document store (sqlite json1) twins: same scenarios, same end
+# states as the parquet-modeled K4/K5 rows -> oracles shared verbatim
+ORACLES["k_docstore_partial_sink"] = ORACLES["k4_partial_doc_sink"]
+
 # K5 subdoc set() is last-write-wins per message; ordered batches with
 # in-batch max reduce make the end state "global max src_id per key"
 ORACLES["k5_flags_subdoc_sink"] = """
@@ -2624,6 +2628,8 @@ r AS (
 SELECT room, msg_id, flags, flag_ts FROM r
 QUALIFY src_id = max(src_id) OVER (PARTITION BY room, msg_id)
 """
+
+ORACLES["k_docstore_subdoc_sink"] = ORACLES["k5_flags_subdoc_sink"]
 
 ORACLES["k6_additive_rollup_sink"] = """
 SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -4927,6 +4927,145 @@ def k_http_claims_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "local_id string, claims string")
 
 
+_DOC_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # µs-exact JSON roundtrip
+
+
+def k_docstore_partial_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 on a LIVE document store (r10 verdict #5): the same
+    partial-write scenario as ``k4_partial_doc_sink`` — same oracle —
+    but through real Firestore semantics on sqlite json1
+    (`sinks/docstore.py`): ``set(merge=True)`` is
+    ``json_patch(old, new)``, and the reference's "don't touch"
+    contract (``del data["flags"]`` always, ``del data["deleted_ts"]``
+    when not deleted, firestore/chat.py:40-50) is reproduced by
+    ``to_json`` dropping null fields from the payload, so absent keys
+    are preserved by the patch. End state is read back over the
+    partitioned doc reader and parsed with a typed ``from_json``."""
+    import os as _os
+    import tempfile as _tf
+
+    from farmrpg_etl_spark.sinks.docstore import (
+        DocStoreSpec,
+        read_docs,
+        set_docs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    opts = {"timestampFormat": _DOC_TS_FMT}
+    seed = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.lit("rooms/r/chats").alias("collection"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("content"),
+                (F.col("event_id") % 7).cast("int").alias("flags"),
+                F.lit(False).alias("deleted"),
+                F.lit(None).cast("timestamp").alias("deleted_ts"),
+            ),
+            opts,
+        ).alias("doc"),
+    )
+    batch = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.lit("rooms/r/chats").alias("collection"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.to_json(
+            F.struct(
+                F.concat(F.col("event_type"), F.lit("!")).alias("content"),
+                (F.col("value") > 50).alias("deleted"),
+                # deleted_ts key exists ONLY when deleted — to_json
+                # drops the null, json_patch preserves the old value
+                F.when(F.col("value") > 50, F.col("ts")).alias("deleted_ts"),
+            ),
+            opts,
+        ).alias("doc"),
+    )
+    spec = DocStoreSpec(
+        _os.path.join(_tf.mkdtemp(prefix="farmrpg_docstore_"), "store.db")
+    )
+    set_docs(seed, spec, merge=True)
+    set_docs(batch, spec, merge=True)
+    fields = F.from_json(
+        F.col("doc"),
+        "content string, flags int, deleted boolean, deleted_ts timestamp",
+        opts,
+    )
+    return read_docs(spark, spec).select(
+        F.col("doc_id").cast("bigint").alias("id"), fields.alias("f")
+    ).select("id", "f.content", "f.flags", "f.deleted", "f.deleted_ts")
+
+
+def k_docstore_subdoc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 on the live document store: each resolved flags event
+    full-overwrites its message's ``mod/flags`` SUBDOC —
+    ``rooms/{room}/chats/{id}/mod`` is the collection path, exactly
+    Firestore's addressing (firestore/chat.py:59-78) — via
+    ``set_docs(merge=False)``. Same ordered-batch construction,
+    in-batch last-write reduce, and replay-of-final-batch no-op as
+    ``k5_flags_subdoc_sink``; same oracle. The prefix read selects
+    the subdoc subtree and the path parses back to (room, msg_id)."""
+    import os as _os
+    import tempfile as _tf
+
+    from farmrpg_etl_spark.operators.latest import latest_per_key_agg
+    from farmrpg_etl_spark.sinks.docstore import (
+        DocStoreSpec,
+        read_docs,
+        set_docs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lookup = ev.groupBy("event_type", "user_id", "ts").agg(
+        F.min("event_id").alias("msg_id")
+    )
+    flags = ev.filter(F.col("event_id") % 11 == 0).select(
+        "event_type", "user_id", "ts",
+        F.floor(F.col("value")).cast("int").alias("flags"),
+        F.col("event_id").alias("src_id"),
+    )
+    resolved = flags.join(lookup, ["event_type", "user_id", "ts"]).select(
+        F.col("event_type").alias("room"),
+        "msg_id", "flags",
+        F.col("ts").alias("flag_ts"),
+        "src_id",
+    )
+    lo, hi = resolved.agg(F.min("src_id"), F.max("src_id")).first()
+    mid = (int(lo) + int(hi)) // 2 if lo is not None else 0
+    opts = {"timestampFormat": _DOC_TS_FMT}
+
+    def to_docs(b):
+        last = latest_per_key_agg(b, ["room", "msg_id"], "src_id")
+        return last.select(
+            F.concat(
+                F.lit("rooms/"), F.col("room"),
+                F.lit("/chats/"), F.col("msg_id").cast("string"),
+                F.lit("/mod"),
+            ).alias("collection"),
+            F.lit("flags").alias("doc_id"),
+            F.to_json(
+                F.struct(F.col("flags"), F.col("flag_ts").alias("ts")), opts
+            ).alias("doc"),
+        )
+
+    spec = DocStoreSpec(
+        _os.path.join(_tf.mkdtemp(prefix="farmrpg_subdoc_"), "store.db")
+    )
+    b1 = resolved.filter(F.col("src_id") <= mid)
+    b2 = resolved.filter(F.col("src_id") > mid)
+    set_docs(to_docs(b1), spec, merge=False)
+    set_docs(to_docs(b2), spec, merge=False)
+    set_docs(to_docs(b2), spec, merge=False)  # redelivery: must be a no-op
+    fields = F.from_json(F.col("doc"), "flags int, ts timestamp", opts)
+    return read_docs(spark, spec, collection_prefix="rooms/").select(
+        F.regexp_extract(
+            F.col("collection"), r"^rooms/(.+)/chats/(\d+)/mod$", 1
+        ).alias("room"),
+        F.regexp_extract(
+            F.col("collection"), r"^rooms/(.+)/chats/(\d+)/mod$", 2
+        ).cast("bigint").alias("msg_id"),
+        fields.alias("f"),
+    ).select("room", "msg_id", "f.flags", F.col("f.ts").alias("flag_ts"))
+
+
 def s4_demand_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S7 — demand-driven fetch fan-out as a driver row: 'unread'
     keys (events ≡0 mod 97, the mailbox-row model) fan out through the
@@ -6003,6 +6142,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_tws_running_counts": streaming_tws_running_counts,
     "k_http_reply_sink": k_http_reply_sink,
     "k_http_claims_sink": k_http_claims_sink,
+    "k_docstore_partial_sink": k_docstore_partial_sink,
+    "k_docstore_subdoc_sink": k_docstore_subdoc_sink,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_count": q16_supplier_count,
     "q13_customer_distribution": q13_customer_distribution,
