@@ -4575,6 +4575,19 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM t
 """
 
+# migration v2: relax NOT NULL + rename under the versioned commits
+ORACLES["k_schema_evolve_v2_sink"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_uid,
+       CAST(count(*) AS BIGINT) AS n_named,
+       TRUE AS uid_relaxed,
+       'user_name' AS renamed_to,
+       CAST(2 AS BIGINT) AS version
+FROM u
+"""
+
 # dropDuplicatesWithinWatermark over unique event ids == distinct set.
 ORACLES["streaming_dedup_watermark_events"] = """
 SELECT event_id, user_id, event_type FROM events

@@ -5694,6 +5694,71 @@ def k_schema_evolve_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_schema_evolve_v2_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration v2 (r10 verdict #7) — the reference's ACTUAL second
+    migration (migrations/versions/a3542154dbaa_firebase_uid_is_
+    optional.py:21-24: relax ``firebase_uid`` NOT NULL) plus a rename,
+    end-to-end on ``ParquetTable.evolve_v2``:
+
+    1. user table created with an ENFORCED NOT NULL on firebase_uid
+       (``declare_not_null`` — constraint metadata, write-plan
+       null-trap);
+    2. a batch carrying NULL uids is REJECTED by the enforcement and
+       provably leaves the table untouched (version unchanged);
+    3. ``evolve_v2`` relaxes the constraint (pure metadata swap) and
+       renames ``username`` → ``user_name`` (one narrow rewrite,
+       cumulative rename map persisted);
+    4. the same null-uid batch — still on the OLD column name —
+       upgrades through ``apply_renames`` and now merges cleanly.
+
+    Output pins row coverage, the null-uid count, rename completeness,
+    the relaxed-constraint state, and the version counter fixed by the
+    commit protocol (insert=v0, evolve rewrite=v1, insert=v2)."""
+    from farmrpg_etl_spark.sinks import writers
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .select(
+            "user_id",
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+                "username"
+            ),
+        )
+    )
+    v1 = users.filter(F.col("user_id") % 2 == 0).withColumn(
+        "firebase_uid",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 28),
+    )
+    v2_old_schema = users.filter(F.col("user_id") % 2 == 1).withColumn(
+        "firebase_uid", F.lit(None).cast("string")
+    )
+    t = writers.ParquetTable(spark, _sink_scratch("kevolve2"))
+    writers.insert_if_absent(t, v1, ["user_id"], batch_id=0)
+    t.declare_not_null(["firebase_uid"])
+    rejected = False
+    try:
+        writers.insert_if_absent(t, v2_old_schema, ["user_id"], batch_id=1)
+    except Exception:  # the write plan's null-trap fired
+        rejected = True
+    assert rejected and t.current_version() == 0, "NOT NULL not enforced"
+    t.evolve_v2(
+        relax_nullable=["firebase_uid"], renames={"username": "user_name"}
+    )
+    writers.insert_if_absent(
+        t, t.apply_renames(v2_old_schema), ["user_id"], batch_id=1
+    )
+    out = t.read()
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("firebase_uid").isNull().cast("long")).alias("n_null_uid"),
+        F.count("user_name").cast("long").alias("n_named"),
+        F.lit("firebase_uid" not in t.not_null_columns()).alias("uid_relaxed"),
+        F.lit(t.rename_map().get("username", "")).alias("renamed_to"),
+        F.lit(t.current_version()).cast("long").alias("version"),
+    )
+
+
 def _sqldb_spec(prefix: str, **kw):
     import os as _os
 
@@ -6144,6 +6209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_http_claims_sink": k_http_claims_sink,
     "k_docstore_partial_sink": k_docstore_partial_sink,
     "k_docstore_subdoc_sink": k_docstore_subdoc_sink,
+    "k_schema_evolve_v2_sink": k_schema_evolve_v2_sink,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_count": q16_supplier_count,
     "q13_customer_distribution": q13_customer_distribution,

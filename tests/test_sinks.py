@@ -498,3 +498,133 @@ def test_evolve_rejects_existing_column_and_empty_table(spark, tmp_path):
         t.evolve({"id": ("long", 0)})
     # failed evolve must not have committed a version
     assert t.current_version() == 0
+
+
+# ------------------------------------------------------- evolve_v2
+
+
+def _user_table(spark, tmp_path, name="u2"):
+    t = ParquetTable(spark, str(tmp_path / name))
+    insert_if_absent(
+        t,
+        spark.createDataFrame(
+            [(1, "alice", "UID1"), (2, "bob", "UID2")],
+            "user_id long, username string, firebase_uid string",
+        ),
+        ["user_id"],
+        batch_id=0,
+    )
+    return t
+
+
+def test_not_null_enforced_in_write_plan(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _user_table(spark, tmp_path)
+    t.declare_not_null(["firebase_uid"])
+    bad = spark.createDataFrame(
+        [(3, "carol", None)],
+        "user_id long, username string, firebase_uid string",
+    )
+    with _pytest.raises(Exception, match="NOT NULL constraint violated"):
+        insert_if_absent(t, bad, ["user_id"], batch_id=1)
+    # failed commit leaves the old version current
+    assert t.current_version() == 0
+    assert t.read().count() == 2
+
+
+def test_declare_not_null_validates_existing_rows(spark, tmp_path):
+    import pytest as _pytest
+
+    t = ParquetTable(spark, str(tmp_path / "v"))
+    insert_if_absent(
+        t,
+        spark.createDataFrame([(1, None)], "id long, uid string"),
+        ["id"],
+        batch_id=0,
+    )
+    with _pytest.raises(ValueError, match="violate NOT NULL"):
+        t.declare_not_null(["uid"])
+    with _pytest.raises(ValueError, match="do not exist"):
+        t.declare_not_null(["nope"])
+
+
+def test_evolve_v2_relax_is_metadata_only(spark, tmp_path):
+    t = _user_table(spark, tmp_path)
+    t.declare_not_null(["firebase_uid"])
+    v_before = t.current_version()
+    t.evolve_v2(relax_nullable=["firebase_uid"])
+    assert t.current_version() == v_before  # no data rewrite
+    assert "firebase_uid" not in t.not_null_columns()
+    # nulls now merge cleanly
+    insert_if_absent(
+        t,
+        spark.createDataFrame(
+            [(3, "carol", None)],
+            "user_id long, username string, firebase_uid string",
+        ),
+        ["user_id"],
+        batch_id=1,
+    )
+    assert t.read().filter("firebase_uid IS NULL").count() == 1
+
+
+def test_evolve_v2_rename_and_apply_renames(spark, tmp_path):
+    t = _user_table(spark, tmp_path)
+    t.evolve_v2(renames={"username": "user_name"})
+    assert set(t.read().columns) == {"user_id", "user_name", "firebase_uid"}
+    assert t.rename_map() == {"username": "user_name"}
+    old_batch = spark.createDataFrame(
+        [(3, "carol", "UID3")],
+        "user_id long, username string, firebase_uid string",
+    )
+    upgraded = t.apply_renames(old_batch)
+    assert "user_name" in upgraded.columns
+    insert_if_absent(t, upgraded, ["user_id"], batch_id=1)
+    assert t.read().filter("user_name = 'carol'").count() == 1
+
+
+def test_evolve_v2_rename_follows_constraint(spark, tmp_path):
+    """A NOT NULL column that is renamed keeps its constraint under
+    the new name."""
+    import pytest as _pytest
+
+    t = _user_table(spark, tmp_path)
+    t.declare_not_null(["firebase_uid"])
+    t.evolve_v2(renames={"firebase_uid": "fb_uid"})
+    assert t.not_null_columns() == frozenset({"fb_uid"})
+    bad = spark.createDataFrame(
+        [(3, "carol", None)], "user_id long, username string, fb_uid string"
+    )
+    with _pytest.raises(Exception, match="NOT NULL constraint violated"):
+        insert_if_absent(t, bad, ["user_id"], batch_id=1)
+
+
+def test_evolve_v2_rejections(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _user_table(spark, tmp_path)
+    with _pytest.raises(ValueError, match="do not exist"):
+        t.evolve_v2(renames={"nope": "x"})
+    with _pytest.raises(ValueError, match="already exist"):
+        t.evolve_v2(renames={"username": "firebase_uid"})
+    with _pytest.raises(ValueError, match="duplicate rename targets"):
+        t.evolve_v2(renames={"username": "x", "firebase_uid": "x"})
+    with _pytest.raises(ValueError, match="already nullable"):
+        t.evolve_v2(relax_nullable=["username"])  # never constrained
+    assert t.current_version() == 0  # nothing committed
+
+
+def test_evolve_v2_resume_after_crash_between_map_and_rewrite(spark, tmp_path):
+    """Simulate a crash after the rename map published but before the
+    data rewrite: re-running with the same arguments repairs."""
+    import json as _json
+    import os as _os
+
+    t = _user_table(spark, tmp_path)
+    # stage the crash state by hand: map present, data un-renamed
+    with open(_os.path.join(t.path, "_RENAMES"), "w") as f:
+        _json.dump({"username": "user_name"}, f)
+    t.evolve_v2(renames={"username": "user_name"})
+    assert set(t.read().columns) == {"user_id", "user_name", "firebase_uid"}
+    assert t.rename_map() == {"username": "user_name"}
