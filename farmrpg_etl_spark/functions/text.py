@@ -230,6 +230,63 @@ def lang_id_ngram(text_col: Column) -> Column:
     return F.when(best > 0, F.element_at(lang_arr, idx)).otherwise(F.lit("und"))
 
 
+# Codepoint ranges per script, engine-portable (\x{...} works in both
+# Java regex and DuckDB's RE2). Han is shared by zh/ja; kana is the
+# ja discriminator (see lang_id_script).
+SCRIPT_RANGES: dict[str, str] = {
+    "arabic": r"[\x{0600}-\x{06ff}\x{0750}-\x{077f}]",
+    "cyrillic": r"[\x{0400}-\x{04ff}]",
+    "hangul": r"[\x{ac00}-\x{d7af}\x{1100}-\x{11ff}]",
+    "kana": r"[\x{3040}-\x{309f}\x{30a0}-\x{30ff}]",
+    "han": r"[\x{4e00}-\x{9fff}]",
+}
+
+
+def script_count(text_col: Column, script: str) -> Column:
+    """Count of codepoints in a script's ranges — length minus the
+    length after deleting them; one regex scan, pure codegen."""
+    return F.length(text_col) - F.length(
+        F.regexp_replace(text_col, SCRIPT_RANGES[script], "")
+    )
+
+
+def lang_id_script(text_col: Column) -> Column:
+    """Language ID with script detection layered over the trigram
+    profiles (r10 verdict #8): non-Latin scripts are decided by
+    codepoint-range counts — far cheaper and far more reliable than
+    any n-gram profile (a single Cyrillic range subsumes all of
+    Russian's morphology) — and Latin text falls through to
+    :func:`lang_id_ngram`.
+
+    Scores (alphabetical, first-match tie-break like the trigram
+    argmax): ar = Arabic count, ja = 2·kana (kana is uniquely
+    Japanese; the weight lets mixed kanji/kana text beat its own Han
+    count), ko = Hangul, ru = Cyrillic, zh = max(Han − 2·kana, 0)
+    (Han WITH kana present is Japanese, not Chinese). A script wins
+    when its score covers ≥ 20% of the non-whitespace codepoints
+    (best·5 ≥ n) — below that the text is substantially Latin and the
+    trigram path decides. Same one-projection/no-shuffle/no-UDF shape
+    as the trigram classifier; at 100 TB this is a handful of extra
+    regex scans per row, embarrassingly parallel."""
+    t = F.coalesce(text_col, F.lit(""))
+    n = F.length(F.regexp_replace(t, r"\s", ""))
+    c_kana = script_count(t, "kana")
+    c_han = script_count(t, "han")
+    scores = F.array(
+        script_count(t, "arabic"),  # ar
+        c_kana * F.lit(2),  # ja
+        script_count(t, "hangul"),  # ko
+        script_count(t, "cyrillic"),  # ru
+        F.greatest(c_han - c_kana * F.lit(2), F.lit(0)),  # zh
+    )
+    best = F.array_max(scores)
+    idx = F.array_position(scores, best).cast("int")
+    lang_arr = F.array(*[F.lit(x) for x in ["ar", "ja", "ko", "ru", "zh"]])
+    return F.when(
+        (best > 0) & (best * 5 >= n), F.element_at(lang_arr, idx)
+    ).otherwise(lang_id_ngram(text_col))
+
+
 def token_count(text_col: Column) -> Column:
     """Whitespace token count (0 for NULL/empty)."""
     t = F.trim(text_col)

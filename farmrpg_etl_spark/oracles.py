@@ -673,6 +673,79 @@ _TG_TPL_CASE = "CASE CAST(doc_id % 6 AS INT) " + " ".join(
 ) + " END"
 _TG_MAX = "greatest(" + ", ".join(f"s_{lang}" for lang in _TGL) + ")"
 
+_SCRIPT_TEMPLATES = [
+    "собака и кошка гуляют в парке рядом с домом и смотрят на деревья и цветы",
+    "الكلب والقطة يمشيان في الحديقة بالقرب من المنزل وينظران إلى الأشجار والزهور",
+    "개와 고양이가 집 근처 공원에서 산책하며 나무와 꽃을 바라보고 있다",
+    "狗和猫在家附近的公园里散步看着树木和花朵它们很开心每天都来这里玩耍",
+    "犬と猫は家の近くの公園をさんぽしながらきれいなはなをながめています",
+]
+
+_SCRIPT_TPL_CASE = "CASE CAST(doc_id % 11 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{t}'"
+    for i, t in enumerate(_LANGID_TEMPLATES + _SCRIPT_TEMPLATES)
+) + " END"
+
+# identical codepoint ranges as functions/text.SCRIPT_RANGES
+_SCRIPT_RE = {
+    "ar": r"[\x{0600}-\x{06ff}\x{0750}-\x{077f}]",
+    "ru": r"[\x{0400}-\x{04ff}]",
+    "ko": r"[\x{ac00}-\x{d7af}\x{1100}-\x{11ff}]",
+    "kana": r"[\x{3040}-\x{309f}\x{30a0}-\x{30ff}]",
+    "han": r"[\x{4e00}-\x{9fff}]",
+}
+
+
+def _script_cnt(key: str) -> str:
+    return (
+        f"len(probe) - len(regexp_replace(probe, '{_SCRIPT_RE[key]}', '', 'g'))"
+    )
+
+
+# script-aware lang id: codepoint-range dominance decides non-Latin
+# scripts (ja = 2*kana, zh = Han net of kana), else the trigram argmax
+ORACLES["lang_id_script_docs"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_SCRIPT_TPL_CASE} || ' ' ||
+         lower(substring(coalesce(text, ''), 1, 60)) AS probe
+  FROM documents
+), c AS (
+  SELECT doc_id, probe,
+         {_script_cnt("ar")} AS c_ar,
+         {_script_cnt("ru")} AS c_ru,
+         {_script_cnt("ko")} AS c_ko,
+         {_script_cnt("kana")} AS c_kana,
+         {_script_cnt("han")} AS c_han,
+         len(regexp_replace(probe, '\\s', '', 'g')) AS n
+  FROM t
+), sc AS (
+  SELECT doc_id, probe, n,
+         c_ar AS v_ar, 2 * c_kana AS v_ja, c_ko AS v_ko,
+         c_ru AS v_ru, greatest(c_han - 2 * c_kana, 0) AS v_zh
+  FROM c
+), m AS (
+  SELECT *, greatest(v_ar, v_ja, v_ko, v_ru, v_zh) AS best,
+         ' ' || lower(probe) || ' ' AS lt
+  FROM sc
+), s AS (
+  SELECT doc_id, best, n, v_ar, v_ja, v_ko, v_ru, v_zh,
+         {', '.join(f'{_tg_score(lang)} AS s_{lang}' for lang in _TGL)}
+  FROM m
+), g AS (SELECT *, {_TG_MAX} AS mx FROM s)
+SELECT doc_id,
+       CASE WHEN best > 0 AND best * 5 >= n THEN
+              CASE WHEN v_ar = best THEN 'ar'
+                   WHEN v_ja = best THEN 'ja'
+                   WHEN v_ko = best THEN 'ko'
+                   WHEN v_ru = best THEN 'ru'
+                   ELSE 'zh' END
+            WHEN mx <= 0 THEN 'und'
+            {' '.join(f"WHEN s_{lang} = mx THEN '{lang}'" for lang in _TGL)}
+       END AS lang
+FROM g
+"""
+
 ORACLES["lang_id_ngram_docs"] = f"""
 WITH t AS (
   SELECT doc_id,

@@ -699,6 +699,39 @@ _LANGID_TEMPLATES = [
 ]
 
 
+# Non-Latin probe sentences for lang_id_script_docs (ru/ar/ko/zh/ja),
+# pinned verbatim in the DuckDB oracle. The ja probe mixes kanji and
+# kana with kana dominant — the zh/ja discrimination case.
+_SCRIPT_TEMPLATES = [
+    "собака и кошка гуляют в парке рядом с домом и смотрят на деревья и цветы",
+    "الكلب والقطة يمشيان في الحديقة بالقرب من المنزل وينظران إلى الأشجار والزهور",
+    "개와 고양이가 집 근처 공원에서 산책하며 나무와 꽃을 바라보고 있다",
+    "狗和猫在家附近的公园里散步看着树木和花朵它们很开心每天都来这里玩耍",
+    "犬と猫は家の近くの公園をさんぽしながらきれいなはなをながめています",
+]
+
+
+def lang_id_script_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware language ID (``lang_id_script`` — r10 verdict #8)
+    over an 11-way probe corpus: doc_id % 11 selects one of the six
+    Latin trigram templates or five non-Latin script templates
+    (ru/ar/ko/zh/ja), each suffixed with 60 chars of the document's
+    own English-ish text as adversarial Latin noise. Script docs must
+    be decided by codepoint-range dominance (incl. the kanji+kana →
+    ja, Han-only → zh discrimination); Latin docs fall through to the
+    trigram argmax. The oracle recomputes both layers in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    tpl = F.element_at(
+        F.array(
+            *[F.lit(t) for t in _LANGID_TEMPLATES + _SCRIPT_TEMPLATES]
+        ),
+        (F.col("doc_id") % 11 + 1).cast("int"),
+    )
+    noise = F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60))
+    probe = F.concat_ws(" ", tpl, noise)
+    return d.select("doc_id", T.lang_id_script(probe).alias("lang"))
+
+
 def lang_id_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram-profile language ID (functions/text.py
     ``lang_id_ngram``) over a synthesized multilingual corpus: each
@@ -6210,6 +6243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_docstore_partial_sink": k_docstore_partial_sink,
     "k_docstore_subdoc_sink": k_docstore_subdoc_sink,
     "k_schema_evolve_v2_sink": k_schema_evolve_v2_sink,
+    "lang_id_script_docs": lang_id_script_docs,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_count": q16_supplier_count,
     "q13_customer_distribution": q13_customer_distribution,

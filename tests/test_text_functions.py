@@ -139,3 +139,37 @@ class TestNormalizeText:
     def test_idempotent(self, spark):
         once = self._norm(spark, "“x”  y… \n\n\n z\x1f")
         assert self._norm(spark, once) == once
+
+
+def test_lang_id_script_detection(spark):
+    """Codepoint-range script detection (lang_id_script): ru/ar/ko by
+    direct range counts, the zh/ja discrimination (Han+kana → ja,
+    Han-only → zh), Latin fall-through to the trigram profiles, and
+    the 20% dominance threshold."""
+    from farmrpg_etl_spark.functions.text import lang_id_script
+
+    cases = [
+        ("собака и кошка гуляют в парке рядом с домом", "ru"),
+        ("الكلب والقطة يمشيان في الحديقة بالقرب من المنزل", "ar"),
+        ("개와 고양이가 집 근처 공원에서 산책하며", "ko"),
+        ("狗和猫在家附近的公园里散步看着树木和花朵", "zh"),
+        # kanji + kana, kana dominant -> ja (NOT zh)
+        ("犬と猫は家の近くの公園をさんぽしながらながめています", "ja"),
+        # Latin text falls through to the trigram classifier
+        ("the cat and the dog are walking in the garden of the town", "en"),
+        ("der hund und die katze gehen durch den wald und schauen", "de"),
+        # a couple of Cyrillic chars inside a long Latin text stay
+        # below the 20% dominance threshold -> trigram path
+        ("the cat да the dog are walking in the garden of the town", "en"),
+        ("", "und"),
+        (None, "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["lang"]
+        for r in df.select("i", lang_id_script("t").alias("lang")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i], got[i])
