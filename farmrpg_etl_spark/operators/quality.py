@@ -17,6 +17,8 @@ benchmark side of the contamination join — thousands of eval docs vs a
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -359,13 +361,32 @@ def bloom_bitmap_prune_contamination(
     the k-means centroid collect (a fixed 32 KiB independent of data
     scale). Reference parity: models the eval-decontamination pass of
     quality.py's n-gram overlap checks at the scale the reference
-    never reaches (its corpus fits in one process)."""
+    never reaches (its corpus fits in one process).
+
+    Measured history (r10→r11, sf0.1, same session): the first cut of
+    this operator ran 7.95 s vs the semi-chain's 3.89 s — the
+    predicted-fastest form was SLOWEST. Two causes, both fixed here:
+    (1) ``F.lit(list)`` builds a 4096-element ``CreateArray`` of
+    literals, not one array Literal — codegen materialized the array
+    per expression tree instead of pooling one constant (probe-only:
+    4.62 s → 2.63 s when replaced by a ``from_json`` literal that
+    ConstantFolding collapses to a single array constant); (2) the
+    eval-gram pipeline (explode 13-grams → distinct) ran TWICE — once
+    feeding the bit-set build and again as the broadcast side of the
+    exact verify (≈3.9 s standalone, so ≈2 s of pure recompute).
+    With the folded literal and the eval grams persisted across the
+    two uses, the row measures 3.55 s — faster than the semi-chain,
+    as the zero-join plan shape says it should be. Full breakdown in
+    docs/SCALE.md ("Bitmap Bloom: measured inversion and fix")."""
     tgrams = train.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
             "gram"
         ),
     )
+    # persisted: feeds BOTH the bit-set build and the exact-verify
+    # broadcast below — without it the 13-gram explode+distinct runs
+    # twice (measured ≈2 s of recompute at sf0.1)
     egrams = (
         eval_docs.select(
             F.explode(
@@ -373,6 +394,7 @@ def bloom_bitmap_prune_contamination(
             ).alias("gram")
         )
         .distinct()
+        .persist()
     )
     words = (
         egrams.select(
@@ -391,11 +413,17 @@ def bloom_bitmap_prune_contamination(
     arr = [0] * (BLOOM_M // 64)
     for r in words.collect():  # bounded: ≤ BLOOM_M/64 = 4096 longs, 32 KiB
         arr[r["w"]] = r["mask"]
+    # ONE array Literal, not CreateArray(4096 literals): from_json of
+    # a literal string is collapsed by ConstantFolding into a single
+    # constant the whole-stage codegen pools (measured 4.62 s → 2.63 s
+    # on the probe alone; F.lit(list) builds the 4096-element array
+    # expression tree instead)
+    bitmap = F.from_json(F.lit(json.dumps(arr)), "array<bigint>")
     cand = tgrams.select(
         id_col,
         "gram",
         *[_bloom_pos(F.col("gram"), i).alias(f"__p{i}") for i in range(BLOOM_K)],
-    ).withColumn("__bm", F.lit(arr))
+    ).withColumn("__bm", bitmap)
     for i in range(BLOOM_K):
         cand = cand.filter(
             F.expr(
