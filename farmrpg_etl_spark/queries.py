@@ -6171,20 +6171,78 @@ def training_data_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r10 DRIVER-COVERAGE ROTATION --------------------------------
+    # --- r11 DRIVER-COVERAGE ROTATION --------------------------------
     # The driver verifies exactly the FIRST 50 entries per round.
-    # Head (11): this round's never-driver-checked rows - the r9
-    # post-verdict additions (bitmap Bloom variant, schema-evolution
-    # sink, char-trigram lang-id, checkpoint restart-recovery) plus
-    # the r10 builds (real-HTTP poll/fan-out, the three live-sqlite
-    # sink rows, the C4/FineWeb filter bundle) and streaming_cdc_tws,
-    # whose backend switched from the fallback to REAL
-    # transformWithStateInPandas when the vendored mini-protobuf
-    # runtime landed.
-    # Then the 39 STALEST driver records: the r2-era relational block
-    # (TPC-H-shape queries, window/set/pivot family - none driver-
-    # checked since round 2) and one r3 sink row. Maximizes
-    # age-of-last-driver-record per VERDICT r9 #1.
+    # Head (9): the r11 builds, none ever driver-checked. The two TWS
+    # rows run FIRST on a fresh session (r10's one red row was a TWS
+    # driver-worker crash 50 rows deep that never reproduced locally;
+    # both rows now also degrade a runtime crash to an equivalent
+    # batch plan under the same oracle). Then the live-HTTP POST
+    # sinks, the json1 document-store sinks, migration v2, and the
+    # script-aware lang id.
+    # Next (10): the stalest records - the r2/r3-era block
+    # (q11/q16/q13/q18/q22, k3 snapshot, int8 quantize, kmeans
+    # assign, IVF-kmeans ANN, D5 pairs), none driver-checked since
+    # round 2-3.
+    # Then 31 of the 40 next-stalest (r4-era) rows; the remaining 9
+    # rotate in r12. Maximizes age-of-last-driver-record per VERDICT
+    # r10 #2; cumulative map in docs/COVERAGE.md.
+    "streaming_session_timeout": streaming_session_timeout,
+    "streaming_tws_first_seen": streaming_tws_first_seen,
+    "streaming_tws_running_counts": streaming_tws_running_counts,
+    "k_http_reply_sink": k_http_reply_sink,
+    "k_http_claims_sink": k_http_claims_sink,
+    "k_docstore_partial_sink": k_docstore_partial_sink,
+    "k_docstore_subdoc_sink": k_docstore_subdoc_sink,
+    "k_schema_evolve_v2_sink": k_schema_evolve_v2_sink,
+    "lang_id_script_docs": lang_id_script_docs,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_count": q16_supplier_count,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q22_idle_balances": q22_idle_balances,
+    "k3_snapshot_append_sink": k3_snapshot_append_sink,
+    "int8_quantize_embeddings": int8_quantize_embeddings,
+    "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
+    "d5_change_pairs": d5_change_pairs,
+    "parse_quarantine_channel": parse_quarantine_channel,
+    "chunk_dedup_docs": chunk_dedup_docs,
+    "dup_span_docs": dup_span_docs,
+    "j1_resolve_join": j1_resolve_join,
+    "k1_insert_absent_sink": k1_insert_absent_sink,
+    "j4_upsert": j4_upsert,
+    "d1_message_cdc": d1_message_cdc,
+    "k3_upsert_sink": k3_upsert_sink,
+    "streaming_message_cdc": streaming_message_cdc,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "simhash_pairs_docs": simhash_pairs_docs,
+    "incremental_lsh_docs": incremental_lsh_docs,
+    "decode_real_media_docs": decode_real_media_docs,
+    "s_poll_schedule": s_poll_schedule,
+    "s_landing_roundtrip": s_landing_roundtrip,
+    "s4_demand_fanout": s4_demand_fanout,
+    "f1_http_guard": f1_http_guard,
+    "f_filters_combined": f_filters_combined,
+    "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
+    "first_event_per_user_type": first_event_per_user_type,
+    "streaming_poll_source": streaming_poll_source,
+    "claims_gate_events": claims_gate_events,
+    "d6_absent_from_sink": d6_absent_from_sink,
+    "j1_unmatched_flags": j1_unmatched_flags,
+    "k2_merge_update_sink": k2_merge_update_sink,
+    "k4_partial_doc_sink": k4_partial_doc_sink,
+    "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
+    "k6_additive_rollup_sink": k6_additive_rollup_sink,
+    "bot_dispatch_replies": bot_dispatch_replies,
+    "neardup_clusters_docs": neardup_clusters_docs,
+    "cdc_chunk_docs": cdc_chunk_docs,
+    # --- end of 50-entry prefix --------------------------------------
+    # Below the cut: every row has a driver-green record (r4-r10); the
+    # 9 deferred r4-era rows (semantic_dedup_lloyd, text_metrics_docs,
+    # token_budget_mixture_docs, heavy_hitter_tokens, ann_topk_ivf_probe,
+    # kmeans_lloyd_embeddings, ann_recall_ivf_probe, revenue_by_nation,
+    # asof_click_attribution) head the r12 rotation.
     "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
     "k_schema_evolve_sink": k_schema_evolve_sink,
     "lang_id_ngram_docs": lang_id_ngram_docs,
@@ -6234,29 +6292,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_data_pipeline_v4": training_data_pipeline_v4,
     "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
     "text_normalize_docs": text_normalize_docs,
-    "streaming_session_timeout": streaming_session_timeout,
-    # --- end of 50-entry prefix --------------------------------------
-    "streaming_tws_first_seen": streaming_tws_first_seen,
-    "streaming_tws_running_counts": streaming_tws_running_counts,
-    "k_http_reply_sink": k_http_reply_sink,
-    "k_http_claims_sink": k_http_claims_sink,
-    "k_docstore_partial_sink": k_docstore_partial_sink,
-    "k_docstore_subdoc_sink": k_docstore_subdoc_sink,
-    "k_schema_evolve_v2_sink": k_schema_evolve_v2_sink,
-    "lang_id_script_docs": lang_id_script_docs,
-    "q11_important_stock": q11_important_stock,
-    "q16_supplier_count": q16_supplier_count,
-    "q13_customer_distribution": q13_customer_distribution,
-    "k3_snapshot_append_sink": k3_snapshot_append_sink,
-    "q18_large_volume_orders": q18_large_volume_orders,
-    "q22_idle_balances": q22_idle_balances,
-    "int8_quantize_embeddings": int8_quantize_embeddings,
-    "kmeans_assign_embeddings": kmeans_assign_embeddings,
-    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
-    "d5_change_pairs": d5_change_pairs,
-    "parse_quarantine_channel": parse_quarantine_channel,
-    # Rotated below the cut in r10: everything here has a driver-green
-    # record from r5-r9 (see docs/COVERAGE.md cumulative map).
     "q12_shipmode_priority": q12_shipmode_priority,
     "bigram_lm_docs": bigram_lm_docs,
     "perplexity_docs": perplexity_docs,
@@ -6334,21 +6369,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_estimate_error_docs": minhash_estimate_error_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "json_props_stats": json_props_stats,
-    "chunk_dedup_docs": chunk_dedup_docs,
-    "dup_span_docs": dup_span_docs,
-    "j1_resolve_join": j1_resolve_join,
-    "k1_insert_absent_sink": k1_insert_absent_sink,
-    "j4_upsert": j4_upsert,
-    "d1_message_cdc": d1_message_cdc,
-    "k3_upsert_sink": k3_upsert_sink,
     "streaming_cdc_events": streaming_cdc_events,
-    "streaming_message_cdc": streaming_message_cdc,
     "k_time_travel_sink": k_time_travel_sink,
     "k_delete_tombstones_sink": k_delete_tombstones_sink,
-    "ngram_jaccard_docs": ngram_jaccard_docs,
-    "simhash_pairs_docs": simhash_pairs_docs,
-    "incremental_lsh_docs": incremental_lsh_docs,
-    "decode_real_media_docs": decode_real_media_docs,
     "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
     "streaming_chained_stateful": streaming_chained_stateful,
     "incremental_curation_sink": incremental_curation_sink,
@@ -6390,24 +6413,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta_docs": multimodal_meta_docs,
     "frame_sample_docs": frame_sample_docs,
     "decode_media_docs": decode_media_docs,
-    "s_poll_schedule": s_poll_schedule,
-    "s_landing_roundtrip": s_landing_roundtrip,
-    "s4_demand_fanout": s4_demand_fanout,
-    "f1_http_guard": f1_http_guard,
-    "f_filters_combined": f_filters_combined,
-    "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
-    "first_event_per_user_type": first_event_per_user_type,
-    "streaming_poll_source": streaming_poll_source,
-    "claims_gate_events": claims_gate_events,
-    "d6_absent_from_sink": d6_absent_from_sink,
-    "j1_unmatched_flags": j1_unmatched_flags,
-    "k2_merge_update_sink": k2_merge_update_sink,
-    "k4_partial_doc_sink": k4_partial_doc_sink,
-    "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
-    "k6_additive_rollup_sink": k6_additive_rollup_sink,
-    "bot_dispatch_replies": bot_dispatch_replies,
-    "neardup_clusters_docs": neardup_clusters_docs,
-    "cdc_chunk_docs": cdc_chunk_docs,
     "semantic_dedup_lloyd": semantic_dedup_lloyd,
     "text_metrics_docs": text_metrics_docs,
     "token_budget_mixture_docs": token_budget_mixture_docs,
