@@ -215,6 +215,11 @@ def main() -> None:
         "c4_fineweb_filter_docs",
         "training_data_pipeline_v4",
         "k_sqldb_insert_absent",
+        # round-11 additions
+        "training_data_pipeline_v5",
+        "lang_id_script_docs",
+        "k_docstore_partial_sink",
+        "streaming_tws_first_seen",
     ]:
         run(name)  # warm: compile + cache effects paid here
         # ONE timed steady pass (the headline block keeps min-of-2;

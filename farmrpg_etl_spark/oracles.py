@@ -696,9 +696,9 @@ _SCRIPT_RE = {
 }
 
 
-def _script_cnt(key: str) -> str:
+def _script_cnt(key: str, col: str = "probe") -> str:
     return (
-        f"len(probe) - len(regexp_replace(probe, '{_SCRIPT_RE[key]}', '', 'g'))"
+        f"len({col}) - len(regexp_replace({col}, '{_SCRIPT_RE[key]}', '', 'g'))"
     )
 
 
@@ -4493,6 +4493,144 @@ SELECT l2.doc_id, k.n_words,
        CAST(len(list_filter(string_split_regex(coalesce(text_out, ''),
             '\s+'), w -> w <> '')) AS BIGINT) AS n_tok_out
 FROM l2 JOIN k USING (doc_id) LEFT JOIN reagg USING (doc_id)
+"""
+
+# v5: robots gate -> eval holdout -> page gate -> line dedup -> census
+# with lang tag (full script+trigram logic over text_out) and EXACT
+# distinct-13-gram contamination vs the holdout. The page CTEs are the
+# shared _C4_PAGE_CTES with the d source filtered to robots-allowed
+# non-holdout docs.
+_V5_PAGES = _C4_PAGE_CTES.replace(
+    "WITH d AS (SELECT doc_id, ", "d AS (SELECT doc_id, ", 1
+).replace(
+    "FROM documents),",
+    "FROM documents JOIN rb USING (doc_id) WHERE doc_id % 101 <> 0),",
+    1,
+)
+
+ORACLES["training_data_pipeline_v5"] = rf"""
+WITH rb_u AS (
+  SELECT doc_id,
+         source || '.example.com' AS host,
+         '/Docs/' || CAST(doc_id % 50 AS VARCHAR) AS path
+  FROM documents
+),
+rb_hosts AS (SELECT DISTINCT host FROM rb_u),
+rb_rules AS (
+  SELECT host, prefix, allow
+  FROM rb_hosts, (VALUES ('/Docs/1', FALSE), ('/Docs/12', TRUE),
+                         ('/Docs/3', FALSE), ('/Docs/3', TRUE))
+       AS t(prefix, allow)
+  UNION ALL
+  SELECT host, '/', FALSE FROM rb_hosts
+  WHERE regexp_matches(host, '^src[0-9]*0\.')
+),
+rb_cand AS (
+  SELECT rb_u.doc_id, r.prefix, r.allow
+  FROM rb_u JOIN rb_rules r
+    ON rb_u.host = r.host AND starts_with(rb_u.path, r.prefix)
+),
+rb_w AS (
+  SELECT doc_id,
+         max(struct_pack(l := length(prefix), a := allow)) AS wn
+  FROM rb_cand GROUP BY doc_id
+),
+rb AS (
+  SELECT rb_u.doc_id
+  FROM rb_u LEFT JOIN rb_w USING (doc_id)
+  WHERE coalesce(wn.a, TRUE)
+),
+{_V5_PAGES},
+k AS (
+  SELECT doc_id, n_words FROM r
+  WHERE NOT has_lorem AND NOT has_brace AND NOT has_js
+    AND n_terminal_lines >= 3
+    AND n_words BETWEEN 50 AND 100000
+    AND mean_wlen_micros BETWEEN 3000000 AND 10000000
+    AND bullet_ratio_micros <= 900000
+    AND ellipsis_ratio_micros <= 300000
+    AND alpha_ratio_micros >= 800000
+    AND stop_hits >= 2
+),
+surv AS (SELECT s.doc_id, s.ls0 FROM st s JOIN k USING (doc_id)),
+l2 AS (
+  SELECT doc_id,
+         string_split(array_to_string(ls0, chr(10)), chr(10)) AS lsx
+  FROM surv
+),
+ii2 AS (SELECT doc_id, lsx, unnest(generate_series(1, len(lsx))) AS i FROM l2),
+lines2 AS (SELECT doc_id, i AS pos, lsx[i] AS line FROM ii2),
+freq2 AS (SELECT line FROM lines2 GROUP BY line HAVING count(*) >= 2),
+kept2 AS (
+  SELECT doc_id, pos, line FROM lines2
+  WHERE line NOT IN (SELECT line FROM freq2)
+),
+reagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_out
+  FROM kept2 GROUP BY doc_id
+),
+fin AS (
+  SELECT l2.doc_id,
+         CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         coalesce(text_out, '') AS text_out
+  FROM l2 LEFT JOIN reagg USING (doc_id)
+),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct(
+           CASE WHEN len(toks) >= 13
+                THEN list_transform(generate_series(1, len(toks) - 12),
+                                    i -> array_to_string(toks[i:i+12], ' '))
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 101 = 0)
+),
+og AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= 13
+                THEN list_transform(generate_series(1, len(toks) - 12),
+                                    i -> array_to_string(toks[i:i+12], ' '))
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text_out)), '\s+'),
+                           x -> len(x) > 0) AS toks
+        FROM fin)
+),
+ct AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM og JOIN eg USING (gram)
+       GROUP BY doc_id),
+lc AS (
+  SELECT doc_id, n_kept, text_out,
+         {_script_cnt("ar", "text_out")} AS c_ar,
+         {_script_cnt("ru", "text_out")} AS c_ru,
+         {_script_cnt("ko", "text_out")} AS c_ko,
+         {_script_cnt("kana", "text_out")} AS c_kana,
+         {_script_cnt("han", "text_out")} AS c_han,
+         len(regexp_replace(text_out, '\s', '', 'g')) AS n,
+         ' ' || lower(text_out) || ' ' AS lt
+  FROM fin
+),
+ls AS (
+  SELECT doc_id, n_kept, text_out, n,
+         c_ar AS v_ar, 2 * c_kana AS v_ja, c_ko AS v_ko,
+         c_ru AS v_ru, greatest(c_han - 2 * c_kana, 0) AS v_zh,
+         greatest(c_ar, 2 * c_kana, c_ko, c_ru,
+                  greatest(c_han - 2 * c_kana, 0)) AS best,
+         {', '.join(f'{_tg_score(lang)} AS s_{lang}' for lang in _TGL)}
+  FROM lc
+),
+lg AS (SELECT *, {_TG_MAX} AS mx FROM ls)
+SELECT lg.doc_id, n_kept,
+       md5(text_out) AS out_digest,
+       CASE WHEN best > 0 AND best * 5 >= n THEN
+              CASE WHEN v_ar = best THEN 'ar'
+                   WHEN v_ja = best THEN 'ja'
+                   WHEN v_ko = best THEN 'ko'
+                   WHEN v_ru = best THEN 'ru'
+                   ELSE 'zh' END
+            WHEN mx <= 0 THEN 'und'
+            {' '.join(f"WHEN s_{lang} = mx THEN '{lang}'" for lang in _TGL)}
+       END AS lang,
+       CAST(coalesce(ct.n_contaminated, 0) AS BIGINT) AS n_contaminated
+FROM lg LEFT JOIN ct USING (doc_id)
 """
 
 # Lines = non-overlapping 8-token windows (the corpus has no newlines);

@@ -6167,6 +6167,123 @@ def training_data_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v5 recipe — the crawl-to-corpus FRONT HALF added ahead of the
+    v4 interior, composing this round's pieces end-to-end:
+
+    1. **Robots policy gate** (RFC 9309, `operators/crawl.py`): the
+       synthesized crawl URLs filter against per-host rules
+       (longest-match, allow-wins-ties, whole-host denies) BEFORE any
+       text processing — at 100 TB this is the cheapest prune in the
+       pipeline (a broadcast rules join over (host, path) pairs; the
+       page bodies aren't even touched).
+    2. **Eval holdout**: the ``doc_id % 101 == 0`` slice is reserved
+       as the evaluation set and excluded from training.
+    3. **C4/Gopher page gate** (`quality.c4_fineweb_signals`): the
+       zero-shuffle codegen pass, gate-first as in v4.
+    4. **Survivor-only line dedup** (`linededup.remove_frequent_lines`).
+    5. **Output census**: per surviving doc — kept-line count,
+       reassembly digest, `lang_id_script` tag of the deduped text,
+       and the EXACT distinct-13-gram contamination count against the
+       eval holdout (broadcast eval grams; the Bloom forms' shared
+       invariant — exact overlap — is what the oracle pins).
+
+    Plan shape: rules and eval grams broadcast; ``pages`` persists
+    once feeding gate + dedup; the line shuffle sees only
+    robots-allowed, gate-surviving, non-eval pages."""
+    from farmrpg_etl_spark.functions import urls as U
+    from farmrpg_etl_spark.functions.hashing import word_ngrams
+    from farmrpg_etl_spark.functions.text import lang_id_script
+    from farmrpg_etl_spark.operators.crawl import robots_filter
+    from farmrpg_etl_spark.operators.linededup import remove_frequent_lines
+    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 1. robots gate — same URL synthesis and rules as robots_filter_docs
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&sessionid="),
+        F.col("doc_id").cast("string"),
+    )
+    u = docs.select(
+        "doc_id",
+        U.url_host(url).alias("host"),
+        U.url_path(url).alias("path"),
+    )
+    hosts = u.select("host").distinct()
+    base = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                F.struct(F.lit("/Docs/1").alias("prefix"),
+                         F.lit(False).alias("allow")),
+                F.struct(F.lit("/Docs/12").alias("prefix"),
+                         F.lit(True).alias("allow")),
+                F.struct(F.lit("/Docs/3").alias("prefix"),
+                         F.lit(False).alias("allow")),
+                F.struct(F.lit("/Docs/3").alias("prefix"),
+                         F.lit(True).alias("allow")),
+            )
+        ).alias("r"),
+    ).select("host", F.col("r.prefix").alias("prefix"),
+             F.col("r.allow").alias("allow"))
+    whole_host = hosts.filter(F.col("host").rlike(r"^src\d*0\.")).select(
+        "host", F.lit("/").alias("prefix"), F.lit(False).alias("allow")
+    )
+    allowed = (
+        robots_filter(u, base.unionByName(whole_host))
+        .filter(F.col("allowed"))
+        .select("doc_id")
+    )
+    # 2. eval holdout excluded from training
+    train = docs.join(allowed, "doc_id").filter(F.col("doc_id") % 101 != 0)
+    # 3.-4. page gate, then survivor-only line dedup (v4 interior)
+    pages = _docs_as_structured(train).persist()
+    keep = (
+        c4_fineweb_signals(pages, "text_struct", "doc_id")
+        .filter(F.col("keep_c4") & F.col("keep_gopher"))
+        .select("doc_id")
+    )
+    survivors = pages.join(keep, "doc_id")
+    out = remove_frequent_lines(survivors, "text_struct", "doc_id", min_count=2)
+    # 5. census: lang tag + exact contamination vs the eval holdout
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 13))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    out_grams = out.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("text_out"), 13))
+        ).alias("gram"),
+    )
+    contam = (
+        out_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        out.join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_kept",
+            F.md5(F.col("text_out")).alias("out_digest"),
+            lang_id_script(F.col("text_out")).alias("lang"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -6196,6 +6313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_docstore_subdoc_sink": k_docstore_subdoc_sink,
     "k_schema_evolve_v2_sink": k_schema_evolve_v2_sink,
     "lang_id_script_docs": lang_id_script_docs,
+    "training_data_pipeline_v5": training_data_pipeline_v5,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_count": q16_supplier_count,
     "q13_customer_distribution": q13_customer_distribution,
@@ -6236,8 +6354,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
     "bot_dispatch_replies": bot_dispatch_replies,
     "neardup_clusters_docs": neardup_clusters_docs,
-    "cdc_chunk_docs": cdc_chunk_docs,
     # --- end of 50-entry prefix --------------------------------------
+    "cdc_chunk_docs": cdc_chunk_docs,
     # Below the cut: every row has a driver-green record (r4-r10); the
     # 9 deferred r4-era rows (semantic_dedup_lloyd, text_metrics_docs,
     # token_budget_mixture_docs, heavy_hitter_tokens, ann_topk_ivf_probe,
