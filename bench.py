@@ -259,11 +259,13 @@ def main() -> None:
         _dir_tag = hashlib.md5(
             os.path.realpath(sf_dir).encode()
         ).hexdigest()[:10]
-        _synth_marker = os.path.join(stretch_dir, f"_SYNTH_OK_v2_{_dir_tag}")
+        _synth_marker = os.path.join(stretch_dir, f"_SYNTH_OK_v3_{_dir_tag}")
         _synth_needed = not os.path.exists(_synth_marker)
         if _synth_needed:
             k = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("k")
-            docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", k)
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "source", k
+            )
             kstr = F.col("k").cast("string")
             docs10 = docs.select(
                 (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
@@ -276,6 +278,8 @@ def main() -> None:
                     F.replace(F.col("text"), F.lit(" "), F.concat(F.lit(" "), kstr))
                 )
                 .alias("text"),
+                # carried for the URL-synthesis rows (pipeline_v5_10x)
+                F.col("source"),
             )
             # 64 files: scan parallelism at any maxPartitionBytes (on a real
             # cluster the ingest layout provides this; a synthesized
@@ -525,6 +529,21 @@ def main() -> None:
                 )
             return fn
 
+        def stretch_pipeline_v5():
+            # the crawl-front-half composition at 10x docs: robots gate
+            # (broadcast rules), page gate, survivor line dedup, holdout
+            # contamination census. The filter forces the contamination
+            # join, the lang expression tree AND the reassembly digest
+            # (a bare count() of the unique-key left join would let
+            # Catalyst elide all three and time only the dedup core).
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["training_data_pipeline_v5"](spark, stretch_dir).filter(
+                (F.col("n_contaminated") > 0)
+                | (F.col("lang") != "xx")
+                | (F.col("out_digest") > "")
+            )
+
         phase("sf1 stretch start")
         stretch = {}
         for name, fn in [
@@ -543,6 +562,7 @@ def main() -> None:
             ("c4_filter_10x", stretch_c4_filter),
             ("pagerank_10x", stretch_pagerank),
             ("record_linkage_10x", stretch_linkage),
+            ("pipeline_v5_10x", stretch_pipeline_v5),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:
