@@ -40,7 +40,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["DocStoreSpec", "ensure_store", "set_docs", "read_docs"]
+__all__ = ["DocStoreSpec", "ensure_store", "set_docs", "ensure_docs", "read_docs"]
 
 _BATCH = 1000
 
@@ -71,6 +71,29 @@ def ensure_store(spec: DocStoreSpec) -> None:
         conn.close()
 
 
+def _write_docs(df: DataFrame, db: str, sql: str) -> None:
+    """Shared partitioned writer: one connection + one transaction per
+    partition, batched executemany."""
+
+    def write_partition(rows) -> None:
+        conn = _connect(db)
+        try:
+            cur = conn.cursor()
+            batch = []
+            for r in rows:
+                batch.append((r["collection"], r["doc_id"], r["doc"]))
+                if len(batch) >= _BATCH:
+                    cur.executemany(sql, batch)
+                    batch.clear()
+            if batch:
+                cur.executemany(sql, batch)
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.select("collection", "doc_id", "doc").foreachPartition(write_partition)
+
+
 def set_docs(df: DataFrame, spec: DocStoreSpec, *, merge: bool) -> None:
     """Firestore ``set`` / ``set(merge=True)`` for a DataFrame of
     ``(collection string, doc_id string, doc string)`` rows, where
@@ -94,25 +117,23 @@ def set_docs(df: DataFrame, spec: DocStoreSpec, *, merge: bool) -> None:
         f"VALUES (?, ?, json(?)) "
         f"ON CONFLICT (collection, doc_id) {conflict}"
     )
-    db = spec.db_path
+    _write_docs(df, spec.db_path, sql)
 
-    def write_partition(rows) -> None:
-        conn = _connect(db)
-        try:
-            cur = conn.cursor()
-            batch = []
-            for r in rows:
-                batch.append((r["collection"], r["doc_id"], r["doc"]))
-                if len(batch) >= _BATCH:
-                    cur.executemany(sql, batch)
-                    batch.clear()
-            if batch:
-                cur.executemany(sql, batch)
-            conn.commit()
-        finally:
-            conn.close()
 
-    df.select("collection", "doc_id", "doc").foreachPartition(write_partition)
+def ensure_docs(df: DataFrame, spec: DocStoreSpec) -> None:
+    """Create-if-absent (reference firestore/chat.py:52-57: the room
+    parent doc is ``set({"id": room})`` exactly once, guarded by the
+    process-local ``room_docs`` cache). Here the ENGINE is the guard —
+    ``INSERT OR IGNORE`` on the (collection, doc_id) primary key — so
+    the idempotence survives process restarts and concurrent writers,
+    which the reference's in-memory set does not. Same partitioned
+    writer shape as :func:`set_docs`."""
+    ensure_store(spec)
+    sql = (
+        f"INSERT OR IGNORE INTO {spec.table} (collection, doc_id, doc) "
+        f"VALUES (?, ?, json(?))"
+    )
+    _write_docs(df, spec.db_path, sql)
 
 
 def read_docs(
