@@ -366,18 +366,20 @@ def bloom_bitmap_prune_contamination(
     Measured history (r10→r11, sf0.1, same session): the first cut of
     this operator ran 7.95 s vs the semi-chain's 3.89 s — the
     predicted-fastest form was SLOWEST. Two causes, both fixed here:
-    (1) ``F.lit(list)`` builds a 4096-element ``CreateArray`` of
-    literals, not one array Literal — codegen materialized the array
-    per expression tree instead of pooling one constant (probe-only:
-    4.62 s → 2.63 s when replaced by a ``from_json`` literal that
-    ConstantFolding collapses to a single array constant); (2) the
-    eval-gram pipeline (explode 13-grams → distinct) ran TWICE — once
-    feeding the bit-set build and again as the broadcast side of the
-    exact verify (≈3.9 s standalone, so ≈2 s of pure recompute).
-    With the folded literal and the eval grams persisted across the
-    two uses, the row measures 3.55 s — faster than the semi-chain,
-    as the zero-join plan shape says it should be. Full breakdown in
-    docs/SCALE.md ("Bitmap Bloom: measured inversion and fix")."""
+    (1) ``F.lit(list)`` builds a 4096-NODE expression tree
+    (``array(lit, lit, …)``) — ConstantFolding does collapse it, so
+    the EXECUTED plan is bit-identical to the single-literal form,
+    but every invocation pays ~1.5 s of driver-side py4j construction
+    + analyzer traversal first (measured: plan-build 1.49 s/call vs
+    0.04 s for the one-node ``from_json`` literal; warm interleaved
+    end-to-end 3.9-4.1 s vs 2.3-2.7 s); (2) the eval-gram pipeline
+    (explode 13-grams → distinct) ran TWICE — once feeding the
+    bit-set build and again as the broadcast side of the exact verify
+    (≈3.9 s standalone, so ≈2 s of pure recompute). With the one-node
+    literal and the eval grams persisted across the two uses, the row
+    measures 2.9-3.5 s — faster than the semi-chain, as the zero-join
+    plan shape says it should be. Full breakdown in docs/SCALE.md
+    ("Bitmap Bloom: measured inversion and fix")."""
     tgrams = train.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
@@ -413,11 +415,12 @@ def bloom_bitmap_prune_contamination(
     arr = [0] * (BLOOM_M // 64)
     for r in words.collect():  # bounded: ≤ BLOOM_M/64 = 4096 longs, 32 KiB
         arr[r["w"]] = r["mask"]
-    # ONE array Literal, not CreateArray(4096 literals): from_json of
-    # a literal string is collapsed by ConstantFolding into a single
-    # constant the whole-stage codegen pools (measured 4.62 s → 2.63 s
-    # on the probe alone; F.lit(list) builds the 4096-element array
-    # expression tree instead)
+    # ONE plan node, not 4096: F.lit(list) expands to array(lit, lit,
+    # …) — ConstantFolding collapses it so the EXECUTED plan is
+    # identical, but every invocation pays ~1.5 s of driver-side py4j
+    # construction + analysis for the 4096-node tree first (measured:
+    # 1.49 s vs 0.04 s per plan build). from_json of a literal string
+    # folds from a single node.
     bitmap = F.from_json(F.lit(json.dumps(arr)), "array<bigint>")
     cand = tgrams.select(
         id_col,
