@@ -29,3 +29,19 @@ def test_every_query_has_an_oracle():
 def test_no_orphan_oracles():
     orphans = [k for k in O.ORACLES if k not in Q.QUERIES]
     assert orphans == [], orphans
+
+
+def test_tws_rows_lead_any_prefix():
+    """TWS rows must run EARLY in the driver prefix (fresh session):
+    the r10 red row was a TWS driver-worker crash 50 rows deep. Policy
+    net: any prefix row using transformWithStateInPandas sits in the
+    first 10 positions."""
+    src = open(Q.__file__).read()
+    head = src.split("QUERIES:")[1].partition("# --- end of 50-entry prefix")[0]
+    names = re.findall(r'^    "([a-z0-9_]+)":', head, re.M)
+    tws_markers = ("_tws_", "session_timeout")
+    late = [
+        n for i, n in enumerate(names)
+        if any(m in n for m in tws_markers) and i >= 10
+    ]
+    assert late == [], f"TWS rows too deep in the prefix: {late}"
