@@ -88,20 +88,24 @@ class RunningCountProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues):
         (user_id,) = key
-        local: dict[str, int] = {}
+        # preload this user's whole map in one state-server round trip
+        # (getValue per unseen key costs an RPC and a JVM warn each;
+        # the map is bounded by the type vocabulary)
+        local: dict[str, int] = {
+            k[0]: int(v[0]) for k, v in self._counts.iterator()
+        }
         out_t: list[str] = []
         out_n: list[int] = []
+        touched: set[str] = set()
         for pdf in rows:
             for t in pdf["event_type"]:
                 t = str(t)
-                if t not in local:
-                    ex = self._counts.getValue((t,))
-                    local[t] = int(ex[0]) if ex is not None else 0
-                local[t] += 1
+                local[t] = local.get(t, 0) + 1
+                touched.add(t)
                 out_t.append(t)
                 out_n.append(local[t])
-        for t, n in local.items():
-            self._counts.updateValue((t,), (n,))
+        for t in touched:
+            self._counts.updateValue((t,), (local[t],))
         if out_t:
             yield pd.DataFrame(
                 {
