@@ -197,6 +197,71 @@ def ann_topk_bruteforce(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 10,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (query), the top-k most-similar corpus vectors whose LABEL DIFFERS
+    from the anchor's — near the anchor, wrong class: exactly the
+    negatives that sharpen an embedding/reranker objective beyond
+    random in-batch negatives. Returns (query_id, neighbor_id,
+    cosine, rank).
+
+    The anchor's own row is excluded by the label filter itself (it
+    shares the anchor's label). With ``block_col`` set (the sign-LSH
+    cell from :func:`lsh_block`, or k-means cells), candidates come
+    from the anchor's cell only — the IVF scale path: at 100 TB the
+    broadcast-anchors × corpus scan stays, but each corpus row scores
+    against only the anchors of ITS cell, the same candidate-bounding
+    argument as ``ann_topk_ivf`` (mined negatives are then
+    approximate, which is standard — hard-negative quality degrades
+    gracefully with recall, unlike decontamination). Anchors are the
+    small side and broadcast; the per-anchor top-k is a partial
+    aggregation shape (rank window over the candidate set, never a
+    global sort)."""
+    q = F.broadcast(
+        _unitize(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("__qlabel"),
+                *([F.col(block_col).alias("__qblock")] if block_col else []),
+                V.as_double(F.col(vec_col)).alias("__raw"),
+            ),
+            "__raw", "qv",
+        )
+    )
+    c = _unitize(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("__clabel"),
+            *([F.col(block_col).alias("__cblock")] if block_col else []),
+            V.as_double(F.col(vec_col)).alias("__raw"),
+        ),
+        "__raw", "cv",
+    )
+    if block_col:
+        joined = c.join(q, F.col("__cblock") == F.col("__qblock"))
+    else:
+        joined = c.crossJoin(q)
+    scored = joined.filter(
+        F.col("__clabel") != F.col("__qlabel")
+    ).withColumn("cosine", F.round(V.dot(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_probe_blocks(vec_col: Column, dim: int, planes: int = 3) -> Column:
     """Multi-probe cell list for a query vector: its own sign-LSH cell
     plus every Hamming-1 neighbor (flip one plane's bit) — the standard

@@ -949,6 +949,23 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+# hard negatives: top-k nearest with a DIFFERENT label (exact form)
+ORACLES["hard_negatives_bruteforce"] = f"""
+WITH {_EMB},
+q AS (SELECT vec_id, label, v FROM u WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_QCOS}, 6) AS cosine
+  FROM u c, q WHERE c.label <> q.label
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def _ivf_sql() -> str:
     planes = lsh_hyperplanes(64, 3)
     bits = " || ".join(
@@ -974,6 +991,33 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 ORACLES["ann_topk_ivf"] = _ivf_sql()
+
+
+def _hard_neg_ivf_sql() -> str:
+    planes = lsh_hyperplanes(64, 3)
+    bits = " || ".join(
+        f"(CASE WHEN ({_dot_lits('rv', p)}) >= 0.0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH {_EMB},
+blocked AS (SELECT vec_id, label, v, {bits} AS block FROM u),
+q AS (SELECT vec_id, label, v, block FROM blocked WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_QCOS}, 6) AS cosine
+  FROM blocked c JOIN q ON c.block = q.block
+  WHERE c.label <> q.label
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+ORACLES["hard_negatives_ivf"] = _hard_neg_ivf_sql()
 
 
 def _ivf_probe_sql() -> str:

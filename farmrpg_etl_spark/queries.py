@@ -1428,6 +1428,33 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf(blocked, q, "embedding", "vec_id", "block", k=5)
 
 
+def hard_negatives_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (exact baseline): per anchor, the top-5
+    most-similar vectors of a DIFFERENT label — the contrastive-
+    training negatives a retrieval/embedding trainer mines between
+    epochs (`operators/similarity.hard_negatives`). The anchor set
+    broadcasts; the label filter excludes the anchor itself."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.hard_negatives(e, q, "embedding", "vec_id", "label", k=5)
+
+
+def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining on the IVF scale path: candidates come
+    from the anchor's sign-LSH cell only (same blocking as
+    ann_topk_ivf), so each corpus row scores against the anchors of
+    ITS cell — approximate negatives, the standard large-scale
+    trade (negative quality degrades gracefully with recall)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    blocked = e.withColumn(
+        "block", similarity.lsh_block(F.col("embedding"), 64, 3)
+    )
+    q = blocked.filter(F.col("vec_id") < 10)
+    return similarity.hard_negatives(
+        blocked, q, "embedding", "vec_id", "label", k=5, block_col="block"
+    )
+
+
 def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding of the corpus (dim 64 → 4 codes
     of 4 bits): the memory-bound ANN compression step — 512 bytes of
@@ -6356,6 +6383,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_clusters_docs": neardup_clusters_docs,
     # --- end of 50-entry prefix --------------------------------------
     "cdc_chunk_docs": cdc_chunk_docs,
+    # Below the cut: the two r11 hard-negative rows head the r12
+    # rotation together with the deferred r4-era rows listed next.
+    "hard_negatives_bruteforce": hard_negatives_bruteforce,
+    "hard_negatives_ivf": hard_negatives_ivf,
     # Below the cut: every row has a driver-green record (r4-r10); the
     # 9 deferred r4-era rows (semantic_dedup_lloyd, text_metrics_docs,
     # token_budget_mixture_docs, heavy_hitter_tokens, ann_topk_ivf_probe,

@@ -225,3 +225,28 @@ def test_pq_rerank_shortlist_superset_of_exact_when_full(spark):
                                     ks=4, shortlist=1000).collect()
     }
     assert got == exact
+
+
+def test_hard_negatives_excludes_anchor_and_same_label(spark):
+    """Hard-negative mining: every mined row has a label different
+    from its anchor's; the anchor itself never appears; ranks are
+    dense 1..k per anchor in descending-cosine order."""
+    from farmrpg_etl_spark.operators.similarity import hard_negatives
+    from farmrpg_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = hard_negatives(e, q, "embedding", "vec_id", "label", k=3)
+    rows = out.collect()
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    by_q: dict = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for qid, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        cosines = [x[1] for x in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    assert len(by_q) == 5
