@@ -137,6 +137,56 @@ def repetition_metrics(
     )
 
 
+def temperature_mixture_weights(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source mixture (the UniMax / multilingual-
+    sampling recipe): per-source sampling weight ∝ n_tokens^α with
+    α = 3/4 — big sources are damped, small sources up-weighted, the
+    standard fix for a corpus where one domain holds 80% of tokens.
+    Returns (source, n_tokens, weight, token_quota); the quotas feed
+    :func:`token_budget_mixture` as its budgets.
+
+    Cross-engine exactness: α is fixed at 3/4 BECAUSE
+    ``x^(3/4) = sqrt(x · sqrt(x))`` — two IEEE-correctly-rounded
+    sqrts and one multiply, bit-identical in Spark and DuckDB, where
+    ``pow(x, 0.7)`` would be at the mercy of each engine's libm. The
+    scaled scores are floor-quantized to integer micros and summed as
+    BIGINT, so weights and quotas are ratios of exact integers —
+    order-independent under any partitioning (the same discipline as
+    the decimal money sums).
+
+    Scale: one partial-aggregated groupBy on the bounded source
+    dimension; the total is a 1-row broadcast. The corpus is scanned
+    once for token counts and never again."""
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+    per_src = df.groupBy(source_col).agg(
+        F.sum(F.size(toks).cast("long")).alias("n_tokens")
+    )
+    n = F.col("n_tokens").cast("double")
+    s = F.sqrt(n * F.sqrt(n))  # n^(3/4), exact IEEE ops
+    scored = per_src.withColumn(
+        "__m", F.floor(s * F.lit(1000000.0)).cast("long")
+    )
+    total = scored.agg(F.sum("__m").cast("long").alias("__t"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_tokens",
+            F.round(
+                F.col("__m").cast("double") / F.col("__t").cast("double"), 6
+            ).alias("weight"),
+            F.expr(f"CAST({token_budget} AS BIGINT) * __m DIV __t").alias(
+                "token_quota"
+            ),
+        )
+    )
+
+
 def token_budget_mixture(
     df: DataFrame,
     text_col: str,

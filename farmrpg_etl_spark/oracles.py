@@ -949,6 +949,28 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+# temperature mixture: n^(3/4) via two exact sqrts, integer-micros
+# ratios (alpha deliberately dyadic-friendly - see operator docstring)
+ORACLES["temperature_mixture_docs"] = f"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+m AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                         * sqrt(CAST(n_tokens AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS mm
+  FROM t
+),
+tt AS (SELECT CAST(SUM(mm) AS BIGINT) AS total FROM m)
+SELECT source, n_tokens,
+       round(CAST(mm AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight,
+       CAST(1000000 AS BIGINT) * mm // total AS token_quota
+FROM m, tt
+"""
+
 # hard negatives: top-k nearest with a DIFFERENT label (exact form)
 ORACLES["hard_negatives_bruteforce"] = f"""
 WITH {_EMB},

@@ -1428,6 +1428,19 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf(blocked, q, "embedding", "vec_id", "block", k=5)
 
 
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights (UniMax-style α = 3/4)
+    over the corpus sources: per-source token counts → damped weights
+    and integer token quotas (`quality.temperature_mixture_weights`).
+    α = 3/4 exactly so the power is two IEEE sqrts — bit-identical
+    across engines; weights/quotas are ratios of floor-quantized
+    integer micros, order-independent under any partitioning."""
+    from farmrpg_etl_spark.operators import quality
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality.temperature_mixture_weights(d, "text", "source")
+
+
 def hard_negatives_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (exact baseline): per anchor, the top-5
     most-similar vectors of a DIFFERENT label — the contrastive-
@@ -6386,6 +6399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Below the cut: the two r11 hard-negative rows head the r12
     # rotation together with the deferred r4-era rows listed next.
     "hard_negatives_bruteforce": hard_negatives_bruteforce,
+    "temperature_mixture_docs": temperature_mixture_docs,
     "hard_negatives_ivf": hard_negatives_ivf,
     # Below the cut: every row has a driver-green record (r4-r10); the
     # 9 deferred r4-era rows (semantic_dedup_lloyd, text_metrics_docs,

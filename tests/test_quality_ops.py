@@ -206,3 +206,34 @@ class TestCharEntropy:
         assert out[2].entropy_micros == 2 * qm
         # empty doc: (0, 0), not dropped
         assert out[3].n_chars == 0 and out[3].entropy_micros == 0
+
+
+def test_temperature_mixture_damps_large_sources(spark):
+    """alpha=3/4 damping: the weight RATIO between a big and a small
+    source is strictly smaller than their token ratio; weights sum to
+    ~1; quotas are integer and conserve <= budget."""
+    from farmrpg_etl_spark.operators.quality import (
+        temperature_mixture_weights,
+    )
+
+    rows = []
+    for i in range(1600):  # src_big: 1600 docs x 4 tokens
+        rows.append((i, "src_big", "a b c d"))
+    for i in range(100):  # src_small: 100 docs x 4 tokens
+        rows.append((10_000 + i, "src_small", "a b c d"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in temperature_mixture_weights(
+            df, "text", "source", token_budget=1_000_000
+        ).collect()
+    }
+    big, small = out["src_big"], out["src_small"]
+    assert big["n_tokens"] == 6400 and small["n_tokens"] == 400
+    tok_ratio = big["n_tokens"] / small["n_tokens"]  # 16
+    w_ratio = big["weight"] / small["weight"]
+    assert w_ratio < tok_ratio  # damped
+    assert abs(w_ratio - 8.0) < 0.01  # 16^(3/4) = 8
+    assert abs(big["weight"] + small["weight"] - 1.0) < 1e-5
+    assert big["token_quota"] + small["token_quota"] <= 1_000_000
+    assert isinstance(big["token_quota"], int)
