@@ -6391,16 +6391,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k2_merge_update_sink": k2_merge_update_sink,
     "k4_partial_doc_sink": k4_partial_doc_sink,
     "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
+    "hard_negatives_bruteforce": hard_negatives_bruteforce,
+    "hard_negatives_ivf": hard_negatives_ivf,
+    "temperature_mixture_docs": temperature_mixture_docs,
+    # --- end of 50-entry prefix --------------------------------------
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
     "bot_dispatch_replies": bot_dispatch_replies,
     "neardup_clusters_docs": neardup_clusters_docs,
-    # --- end of 50-entry prefix --------------------------------------
     "cdc_chunk_docs": cdc_chunk_docs,
-    # Below the cut: the two r11 hard-negative rows head the r12
-    # rotation together with the deferred r4-era rows listed next.
-    "hard_negatives_bruteforce": hard_negatives_bruteforce,
-    "temperature_mixture_docs": temperature_mixture_docs,
-    "hard_negatives_ivf": hard_negatives_ivf,
     # Below the cut: every row has a driver-green record (r4-r10); the
     # 9 deferred r4-era rows (semantic_dedup_lloyd, text_metrics_docs,
     # token_budget_mixture_docs, heavy_hitter_tokens, ann_topk_ivf_probe,
