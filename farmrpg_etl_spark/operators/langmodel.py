@@ -94,6 +94,126 @@ def train_bigram_lm(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def train_kn_bigram_lm(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM — the smoothing the real
+    CCNet/KenLM pipeline uses (add-one over-penalizes frequent
+    contexts; KN discounts each seen bigram by a fixed ``D`` and
+    redistributes the mass via CONTINUATION probability, "how many
+    distinct contexts does w follow", the famous "San Francisco"
+    correction):
+
+        p(w|prev) = (c(prev,w) − D) / c(prev)
+                  + (D · N1+(prev,·) / c(prev)) · p_cont(w)
+        p_cont(w) = (N1+(·,w) + 1) / (N_types + V)
+
+    with ``D = 3/4`` — dyadic ON PURPOSE: ``c − 0.75`` is exact in
+    doubles, every other term is a ratio of integers, and the
+    expression tree is parenthesized identically in the DuckDB
+    oracle, so probabilities are bit-identical cross-engine (libm
+    never enters until the scorer's ``ln``). The +1/(+V) add-one on
+    continuation counts gives unseen words nonzero mass — the scorer
+    can then assign a finite NLL to ANY token (doc_nll_kn's fallback
+    chain), which plain KN cannot.
+
+    Returns ``(prev, w, c, cp, n1p, cw_cont, n_types, V, p)`` — the
+    count columns ride along so a frozen copy of this frame is a
+    complete model for :func:`doc_nll_kn`.
+
+    Scale: the corpus is scanned once into bigram instances; all four
+    count relations derive from the ``(prev, w, c)`` aggregate
+    (persisted — it is LM-sized, Heaps-law small), so training costs
+    the same two token-keyed partial-agg shuffles as the add-one LM
+    plus LM-sized reaggregations. Zipf-hot contexts land in partial
+    aggregation, never a hot reduce task."""
+    inst = bigram_instances(df, text_col, id_col)
+    cpw = inst.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c")).persist()
+    cp = cpw.groupBy("prev").agg(
+        F.sum("c").alias("cp"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = cpw.groupBy("w").agg(F.count(F.lit(1)).alias("cw_cont"))
+    scal = cpw.agg(F.count(F.lit(1)).alias("n_types")).crossJoin(
+        inst.agg(F.countDistinct("w").alias("V"))
+    )
+    d = F.lit(0.75)
+    p = (
+        (F.col("c").cast("double") - d) / F.col("cp").cast("double")
+    ) + (
+        (d * F.col("n1p").cast("double")) / F.col("cp").cast("double")
+    ) * (
+        (F.col("cw_cont") + 1).cast("double")
+        / (F.col("n_types") + F.col("V")).cast("double")
+    )
+    return (
+        cpw.join(cp, "prev")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "prev", "w", "c", "cp", "n1p", "cw_cont", "n_types", "V",
+            p.alias("p"),
+        )
+    )
+
+
+def doc_nll_kn(
+    df: DataFrame, text_col: str, id_col: str, lm: DataFrame | None = None
+) -> DataFrame:
+    """Mean NLL per document under the Kneser-Ney bigram LM. Same
+    quantize → decimal-sum → round discipline as :func:`doc_nll`.
+
+    With a frozen ``lm`` (a :func:`train_kn_bigram_lm` frame), unseen
+    events get exactly the mass the interpolated model assigns them:
+    seen context + unseen word → ``λ(prev) · p_cont(w)`` (with
+    ``N1+(·,w) = 0`` for a never-seen word); unseen context →
+    ``p_cont(w)`` alone. Every path is finite because the continuation
+    distribution is add-one smoothed at training time."""
+    from farmrpg_etl_spark.queries import _dec_sum
+
+    if lm is None:
+        lm = train_kn_bigram_lm(df, text_col, id_col)
+    for need in ("prev", "w", "cp", "n1p", "cw_cont", "n_types", "V", "p"):
+        if need not in lm.columns:
+            raise ValueError(
+                f"lm must come from train_kn_bigram_lm (missing {need!r})"
+            )
+    inst = bigram_instances(df, text_col, id_col)
+    ctx = lm.select("prev", F.col("cp").alias("_cp"),
+                    F.col("n1p").alias("_n1p")).distinct()
+    cont = lm.select("w", F.col("cw_cont").alias("_cw")).distinct()
+    scal = lm.select(F.col("n_types").alias("_nt"),
+                     F.col("V").alias("_v")).distinct()
+    d = F.lit(0.75)
+    pcont = (F.coalesce(F.col("_cw"), F.lit(0)) + 1).cast("double") / (
+        F.col("_nt") + F.col("_v")
+    ).cast("double")
+    p_eff = F.coalesce(
+        F.col("p"),
+        ((d * F.col("_n1p").cast("double")) / F.col("_cp").cast("double"))
+        * pcont,
+        pcont,
+    )
+    q = F.floor(-F.log(p_eff) * F.lit(1000000.0)) / F.lit(1000000.0)
+    scored = (
+        inst.join(lm.select("prev", "w", "p"), ["prev", "w"], "left")
+        .join(ctx, "prev", "left")
+        .join(F.broadcast(cont), "w", "left")
+        .crossJoin(F.broadcast(scal))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(_dec_sum(q).cast("double") / F.count(F.lit(1)), 4).alias(
+                "nll"
+            ),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+        F.coalesce("nll", F.lit(0.0)).alias("nll"),
+    )
+
+
 def doc_nll(
     df: DataFrame, text_col: str, id_col: str, lm: DataFrame | None = None
 ) -> DataFrame:

@@ -3520,6 +3520,65 @@ nlls AS (
 )
 """
 
+# Interpolated Kneser-Ney bigram LM: D = 3/4 (dyadic), continuation
+# distribution add-one smoothed; the probability expression is
+# parenthesized EXACTLY as the Spark operator builds it so every IEEE
+# step matches bit-for-bit.
+_KN_BIGRAM_LM = f"""
+WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+ii AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks))) AS i
+       FROM d),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS prev,
+         toks[i] AS w
+  FROM ii
+),
+cpw AS (SELECT prev, w, count(*) AS c FROM pairs GROUP BY prev, w),
+cp AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp,
+              CAST(count(*) AS BIGINT) AS n1p
+       FROM cpw GROUP BY prev),
+cont AS (SELECT w, CAST(count(*) AS BIGINT) AS cw_cont
+         FROM cpw GROUP BY w),
+scal AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cpw) AS n_types,
+                (SELECT count(DISTINCT w) FROM pairs) AS V),
+prob AS (
+  SELECT prev, w, c, cp, n1p, cw_cont, n_types, V,
+         ((CAST(c AS DOUBLE) - 0.75) / CAST(cp AS DOUBLE))
+         + ((0.75 * CAST(n1p AS DOUBLE)) / CAST(cp AS DOUBLE))
+           * (CAST(cw_cont + 1 AS DOUBLE) / CAST(n_types + V AS DOUBLE))
+           AS p
+  FROM cpw JOIN cp USING (prev) JOIN cont USING (w) CROSS JOIN scal
+)
+""".replace("{toks}", _TOKS)
+
+ORACLES["kn_bigram_lm_docs"] = _KN_BIGRAM_LM + """
+SELECT prev, w, c, n1p, cw_cont,
+       CAST(floor(p * 1000000.0) AS BIGINT) AS prob_micros
+FROM prob
+ORDER BY c DESC, prev, w
+LIMIT 200
+"""
+
+ORACLES["kn_perplexity_docs"] = _KN_BIGRAM_LM + """,
+scored AS (
+  SELECT doc_id,
+         floor(-ln(p) * 1000000.0) / 1000000.0 AS q
+  FROM pairs JOIN prob USING (prev, w)
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       coalesce(n_tok, 0) AS n_tok,
+       coalesce(nll, 0.0) AS nll
+FROM documents dd LEFT JOIN s USING (doc_id)
+"""
+
 ORACLES["bigram_lm_docs"] = _BIGRAM_LM + """
 SELECT prev, w, c,
        CAST(floor(p * 1000000.0) AS BIGINT) AS prob_micros

@@ -5189,6 +5189,44 @@ def bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kn_bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM over the corpus (D = 3/4,
+    add-one-smoothed continuation distribution) — the smoothing the
+    real CCNet/KenLM pipeline uses, vs the add-one baseline of
+    `bigram_lm_docs`. The 200 strongest bigrams with discounted +
+    continuation-interpolated probabilities as integer micros; the
+    dyadic discount and a parenthesization-matched oracle make every
+    probability bit-identical cross-engine."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = LM.train_kn_bigram_lm(docs, "text", "doc_id")
+    return (
+        lm.orderBy(F.col("c").desc(), "prev", "w")
+        .limit(200)
+        .select(
+            "prev",
+            "w",
+            "c",
+            "n1p",
+            "cw_cont",
+            F.floor(F.col("p") * F.lit(1000000.0))
+            .cast("long")
+            .alias("prob_micros"),
+        )
+    )
+
+
+def kn_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under the Kneser-Ney bigram LM — the
+    KN-smoothed twin of `perplexity_docs` (same quantize → decimal-sum
+    → round discipline)."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    return LM.doc_nll_kn(docs, "text", "doc_id")
+
+
 def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus
     bigram LM — the scoring half of CCNet filtering (monotone in
@@ -6389,12 +6427,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d6_absent_from_sink": d6_absent_from_sink,
     "j1_unmatched_flags": j1_unmatched_flags,
     "k2_merge_update_sink": k2_merge_update_sink,
-    "k4_partial_doc_sink": k4_partial_doc_sink,
-    "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
     "hard_negatives_bruteforce": hard_negatives_bruteforce,
     "hard_negatives_ivf": hard_negatives_ivf,
     "temperature_mixture_docs": temperature_mixture_docs,
+    "kn_bigram_lm_docs": kn_bigram_lm_docs,
+    "kn_perplexity_docs": kn_perplexity_docs,
     # --- end of 50-entry prefix --------------------------------------
+    "k4_partial_doc_sink": k4_partial_doc_sink,
+    "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
     "bot_dispatch_replies": bot_dispatch_replies,
     "neardup_clusters_docs": neardup_clusters_docs,

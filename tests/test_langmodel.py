@@ -121,3 +121,62 @@ def test_doc_nll_rejects_bare_lm(spark):
     bad = LM.train_bigram_lm(docs, "text", "doc_id").select("prev", "w", "p")
     with pytest.raises(ValueError, match="train_bigram_lm"):
         LM.doc_nll(docs, "text", "doc_id", lm=bad)
+
+
+# ------------------------------------------------- Kneser-Ney bigram
+
+
+def test_train_kn_bigram_lm_hand_math(docs):
+    """Hand check on the 4-doc corpus. Bigram types: (<s>,a),(a,b),
+    (b,a),(<s>,c),(c,c) -> n_types=5, V=3 (a,b,c).
+    For (a,b): c=3, cp('a')=3, n1p('a')=1, cw_cont('b')=1 ->
+    p = (3-0.75)/3 + (0.75*1/3)*((1+1)/(5+3)) = 0.75 + 0.0625 = 0.8125.
+    """
+    lm = {
+        (r["prev"], r["w"]): r
+        for r in LM.train_kn_bigram_lm(docs, "text", "doc_id").collect()
+    }
+    assert set(lm) == {
+        ("<s>", "a"), ("a", "b"), ("b", "a"), ("<s>", "c"), ("c", "c"),
+    }
+    r = lm[("a", "b")]
+    assert (r["c"], r["cp"], r["n1p"], r["cw_cont"]) == (3, 3, 1, 1)
+    assert (r["n_types"], r["V"]) == (5, 3)
+    assert r["p"] == 0.8125  # exact dyadic arithmetic
+    # discounted mass is redistributed: every p in (0, 1), and a
+    # context's total probability over seen words stays < 1 (the
+    # remainder is the unseen-word mass)
+    assert all(0.0 < v["p"] < 1.0 for v in lm.values())
+    assert sum(v["p"] for v in lm.values() if v["prev"] == "a") < 1.0
+
+
+def test_doc_nll_kn_frozen_fallback_paths(spark):
+    """Frozen-LM scoring: seen bigram uses p; seen context + unseen
+    word gets lambda(prev)*p_cont(w); unseen context gets p_cont(w).
+    All finite, n_tok invariant to LM coverage."""
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    lm = LM.train_kn_bigram_lm(train, "text", "doc_id")
+    new = spark.createDataFrame(
+        [(10, "a b"), (11, "a zzz"), (12, "qqq rrr")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           LM.doc_nll_kn(new, "text", "doc_id", lm=lm).collect()}
+    assert out[10]["n_tok"] == 2 and out[10]["nll"] > 0
+    assert out[11]["n_tok"] == 2 and math.isfinite(out[11]["nll"])
+    assert out[12]["n_tok"] == 2 and math.isfinite(out[12]["nll"])
+    # unseen events must score WORSE (higher NLL) than the seen doc
+    assert out[11]["nll"] > out[10]["nll"]
+    assert out[12]["nll"] > out[10]["nll"]
+
+
+def test_doc_nll_kn_rejects_bare_lm(spark):
+    lm = spark.createDataFrame([("a", "b", 0.5)], "prev string, w string, p double")
+    with pytest.raises(ValueError, match="train_kn_bigram_lm"):
+        LM.doc_nll_kn(
+            spark.createDataFrame([(1, "a b")], "doc_id long, text string"),
+            "text", "doc_id", lm=lm,
+        )
