@@ -1102,6 +1102,46 @@ FROM base b LEFT JOIN hit h ON b.query_id = h.query_id
 ORACLES["ann_recall_ivf_probe"] = _ann_recall_sql()
 
 
+def _matryoshka_sql() -> str:
+    """16-dim-prefix approximate side: slice BEFORE normalizing, own
+    norms, 16-term dot chains (same association as the Spark fold)."""
+    return f"""
+WITH e16 AS (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:16] AS v
+             FROM embeddings),
+n16 AS (SELECT vec_id, v, sqrt({_sq('v', 16)}) AS nrm FROM e16),
+u16 AS (SELECT vec_id, CASE WHEN nrm = 0.0 THEN v
+        ELSE list_transform(v, x -> x / nrm) END AS v FROM n16),
+q AS (SELECT vec_id, v FROM u16 WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(({_dot('q.v', 'c.v', 16)}), 6) AS cosine
+  FROM u16 c, q WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+ORACLES["ann_recall_matryoshka"] = f"""
+WITH exact AS ({ORACLES["ann_topk_bruteforce"]}),
+approx AS ({_matryoshka_sql()}),
+hit AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+base AS (SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY query_id)
+SELECT b.query_id, b.k_exact,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       round(COALESCE(h.hits, 0) / b.k_exact, 6) AS recall_at_k
+FROM base b LEFT JOIN hit h ON b.query_id = h.query_id
+"""
+
+
 def _pq_chain(vexpr: str, s: int, centroid: list[float], sub: int = 16) -> str:
     """Squared-L2 of subvector s against a literal centroid as an
     explicit left-associated chain — same association as the Spark
