@@ -25,7 +25,108 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["robots_filter"]
+__all__ = ["robots_filter", "parse_robots_txt", "rules_for_agent"]
+
+
+def parse_robots_txt(
+    docs: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Parse robots.txt BODIES into the rules relation
+    :func:`robots_filter` consumes — the other half of the RFC 9309
+    story (fetch the bodies with `sources/http.py`, parse here,
+    filter with `robots_filter`). One input row per host; output
+    ``(host, agent, prefix, allow)``, one row per (group agent ×
+    group rule).
+
+    Grammar handled (RFC 9309 §2.2): ``#`` comments stripped; blank
+    lines ignored; directives case-insensitive with optional
+    whitespace around ``:``; a GROUP is one-or-more consecutive
+    ``User-agent`` lines followed by its rules — a ``User-agent``
+    line after a rule line starts a NEW group; rules before any
+    ``User-agent`` line are ignored (no group); empty-pattern rules
+    ("``Disallow:``") match nothing and are dropped, per §2.2.2.
+
+    Shape: fully relational — posexplode the lines, regexp the
+    directives, and derive the group id as a running count of
+    group-STARTING user-agent lines (a per-host window over the
+    file's own lines: bounded by file length, never corpus-wide).
+    Agents then join to their group's rules through an equi-join on
+    (host, group). At 100 TB robots bodies are dimension data (one
+    small file per host); the whole parse is host-partitioned and
+    output is broadcast-sized by construction."""
+    from pyspark.sql.window import Window
+
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace(F.col("line"), "#.*$", "")).alias("line"),
+    )
+    d = lines.filter(F.col("line") != "").select(
+        "host",
+        "pos",
+        F.lower(
+            F.regexp_extract(
+                F.col("line"), r"(?i)^(user-agent|allow|disallow)\s*:", 1
+            )
+        ).alias("directive"),
+        F.trim(
+            F.regexp_extract(
+                F.col("line"), r"(?i)^(?:user-agent|allow|disallow)\s*:(.*)$", 1
+            )
+        ).alias("value"),
+    ).filter(F.col("directive") != "")
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = (
+        d.withColumn("__ua", (F.col("directive") == "user-agent"))
+        .withColumn(
+            "__starts",
+            F.col("__ua")
+            & ~F.coalesce(F.lag("__ua").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "grp",
+            F.sum(F.col("__starts").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("grp") > 0)  # pre-group rules are ignored
+    )
+    agents = grouped.filter(F.col("__ua")).select(
+        "host", "grp", F.lower(F.col("value")).alias("agent")
+    )
+    rules = grouped.filter(~F.col("__ua") & (F.col("value") != "")).select(
+        "host",
+        "grp",
+        F.col("value").alias("prefix"),
+        (F.col("directive") == "allow").alias("allow"),
+    )
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "prefix", "allow"
+    )
+
+
+def rules_for_agent(parsed: DataFrame, agent: str) -> DataFrame:
+    """Scope a :func:`parse_robots_txt` relation to one crawler: per
+    host, the groups naming the agent exactly (case-insensitive) win;
+    hosts without an exact group fall back to their ``*`` groups; a
+    host with neither contributes no rules (everything allowed, the
+    RFC default). Product-token substring matching is simplified to
+    exact-or-star — the common real-world grammar — and documented.
+
+    Returns ``(host, prefix, allow)`` ready for :func:`robots_filter`.
+    """
+    a = agent.lower()
+    exact_hosts = (
+        parsed.filter(F.col("agent") == a).select("host").distinct()
+    )
+    exact = parsed.filter(F.col("agent") == a).join(exact_hosts, "host")
+    star = parsed.filter(F.col("agent") == "*").join(
+        exact_hosts, "host", "left_anti"
+    )
+    return exact.unionByName(star).select("host", "prefix", "allow").distinct()
 
 
 def robots_filter(

@@ -3401,6 +3401,24 @@ WHERE pf IS NULL OR f IS DISTINCT FROM pf OR r IS DISTINCT FROM pr
 """
 
 
+# robots.txt parse + agent scoping: expected rules reconstructed from
+# the synthesis arithmetic (grammar corners pinned in tests/test_crawl)
+ORACLES["parse_robots_rules_docs"] = r"""
+WITH h AS (
+  SELECT DISTINCT source || '.example.com' AS host,
+         CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS n
+  FROM documents
+)
+SELECT host, 'farmbot' AS agent_scope,
+       '/Docs/' || CAST(n AS VARCHAR) AS prefix, FALSE AS allow FROM h
+UNION ALL
+SELECT host, 'farmbot', '/Docs/' || CAST(n AS VARCHAR) || '/sub', TRUE FROM h
+UNION ALL
+SELECT host, 'anon', '/tmp', FALSE FROM h
+UNION ALL
+SELECT host, 'anon', '/tmp/pub', TRUE FROM h
+"""
+
 ORACLES["claims_gate_events"] = """
 WITH s AS (
   SELECT user_id, event_id,

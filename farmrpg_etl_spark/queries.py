@@ -6217,6 +6217,48 @@ def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(u, rules)
 
 
+def parse_robots_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt PARSING end-to-end (`crawl.parse_robots_txt` +
+    `rules_for_agent`): per corpus host, a synthesized robots BODY
+    exercising the RFC 9309 grammar hazards — pre-group rules
+    (ignored), comments, mixed-case directives, an empty ``Disallow:``
+    (dropped), a multi-UA group — is parsed relationally and scoped
+    twice: the exact ``farmbot`` group and the ``*`` fallback for an
+    unknown agent. The oracle reconstructs the expected rules from the
+    synthesis arithmetic (the grammar corners are pinned byte-level in
+    tests/test_crawl.py); `robots_filter_docs` consumes the same rule
+    shapes downstream."""
+    from farmrpg_etl_spark.operators.crawl import (
+        parse_robots_txt,
+        rules_for_agent,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.regexp_extract(F.col("source"), r"(\d+)", 1)
+        .cast("int")
+        .alias("n"),
+    ).distinct()
+    body = F.concat(
+        F.lit("Disallow: /pregroup-ignored\n# policy\nUSER-AGENT: *\n"
+              "Disallow: /tmp\nAllow: /tmp/pub  # comment\nDisallow:\n\n"
+              "User-agent: farmbot\nUser-Agent: helperbot\nDisallow: /Docs/"),
+        F.col("n").cast("string"),
+        F.lit("\nallow: /Docs/"),
+        F.col("n").cast("string"),
+        F.lit("/sub\n"),
+    )
+    parsed = parse_robots_txt(hosts.select("host", body.alias("body")))
+    farm = rules_for_agent(parsed, "FarmBot").withColumn(
+        "agent_scope", F.lit("farmbot")
+    )
+    anon = rules_for_agent(parsed, "someone-else").withColumn(
+        "agent_scope", F.lit("anon")
+    )
+    return farm.unionByName(anon).select("host", "agent_scope", "prefix", "allow")
+
+
 def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode/whitespace normalization (`functions/text.normalize_text`)
     — the standard pre-tokenization cleanup — over a deterministically
@@ -6478,6 +6520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kn_perplexity_docs": kn_perplexity_docs,
     # --- end of 50-entry prefix --------------------------------------
     "ann_recall_matryoshka": ann_recall_matryoshka,
+    "parse_robots_rules_docs": parse_robots_rules_docs,
     "k4_partial_doc_sink": k4_partial_doc_sink,
     "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
     "k6_additive_rollup_sink": k6_additive_rollup_sink,

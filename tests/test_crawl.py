@@ -82,3 +82,89 @@ def test_broadcast_in_plan(spark):
     rules = spark.createDataFrame(RULES, "host string, prefix string, allow boolean")
     plan = robots_filter(urls, rules)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+ROBOTS_BODY = """\
+# global comment
+Disallow: /ignored-pregroup
+User-agent: *
+Disallow: /private
+Allow: /private/ok   # trailing comment
+Disallow:
+User-Agent: farmbot
+user-agent: otherbot
+disallow: /bots
+Allow: /bots/welcome
+
+User-agent: farmbot
+Disallow: /extra
+"""
+
+
+def _parsed(spark):
+    from farmrpg_etl_spark.operators.crawl import parse_robots_txt
+
+    docs = spark.createDataFrame(
+        [("example.com", ROBOTS_BODY)], "host string, body string"
+    )
+    return parse_robots_txt(docs)
+
+
+def test_parse_robots_txt_groups_and_grammar(spark):
+    rows = {
+        (r["agent"], r["prefix"], r["allow"])
+        for r in _parsed(spark).collect()
+    }
+    assert rows == {
+        # group 1: * (pre-group Disallow ignored; empty Disallow dropped)
+        ("*", "/private", False),
+        ("*", "/private/ok", True),
+        # group 2: two consecutive UA lines share the rules
+        ("farmbot", "/bots", False),
+        ("farmbot", "/bots/welcome", True),
+        ("otherbot", "/bots", False),
+        ("otherbot", "/bots/welcome", True),
+        # group 3: a UA line after rules starts a NEW group
+        ("farmbot", "/extra", False),
+    }
+
+
+def test_rules_for_agent_exact_beats_star(spark):
+    from farmrpg_etl_spark.operators.crawl import rules_for_agent
+
+    parsed = _parsed(spark)
+    farm = {
+        (r["prefix"], r["allow"])
+        for r in rules_for_agent(parsed, "FarmBot").collect()
+    }
+    # exact-match groups only (both farmbot groups), star excluded
+    assert farm == {
+        ("/bots", False), ("/bots/welcome", True), ("/extra", False),
+    }
+    anon = {
+        (r["prefix"], r["allow"])
+        for r in rules_for_agent(parsed, "someone-else").collect()
+    }
+    assert anon == {("/private", False), ("/private/ok", True)}
+
+
+def test_parse_to_filter_end_to_end(spark):
+    """Body -> parse -> agent scoping -> robots_filter: the full RFC
+    9309 loop."""
+    from farmrpg_etl_spark.operators.crawl import (
+        robots_filter,
+        rules_for_agent,
+    )
+
+    rules = rules_for_agent(_parsed(spark), "farmbot")
+    urls = spark.createDataFrame(
+        [
+            (1, "example.com", "/bots/welcome/page"),  # allow (longest)
+            (2, "example.com", "/bots/secret"),        # deny
+            (3, "example.com", "/private"),            # no farmbot rule -> allow
+            (4, "other.com", "/bots"),                 # unknown host -> allow
+        ],
+        "doc_id long, host string, path string",
+    )
+    got = {r["doc_id"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True}
