@@ -3401,6 +3401,17 @@ WHERE pf IS NULL OR f IS DISTINCT FROM pf OR r IS DISTINCT FROM pr
 """
 
 
+# streaming docstore ingest == batch recompute from the events table
+ORACLES["streaming_docstore_sink"] = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
 # robots.txt parse + agent scoping: expected rules reconstructed from
 # the synthesis arithmetic (grammar corners pinned in tests/test_crawl)
 ORACLES["parse_robots_rules_docs"] = r"""

@@ -2417,6 +2417,101 @@ def streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_docstore_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → LIVE DOCUMENT STORE end-to-end: events arrive as a
+    file stream and each micro-batch ``foreachBatch``-writes one JSON
+    doc per event (collection ``events/u<user>``, doc id = event id)
+    into the sqlite-json1 store — the Firestore topology of the
+    reference (one doc per chat message) driven by Structured
+    Streaming. Writes are full-``set`` of a key-determined payload, so
+    Spark task retries and batch redeliveries are no-ops
+    (exactly-once over at-least-once, the same argument as the K1
+    writer). After the stream completes, a BATCH partial-merge pass
+    flags every ``event_id % 3 == 0`` doc via ``json_patch`` —
+    exercising merge semantics against streamed docs. Returned: the
+    per-user end state (doc counts, flagged counts, id sums) read
+    back through the partitioned prefix reader and a typed
+    ``from_json``; the oracle recomputes it from the events table
+    alone, so the row passes only if streaming ingest == batch
+    recompute."""
+    import os as _os
+    import tempfile as _tf
+
+    from farmrpg_etl_spark.sinks.docstore import (
+        DocStoreSpec,
+        read_docs,
+        set_docs,
+    )
+    from farmrpg_etl_spark.streaming import ops
+
+    spec = DocStoreSpec(
+        _os.path.join(_tf.mkdtemp(prefix="farmrpg_sdoc_"), "store.db")
+    )
+
+    def to_docs(b: DataFrame) -> DataFrame:
+        return b.select(
+            F.concat(
+                F.lit("events/u"), F.col("user_id").cast("string")
+            ).alias("collection"),
+            F.col("event_id").cast("string").alias("doc_id"),
+            F.to_json(
+                F.struct(F.col("event_id"), F.col("event_type"))
+            ).alias("doc"),
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        set_docs(to_docs(batch_df), spec, merge=False)
+        # simulated redelivery of the same batch: must be a no-op
+        set_docs(to_docs(batch_df), spec, merge=False)
+
+    q = (
+        ops.stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    # batch partial-merge over the streamed docs (to_json drops the
+    # null, so unflagged docs are untouched by json_patch)
+    flags = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("events/u"), F.col("user_id").cast("string")).alias(
+            "collection"
+        ),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.to_json(
+            F.struct(
+                F.when(F.col("event_id") % 3 == 0, F.lit(True)).alias(
+                    "flagged"
+                )
+            )
+        ).alias("doc"),
+    )
+    set_docs(flags, spec, merge=True)
+    fields = F.from_json(
+        F.col("doc"), "event_id bigint, event_type string, flagged boolean"
+    )
+    return (
+        read_docs(spark, spec, collection_prefix="events/u")
+        .select(
+            F.regexp_extract(F.col("collection"), r"^events/u(\d+)$", 1)
+            .cast("bigint")
+            .alias("user_id"),
+            fields.alias("f"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.col("f.flagged").cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("f.event_id").cast("long").alias("sum_event_id"),
+            F.countDistinct("f.event_type").cast("long").alias("n_types"),
+        )
+    )
+
+
 def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming TRAINING-CORPUS ingest end-to-end: documents arrive as
     four micro-batches (file stream); each batch is quality-gated
@@ -6521,6 +6616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- end of 50-entry prefix --------------------------------------
     "ann_recall_matryoshka": ann_recall_matryoshka,
     "parse_robots_rules_docs": parse_robots_rules_docs,
+    "streaming_docstore_sink": streaming_docstore_sink,
     "k4_partial_doc_sink": k4_partial_doc_sink,
     "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
