@@ -399,6 +399,45 @@ def redact_pii(text_col: Column) -> Column:
     return F.regexp_replace(out, HEXID_RE, "<ID>")
 
 
+# payment-card candidates: 13-19 digits with optional single space/dash
+# separators, word-bounded. Candidates are CHEAP and noisy; Luhn below
+# is the precision layer.
+CARD_CAND_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def luhn_valid(digits_col: Column) -> Column:
+    """Luhn checksum over a digit string — pure Catalyst (reverse →
+    aggregate over positions, doubling every second digit from the
+    right, −9 on overflow, total % 10 == 0). The standard
+    precision filter for payment-card PII: digit runs that merely
+    LOOK like cards (ids, timestamps, phone numbers glued together)
+    fail the checksum, so redaction doesn't shred ordinary numbers.
+    Integer-exact, hence bit-identical cross-engine."""
+    ds = F.reverse(digits_col)
+    n = F.length(ds)
+
+    def term(acc: Column, i: Column) -> Column:
+        d = F.ascii(F.substr(ds, i, F.lit(1))) - F.lit(48)
+        dbl = d * 2
+        doubled = dbl - F.when(dbl > 9, F.lit(9)).otherwise(F.lit(0))
+        return acc + F.when(i % 2 == 0, doubled).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def card_counts(text_col: Column) -> tuple[Column, Column]:
+    """(candidate count, Luhn-valid count) of card-shaped digit runs —
+    the measurable halves of validated card redaction. Candidates come
+    from one regex scan; each candidate is separator-stripped and
+    checksum-verified in-plan (array transform + filter, no UDF)."""
+    cands = F.regexp_extract_all(text_col, F.lit(CARD_CAND_RE), 0)
+    stripped = F.transform(
+        cands, lambda c: F.regexp_replace(c, "[ -]", "")
+    )
+    return F.size(cands), F.size(F.filter(stripped, luhn_valid))
+
+
 def pii_count(text_col: Column) -> Column:
     """How many PII spans :func:`redact_pii` would replace."""
     return (

@@ -3401,6 +3401,18 @@ WHERE pf IS NULL OR f IS DISTINCT FROM pf OR r IS DISTINCT FROM pr
 """
 
 
+# Luhn-validated card detection: counts pinned from the synthesis
+# arithmetic (checksum itself pinned digit-by-digit in pytest)
+ORACLES["pii_cards_docs"] = """
+SELECT doc_id,
+       CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_candidates,
+       CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_valid_cards
+FROM documents
+"""
+
 # streaming docstore ingest == batch recompute from the events table
 ORACLES["streaming_docstore_sink"] = """
 SELECT user_id,

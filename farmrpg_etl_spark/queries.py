@@ -3163,6 +3163,37 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_cards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card detection (`functions/text.py
+    card_counts`): each doc gets a synthetic payment line carrying one
+    always-valid test PAN, a dash-separated valid PAN on even ids, a
+    checksum-INVALID lookalike on ≡0 mod 3 ids, and a short digit run
+    — the row proves the checksum layer separates real card shapes
+    from lookalikes (candidates counted by regex, validity by the
+    in-plan Luhn aggregate; the oracle pins both counts from the
+    synthesis arithmetic, the checksum itself is pinned digit-by-digit
+    in tests/test_text_functions.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    raw = F.concat(
+        F.lit("pay 4111111111111111"),
+        F.when(sid % 2 == 0, F.lit(" backup 5500-0055-5555-5559")).otherwise(
+            F.lit("")
+        ),
+        F.when(sid % 3 == 0, F.lit(" ref 4111111111111112")).otherwise(
+            F.lit("")
+        ),
+        F.lit(" order 123456 | "),
+        F.substring(F.col("text"), 1, 40),
+    )
+    n_cand, n_valid = T.card_counts(raw)
+    return d.select(
+        "doc_id",
+        n_cand.cast("long").alias("n_candidates"),
+        n_valid.cast("long").alias("n_valid_cards"),
+    )
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull the integer ``k`` out of the
     JSON ``props`` column (JVM-side ``get_json_object``, no UDF) and
@@ -6617,6 +6648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_matryoshka": ann_recall_matryoshka,
     "parse_robots_rules_docs": parse_robots_rules_docs,
     "streaming_docstore_sink": streaming_docstore_sink,
+    "pii_cards_docs": pii_cards_docs,
     "k4_partial_doc_sink": k4_partial_doc_sink,
     "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
     "k6_additive_rollup_sink": k6_additive_rollup_sink,

@@ -173,3 +173,36 @@ def test_lang_id_script_detection(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i], got[i])
+
+
+def test_luhn_valid_checksum(spark):
+    """Digit-by-digit Luhn pins: classic test PANs validate, a one-digit
+    perturbation fails, short/long runs are rejected regardless."""
+    from farmrpg_etl_spark.functions.text import luhn_valid
+
+    cases = [
+        ("4111111111111111", True),    # Visa test PAN
+        ("5500005555555559", True),    # Mastercard test PAN
+        ("340000000000009", True),     # Amex test PAN (15 digits)
+        ("4111111111111112", False),   # checksum broken
+        ("123456789012", False),       # 12 digits: too short even if sum ok
+        ("0000000000000", True),       # 13 zeros: trivially valid
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i int, s string")
+    got = {r["i"]: r["v"] for r in df.select("i", luhn_valid(F.col("s")).alias("v")).collect()}
+    for i, (s, want) in enumerate(cases):
+        assert got[i] == want, (s, got[i])
+
+
+def test_card_counts_separators_and_lookalikes(spark):
+    from farmrpg_etl_spark.functions.text import card_counts
+
+    df = spark.createDataFrame(
+        [(1, "pay 4111 1111 1111 1111 or 5500-0055-5555-5559 "
+             "ref 4111111111111112 order 123456")],
+        "i int, t string",
+    )
+    n_cand, n_valid = card_counts(F.col("t"))
+    r = df.select(n_cand.alias("c"), n_valid.alias("v")).first()
+    assert r["c"] == 3  # the 6-digit order number is not a candidate
+    assert r["v"] == 2  # the perturbed PAN fails Luhn
