@@ -190,6 +190,60 @@ def push_claims(
     return n
 
 
+def push_claims_distributed(
+    changes: DataFrame,
+    fetcher,
+    bearer: str,
+    uid_col: str = "firebase_uid",
+    parallelism: int | None = None,
+) -> None:
+    """K6 send path for LARGE change sets: ``foreachPartition`` posts
+    each partition's claims from the EXECUTORS (the picklable
+    ``HttpFetcher`` ships like the S4/S7 fan-out fetchers), so
+    throughput scales with partitions instead of serializing through
+    the driver — measured 82 s for 64k driver-side posts at sf0.1 vs
+    seconds distributed. A non-200 raises and fails the task loudly.
+    Delivery is at-least-once under Spark task retry (same contract
+    as the reference's fire-and-forget tasks); the receiving API is
+    idempotent per (localId, customAttributes) payload, which is what
+    makes retry safe. Use :func:`push_claims` when a replay log and
+    strict once-per-payload sends matter more than throughput.
+
+    The explicit ``repartition`` matters: the change set is usually
+    the tail of a windowed plan that AQE coalesces into ONE tiny
+    partition (small in BYTES), which would serialize the sends — the
+    r11 profile measured 75 s for 64k posts on the coalesced plan.
+    Network calls cost per ROW, not per byte; byte-based coalescing
+    is the wrong heuristic for side-effecting partitions."""
+    if parallelism is None:
+        parallelism = changes.sparkSession.sparkContext.defaultParallelism
+    payloads = (
+        changes.select(
+            F.col(uid_col).cast("string").alias("__uid"), "claims"
+        )
+        .filter(F.col("__uid").isNotNull())
+        .repartition(parallelism)
+    )
+
+    def send_partition(rows) -> None:
+        for r in rows:
+            status, resp = fetcher.post(
+                "v1/accounts:update",
+                json_body={
+                    "localId": r["__uid"],
+                    "customAttributes": r["claims"],
+                },
+                bearer=bearer,
+            )
+            if status != 200:
+                raise RuntimeError(
+                    f"accounts:update failed: status={status} "
+                    f"body={resp[:200]!r}"
+                )
+
+    payloads.foreachPartition(send_partition)
+
+
 def claims_changes(change_pairs: DataFrame) -> DataFrame:
     """K6 gate — emit claims payloads only when the claims projection
     changed between consecutive snapshots (D5 → firestore/user.py:7-13).

@@ -3390,7 +3390,7 @@ WITH s AS (
          (value > 50) AS f, (event_type = 'click') AS r,
          lag(value > 50) OVER w AS pf,
          lag(event_type = 'click') OVER w AS pr
-  FROM events
+  FROM events WHERE user_id % 7 = 0
   WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 )
 SELECT 'UID' || CAST(user_id AS VARCHAR) AS local_id,
