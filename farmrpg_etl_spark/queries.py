@@ -5160,9 +5160,14 @@ def k_http_claims_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     srv = serve_game_site(record=True)
     try:
+        # retries=2: connection-level flakes under 32-way concurrency
+        # are expected (and safe - payload-idempotent receiver); the
+        # reference's no-retry default is a poll-loop policy, not a
+        # sink policy
         fetcher = HttpFetcher(
             HttpClientConfig(
                 base_url=f"http://127.0.0.1:{srv.server_address[1]}/",
+                retries=2,
             )
         )
         # executor-side fan-out (the scale path: 64k serial driver

@@ -117,12 +117,19 @@ class GameSiteHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
 
+class _GameSiteServer(ThreadingHTTPServer):
+    # stdlib default listen backlog is 5; the executor-side fan-outs
+    # open 32+ concurrent connections and overflowed it (observed as
+    # ECONNRESET on task 16 of the distributed claims push)
+    request_queue_size = 128
+
+
 def serve_game_site(
     cookie: str = "s3cret", record: bool = False
 ) -> ThreadingHTTPServer:
     """Start a threaded fake site on an ephemeral 127.0.0.1 port.
     Caller owns shutdown: ``srv.shutdown(); srv.server_close()``."""
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), GameSiteHandler)
+    srv = _GameSiteServer(("127.0.0.1", 0), GameSiteHandler)
     srv.lock = threading.Lock()
     srv.seen = []
     srv.record = record
