@@ -161,6 +161,7 @@ def push_claims(
     bearer: str,
     sent_log: set[tuple] | None = None,
     uid_col: str = "firebase_uid",
+    order_col: str | None = None,
 ) -> int:
     """K6 over real HTTP — one ``POST v1/accounts:update`` per
     claims-CHANGE row (reference firebase.py:27-36: JSON body
@@ -168,11 +169,35 @@ def push_claims(
     Bearer auth). Input is the D5-gated change set
     (:func:`claims_changes`), which is small by construction — the
     gate, not this loop, is the scale story; the data path never
-    collects."""
+    collects.
+
+    ``accounts:update`` is a STATE-SETTING API, so two properties
+    matter beyond delivery (r11 advice #2):
+
+    * **replay key** — with ``order_col`` (the change event id) the
+      replay log keys on ``(uid, change_id)``, so a legitimate
+      re-transition A→B→A posts the second A instead of being
+      swallowed by a payload-keyed log (at-least-once per CHANGE, as
+      documented). Without ``order_col`` the legacy payload key
+      applies (correct only when the caller pre-reduces to one change
+      per uid).
+    * **per-uid ordering** — rows are sorted by ``(uid, order_col)``
+      before posting, so the receiver's final ``customAttributes`` is
+      the LATEST state, deterministically, even with several changes
+      per uid in one push.
+    """
+    cols = [F.col(uid_col).alias("__uid"), "claims"]
+    if order_col is not None:
+        cols.append(F.col(order_col).alias("__ord"))
+    rows = changes.select(*cols).collect()
+    if order_col is not None:
+        rows.sort(key=lambda r: (str(r["__uid"]), r["__ord"]))
     n = 0
-    for r in changes.select(F.col(uid_col).alias("__uid"), "claims").collect():
+    for r in rows:
         uid = r["__uid"]
-        key = (uid, r["claims"])  # replay idempotency per payload
+        key = (
+            (uid, r["__ord"]) if order_col is not None else (uid, r["claims"])
+        )
         if uid is None or (sent_log is not None and key in sent_log):
             continue
         status, resp = fetcher.post(
@@ -196,6 +221,7 @@ def push_claims_distributed(
     bearer: str,
     uid_col: str = "firebase_uid",
     parallelism: int | None = None,
+    order_col: str | None = None,
 ) -> None:
     """K6 send path for LARGE change sets: ``foreachPartition`` posts
     each partition's claims from the EXECUTORS (the picklable
@@ -214,21 +240,47 @@ def push_claims_distributed(
     partition (small in BYTES), which would serialize the sends — the
     r11 profile measured 75 s for 64k posts on the coalesced plan.
     Network calls cost per ROW, not per byte; byte-based coalescing
-    is the wrong heuristic for side-effecting partitions."""
+    is the wrong heuristic for side-effecting partitions.
+
+    Ordering (r11 advice #2): with ``order_col`` (the change event
+    id) the payloads hash-partition on uid and sort within partitions
+    by ``(uid, order_col)``, so every uid's changes are posted by ONE
+    task, in change order — the receiver's final state is
+    deterministically the latest change. The change id also travels
+    as a ``changeId`` query param, giving the caller (and any
+    recording receiver) an idempotency nonce to dedupe task-retry /
+    connection-retry replays on. Without ``order_col`` the legacy
+    round-robin repartition applies (maximum balance; only safe when
+    at most one change per uid survives the gate)."""
     if parallelism is None:
         parallelism = changes.sparkSession.sparkContext.defaultParallelism
-    payloads = (
-        changes.select(
-            F.col(uid_col).cast("string").alias("__uid"), "claims"
+    has_nonce = order_col is not None
+    if has_nonce:
+        payloads = (
+            changes.select(
+                F.col(uid_col).cast("string").alias("__uid"),
+                "claims",
+                F.col(order_col).alias("__ord"),
+                F.col(order_col).cast("string").alias("__change_id"),
+            )
+            .filter(F.col("__uid").isNotNull())
+            .repartition(parallelism, "__uid")
+            .sortWithinPartitions("__uid", "__ord")
         )
-        .filter(F.col("__uid").isNotNull())
-        .repartition(parallelism)
-    )
+    else:
+        payloads = (
+            changes.select(
+                F.col(uid_col).cast("string").alias("__uid"), "claims"
+            )
+            .filter(F.col("__uid").isNotNull())
+            .repartition(parallelism)
+        )
 
     def send_partition(rows) -> None:
         for r in rows:
             status, resp = fetcher.post(
                 "v1/accounts:update",
+                params={"changeId": r["__change_id"]} if has_nonce else None,
                 json_body={
                     "localId": r["__uid"],
                     "customAttributes": r["claims"],

@@ -2192,23 +2192,64 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Substrings that identify an ENVIRONMENT crash of the TWS machinery
+#: (the forked state-protocol worker or its socket dying), as opposed
+#: to a bug in our processors/plans.  Only these degrade to the batch
+#: plan; everything else re-raises (r11 advice #1 — a blanket except
+#: would let a real processor bug masquerade as green).
+_TWS_ENV_CRASH_SIGNATURES = (
+    "driver worker exited unexpectedly",
+    "TransformWithStateInPySpark",
+    "state server",
+    "Connection reset by peer",
+    "Broken pipe",
+    "SIGKILL",
+    "Python worker exited unexpectedly",
+)
+
+
+def _tws_env_crash(exc: Exception) -> bool:
+    """True iff the exception chain carries a known environment-crash
+    signature of the TWS state-protocol worker.  Analysis/plan errors
+    (AnalysisException, schema mismatches, processor TypeErrors) do
+    NOT match and propagate, so a broken feature cannot silently pass
+    through the batch fallback."""
+    from pyspark.errors import AnalysisException
+
+    seen = []
+    cur: BaseException | None = exc
+    while cur is not None and cur not in seen:
+        if isinstance(cur, AnalysisException):
+            return False  # plan bug — never an env crash
+        seen.append(cur)
+        cur = cur.__cause__ or cur.__context__
+    text = " | ".join(f"{type(e).__name__}: {e}" for e in seen)
+    return any(sig in text for sig in _TWS_ENV_CRASH_SIGNATURES)
+
+
 def _tws_row_with_fallback(spark, build_stream, build_batch):
     """Shared wiring for TWS registry rows: save/restore the RocksDB
-    provider conf around the bounded run, and degrade a RUNTIME crash
-    of the TWS driver worker to the provably-equivalent batch plan
+    provider conf around the bounded run, and degrade a RUNTIME
+    ENVIRONMENT crash of the TWS driver worker (matched by signature —
+    see ``_tws_env_crash``) to the provably-equivalent batch plan
     under the same oracle (r10 verdict #1 — an environment crash must
     not become a red artifact; the failure chain is printed so the
-    driver log carries the worker stderr)."""
+    driver log carries the worker stderr).  Analysis errors, schema
+    mismatches, and processor bugs RE-RAISE (r11 advice #1): the row
+    verifies the TWS feature, so a broken feature must go red, not
+    quietly re-run the oracle against itself."""
     from farmrpg_etl_spark.streaming import ops
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     try:
         return ops.run_available_now(build_stream(), "append")
     except Exception as exc:  # pragma: no cover — env-dependent crash
+        if not _tws_env_crash(exc):
+            raise
         import traceback
 
         print(
-            "[tws row] TWS streaming run failed; falling back to the "
+            "[tws row] TWS state worker ENV crash; falling back to the "
             "equivalent batch plan (same oracle). Failure chain:\n"
             + "".join(
                 traceback.format_exception(type(exc), exc, exc.__traceback__)
