@@ -191,7 +191,15 @@ def push_claims(
         cols.append(F.col(order_col).alias("__ord"))
     rows = changes.select(*cols).collect()
     if order_col is not None:
-        rows.sort(key=lambda r: (str(r["__uid"]), r["__ord"]))
+        # null-last sentinel sort (r12 advice): a null order value must
+        # not TypeError the whole push — nulls post after ordered rows
+        rows.sort(
+            key=lambda r: (
+                str(r["__uid"]),
+                r["__ord"] is None,
+                0 if r["__ord"] is None else r["__ord"],
+            )
+        )
     n = 0
     for r in rows:
         uid = r["__uid"]
@@ -222,6 +230,7 @@ def push_claims_distributed(
     uid_col: str = "firebase_uid",
     parallelism: int | None = None,
     order_col: str | None = None,
+    send_change_id: bool = False,
 ) -> None:
     """K6 send path for LARGE change sets: ``foreachPartition`` posts
     each partition's claims from the EXECUTORS (the picklable
@@ -246,12 +255,20 @@ def push_claims_distributed(
     id) the payloads hash-partition on uid and sort within partitions
     by ``(uid, order_col)``, so every uid's changes are posted by ONE
     task, in change order — the receiver's final state is
-    deterministically the latest change. The change id also travels
-    as a ``changeId`` query param, giving the caller (and any
-    recording receiver) an idempotency nonce to dedupe task-retry /
-    connection-retry replays on. Without ``order_col`` the legacy
-    round-robin repartition applies (maximum balance; only safe when
-    at most one change per uid survives the gate)."""
+    deterministically the latest change. Without ``order_col`` the
+    legacy round-robin repartition applies (maximum balance; only
+    safe when at most one change per uid survives the gate).
+
+    ``send_change_id`` (r12 advice #3 — OFF by default): when True
+    AND ``order_col`` is set, the change id also travels as a
+    ``changeId`` query param so a RECORDING receiver (e.g. the test
+    site, or a proxy that logs sends) can dedupe task-retry /
+    connection-retry replays on ``(localId, claims, changeId)``. The
+    real Google identitytoolkit ``accounts:update`` endpoint defines
+    no such param — leave this False against it and rely on per-uid
+    ordering plus payload idempotency; the API offers no nonce. Rows
+    whose order value is null carry no nonce (never the literal
+    string ``"None"``)."""
     if parallelism is None:
         parallelism = changes.sparkSession.sparkContext.defaultParallelism
     has_nonce = order_col is not None
@@ -276,11 +293,16 @@ def push_claims_distributed(
             .repartition(parallelism)
         )
 
+    with_nonce = send_change_id and has_nonce
+
     def send_partition(rows) -> None:
         for r in rows:
+            params = None
+            if with_nonce and r["__change_id"] is not None:
+                params = {"changeId": r["__change_id"]}
             status, resp = fetcher.post(
                 "v1/accounts:update",
-                params={"changeId": r["__change_id"]} if has_nonce else None,
+                params=params,
                 json_body={
                     "localId": r["__uid"],
                     "customAttributes": r["claims"],

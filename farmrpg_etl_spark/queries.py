@@ -5214,18 +5214,38 @@ def k_http_claims_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # executor-side fan-out (the scale path: 64k serial driver
         # posts measured 82 s at sf0.1; distributed they ride the
         # partition parallelism). One post per CHANGE EVENT — the
-        # payload multiset is what the oracle pins.
-        push_claims_distributed(changes, fetcher, bearer="test-token")
+        # payload multiset is what the oracle pins. order_col wires
+        # the r12 per-uid ordering (each uid's changes post from one
+        # task in event order) and send_change_id stamps the change
+        # event id as a nonce ONLY because this receiver records it —
+        # the real identitytoolkit endpoint gets no such param.
+        push_claims_distributed(
+            changes,
+            fetcher,
+            bearer="test-token",
+            order_col="event_id",
+            send_change_id=True,
+        )
         with srv.lock:
             seen = list(srv.seen)
     finally:
         srv.shutdown()
         srv.server_close()
-    rows = [
-        (s["form"]["localId"], s["form"]["customAttributes"])
+    # Dedupe recorded posts on (localId, claims, changeId): the
+    # fetcher retries connection flakes (retries=2) and the server
+    # records BEFORE responding, so a reset in that window records
+    # the same send twice — the nonce collapses exactly those replays
+    # while keeping one row per CHANGE (r12 advice #1).
+    uniq = {
+        (
+            s["form"]["localId"],
+            s["form"]["customAttributes"],
+            s["query"].get("changeId"),
+        )
         for s in seen
         if s["path"] == "/v1/accounts:update"
-    ]
+    }
+    rows = [(u, c) for u, c, _ in uniq]
     return spark.createDataFrame(rows, "local_id string, claims string")
 
 

@@ -243,3 +243,121 @@ def test_post_accounts_update_missing_bearer_401(spark, site):
     )
     with pytest.raises(RuntimeError, match="accounts:update failed: status=401"):
         push_claims(changes, HttpFetcher(_cfg(site)), bearer="")
+
+
+def test_push_claims_order_col_retransition_replay_key(spark, site):
+    """K6 with order_col (the change event id): the replay log keys on
+    (uid, change_id), so a legitimate A->B->A re-transition posts the
+    second A instead of being swallowed by a payload-keyed log — and
+    the posts arrive in per-uid change order (r12 build, verified
+    r13)."""
+    from farmrpg_etl_spark.bots.commands import push_claims
+
+    a = '{"farmhand":"true","ranger":"false"}'
+    b = '{"farmhand":"false","ranger":"false"}'
+    # deliberately shuffled input order: the sort must restore it
+    changes = spark.createDataFrame(
+        [("UID7", b, 20), ("UID7", a, 30), ("UID7", a, 10)],
+        "firebase_uid string, claims string, event_id int",
+    )
+    log: set = set()
+    n = push_claims(
+        changes, HttpFetcher(_cfg(site)), bearer="tok",
+        sent_log=log, order_col="event_id",
+    )
+    assert n == 3  # the A->B->A second A is NOT deduped away
+    with site.lock:
+        posts = [
+            s["form"]["customAttributes"]
+            for s in site.seen
+            if s["path"] == "/v1/accounts:update"
+        ]
+    assert posts == [a, b, a]  # per-uid change order; final state = A
+    # replay: identical second push sends nothing
+    n2 = push_claims(
+        changes, HttpFetcher(_cfg(site)), bearer="tok",
+        sent_log=log, order_col="event_id",
+    )
+    assert n2 == 0
+
+
+def test_push_claims_null_order_value_sorts_last(spark, site):
+    """A null order value must not TypeError the whole push (r12
+    advice #2): null-ord rows sort after ordered rows and still post."""
+    from farmrpg_etl_spark.bots.commands import push_claims
+
+    changes = spark.createDataFrame(
+        [("UID1", "{}", None), ("UID1", '{"x":"1"}', 5)],
+        "firebase_uid string, claims string, event_id int",
+    )
+    n = push_claims(
+        changes, HttpFetcher(_cfg(site)), bearer="tok", order_col="event_id"
+    )
+    assert n == 2
+    with site.lock:
+        posts = [
+            s["form"]["customAttributes"]
+            for s in site.seen
+            if s["path"] == "/v1/accounts:update"
+        ]
+    assert posts == ['{"x":"1"}', "{}"]  # ordered first, null last
+
+
+def test_push_claims_distributed_per_uid_order_and_nonce(spark, site):
+    """Distributed K6 with order_col: each uid's changes post from ONE
+    task in change order (final receiver state = latest change), and
+    with send_change_id=True the change id rides as a changeId query
+    param for receiver-side retry dedupe."""
+    from farmrpg_etl_spark.bots.commands import push_claims_distributed
+
+    rows = [
+        (f"UID{u}", '{"v":"%d"}' % e, u * 100 + e)
+        for u in range(4)
+        for e in (3, 1, 2)  # shuffled per-uid change order
+    ]
+    changes = spark.createDataFrame(
+        rows, "firebase_uid string, claims string, event_id int"
+    )
+    push_claims_distributed(
+        changes, HttpFetcher(_cfg(site)), bearer="tok",
+        parallelism=4, order_col="event_id", send_change_id=True,
+    )
+    with site.lock:
+        posts = [
+            (s["form"]["localId"], s["form"]["customAttributes"],
+             s["query"].get("changeId"))
+            for s in site.seen
+            if s["path"] == "/v1/accounts:update"
+        ]
+    assert len(posts) == 12
+    by_uid: dict = {}
+    for uid, claims, cid in posts:
+        by_uid.setdefault(uid, []).append((claims, cid))
+    for u in range(4):
+        got = by_uid[f"UID{u}"]
+        # per-uid arrival order == event order; nonce = the event id
+        assert got == [
+            ('{"v":"%d"}' % e, str(u * 100 + e)) for e in (1, 2, 3)
+        ]
+
+
+def test_push_claims_distributed_no_nonce_by_default(spark, site):
+    """send_change_id defaults OFF (r12 advice #3): the real
+    identitytoolkit endpoint defines no changeId param, so ordering
+    alone must not attach one."""
+    from farmrpg_etl_spark.bots.commands import push_claims_distributed
+
+    changes = spark.createDataFrame(
+        [("UID1", "{}", 1)],
+        "firebase_uid string, claims string, event_id int",
+    )
+    push_claims_distributed(
+        changes, HttpFetcher(_cfg(site)), bearer="tok",
+        parallelism=2, order_col="event_id",
+    )
+    with site.lock:
+        posts = [
+            s for s in site.seen if s["path"] == "/v1/accounts:update"
+        ]
+    assert len(posts) == 1
+    assert "changeId" not in posts[0]["query"]
