@@ -2198,8 +2198,11 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: plan; everything else re-raises (r11 advice #1 — a blanket except
 #: would let a real processor bug masquerade as green).
 _TWS_ENV_CRASH_SIGNATURES = (
+    # worker/socket DEATH markers only (r12 advice #1): the operator
+    # name "TransformWithStateInPySpark" appears in the text of
+    # virtually ANY runtime TWS failure — processor bugs included —
+    # so it must never be a degrade signature on its own.
     "driver worker exited unexpectedly",
-    "TransformWithStateInPySpark",
     "state server",
     "Connection reset by peer",
     "Broken pipe",
@@ -2211,19 +2214,27 @@ _TWS_ENV_CRASH_SIGNATURES = (
 def _tws_env_crash(exc: Exception) -> bool:
     """True iff the exception chain carries a known environment-crash
     signature of the TWS state-protocol worker.  Analysis/plan errors
-    (AnalysisException, schema mismatches, processor TypeErrors) do
+    (AnalysisException, schema mismatches) and PROCESSOR bugs —
+    recognized as a ``PythonException`` anywhere in the chain, or any
+    chain text carrying a Python traceback (the worker relays the
+    processor's ``Traceback (most recent call last)`` verbatim) — do
     NOT match and propagate, so a broken feature cannot silently pass
-    through the batch fallback."""
-    from pyspark.errors import AnalysisException
+    through the batch fallback (r12 advice #1: signatures alone were
+    too loose because worker-death text accompanies processor errors
+    too; a traceback proves Python code raised, which env death never
+    produces)."""
+    from pyspark.errors import AnalysisException, PythonException
 
     seen = []
     cur: BaseException | None = exc
     while cur is not None and cur not in seen:
-        if isinstance(cur, AnalysisException):
-            return False  # plan bug — never an env crash
+        if isinstance(cur, (AnalysisException, PythonException)):
+            return False  # plan or processor bug — never an env crash
         seen.append(cur)
         cur = cur.__cause__ or cur.__context__
     text = " | ".join(f"{type(e).__name__}: {e}" for e in seen)
+    if "Traceback (most recent call last)" in text:
+        return False  # a relayed Python traceback = processor bug
     return any(sig in text for sig in _TWS_ENV_CRASH_SIGNATURES)
 
 

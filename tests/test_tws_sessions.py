@@ -184,3 +184,65 @@ def test_registry_row_survives_tws_crash(spark, monkeypatch):
         "user_id", "session_start", "session_end", "n_events",
     ]
     assert {tuple(r) for r in out.collect()} == expected
+
+
+def test_registry_row_reraises_processor_bugs(spark, monkeypatch):
+    """The batch fallback is for ENVIRONMENT death only (r12 advice
+    #1): a plan error (AnalysisException), a processor bug surfaced as
+    a PythonException, a relayed Python traceback, and a runtime
+    failure that merely NAMES the TWS operator must all propagate —
+    otherwise the row re-runs the oracle against itself and passes
+    green with a broken feature."""
+    import pytest
+    from pyspark.errors import AnalysisException, PythonException
+
+    import farmrpg_etl_spark.streaming.sessions as sessions_mod
+    from farmrpg_etl_spark.queries import streaming_session_timeout
+
+    sf = "/root/testdata/sf0.001"
+
+    def _raises(exc):
+        def _boom(*a, **k):
+            raise exc
+        return _boom
+
+    # plan bug
+    monkeypatch.setattr(
+        sessions_mod, "sessionize_with_timeout",
+        _raises(AnalysisException("[UNRESOLVED_COLUMN] bad plan")),
+    )
+    with pytest.raises(AnalysisException):
+        streaming_session_timeout(spark, sf)
+
+    # processor bug surfaced as PythonException — even when the
+    # message carries the TWS operator name + a worker-death marker
+    monkeypatch.setattr(
+        sessions_mod, "sessionize_with_timeout",
+        _raises(PythonException(
+            "TransformWithStateInPySpark failed: "
+            "Python worker exited unexpectedly"
+        )),
+    )
+    with pytest.raises(PythonException):
+        streaming_session_timeout(spark, sf)
+
+    # processor TypeError relayed as chain text with a Python traceback
+    monkeypatch.setattr(
+        sessions_mod, "sessionize_with_timeout",
+        _raises(RuntimeError(
+            "Python worker exited unexpectedly\n"
+            "Traceback (most recent call last):\n"
+            '  File "tws_ops.py", line 60, in handleInputRows\n'
+            "TypeError: unsupported operand type(s)"
+        )),
+    )
+    with pytest.raises(RuntimeError):
+        streaming_session_timeout(spark, sf)
+
+    # operator name ALONE is not a death marker anymore
+    monkeypatch.setattr(
+        sessions_mod, "sessionize_with_timeout",
+        _raises(RuntimeError("TransformWithStateInPySpark query failed")),
+    )
+    with pytest.raises(RuntimeError):
+        streaming_session_timeout(spark, sf)
