@@ -166,12 +166,33 @@ def temperature_mixture_weights(
     per_src = df.groupBy(source_col).agg(
         F.sum(F.size(toks).cast("long")).alias("n_tokens")
     )
+    return mixture_weights_from_counts(per_src, source_col, token_budget)
+
+
+def mixture_weights_from_counts(
+    per_src: DataFrame, source_col: str, token_budget: int
+) -> DataFrame:
+    """The weights/quota half of :func:`temperature_mixture_weights`,
+    over a pre-aggregated ``(source, n_tokens)`` relation — split out
+    so the quota arithmetic is pinnable at CLAIMED corpus scale
+    (n_tokens ~1e12) without materializing the tokens."""
     n = F.col("n_tokens").cast("double")
     s = F.sqrt(n * F.sqrt(n))  # n^(3/4), exact IEEE ops
     scored = per_src.withColumn(
         "__m", F.floor(s * F.lit(1000000.0)).cast("long")
     )
     total = scored.agg(F.sum("__m").cast("long").alias("__t"))
+    # quota = floor(budget · __m / __t) in DECIMAL(38,0): BIGINT would
+    # overflow at corpus scale — __m ≈ n_tokens^0.75 · 1e6 is ~1e15 at
+    # 1e12 tokens, × a 1e12 budget = 1e27 ≫ 2^63 (a loud ANSI
+    # ARITHMETIC_OVERFLOW, r12 advice #2). The decimal product stays
+    # ≤ ~34 digits, DIV floors exactly, and the quota itself is
+    # ≤ budget so the BIGINT output cannot overflow.
+    quota = F.expr(
+        f"CAST(CAST({int(token_budget)} AS DECIMAL(38,0))"
+        " * CAST(__m AS DECIMAL(38,0))"
+        " DIV CAST(__t AS DECIMAL(38,0)) AS BIGINT)"
+    )
     return (
         scored.crossJoin(F.broadcast(total))
         .select(
@@ -180,9 +201,7 @@ def temperature_mixture_weights(
             F.round(
                 F.col("__m").cast("double") / F.col("__t").cast("double"), 6
             ).alias("weight"),
-            F.expr(f"CAST({token_budget} AS BIGINT) * __m DIV __t").alias(
-                "token_quota"
-            ),
+            quota.alias("token_quota"),
         )
     )
 

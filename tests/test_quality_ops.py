@@ -237,3 +237,39 @@ def test_temperature_mixture_damps_large_sources(spark):
     assert abs(big["weight"] + small["weight"] - 1.0) < 1e-5
     assert big["token_quota"] + small["token_quota"] <= 1_000_000
     assert isinstance(big["token_quota"], int)
+
+
+def test_mixture_quota_exact_at_trillion_token_scale(spark):
+    """The quota arithmetic must be EXACT at the module's claimed
+    100 TB scale (r12 advice #2): with per-source counts ~1e12 the
+    old BIGINT product (budget * __m ~ 1e27) overflows 2^63 — the
+    DECIMAL(38,0) form must instead reproduce Python's unbounded-int
+    floor(budget*m/t) bit-for-bit."""
+    from math import floor, sqrt
+
+    from farmrpg_etl_spark.operators.quality import (
+        mixture_weights_from_counts,
+    )
+
+    counts = {
+        "web": 2_500_000_000_000,
+        "code": 1_000_000_000_000,
+        "books": 400_000_000_000,
+    }
+    budget = 1_000_000_000_000  # 1T-token training mix
+    per_src = spark.createDataFrame(
+        list(counts.items()), "source string, n_tokens long"
+    )
+    out = {
+        r["source"]: r["token_quota"]
+        for r in mixture_weights_from_counts(
+            per_src, "source", budget
+        ).collect()
+    }
+    # same IEEE ops as the Spark expression: sqrt(n*sqrt(n)) then
+    # floor-to-micros, then exact integer floor division
+    m = {s: floor(sqrt(n * sqrt(n)) * 1e6) for s, n in counts.items()}
+    t = sum(m.values())
+    expected = {s: budget * mi // t for s, mi in m.items()}
+    assert out == expected
+    assert sum(out.values()) <= budget  # floor conserves the budget
