@@ -285,9 +285,15 @@ class ParquetTable:
         prev_map = self.rename_map()
         # resume detection: a crash between the map publish and the
         # data rewrite leaves every requested rename recorded but the
-        # data un-renamed — re-running with the same arguments repairs
-        resume = bool(renames) and all(
-            prev_map.get(o) == n for o, n in renames.items()
+        # data UN-RENAMED — the old column names must still be current
+        # (r12 advice #3: a FULL replay of a completed migration also
+        # has the map recorded, but its old names are gone from the
+        # data; it must take the loud-failure path below, not commit a
+        # silent no-op rewrite as a new version)
+        resume = (
+            bool(renames)
+            and all(prev_map.get(o) == n for o, n in renames.items())
+            and all(o in cur.columns for o in renames)
         )
         missing = [
             c for c in list(relax_nullable) + list(renames)

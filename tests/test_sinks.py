@@ -628,3 +628,28 @@ def test_evolve_v2_resume_after_crash_between_map_and_rewrite(spark, tmp_path):
     t.evolve_v2(renames={"username": "user_name"})
     assert set(t.read().columns) == {"user_id", "user_name", "firebase_uid"}
     assert t.rename_map() == {"username": "user_name"}
+
+
+def test_evolve_v2_full_replay_fails_loudly(spark, tmp_path):
+    """A FULL replay of a COMPLETED migration (map recorded AND data
+    already renamed) is not the crash window — it must raise, not
+    commit a no-op rewrite as a new version (r12 advice #3)."""
+    import pytest as _pytest
+
+    t = _user_table(spark, tmp_path)
+    t.declare_not_null(["firebase_uid"])
+    t.evolve_v2(
+        relax_nullable=["firebase_uid"], renames={"username": "user_name"}
+    )
+    v_done = t.current_version()
+    with _pytest.raises(ValueError, match="do not exist"):
+        t.evolve_v2(
+            relax_nullable=["firebase_uid"], renames={"username": "user_name"}
+        )
+    assert t.current_version() == v_done  # no phantom version
+    # rename-only replay fails the same way
+    with _pytest.raises(ValueError, match="do not exist"):
+        t.evolve_v2(renames={"username": "user_name"})
+    # relax-only replay keeps its own loud failure
+    with _pytest.raises(ValueError, match="already nullable"):
+        t.evolve_v2(relax_nullable=["firebase_uid"])
