@@ -109,24 +109,41 @@ def parse_robots_txt(
 
 
 def rules_for_agent(parsed: DataFrame, agent: str) -> DataFrame:
-    """Scope a :func:`parse_robots_txt` relation to one crawler: per
-    host, the groups naming the agent exactly (case-insensitive) win;
-    hosts without an exact group fall back to their ``*`` groups; a
-    host with neither contributes no rules (everything allowed, the
-    RFC default). Product-token substring matching is simplified to
-    exact-or-star — the common real-world grammar — and documented.
+    """Scope a :func:`parse_robots_txt` relation to one crawler with
+    RFC 9309 §2.2.1 product-token matching (r12 verdict #3): a group
+    applies when its ``User-agent`` token is a case-insensitive
+    SUBSTRING of the crawler's product token — so a crawler
+    identifying as ``FooBar/1.2`` obeys a ``User-agent: FooBar``
+    group (and a ``foo`` group). When several tokens match, only the
+    LONGEST (most specific) token's groups apply per host; hosts with
+    no matching token fall back to their ``*`` groups; a host with
+    neither contributes no rules (everything allowed, the RFC
+    default).
 
     Returns ``(host, prefix, allow)`` ready for :func:`robots_filter`.
+    The matching predicate runs on the parsed RULES relation —
+    dimension-sized — never on the URL corpus.
     """
     a = agent.lower()
-    exact_hosts = (
-        parsed.filter(F.col("agent") == a).select("host").distinct()
+    matched = parsed.filter(
+        (F.col("agent") != "*") & (F.instr(F.lit(a), F.col("agent")) > 0)
     )
-    exact = parsed.filter(F.col("agent") == a).join(exact_hosts, "host")
+    best = matched.groupBy(F.col("host").alias("__h")).agg(
+        F.max(F.length("agent")).alias("__best")
+    )
+    exact = matched.join(
+        best,
+        (F.col("host") == F.col("__h"))
+        & (F.length("agent") == F.col("__best")),
+    )
     star = parsed.filter(F.col("agent") == "*").join(
-        exact_hosts, "host", "left_anti"
+        best.select(F.col("__h").alias("host")), "host", "left_anti"
     )
-    return exact.unionByName(star).select("host", "prefix", "allow").distinct()
+    return (
+        exact.select("host", "prefix", "allow")
+        .unionByName(star.select("host", "prefix", "allow"))
+        .distinct()
+    )
 
 
 def robots_filter(

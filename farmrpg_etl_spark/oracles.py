@@ -3440,6 +3440,16 @@ UNION ALL
 SELECT host, 'anon', '/tmp', FALSE FROM h
 UNION ALL
 SELECT host, 'anon', '/tmp/pub', TRUE FROM h
+UNION ALL
+-- crawler 'farmbot/2.1': both 'farmbot' and 'farm' tokens are
+-- substrings; the LONGEST ('farmbot') wins -> the Docs group only
+SELECT host, 'versioned', '/Docs/' || CAST(n AS VARCHAR), FALSE FROM h
+UNION ALL
+SELECT host, 'versioned', '/Docs/' || CAST(n AS VARCHAR) || '/sub', TRUE
+FROM h
+UNION ALL
+-- crawler 'farmville/1.0': only the short 'farm' token matches
+SELECT host, 'generic', '/farm-generic', FALSE FROM h
 """
 
 ORACLES["claims_gate_events"] = """

@@ -6439,11 +6439,15 @@ def parse_robots_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercising the RFC 9309 grammar hazards — pre-group rules
     (ignored), comments, mixed-case directives, an empty ``Disallow:``
     (dropped), a multi-UA group — is parsed relationally and scoped
-    twice: the exact ``farmbot`` group and the ``*`` fallback for an
-    unknown agent. The oracle reconstructs the expected rules from the
-    synthesis arithmetic (the grammar corners are pinned byte-level in
-    tests/test_crawl.py); `robots_filter_docs` consumes the same rule
-    shapes downstream."""
+    four ways: the ``farmbot`` group; the ``*`` fallback for an
+    unknown agent; a VERSIONED crawler token (``farmbot/2.1`` —
+    RFC 9309 §2.2.1 substring matching must pick the ``farmbot``
+    group over the shorter also-matching ``farm`` group, r12 verdict
+    #3); and a crawler (``farmville/1.0``) that only the short
+    ``farm`` token matches. The oracle reconstructs the expected
+    rules from the synthesis arithmetic (the grammar corners are
+    pinned byte-level in tests/test_crawl.py); `robots_filter_docs`
+    consumes the same rule shapes downstream."""
     from farmrpg_etl_spark.operators.crawl import (
         parse_robots_txt,
         rules_for_agent,
@@ -6463,7 +6467,7 @@ def parse_robots_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("string"),
         F.lit("\nallow: /Docs/"),
         F.col("n").cast("string"),
-        F.lit("/sub\n"),
+        F.lit("/sub\nUser-agent: farm\nDisallow: /farm-generic\n"),
     )
     parsed = parse_robots_txt(hosts.select("host", body.alias("body")))
     farm = rules_for_agent(parsed, "FarmBot").withColumn(
@@ -6472,7 +6476,21 @@ def parse_robots_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anon = rules_for_agent(parsed, "someone-else").withColumn(
         "agent_scope", F.lit("anon")
     )
-    return farm.unionByName(anon).select("host", "agent_scope", "prefix", "allow")
+    # versioned product token: substring match + longest-token-wins
+    # must land on the farmbot group, not the shorter farm group
+    versioned = rules_for_agent(parsed, "FarmBot/2.1").withColumn(
+        "agent_scope", F.lit("versioned")
+    )
+    # a token only the SHORT group matches
+    generic = rules_for_agent(parsed, "Farmville/1.0").withColumn(
+        "agent_scope", F.lit("generic")
+    )
+    return (
+        farm.unionByName(anon)
+        .unionByName(versioned)
+        .unionByName(generic)
+        .select("host", "agent_scope", "prefix", "allow")
+    )
 
 
 def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

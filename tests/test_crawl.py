@@ -168,3 +168,64 @@ def test_parse_to_filter_end_to_end(spark):
     )
     got = {r["doc_id"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
     assert got == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_rules_for_agent_substring_product_token(spark):
+    """RFC 9309 §2.2.1 matching (r12 verdict #3): a group applies when
+    its UA token is a case-insensitive SUBSTRING of the crawler's
+    product token — versioned crawlers must not silently fall back to
+    the * groups — and when several tokens match, the LONGEST wins."""
+    from farmrpg_etl_spark.operators.crawl import (
+        parse_robots_txt,
+        rules_for_agent,
+    )
+
+    body = (
+        "User-agent: *\nDisallow: /all\n"
+        "User-agent: farm\nDisallow: /farm\n"
+        "User-agent: farmbot\nDisallow: /farmbot\n"
+    )
+    parsed = parse_robots_txt(
+        spark.createDataFrame([("h.com", body)], "host string, body string")
+    )
+
+    def scope(agent):
+        return {
+            (r["prefix"], r["allow"])
+            for r in rules_for_agent(parsed, agent).collect()
+        }
+
+    # versioned UA: 'farmbot' and 'farm' both substrings; longest wins
+    assert scope("FarmBot/1.2") == {("/farmbot", False)}
+    # exact token, mixed case
+    assert scope("FARMBOT") == {("/farmbot", False)}
+    # only the short token matches
+    assert scope("Farmville/9") == {("/farm", False)}
+    # no token matches -> star fallback
+    assert scope("unrelated-crawler") == {("/all", False)}
+
+
+def test_rules_for_agent_longest_match_per_host(spark):
+    """Longest-token selection is PER HOST: a host where only the
+    short token exists still scopes to it while another host prefers
+    its longer token."""
+    from farmrpg_etl_spark.operators.crawl import (
+        parse_robots_txt,
+        rules_for_agent,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: farm\nDisallow: /f\n"
+                      "User-agent: farmbot\nDisallow: /fb\n"),
+            ("b.com", "User-agent: farm\nDisallow: /only-short\n"),
+        ],
+        "host string, body string",
+    )
+    rules = {
+        (r["host"], r["prefix"])
+        for r in rules_for_agent(
+            parse_robots_txt(docs), "farmbot/2.0"
+        ).collect()
+    }
+    assert rules == {("a.com", "/fb"), ("b.com", "/only-short")}
