@@ -310,3 +310,260 @@ def ppl_bucket_filter(
         .filter(F.col("bucket") != "tail")
         .select(id_col, "n_tok", "nll", "bucket")
     )
+
+
+# ---------------------------------------------------------------- order-n KN
+#
+# Generalization of the bigram model above to arbitrary order
+# (default 5 — the CCNet/KenLM shape, r12 verdict gap #2). Recursive
+# interpolated Kneser-Ney by the standard count construction:
+#
+#   top order N:  p_N(w|h) = (c(h,w) − D)/c(h) + (D·N1+(h,·)/c(h)) · p_{N−1}
+#   1 < k < N:    p_k(w|h) = (ñ_k(h,w) − D)/ñ_k(h) + (D·N1+_k(h,·)/ñ_k(h)) · p_{k−1}
+#   base:         p_1(w)   = (ñ_1(w) + 1) / (ñ_1(·) + V)
+#
+# where ñ_k(h,w) = |{v : c_{k+1}(v·h·w) > 0}| is the CONTINUATION
+# count ("how many distinct one-word-longer contexts precede h·w"),
+# and the base distribution is add-one smoothed so every token —
+# including a never-seen word under a never-seen context — gets
+# finite mass. D = 3/4 stays dyadic on purpose (exact in doubles;
+# see train_kn_bigram_lm). At order=2 this construction reduces
+# EXACTLY to train_kn_bigram_lm: ñ_1 = cw_cont, ñ_1(·) = n_types —
+# pinned by a pytest.
+#
+# Distributed count construction (the part that must scale): the
+# corpus is shuffled ONCE into top-order counts c_N keyed (ctx, w);
+# every lower table derives from the one above it by a suffix
+# re-aggregation, because support(c_k) = rows(table_{k+1} grouped by
+# suffix) — counting ROWS of the (k+1)-table per (suffix(ctx), w) IS
+# ñ_k. All derived tables are LM-sized (Heaps-law small), so training
+# costs one corpus shuffle + N−1 LM-sized shuffles; Zipf-hot contexts
+# land in partial aggregation. Scoring joins the corpus once per
+# level against LM-sized relations (AQE broadcasts them when they
+# fit; hot keys split under AQE skew handling).
+#
+# Contexts travel as SPACE-joined strings — tokens come from
+# words(), which splits on whitespace, so a token can never contain
+# the separator; the one-word-shorter suffix is then
+# substring-after-first-space in both engines (identical bytes), and
+# the DuckDB oracle reproduces every count with the same grammar.
+
+SEP = " "
+
+
+def _sfx(ctx: str) -> Column:
+    """Drop the leading token of a SEP-joined context (len ≥ 2)."""
+    return F.expr(f"substring({ctx}, instr({ctx}, '{SEP}') + 1)")
+
+
+def ngram_instances(
+    df: DataFrame, text_col: str, id_col: str, order: int
+) -> DataFrame:
+    """One row per token occurrence: ``(id, ctx, w)`` with ``ctx`` the
+    SEP-joined ``order−1`` preceding tokens, BOS-padded — so every
+    token is predicted, short documents keep all their tokens, and
+    document boundaries never leak context."""
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    k = order - 1
+    toks = _toks(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.concat(F.array_repeat(F.lit(BOS), k), toks).alias("__p"),
+    )
+    ex = base.select(id_col, "__p", F.posexplode("__t").alias("__i", "w"))
+    return ex.select(
+        id_col,
+        F.array_join(F.slice("__p", F.col("__i") + 1, k), SEP).alias("ctx"),
+        "w",
+    )
+
+
+def kn_ngram_tables(
+    df: DataFrame, text_col: str, id_col: str, order: int = 5
+) -> dict:
+    """All count relations of the order-``order`` interpolated-KN
+    model, one corpus shuffle + LM-sized reaggregations (see module
+    note). Returns ``{"order", "top", "t": {k: ñ_k}, "den": {k:
+    (den, n1p)}, "scal"}`` — a frozen copy of this dict is a complete
+    model for :func:`doc_nll_kn_ngram` (the CCNet regime: train once,
+    score every future batch)."""
+    inst = ngram_instances(df, text_col, id_col, order)
+    top = (
+        inst.groupBy("ctx", "w").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
+    den = {
+        order: top.groupBy("ctx").agg(
+            F.sum("c").alias("den"), F.count(F.lit(1)).alias("n1p")
+        )
+    }
+    t: dict = {}
+    cur = top
+    for k in range(order - 1, 1, -1):
+        cur = cur.groupBy(_sfx("ctx").alias("ctx"), "w").agg(
+            F.count(F.lit(1)).alias("nn")
+        )
+        t[k] = cur
+        den[k] = cur.groupBy("ctx").agg(
+            F.sum("nn").alias("den"), F.count(F.lit(1)).alias("n1p")
+        )
+    t[1] = cur.groupBy("w").agg(F.count(F.lit(1)).alias("nn"))
+    scal = t[1].agg(
+        F.sum("nn").alias("n1tot"), F.count(F.lit(1)).alias("V")
+    )
+    return {"order": order, "top": top, "t": t, "den": den, "scal": scal}
+
+
+def _kn_attach_p(rel: DataFrame, tables: dict) -> DataFrame:
+    """Attach the interpolated probability ``p`` to any relation with
+    ``(ctx, w)`` (top-order context). Left joins + guarded
+    interpolation: a missing level backs off wholesale (p_k := p_{k−1}
+    when the context is unseen at level k), a seen context with an
+    unseen word keeps only the redistribution term — so ANY (ctx, w)
+    gets finite mass and a frozen model scores novel text. Every join
+    side is LM-sized."""
+    order = tables["order"]
+    d = F.lit(0.75)
+    out = rel.withColumn("__ctx%d" % order, F.col("ctx"))
+    for k in range(order - 1, 1, -1):
+        out = out.withColumn(
+            "__ctx%d" % k, _sfx("__ctx%d" % (k + 1))
+        )
+    # base level: ñ_1(w) and the scalars
+    out = (
+        out.join(
+            F.broadcast(
+                tables["t"][1].select(
+                    F.col("w").alias("__w1"), F.col("nn").alias("__nn1")
+                )
+            ),
+            F.col("w") == F.col("__w1"),
+            "left",
+        )
+        .drop("__w1")
+        .crossJoin(F.broadcast(tables["scal"]))
+        .withColumn(
+            "__p1",
+            (F.coalesce(F.col("__nn1"), F.lit(0)) + 1).cast("double")
+            / (F.col("n1tot") + F.col("V")).cast("double"),
+        )
+    )
+    # middle levels: continuation counts
+    for k in range(2, order):
+        tk = tables["t"][k].select(
+            F.col("ctx").alias("__tc%d" % k),
+            F.col("w").alias("__tw%d" % k),
+            F.col("nn").alias("__nn%d" % k),
+        )
+        dk = tables["den"][k].select(
+            F.col("ctx").alias("__dc%d" % k),
+            F.col("den").alias("__den%d" % k),
+            F.col("n1p").alias("__n1p%d" % k),
+        )
+        out = (
+            out.join(
+                tk,
+                (F.col("__ctx%d" % k) == F.col("__tc%d" % k))
+                & (F.col("w") == F.col("__tw%d" % k)),
+                "left",
+            )
+            .drop("__tc%d" % k, "__tw%d" % k)
+            .join(
+                dk, F.col("__ctx%d" % k) == F.col("__dc%d" % k), "left"
+            )
+            .drop("__dc%d" % k)
+        )
+        nn = F.col("__nn%d" % k).cast("double")
+        dd = F.col("__den%d" % k).cast("double")
+        n1p = F.col("__n1p%d" % k).cast("double")
+        out = out.withColumn(
+            "__p%d" % k,
+            F.when(F.col("__den%d" % k).isNull(), F.col("__p%d" % (k - 1)))
+            .otherwise(
+                F.coalesce((nn - d) / dd, F.lit(0.0))
+                + ((d * n1p) / dd) * F.col("__p%d" % (k - 1))
+            ),
+        )
+    # top level: raw counts
+    to = tables["top"].select(
+        F.col("ctx").alias("__tcN"),
+        F.col("w").alias("__twN"),
+        F.col("c").alias("__c"),
+    )
+    dn = tables["den"][order].select(
+        F.col("ctx").alias("__dcN"),
+        F.col("den").alias("__ch"),
+        F.col("n1p").alias("__n1pN"),
+    )
+    out = (
+        out.join(
+            to,
+            (F.col("__ctx%d" % order) == F.col("__tcN"))
+            & (F.col("w") == F.col("__twN")),
+            "left",
+        )
+        .drop("__tcN", "__twN")
+        .join(dn, F.col("__ctx%d" % order) == F.col("__dcN"), "left")
+        .drop("__dcN")
+    )
+    c = F.col("__c").cast("double")
+    ch = F.col("__ch").cast("double")
+    n1pn = F.col("__n1pN").cast("double")
+    return out.withColumn(
+        "p",
+        F.when(F.col("__ch").isNull(), F.col("__p%d" % (order - 1)))
+        .otherwise(
+            F.coalesce((c - d) / ch, F.lit(0.0))
+            + ((d * n1pn) / ch) * F.col("__p%d" % (order - 1))
+        ),
+    )
+
+
+def train_kn_ngram_lm(
+    df: DataFrame, text_col: str, id_col: str, order: int = 5
+) -> DataFrame:
+    """Order-``order`` interpolated-KN LM table: ``(ctx, w, c, ch, p)``
+    for every observed top-order n-gram, with ``p`` the FULL
+    interpolated probability (all lower levels folded in)."""
+    tables = kn_ngram_tables(df, text_col, id_col, order)
+    scored = _kn_attach_p(tables["top"], tables)
+    return scored.select(
+        "ctx", "w", F.col("c"), F.col("__ch").alias("ch"), "p"
+    )
+
+
+def doc_nll_kn_ngram(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    order: int = 5,
+    tables: dict | None = None,
+) -> DataFrame:
+    """Mean NLL per document under the order-``order`` KN model —
+    same quantize → decimal-sum → round discipline as :func:`doc_nll`.
+    Pass frozen ``tables`` (a :func:`kn_ngram_tables` result) for the
+    CCNet regime; unseen events take the guarded backoff chain in
+    :func:`_kn_attach_p` and always score finite."""
+    from farmrpg_etl_spark.queries import _dec_sum
+
+    if tables is None:
+        tables = kn_ngram_tables(df, text_col, id_col, order)
+    if tables["order"] != order:
+        raise ValueError(
+            f"tables are order {tables['order']}, requested {order}"
+        )
+    inst = ngram_instances(df, text_col, id_col, order)
+    scored = _kn_attach_p(inst, tables)
+    q = F.floor(-F.log(F.col("p")) * F.lit(1000000.0)) / F.lit(1000000.0)
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(_dec_sum(q).cast("double") / F.count(F.lit(1)), 4).alias(
+            "nll"
+        ),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+        F.coalesce("nll", F.lit(0.0)).alias("nll"),
+    )

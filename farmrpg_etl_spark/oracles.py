@@ -3452,6 +3452,29 @@ UNION ALL
 SELECT host, 'generic', '/farm-generic', FALSE FROM h
 """
 
+# Crawl loop e2e: the fake site's robots bodies are deterministic in
+# the host NUMBER (sources/fakesite.py /robots.txt route), so the
+# expected verdicts reduce to arithmetic — n%3==0 hosts publish only
+# '* Disallow /Docs' (matched_len 5, denied); other hosts give
+# farmbot 'Disallow /Docs/{n}' (6+len(n)) with an Allow carve-out
+# '/Docs/{n}/pub' (10+len(n)) that only even doc_ids' paths enter.
+ORACLES["crawl_robots_e2e_docs"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN n % 3 = 0 THEN 5
+                 WHEN doc_id % 2 = 0
+                   THEN 10 + len(CAST(n AS VARCHAR))
+                 ELSE 6 + len(CAST(n AS VARCHAR)) END AS BIGINT)
+         AS matched_len,
+       CASE WHEN n % 3 = 0 THEN FALSE
+            ELSE doc_id % 2 = 0 END AS allowed
+FROM h
+"""
+
 ORACLES["claims_gate_events"] = """
 WITH s AS (
   SELECT user_id, event_id,
@@ -3650,6 +3673,124 @@ SELECT prev, w, c, n1p, cw_cont,
 FROM prob
 ORDER BY c DESC, prev, w
 LIMIT 200
+"""
+
+# Order-5 interpolated Kneser-Ney (the CCNet/KenLM shape): raw counts
+# at order 5, continuation counts at 4..1 — each level derived from
+# the table above it by a suffix re-aggregation (support(c_k) = rows
+# of table_{k+1} grouped by suffix), exactly the Spark construction in
+# operators/langmodel.kn_ngram_tables. Contexts are SPACE-joined
+# (tokens are whitespace-split, so the separator can never occur
+# inside one); p1..p5 are materialized stage by stage with the same
+# parenthesization as _kn_attach_p so every IEEE step matches.
+_KN5_LM = f"""
+WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+ii AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks))) AS i
+       FROM d),
+inst AS (
+  SELECT doc_id,
+         array_to_string(list_slice(
+           list_concat(['<s>', '<s>', '<s>', '<s>'], toks), i, i + 3
+         ), ' ') AS ctx,
+         toks[i] AS w
+  FROM ii
+),
+t5 AS (SELECT ctx, w, count(*) AS c FROM inst GROUP BY ctx, w),
+den5 AS (SELECT ctx, CAST(SUM(c) AS BIGINT) AS den,
+                CAST(count(*) AS BIGINT) AS n1p
+         FROM t5 GROUP BY ctx),
+t4 AS (SELECT substr(ctx, instr(ctx, ' ') + 1) AS ctx, w,
+              CAST(count(*) AS BIGINT) AS nn
+       FROM t5 GROUP BY 1, 2),
+den4 AS (SELECT ctx, CAST(SUM(nn) AS BIGINT) AS den,
+                CAST(count(*) AS BIGINT) AS n1p
+         FROM t4 GROUP BY ctx),
+t3 AS (SELECT substr(ctx, instr(ctx, ' ') + 1) AS ctx, w,
+              CAST(count(*) AS BIGINT) AS nn
+       FROM t4 GROUP BY 1, 2),
+den3 AS (SELECT ctx, CAST(SUM(nn) AS BIGINT) AS den,
+                CAST(count(*) AS BIGINT) AS n1p
+         FROM t3 GROUP BY ctx),
+t2 AS (SELECT substr(ctx, instr(ctx, ' ') + 1) AS ctx, w,
+              CAST(count(*) AS BIGINT) AS nn
+       FROM t3 GROUP BY 1, 2),
+den2 AS (SELECT ctx, CAST(SUM(nn) AS BIGINT) AS den,
+                CAST(count(*) AS BIGINT) AS n1p
+         FROM t2 GROUP BY ctx),
+t1 AS (SELECT w, CAST(count(*) AS BIGINT) AS nn FROM t2 GROUP BY w),
+scal AS (SELECT (SELECT CAST(SUM(nn) AS BIGINT) FROM t1) AS n1tot,
+                (SELECT CAST(count(*) AS BIGINT) FROM t1) AS V),
+j AS (
+  SELECT t5.ctx, t5.w, t5.c,
+         den5.den AS ch, den5.n1p AS n1p5,
+         t4.nn AS nn4, den4.den AS dn4, den4.n1p AS n1p4,
+         t3.nn AS nn3, den3.den AS dn3, den3.n1p AS n1p3,
+         t2.nn AS nn2, den2.den AS dn2, den2.n1p AS n1p2,
+         t1.nn AS nn1, scal.n1tot, scal.V
+  FROM t5
+  JOIN den5 ON den5.ctx = t5.ctx
+  JOIN t4 ON t4.ctx = substr(t5.ctx, instr(t5.ctx, ' ') + 1)
+         AND t4.w = t5.w
+  JOIN den4 ON den4.ctx = t4.ctx
+  JOIN t3 ON t3.ctx = substr(t4.ctx, instr(t4.ctx, ' ') + 1)
+         AND t3.w = t5.w
+  JOIN den3 ON den3.ctx = t3.ctx
+  JOIN t2 ON t2.ctx = substr(t3.ctx, instr(t3.ctx, ' ') + 1)
+         AND t2.w = t5.w
+  JOIN den2 ON den2.ctx = t2.ctx
+  JOIN t1 ON t1.w = t5.w
+  CROSS JOIN scal
+),
+p1c AS (SELECT *,
+          CAST(nn1 + 1 AS DOUBLE) / CAST(n1tot + V AS DOUBLE) AS p1
+        FROM j),
+p2c AS (SELECT *,
+          ((CAST(nn2 AS DOUBLE) - 0.75) / CAST(dn2 AS DOUBLE))
+          + ((0.75 * CAST(n1p2 AS DOUBLE)) / CAST(dn2 AS DOUBLE)) * p1
+            AS p2
+        FROM p1c),
+p3c AS (SELECT *,
+          ((CAST(nn3 AS DOUBLE) - 0.75) / CAST(dn3 AS DOUBLE))
+          + ((0.75 * CAST(n1p3 AS DOUBLE)) / CAST(dn3 AS DOUBLE)) * p2
+            AS p3
+        FROM p2c),
+p4c AS (SELECT *,
+          ((CAST(nn4 AS DOUBLE) - 0.75) / CAST(dn4 AS DOUBLE))
+          + ((0.75 * CAST(n1p4 AS DOUBLE)) / CAST(dn4 AS DOUBLE)) * p3
+            AS p4
+        FROM p3c),
+prob AS (SELECT ctx, w, c, ch,
+           ((CAST(c AS DOUBLE) - 0.75) / CAST(ch AS DOUBLE))
+           + ((0.75 * CAST(n1p5 AS DOUBLE)) / CAST(ch AS DOUBLE)) * p4
+             AS p
+         FROM p4c)
+""".replace("{toks}", _TOKS)
+
+ORACLES["kn_5gram_lm_docs"] = _KN5_LM + """
+SELECT ctx, w, c, ch,
+       CAST(floor(p * 1000000.0) AS BIGINT) AS prob_micros
+FROM prob
+ORDER BY c DESC, ctx, w
+LIMIT 200
+"""
+
+ORACLES["kn5_perplexity_docs"] = _KN5_LM + """,
+scored AS (
+  SELECT doc_id,
+         floor(-ln(p) * 1000000.0) / 1000000.0 AS q
+  FROM inst JOIN prob USING (ctx, w)
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       coalesce(n_tok, 0) AS n_tok,
+       coalesce(nll, 0.0) AS nll
+FROM documents dd LEFT JOIN s USING (doc_id)
 """
 
 ORACLES["kn_perplexity_docs"] = _KN_BIGRAM_LM + """,

@@ -5487,6 +5487,47 @@ def kn_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.doc_nll_kn(docs, "text", "doc_id")
 
 
+def kn_5gram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-5 interpolated Kneser-Ney LM — the REAL CCNet/KenLM
+    shape (r12 verdict #2; the bigram rows stay as anchors). Full
+    recursive interpolation: raw counts at the top order, continuation
+    counts ñ_k at every lower order (each derived from the table above
+    it by a suffix re-aggregation — one corpus shuffle total), dyadic
+    D = 3/4, add-one-smoothed unigram continuation base. The 200
+    strongest 5-grams with their fully-interpolated probabilities as
+    integer micros; the DuckDB oracle rebuilds all nine count
+    relations and the identically-parenthesized probability chain."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = LM.train_kn_ngram_lm(docs, "text", "doc_id", order=5)
+    return (
+        lm.orderBy(F.col("c").desc(), "ctx", "w")
+        .limit(200)
+        .select(
+            "ctx",
+            "w",
+            "c",
+            "ch",
+            F.floor(F.col("p") * F.lit(1000000.0))
+            .cast("long")
+            .alias("prob_micros"),
+        )
+    )
+
+
+def kn5_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under the order-5 interpolated-KN LM —
+    the 5-gram twin of `kn_perplexity_docs` (same quantize →
+    decimal-sum → round discipline; the guarded backoff chain is
+    exercised separately by the frozen-model pytest, since a
+    same-corpus score never misses)."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    return LM.doc_nll_kn_ngram(docs, "text", "doc_id", order=5)
+
+
 def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus
     bigram LM — the scoring half of CCNet filtering (monotone in
@@ -6493,6 +6534,73 @@ def parse_robots_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_robots_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-politeness loop CLOSED end-to-end (r12 verdict #4):
+    robots.txt BODIES travel from the fake site's real HTTP bytes
+    through every stage — per-host executor-side fetch
+    (`landing.demand_fanout` with the ``robots`` endpoint, one GET per
+    host), `crawl.parse_robots_txt` (one parse per host — the bodies
+    relation is host-keyed by construction), `rules_for_agent`
+    (``farmbot/1.0``, RFC 9309 substring matching + * fallback for the
+    hosts that publish no farmbot group), `robots_filter` (longest-
+    match/tie-break) — deciding allow/deny for every corpus URL. The
+    bodies are deterministic in the host number (see
+    `sources/fakesite.py`), so the oracle recomputes the verdicts from
+    the synthesis arithmetic without parsing text. Bodies materialize
+    to parquet inside the row so the server tears down first; the
+    rules side stays dimension-sized and broadcasts."""
+    import tempfile
+
+    from farmrpg_etl_spark.operators.crawl import (
+        parse_robots_txt,
+        robots_filter,
+        rules_for_agent,
+    )
+    from farmrpg_etl_spark.sources import landing
+    from farmrpg_etl_spark.sources.fakesite import serve_game_site
+    from farmrpg_etl_spark.sources.http import HttpClientConfig, HttpFetcher
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    hosts = docs.select(host.alias("key")).distinct()
+    srv = serve_game_site()
+    d = tempfile.mkdtemp(prefix="farmrpg_robots_")
+    try:
+        fetcher = HttpFetcher(
+            HttpClientConfig(
+                base_url=f"http://127.0.0.1:{srv.server_address[1]}/",
+                retries=2,
+            )
+        )
+        landing.demand_fanout(hosts, "robots", fetcher=fetcher).write.mode(
+            "overwrite"
+        ).parquet(d)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    bodies = spark.read.parquet(d).select(
+        F.col("key").alias("host"),
+        F.col("body").cast("string").alias("body"),
+    )
+    rules = rules_for_agent(parse_robots_txt(bodies), "farmbot/1.0")
+    n = F.regexp_extract(F.col("source"), r"(\d+)", 1)
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("/Docs/"),
+            n,
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/pub/")).otherwise(
+                F.lit("/x/")
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    return robots_filter(urls, rules).select(
+        "doc_id", "matched_len", "allowed"
+    )
+
+
 def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode/whitespace normalization (`functions/text.normalize_text`)
     — the standard pre-tokenization cleanup — over a deterministically
@@ -6686,137 +6794,116 @@ def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r11 DRIVER-COVERAGE ROTATION --------------------------------
+    # --- r13 DRIVER-COVERAGE ROTATION --------------------------------
     # The driver verifies exactly the FIRST 50 entries per round.
-    # Head (9): the r11 builds, none ever driver-checked. The two TWS
-    # rows run FIRST on a fresh session (r10's one red row was a TWS
-    # driver-worker crash 50 rows deep that never reproduced locally;
-    # both rows now also degrade a runtime crash to an equivalent
-    # batch plan under the same oracle). Then the live-HTTP POST
-    # sinks, the json1 document-store sinks, migration v2, and the
-    # script-aware lang id.
-    # Next (10): the stalest records - the r2/r3-era block
-    # (q11/q16/q13/q18/q22, k3 snapshot, int8 quantize, kmeans
-    # assign, IVF-kmeans ANN, D5 pairs), none driver-checked since
-    # round 2-3.
-    # Then 31 of the 40 next-stalest (r4-era) rows; the remaining 9
-    # rotate in r12. Maximizes age-of-last-driver-record per VERDICT
-    # r10 #2; cumulative map in docs/COVERAGE.md.
-    "streaming_session_timeout": streaming_session_timeout,
-    "streaming_tws_first_seen": streaming_tws_first_seen,
-    "streaming_tws_running_counts": streaming_tws_running_counts,
-    "k_http_reply_sink": k_http_reply_sink,
-    "k_http_claims_sink": k_http_claims_sink,
-    "k_docstore_partial_sink": k_docstore_partial_sink,
-    "k_docstore_subdoc_sink": k_docstore_subdoc_sink,
-    "k_schema_evolve_v2_sink": k_schema_evolve_v2_sink,
-    "lang_id_script_docs": lang_id_script_docs,
-    "training_data_pipeline_v5": training_data_pipeline_v5,
-    "q11_important_stock": q11_important_stock,
-    "q16_supplier_count": q16_supplier_count,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q18_large_volume_orders": q18_large_volume_orders,
-    "q22_idle_balances": q22_idle_balances,
-    "k3_snapshot_append_sink": k3_snapshot_append_sink,
-    "int8_quantize_embeddings": int8_quantize_embeddings,
-    "kmeans_assign_embeddings": kmeans_assign_embeddings,
-    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
-    "d5_change_pairs": d5_change_pairs,
-    "parse_quarantine_channel": parse_quarantine_channel,
-    "chunk_dedup_docs": chunk_dedup_docs,
-    "dup_span_docs": dup_span_docs,
-    "j1_resolve_join": j1_resolve_join,
-    "k1_insert_absent_sink": k1_insert_absent_sink,
-    "j4_upsert": j4_upsert,
-    "d1_message_cdc": d1_message_cdc,
-    "k3_upsert_sink": k3_upsert_sink,
-    "streaming_message_cdc": streaming_message_cdc,
-    "ngram_jaccard_docs": ngram_jaccard_docs,
-    "simhash_pairs_docs": simhash_pairs_docs,
-    "incremental_lsh_docs": incremental_lsh_docs,
-    "decode_real_media_docs": decode_real_media_docs,
-    "s_poll_schedule": s_poll_schedule,
-    "s_landing_roundtrip": s_landing_roundtrip,
-    "s4_demand_fanout": s4_demand_fanout,
-    "f1_http_guard": f1_http_guard,
-    "f_filters_combined": f_filters_combined,
-    "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
-    "first_event_per_user_type": first_event_per_user_type,
-    "streaming_poll_source": streaming_poll_source,
-    "claims_gate_events": claims_gate_events,
-    "d6_absent_from_sink": d6_absent_from_sink,
-    "j1_unmatched_flags": j1_unmatched_flags,
-    "k2_merge_update_sink": k2_merge_update_sink,
-    "hard_negatives_bruteforce": hard_negatives_bruteforce,
-    "hard_negatives_ivf": hard_negatives_ivf,
-    "temperature_mixture_docs": temperature_mixture_docs,
-    "kn_bigram_lm_docs": kn_bigram_lm_docs,
-    "kn_perplexity_docs": kn_perplexity_docs,
-    # --- end of 50-entry prefix --------------------------------------
+    # Head (9): the 4 never-driver-checked rows (two rounds overdue,
+    # r12 verdict #1 — the streaming row runs FIRST on a fresh
+    # session, the r11 TWS precedent), the 3 rows NEW this round
+    # (order-5 KN LM x2, crawl loop e2e), and the 2 rows whose
+    # behavior/plan changed this round (claims sink ordering+nonce,
+    # DECIMAL token quota).
+    # Then the 15 r4-era rows and the 26 oldest r5-era rows — after
+    # this round no driver record predates r5, and the 18 remaining
+    # r5 rows head the r14 rotation. Below the cut rows sit in
+    # stale-first order so future rotations just slide the window;
+    # cumulative map in docs/COVERAGE.md.
+    "streaming_docstore_sink": streaming_docstore_sink,
     "ann_recall_matryoshka": ann_recall_matryoshka,
     "parse_robots_rules_docs": parse_robots_rules_docs,
-    "streaming_docstore_sink": streaming_docstore_sink,
     "pii_cards_docs": pii_cards_docs,
+    "kn_5gram_lm_docs": kn_5gram_lm_docs,
+    "kn5_perplexity_docs": kn5_perplexity_docs,
+    "crawl_robots_e2e_docs": crawl_robots_e2e_docs,
+    "k_http_claims_sink": k_http_claims_sink,
+    "temperature_mixture_docs": temperature_mixture_docs,
     "k4_partial_doc_sink": k4_partial_doc_sink,
     "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
     "k6_additive_rollup_sink": k6_additive_rollup_sink,
     "bot_dispatch_replies": bot_dispatch_replies,
     "neardup_clusters_docs": neardup_clusters_docs,
     "cdc_chunk_docs": cdc_chunk_docs,
-    # Below the cut: every row has a driver-green record (r4-r10); the
-    # 9 deferred r4-era rows (semantic_dedup_lloyd, text_metrics_docs,
-    # token_budget_mixture_docs, heavy_hitter_tokens, ann_topk_ivf_probe,
-    # kmeans_lloyd_embeddings, ann_recall_ivf_probe, revenue_by_nation,
-    # asof_click_attribution) head the r12 rotation.
-    "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
-    "k_schema_evolve_sink": k_schema_evolve_sink,
-    "lang_id_ngram_docs": lang_id_ngram_docs,
-    "streaming_restart_recovery": streaming_restart_recovery,
-    "s_http_poll_roundtrip": s_http_poll_roundtrip,
-    "s_http_demand_fanout": s_http_demand_fanout,
-    "k_sqldb_insert_absent": k_sqldb_insert_absent,
-    "k_sqldb_merge_update": k_sqldb_merge_update,
-    "k_sqldb_upsert": k_sqldb_upsert,
-    "c4_fineweb_filter_docs": c4_fineweb_filter_docs,
-    "streaming_cdc_tws": streaming_cdc_tws,
-    "q1_pricing_summary": q1_pricing_summary,
-    "j3_fk_hydrate": j3_fk_hydrate,
-    "j2_correlated_update": j2_correlated_update,
-    "d4_noop_eliminate": d4_noop_eliminate,
-    "d1_changes_events": d1_changes_events,
-    "a1_latest_event_per_user": a1_latest_event_per_user,
-    "d1_deleted_transitions": d1_deleted_transitions,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q14_promo_revenue": q14_promo_revenue,
-    "regional_revenue": regional_revenue,
-    "top_customers_per_nation": top_customers_per_nation,
-    "rollup_revenue": rollup_revenue,
-    "cube_revenue": cube_revenue,
-    "salted_sum_returnflag": salted_sum_returnflag,
-    "running_total_orders": running_total_orders,
-    "window_panel_events": window_panel_events,
-    "trailing_1h_sum_events": trailing_1h_sum_events,
-    "set_ops_events": set_ops_events,
-    "sessionize_events": sessionize_events,
-    "pivot_event_counts": pivot_event_counts,
-    "unpivot_event_counts": unpivot_event_counts,
-    "median_value_by_type": median_value_by_type,
-    "range_join_prior_events": range_join_prior_events,
-    "q4_order_priority": q4_order_priority,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q9_profit_by_nation_year": q9_profit_by_nation_year,
-    "q10_returned_items": q10_returned_items,
-    "q15_top_supplier": q15_top_supplier,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "robots_filter_docs": robots_filter_docs,
-    "training_data_pipeline_v4": training_data_pipeline_v4,
-    "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
-    "text_normalize_docs": text_normalize_docs,
+    "semantic_dedup_lloyd": semantic_dedup_lloyd,
+    "text_metrics_docs": text_metrics_docs,
+    "token_budget_mixture_docs": token_budget_mixture_docs,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
+    "ann_topk_ivf_probe": ann_topk_ivf_probe,
+    "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
+    "ann_recall_ivf_probe": ann_recall_ivf_probe,
+    "revenue_by_nation": revenue_by_nation,
+    "asof_click_attribution": asof_click_attribution,
+    "streaming_cdc_events": streaming_cdc_events,
+    "k_time_travel_sink": k_time_travel_sink,
+    "k_delete_tombstones_sink": k_delete_tombstones_sink,
+    "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
+    "streaming_chained_stateful": streaming_chained_stateful,
+    "incremental_curation_sink": incremental_curation_sink,
+    "bm25_topk_docs": bm25_topk_docs,
+    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "repetition_docs": repetition_docs,
+    "corpus_curation": corpus_curation,
+    "streaming_flags_join_events": streaming_flags_join_events,
+    "streaming_incremental_lsh": streaming_incremental_lsh,
+    "streaming_corpus_ingest": streaming_corpus_ingest,
+    "streaming_dedup_events": streaming_dedup_events,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_latest_per_user": streaming_latest_per_user,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_enriched_counts": streaming_enriched_counts,
+    "neardup_canonical_docs": neardup_canonical_docs,
+    "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
+    "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
+    "random_projection_embeddings": random_projection_embeddings,
+    "mean_pool_embeddings": mean_pool_embeddings,
+    "quality_weighted_sample_docs": quality_weighted_sample_docs,
+    "source_quota_docs": source_quota_docs,
+    # --- end of 50-entry prefix --------------------------------------
+    "token_shards_docs": token_shards_docs,
+    "boilerplate_docs": boilerplate_docs,
+    "unigram_surprise_docs": unigram_surprise_docs,
+    "corpus_diff_docs": corpus_diff_docs,
+    "deterministic_sample_docs": deterministic_sample_docs,
+    "priority_sample_docs": priority_sample_docs,
+    "stratified_sample_docs": stratified_sample_docs,
+    "vocab_topk_docs": vocab_topk_docs,
+    "tfidf_top_terms": tfidf_top_terms,
+    "chunk_documents": chunk_documents,
+    "pii_redaction": pii_redaction,
+    "hourly_rollup_events": hourly_rollup_events,
+    "histogram_quantile_events": histogram_quantile_events,
+    "zorder_events": zorder_events,
+    "salted_join_events": salted_join_events,
+    "multimodal_meta_docs": multimodal_meta_docs,
+    "frame_sample_docs": frame_sample_docs,
+    "decode_media_docs": decode_media_docs,
+    "resize_media_docs": resize_media_docs,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
+    "user_pipeline_e2e": user_pipeline_e2e,
+    "flags_pipeline_e2e": flags_pipeline_e2e,
+    "chat_pipeline_e2e": chat_pipeline_e2e,
+    "parse_message_roundtrip": parse_message_roundtrip,
+    "parse_flags_roundtrip": parse_flags_roundtrip,
+    "parse_chat_roundtrip": parse_chat_roundtrip,
+    "scalar_text_functions": scalar_text_functions,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+    "exact_dedup_docs": exact_dedup_docs,
+    "cut_dup_span_docs": cut_dup_span_docs,
+    "bpe_merges_docs": bpe_merges_docs,
+    "bpe_token_counts_docs": bpe_token_counts_docs,
+    "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
+    "training_data_pipeline": training_data_pipeline,
+    "parse_profile_roundtrip": parse_profile_roundtrip,
+    "parse_online_roundtrip": parse_online_roundtrip,
+    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
+    "datetime_semantics": datetime_semantics,
+    "simhash_docs": simhash_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "minhash_signatures_docs": minhash_signatures_docs,
+    "minhash_estimate_error_docs": minhash_estimate_error_docs,
+    "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    "json_props_stats": json_props_stats,
     "q12_shipmode_priority": q12_shipmode_priority,
     "bigram_lm_docs": bigram_lm_docs,
     "perplexity_docs": perplexity_docs,
@@ -6866,85 +6953,101 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_quota_sample_embeddings": cluster_quota_sample_embeddings,
     "cut_span_pipeline_docs": cut_span_pipeline_docs,
     "k_scd2_sink": k_scd2_sink,
-    "resize_media_docs": resize_media_docs,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
-    "user_pipeline_e2e": user_pipeline_e2e,
-    "flags_pipeline_e2e": flags_pipeline_e2e,
-    "chat_pipeline_e2e": chat_pipeline_e2e,
-    "parse_message_roundtrip": parse_message_roundtrip,
-    "parse_flags_roundtrip": parse_flags_roundtrip,
-    "parse_chat_roundtrip": parse_chat_roundtrip,
-    "scalar_text_functions": scalar_text_functions,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
-    "exact_dedup_docs": exact_dedup_docs,
-    "cut_dup_span_docs": cut_dup_span_docs,
-    "bpe_merges_docs": bpe_merges_docs,
-    "bpe_token_counts_docs": bpe_token_counts_docs,
-    "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
-    "training_data_pipeline": training_data_pipeline,
-    "parse_profile_roundtrip": parse_profile_roundtrip,
-    "parse_online_roundtrip": parse_online_roundtrip,
-    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
-    "datetime_semantics": datetime_semantics,
-    "simhash_docs": simhash_docs,
-    "pack_sequences_docs": pack_sequences_docs,
-    "minhash_signatures_docs": minhash_signatures_docs,
-    "minhash_estimate_error_docs": minhash_estimate_error_docs,
-    "cosine_pairs_embeddings": cosine_pairs_embeddings,
-    "json_props_stats": json_props_stats,
-    "streaming_cdc_events": streaming_cdc_events,
-    "k_time_travel_sink": k_time_travel_sink,
-    "k_delete_tombstones_sink": k_delete_tombstones_sink,
-    "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
-    "streaming_chained_stateful": streaming_chained_stateful,
-    "incremental_curation_sink": incremental_curation_sink,
-    "bm25_topk_docs": bm25_topk_docs,
-    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
-    "decontaminate_docs": decontaminate_docs,
-    "repetition_docs": repetition_docs,
-    "corpus_curation": corpus_curation,
-    "streaming_flags_join_events": streaming_flags_join_events,
-    "streaming_incremental_lsh": streaming_incremental_lsh,
-    "streaming_corpus_ingest": streaming_corpus_ingest,
-    "streaming_dedup_events": streaming_dedup_events,
-    "streaming_windowed_counts": streaming_windowed_counts,
-    "streaming_latest_per_user": streaming_latest_per_user,
-    "streaming_sessionize": streaming_sessionize,
-    "streaming_enriched_counts": streaming_enriched_counts,
-    "neardup_canonical_docs": neardup_canonical_docs,
-    "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
-    "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
-    "random_projection_embeddings": random_projection_embeddings,
-    "mean_pool_embeddings": mean_pool_embeddings,
-    "quality_weighted_sample_docs": quality_weighted_sample_docs,
-    "source_quota_docs": source_quota_docs,
-    "token_shards_docs": token_shards_docs,
-    "boilerplate_docs": boilerplate_docs,
-    "unigram_surprise_docs": unigram_surprise_docs,
-    "corpus_diff_docs": corpus_diff_docs,
-    "deterministic_sample_docs": deterministic_sample_docs,
-    "priority_sample_docs": priority_sample_docs,
-    "stratified_sample_docs": stratified_sample_docs,
-    "vocab_topk_docs": vocab_topk_docs,
-    "tfidf_top_terms": tfidf_top_terms,
-    "chunk_documents": chunk_documents,
-    "pii_redaction": pii_redaction,
-    "hourly_rollup_events": hourly_rollup_events,
-    "histogram_quantile_events": histogram_quantile_events,
-    "zorder_events": zorder_events,
-    "salted_join_events": salted_join_events,
-    "multimodal_meta_docs": multimodal_meta_docs,
-    "frame_sample_docs": frame_sample_docs,
-    "decode_media_docs": decode_media_docs,
-    "semantic_dedup_lloyd": semantic_dedup_lloyd,
-    "text_metrics_docs": text_metrics_docs,
-    "token_budget_mixture_docs": token_budget_mixture_docs,
-    "heavy_hitter_tokens": heavy_hitter_tokens,
-    "ann_topk_ivf_probe": ann_topk_ivf_probe,
-    "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
-    "ann_recall_ivf_probe": ann_recall_ivf_probe,
-    "revenue_by_nation": revenue_by_nation,
-    "asof_click_attribution": asof_click_attribution,
+    "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
+    "k_schema_evolve_sink": k_schema_evolve_sink,
+    "lang_id_ngram_docs": lang_id_ngram_docs,
+    "streaming_restart_recovery": streaming_restart_recovery,
+    "s_http_poll_roundtrip": s_http_poll_roundtrip,
+    "s_http_demand_fanout": s_http_demand_fanout,
+    "k_sqldb_insert_absent": k_sqldb_insert_absent,
+    "k_sqldb_merge_update": k_sqldb_merge_update,
+    "k_sqldb_upsert": k_sqldb_upsert,
+    "c4_fineweb_filter_docs": c4_fineweb_filter_docs,
+    "streaming_cdc_tws": streaming_cdc_tws,
+    "q1_pricing_summary": q1_pricing_summary,
+    "j3_fk_hydrate": j3_fk_hydrate,
+    "j2_correlated_update": j2_correlated_update,
+    "d4_noop_eliminate": d4_noop_eliminate,
+    "d1_changes_events": d1_changes_events,
+    "a1_latest_event_per_user": a1_latest_event_per_user,
+    "d1_deleted_transitions": d1_deleted_transitions,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "regional_revenue": regional_revenue,
+    "top_customers_per_nation": top_customers_per_nation,
+    "rollup_revenue": rollup_revenue,
+    "cube_revenue": cube_revenue,
+    "salted_sum_returnflag": salted_sum_returnflag,
+    "running_total_orders": running_total_orders,
+    "window_panel_events": window_panel_events,
+    "trailing_1h_sum_events": trailing_1h_sum_events,
+    "set_ops_events": set_ops_events,
+    "sessionize_events": sessionize_events,
+    "pivot_event_counts": pivot_event_counts,
+    "unpivot_event_counts": unpivot_event_counts,
+    "median_value_by_type": median_value_by_type,
+    "range_join_prior_events": range_join_prior_events,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q10_returned_items": q10_returned_items,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "robots_filter_docs": robots_filter_docs,
+    "training_data_pipeline_v4": training_data_pipeline_v4,
+    "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
+    "text_normalize_docs": text_normalize_docs,
+    "streaming_session_timeout": streaming_session_timeout,
+    "streaming_tws_first_seen": streaming_tws_first_seen,
+    "streaming_tws_running_counts": streaming_tws_running_counts,
+    "k_http_reply_sink": k_http_reply_sink,
+    "k_docstore_partial_sink": k_docstore_partial_sink,
+    "k_docstore_subdoc_sink": k_docstore_subdoc_sink,
+    "k_schema_evolve_v2_sink": k_schema_evolve_v2_sink,
+    "lang_id_script_docs": lang_id_script_docs,
+    "training_data_pipeline_v5": training_data_pipeline_v5,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_count": q16_supplier_count,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q22_idle_balances": q22_idle_balances,
+    "k3_snapshot_append_sink": k3_snapshot_append_sink,
+    "int8_quantize_embeddings": int8_quantize_embeddings,
+    "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
+    "d5_change_pairs": d5_change_pairs,
+    "parse_quarantine_channel": parse_quarantine_channel,
+    "chunk_dedup_docs": chunk_dedup_docs,
+    "dup_span_docs": dup_span_docs,
+    "j1_resolve_join": j1_resolve_join,
+    "k1_insert_absent_sink": k1_insert_absent_sink,
+    "j4_upsert": j4_upsert,
+    "d1_message_cdc": d1_message_cdc,
+    "k3_upsert_sink": k3_upsert_sink,
+    "streaming_message_cdc": streaming_message_cdc,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "simhash_pairs_docs": simhash_pairs_docs,
+    "incremental_lsh_docs": incremental_lsh_docs,
+    "decode_real_media_docs": decode_real_media_docs,
+    "s_poll_schedule": s_poll_schedule,
+    "s_landing_roundtrip": s_landing_roundtrip,
+    "s4_demand_fanout": s4_demand_fanout,
+    "f1_http_guard": f1_http_guard,
+    "f_filters_combined": f_filters_combined,
+    "a1_latest_event_per_user_agg": a1_latest_event_per_user_agg,
+    "first_event_per_user_type": first_event_per_user_type,
+    "streaming_poll_source": streaming_poll_source,
+    "claims_gate_events": claims_gate_events,
+    "d6_absent_from_sink": d6_absent_from_sink,
+    "j1_unmatched_flags": j1_unmatched_flags,
+    "k2_merge_update_sink": k2_merge_update_sink,
+    "hard_negatives_bruteforce": hard_negatives_bruteforce,
+    "hard_negatives_ivf": hard_negatives_ivf,
+    "kn_bigram_lm_docs": kn_bigram_lm_docs,
+    "kn_perplexity_docs": kn_perplexity_docs,
 }

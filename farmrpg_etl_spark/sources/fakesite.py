@@ -42,7 +42,28 @@ class GameSiteHandler(BaseHTTPRequestHandler):
             self.wfile.write(b"upstream sad")
             return
         cookie = f"HighwindFRPG={self.server.cookie}"
-        if self.headers.get("Cookie", "") != cookie:
+        if u.path == "/robots.txt":
+            # PUBLIC route (no auth, like the real file): deterministic
+            # per-host robots body for the crawl-loop e2e row — the
+            # ?host= param stands in for virtual-hosting many domains
+            # off one in-process server. Hosts whose number is ≡0 mod 3
+            # publish only a * group (the farmbot scope must fall back
+            # to it); the rest deny everything to strangers but give
+            # farmbot a Disallow with a longer Allow carve-out.
+            import re as _re
+
+            m = _re.search(r"(\d+)", q.get("host", ""))
+            n = int(m.group(1)) if m else 0
+            if n % 3 == 0:
+                body = b"# crawl policy\nUser-agent: *\nDisallow: /Docs\n"
+            else:
+                body = (
+                    "User-agent: *\nDisallow: /\n"
+                    f"User-agent: farmbot\nDisallow: /Docs/{n}\n"
+                    f"Allow: /Docs/{n}/pub\n"
+                ).encode()
+            status = 200
+        elif self.headers.get("Cookie", "") != cookie:
             body, status = b"no access", 200
         elif u.path == "/worker.php":
             body, status = f"chat|{q.get('room', '')}".encode(), 200

@@ -83,6 +83,9 @@ ENDPOINTS: dict[str, tuple[str, Callable[[str | None, float], dict[str, str]]]] 
     # demand fan-out sources (S4/S7)
     "message": ("message.php", lambda key, now: {"id": key or ""}),
     "profile": ("profile.php", lambda key, now: {"user_name": key or ""}),
+    # crawl-politeness fetch (operators/crawl.py): one robots.txt per
+    # host; key = hostname (the fake site virtual-hosts via ?host=)
+    "robots": ("robots.txt", lambda key, now: {"host": key or ""}),
 }
 
 

@@ -229,3 +229,73 @@ def test_rules_for_agent_longest_match_per_host(spark):
         ).collect()
     }
     assert rules == {("a.com", "/fb"), ("b.com", "/only-short")}
+
+
+def test_crawl_loop_over_real_http(spark):
+    """Robots BODIES travel the whole loop over real sockets: fake
+    site -> executor-side demand_fanout (one GET per host) ->
+    parse_robots_txt -> rules_for_agent (substring UA + * fallback)
+    -> robots_filter verdicts. Pins the per-host body grammar and the
+    one-fetch-per-host shape (the recorded request count equals the
+    host count)."""
+    from farmrpg_etl_spark.operators.crawl import (
+        parse_robots_txt,
+        robots_filter,
+        rules_for_agent,
+    )
+    from farmrpg_etl_spark.sources import landing
+    from farmrpg_etl_spark.sources.fakesite import serve_game_site
+    from farmrpg_etl_spark.sources.http import HttpClientConfig, HttpFetcher
+    from pyspark.sql import functions as F
+
+    hosts = spark.createDataFrame(
+        [("src3.example.com",), ("src4.example.com",)], "key string"
+    )
+    srv = serve_game_site(record=True)
+    try:
+        fetcher = HttpFetcher(
+            HttpClientConfig(
+                base_url=f"http://127.0.0.1:{srv.server_address[1]}/"
+            )
+        )
+        rows = landing.demand_fanout(hosts, "robots", fetcher=fetcher).collect()
+        with srv.lock:
+            fetched = [s for s in srv.seen if s["path"] == "/robots.txt"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert len(fetched) == 2  # one fetch per host, no refetch
+    assert {s["query"]["host"] for s in fetched} == {
+        "src3.example.com", "src4.example.com",
+    }
+    bodies = spark.createDataFrame(
+        [(r["key"], r["body"].decode()) for r in rows],
+        "host string, body string",
+    )
+    rules = rules_for_agent(parse_robots_txt(bodies), "farmbot/1.0")
+    got = {
+        (r["host"], r["prefix"], r["allow"]) for r in rules.collect()
+    }
+    assert got == {
+        # src3: n%3==0 -> star-only body, farmbot falls back to *
+        ("src3.example.com", "/Docs", False),
+        # src4: dedicated farmbot group with the allow carve-out
+        ("src4.example.com", "/Docs/4", False),
+        ("src4.example.com", "/Docs/4/pub", True),
+    }
+    urls = spark.createDataFrame(
+        [
+            (1, "src3.example.com", "/Docs/3/pub/1"),   # star deny
+            (2, "src4.example.com", "/Docs/4/pub/2"),   # carve-out allow
+            (3, "src4.example.com", "/Docs/4/x/3"),     # deny
+            (4, "src4.example.com", "/elsewhere"),      # no rule -> allow
+        ],
+        "doc_id long, host string, path string",
+    )
+    verdicts = {
+        r["doc_id"]: (r["allowed"], r["matched_len"])
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert verdicts == {
+        1: (False, 5), 2: (True, 11), 3: (False, 7), 4: (True, 0),
+    }

@@ -180,3 +180,126 @@ def test_doc_nll_kn_rejects_bare_lm(spark):
             spark.createDataFrame([(1, "a b")], "doc_id long, text string"),
             "text", "doc_id", lm=lm,
         )
+
+
+# ------------------------------------------------------- order-n KN
+
+
+def test_kn_ngram_order2_reduces_to_bigram_model(spark):
+    """The generic order-n construction at order=2 must reproduce
+    train_kn_bigram_lm BIT-FOR-BIT (ñ1 = cw_cont, ñ1(·) = n_types) —
+    the anchor that pins the recursive construction to the already-
+    oracle-verified bigram model."""
+    from farmrpg_etl_spark.operators.langmodel import (
+        train_kn_bigram_lm,
+        train_kn_ngram_lm,
+    )
+    from farmrpg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = {
+        (r["prev"], r["w"]): r["p"]
+        for r in train_kn_bigram_lm(docs, "text", "doc_id").collect()
+    }
+    new = {
+        (r["ctx"], r["w"]): r["p"]
+        for r in train_kn_ngram_lm(docs, "text", "doc_id", order=2).collect()
+    }
+    assert old == new  # exact double equality, same keys
+
+
+def test_kn5_probabilities_sum_to_one_per_context(spark):
+    """Interpolated KN is a proper conditional distribution: for any
+    observed top-order context, sum over the WHOLE vocabulary of
+    p(w|ctx) — seen continuations via the discounted term, unseen via
+    the backoff chain — must be 1 (the mass-conservation identity
+    Σ(nn−D)/den = 1 − λ at every level)."""
+    from farmrpg_etl_spark.operators.langmodel import (
+        _kn_attach_p,
+        kn_ngram_tables,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the hat"),
+            (3, "a dog sat on a mat"),
+            (4, "the dog ran to the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    tables = kn_ngram_tables(docs, "text", "doc_id", order=5)
+    vocab = [r["w"] for r in tables["t"][1].select("w").collect()]
+    ctxs = [
+        r["ctx"] for r in tables["top"].select("ctx").distinct().limit(5).collect()
+    ]
+    pairs = spark.createDataFrame(
+        [(c, w) for c in ctxs for w in vocab], "ctx string, w string"
+    )
+    sums = (
+        _kn_attach_p(pairs, tables)
+        .groupBy("ctx")
+        .agg(F.sum("p").alias("s"))
+        .collect()
+    )
+    assert len(sums) == len(ctxs)
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-9, (r["ctx"], r["s"])
+
+
+def test_kn5_frozen_model_scores_novel_text_finitely(spark):
+    """The CCNet regime: a model frozen on one batch scores a later
+    batch containing unseen words and unseen contexts — every token
+    gets finite positive mass through the backoff chain, and n_tok
+    counts the document's own tokens regardless of coverage."""
+    import math
+
+    from farmrpg_etl_spark.operators.langmodel import (
+        doc_nll_kn_ngram,
+        kn_ngram_tables,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "spark shuffles data between stages"),
+         (2, "spark broadcasts small tables")],
+        "doc_id long, text string",
+    )
+    tables = kn_ngram_tables(train, "text", "doc_id", order=5)
+    novel = spark.createDataFrame(
+        [(10, "zyx qwv entirely novel words"),     # all-unseen
+         (11, "spark shuffles zyx data"),          # mixed
+         (12, "")],                                # empty
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in doc_nll_kn_ngram(
+            novel, "text", "doc_id", order=5, tables=tables
+        ).collect()
+    }
+    assert out[10]["n_tok"] == 5 and out[11]["n_tok"] == 4
+    for d in (10, 11):
+        assert math.isfinite(out[d]["nll"]) and out[d]["nll"] > 0
+    assert out[12]["n_tok"] == 0 and out[12]["nll"] == 0.0
+    # unseen mass is smaller than seen mass: all-novel doc scores worse
+    assert out[10]["nll"] > out[11]["nll"]
+
+
+def test_kn5_short_docs_fully_padded(spark):
+    """Documents shorter than the order still contribute every token
+    (BOS padding), and a 1-token doc's context is pure sentinel."""
+    from farmrpg_etl_spark.operators.langmodel import ngram_instances
+
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, "a b")], "doc_id long, text string"
+    )
+    inst = {
+        (r["doc_id"], r["ctx"], r["w"])
+        for r in ngram_instances(docs, "text", "doc_id", 5).collect()
+    }
+    assert inst == {
+        (1, "<s> <s> <s> <s>", "hi"),
+        (2, "<s> <s> <s> <s>", "a"),
+        (2, "<s> <s> <s> a", "b"),
+    }
