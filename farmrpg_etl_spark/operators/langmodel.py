@@ -401,8 +401,13 @@ def kn_ngram_tables(
     t: dict = {}
     cur = top
     for k in range(order - 1, 1, -1):
-        cur = cur.groupBy(_sfx("ctx").alias("ctx"), "w").agg(
-            F.count(F.lit(1)).alias("nn")
+        # each level is read 3x (its den, the next level down, the
+        # scorer join) — persist to cut the recompute chain; all
+        # levels below the top are strictly smaller than it
+        cur = (
+            cur.groupBy(_sfx("ctx").alias("ctx"), "w")
+            .agg(F.count(F.lit(1)).alias("nn"))
+            .persist()
         )
         t[k] = cur
         den[k] = cur.groupBy("ctx").agg(
