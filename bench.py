@@ -687,6 +687,89 @@ def main() -> None:
 
         out["sf1_stretch"] = stretch
 
+        # 100× stretch (r12 verdict #10): a measured second point on
+        # the scaling curve for the four pivotal families — line
+        # dedup, MinHash-LSH, the C4/Gopher gate, PageRank — so the
+        # "sublinear/linear at scale" claims rest on a 1×/10×/100×
+        # CURVE, not a single ratio. Synthesis mirrors the sf1 recipe
+        # with k ∈ 0..99 (same planted-family density: doc_id%50
+        # replicas are near-dup families of 100, the rest k-perturbed
+        # mutually-distant text). Gated behind an env var because the
+        # synthesis + runs add minutes the per-round driver window
+        # doesn't have — run explicitly, committed in BENCH_LOCAL
+        # detail and the docs/SCALE.md curve table.
+        if os.environ.get("SPARK_GRAFT_STRETCH_100X", "0") == "1":
+            dir100 = "/tmp/farmrpg_sf10_synth"
+            m100 = os.path.join(dir100, f"_SYNTH_OK_v1_{_dir_tag}")
+            if not os.path.exists(m100):
+                phase("sf10 (100x) synthesis start")
+                k = F.explode(F.sequence(F.lit(0), F.lit(99))).alias("k")
+                docs = load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text", "source", k
+                )
+                kstr = F.col("k").cast("string")
+                docs100 = docs.select(
+                    (F.col("doc_id") + F.col("k") * 1_000_000).alias(
+                        "doc_id"
+                    ),
+                    F.when(F.col("k") == 0, F.col("text"))
+                    .when(
+                        F.col("doc_id") % 50 == 0,
+                        F.concat(F.col("text"), F.lit(" replica "), kstr),
+                    )
+                    .otherwise(
+                        F.replace(
+                            F.col("text"), F.lit(" "),
+                            F.concat(F.lit(" "), kstr),
+                        )
+                    )
+                    .alias("text"),
+                    F.col("source"),
+                )
+                docs100.repartition(64).write.mode("overwrite").parquet(
+                    f"{dir100}/documents.parquet"
+                )
+                with open(m100, "w") as fh:
+                    fh.write("ok")
+            phase("sf10 (100x) stretch start")
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            def s100_minhash():
+                d = spark.read.parquet(f"{dir100}/documents.parquet")
+                return D.minhash_lsh_pairs(
+                    d, "text", "doc_id", num_hashes=16, bands=4,
+                    threshold=0.3, shingle_k=3,
+                )
+
+            hundred = {
+                "line_dedup_100x": lambda: _Q["line_dedup_docs"](
+                    spark, dir100
+                ).filter(F.col("n_kept") < F.col("n_lines")),
+                "minhash_lsh_pairs_100x": s100_minhash,
+                "c4_filter_100x": lambda: _Q["c4_fineweb_filter_docs"](
+                    spark, dir100
+                ).filter(~F.col("keep_gopher") | ~F.col("keep_c4")),
+                "pagerank_100x": lambda: _Q["pagerank_docs"](spark, dir100),
+            }
+            s100 = {}
+            for name, fn in hundred.items():
+                t0 = time.time()
+                n = fn().count()
+                cold_sec = round(time.time() - t0, 3)
+                steady = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn().count()
+                    steady.append(time.time() - t0)
+                s100[name] = {
+                    "sec": round(min(steady), 3),
+                    "cold_sec": cold_sec,
+                    "rows": n,
+                }
+                spark.catalog.clearCache()
+            out["sf10_stretch"] = s100
+            phase("sf10 (100x) stretch done")
+
         # Full-headline sf1: the 12 headline queries on the 10×
         # relational synthesis — direct linear-scaling evidence for the
         # relational core (acceptance: no query superlinear vs its
@@ -711,6 +794,32 @@ def main() -> None:
             spark.catalog.clearCache()
         out["sf1_headline"] = sf1h
         out["sf1_headline_total_sec"] = round(sum(sf1h.values()), 3)
+
+    # End-of-marathon SECOND headline pass (r12 verdict #6 — bench
+    # defense): the artifact's headline becomes the element-wise min
+    # of two passes measured ~10 minutes apart, so transient host
+    # contention (the r11 11.68 s incident) must strike the same query
+    # in BOTH windows to inflate the number. Pass 2 uses the identical
+    # methodology: one re-warm run, min-of-2 steady, cache cleared
+    # between queries. Both raw passes stay in the detail artifact so
+    # a divergence is auditable.
+    phase("headline pass 2 start")
+    spark.catalog.clearCache()
+    pass2: dict[str, float] = {}
+    for name in HEADLINE:
+        run(name)  # re-warm this plan's codegen after the marathon
+        steady = []
+        for _ in range(2):
+            t0 = time.time()
+            run(name)
+            steady.append(time.time() - t0)
+        pass2[name] = round(min(steady), 3)
+        spark.catalog.clearCache()
+    out["headline_pass1"] = dict(times)
+    out["headline_pass2"] = pass2
+    merged = {n: round(min(times[n], pass2[n]), 3) for n in times}
+    out["queries"] = merged
+    out["value"] = round(sum(merged.values()), 3)
 
     out["bench_wall_sec"] = round(time.time() - t_start, 1)
     phase("done")
