@@ -572,3 +572,30 @@ def doc_nll_kn_ngram(
         F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
         F.coalesce("nll", F.lit(0.0)).alias("nll"),
     )
+
+
+def ppl_bucket_filter_kn(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    head_nll: float,
+    tail_nll: float,
+    order: int = 5,
+    tables: dict | None = None,
+) -> DataFrame:
+    """CCNet bucketing under the order-n KN model — the production
+    shape of the filter (:func:`ppl_bucket_filter` is its add-one
+    bigram baseline): head/middle kept, tail cut, fixed thresholds
+    calibrated once per corpus/language. Pass frozen ``tables`` for
+    the batch-comparable regime."""
+    nll = doc_nll_kn_ngram(df, text_col, id_col, order=order, tables=tables)
+    bucket = (
+        F.when(F.col("nll") <= F.lit(head_nll), F.lit("head"))
+        .when(F.col("nll") <= F.lit(tail_nll), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        nll.withColumn("bucket", bucket)
+        .filter(F.col("bucket") != "tail")
+        .select(id_col, "n_tok", "nll", "bucket")
+    )

@@ -1041,6 +1041,24 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 ORACLES["hard_negatives_ivf"] = _hard_neg_ivf_sql()
 
+# recall of the cell-blocked miner vs the exact miner — both sides
+# recomputed here so the ledger row is a full independent check
+ORACLES["hard_negatives_recall"] = f"""
+WITH exact AS ({ORACLES["hard_negatives_bruteforce"]}),
+approx AS ({ORACLES["hard_negatives_ivf"]}),
+hit AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+base AS (SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY query_id)
+SELECT b.query_id, b.k_exact,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       round(COALESCE(h.hits, 0) / b.k_exact, 6) AS recall_at_k
+FROM base b LEFT JOIN hit h ON b.query_id = h.query_id
+"""
+
 
 def _ivf_probe_sql() -> str:
     planes = lsh_hyperplanes(64, 3)
@@ -3791,6 +3809,32 @@ SELECT dd.doc_id,
        coalesce(n_tok, 0) AS n_tok,
        coalesce(nll, 0.0) AS nll
 FROM documents dd LEFT JOIN s USING (doc_id)
+"""
+
+ORACLES["kn5_ppl_filter_docs"] = _KN5_LM + """,
+scored AS (
+  SELECT doc_id,
+         floor(-ln(p) * 1000000.0) / 1000000.0 AS q
+  FROM inst JOIN prob USING (ctx, w)
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS nll
+  FROM scored GROUP BY doc_id
+),
+nlls AS (
+  SELECT dd.doc_id,
+         coalesce(n_tok, 0) AS n_tok,
+         coalesce(nll, 0.0) AS nll
+  FROM documents dd LEFT JOIN s USING (doc_id)
+)
+SELECT doc_id, n_tok, nll,
+       CASE WHEN nll <= 1.02 THEN 'head'
+            WHEN nll <= 1.13 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM nlls
+WHERE nll <= 1.13
 """
 
 ORACLES["kn_perplexity_docs"] = _KN_BIGRAM_LM + """,

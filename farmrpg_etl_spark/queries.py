@@ -1468,6 +1468,45 @@ def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negatives_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall ledger for the IVF-blocked hard-negative miner (r12
+    verdict: every approximate ANN path carries a measured-recall row;
+    the miner was the one blocked path without one). Per anchor:
+    |blocked top-5 ∩ exact top-5| / 5 — the number that tells a
+    training pipeline how much negative HARDNESS the cell blocking
+    trades for its candidate bound (hard-negative quality degrades
+    gracefully with recall, but 'gracefully' should be a measurement,
+    not an adjective)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.hard_negatives(
+        e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", "label",
+        k=5,
+    ).select("query_id", "neighbor_id")
+    blocked = e.withColumn(
+        "block", similarity.lsh_block(F.col("embedding"), 64, 3)
+    )
+    approx = similarity.hard_negatives(
+        blocked, blocked.filter(F.col("vec_id") < 10), "embedding",
+        "vec_id", "label", k=5, block_col="block",
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k_exact")
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "k_exact",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+            / F.col("k_exact").cast("double"),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
 def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation recall: rank by cosine over the FIRST 16
     of 64 dims (re-normalized) and measure recall@5 against the exact
@@ -5528,6 +5567,21 @@ def kn5_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.doc_nll_kn_ngram(docs, "text", "doc_id", order=5)
 
 
+def kn5_ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet filter in its PRODUCTION shape: head/middle/tail
+    bucketing + tail cut under the order-5 interpolated-KN model
+    (`ppl_filter_docs` is the add-one bigram baseline of the same
+    cut). Thresholds 1.02 / 1.13 calibrated once on this corpus
+    (median ≈ 0.985, p90 ≈ 1.13 — stable across the three SFs),
+    exactly as CCNet fixes per-language constants."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    return LM.ppl_bucket_filter_kn(
+        docs, "text", "doc_id", head_nll=1.02, tail_nll=1.13, order=5
+    )
+
+
 def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus
     bigram LM — the scoring half of CCNet filtering (monotone in
@@ -6813,6 +6867,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_cards_docs": pii_cards_docs,
     "kn_5gram_lm_docs": kn_5gram_lm_docs,
     "kn5_perplexity_docs": kn5_perplexity_docs,
+    "kn5_ppl_filter_docs": kn5_ppl_filter_docs,
+    "hard_negatives_recall": hard_negatives_recall,
     "crawl_robots_e2e_docs": crawl_robots_e2e_docs,
     "k_http_claims_sink": k_http_claims_sink,
     "temperature_mixture_docs": temperature_mixture_docs,
@@ -6855,9 +6911,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
     "random_projection_embeddings": random_projection_embeddings,
     "mean_pool_embeddings": mean_pool_embeddings,
+    # --- end of 50-entry prefix --------------------------------------
     "quality_weighted_sample_docs": quality_weighted_sample_docs,
     "source_quota_docs": source_quota_docs,
-    # --- end of 50-entry prefix --------------------------------------
     "token_shards_docs": token_shards_docs,
     "boilerplate_docs": boilerplate_docs,
     "unigram_surprise_docs": unigram_surprise_docs,

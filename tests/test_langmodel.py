@@ -303,3 +303,29 @@ def test_kn5_short_docs_fully_padded(spark):
         (2, "<s> <s> <s> <s>", "a"),
         (2, "<s> <s> <s> a", "b"),
     }
+
+
+def test_kn5_bucket_filter_cuts_tail(spark):
+    """ppl_bucket_filter_kn keeps head/middle and CUTS the tail; the
+    bucket boundary is the nll value itself."""
+    from farmrpg_etl_spark.operators.langmodel import (
+        doc_nll_kn_ngram,
+        ppl_bucket_filter_kn,
+    )
+    from farmrpg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    nll = {
+        r["doc_id"]: r["nll"]
+        for r in doc_nll_kn_ngram(docs, "text", "doc_id", order=5).collect()
+    }
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_bucket_filter_kn(
+            docs, "text", "doc_id", head_nll=1.02, tail_nll=1.13, order=5
+        ).collect()
+    }
+    assert set(out) == {d for d, v in nll.items() if v <= 1.13}
+    for d, b in out.items():
+        assert b == ("head" if nll[d] <= 1.02 else "middle")
+    assert any(v > 1.13 for v in nll.values())  # the cut is non-vacuous
