@@ -3837,6 +3837,133 @@ FROM nlls
 WHERE nll <= 1.13
 """
 
+# Frozen order-5 KN model (trained on the even-doc_id half) scoring
+# ALL docs: LEFT joins + CASE chains reproduce _kn_attach_p's guarded
+# backoff ladder step for step — a missing level backs off wholesale
+# (CASE WHEN den IS NULL THEN prev), a seen context with an unseen
+# word keeps only the redistribution term (COALESCE(term, 0.0)).
+ORACLES["streaming_kn5_filter_docs"] = f"""
+WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+ii AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks))) AS i
+       FROM d),
+inst AS (
+  SELECT doc_id,
+         array_to_string(list_slice(
+           list_concat(['<s>', '<s>', '<s>', '<s>'], toks), i, i + 3
+         ), ' ') AS ctx,
+         toks[i] AS w
+  FROM ii
+),
+tinst AS (SELECT * FROM inst WHERE doc_id % 2 = 0),
+t5 AS (SELECT ctx, w, count(*) AS c FROM tinst GROUP BY ctx, w),
+den5 AS (SELECT ctx, CAST(SUM(c) AS BIGINT) AS den,
+                CAST(count(*) AS BIGINT) AS n1p
+         FROM t5 GROUP BY ctx),
+t4 AS (SELECT substr(ctx, instr(ctx, ' ') + 1) AS ctx, w,
+              CAST(count(*) AS BIGINT) AS nn
+       FROM t5 GROUP BY 1, 2),
+den4 AS (SELECT ctx, CAST(SUM(nn) AS BIGINT) AS den,
+                CAST(count(*) AS BIGINT) AS n1p
+         FROM t4 GROUP BY ctx),
+t3 AS (SELECT substr(ctx, instr(ctx, ' ') + 1) AS ctx, w,
+              CAST(count(*) AS BIGINT) AS nn
+       FROM t4 GROUP BY 1, 2),
+den3 AS (SELECT ctx, CAST(SUM(nn) AS BIGINT) AS den,
+                CAST(count(*) AS BIGINT) AS n1p
+         FROM t3 GROUP BY ctx),
+t2 AS (SELECT substr(ctx, instr(ctx, ' ') + 1) AS ctx, w,
+              CAST(count(*) AS BIGINT) AS nn
+       FROM t3 GROUP BY 1, 2),
+den2 AS (SELECT ctx, CAST(SUM(nn) AS BIGINT) AS den,
+                CAST(count(*) AS BIGINT) AS n1p
+         FROM t2 GROUP BY ctx),
+t1 AS (SELECT w, CAST(count(*) AS BIGINT) AS nn FROM t2 GROUP BY w),
+scal AS (SELECT (SELECT CAST(SUM(nn) AS BIGINT) FROM t1) AS n1tot,
+                (SELECT CAST(count(*) AS BIGINT) FROM t1) AS V),
+ictx AS (
+  SELECT doc_id, ctx AS ctx5, w,
+         substr(ctx, instr(ctx, ' ') + 1) AS ctx4
+  FROM inst
+),
+ictx2 AS (SELECT *, substr(ctx4, instr(ctx4, ' ') + 1) AS ctx3 FROM ictx),
+ictx3 AS (SELECT *, substr(ctx3, instr(ctx3, ' ') + 1) AS ctx2 FROM ictx2),
+j AS (
+  SELECT i.doc_id, i.w,
+         t5.c, den5.den AS ch, den5.n1p AS n1p5,
+         t4.nn AS nn4, den4.den AS dn4, den4.n1p AS n1p4,
+         t3.nn AS nn3, den3.den AS dn3, den3.n1p AS n1p3,
+         t2.nn AS nn2, den2.den AS dn2, den2.n1p AS n1p2,
+         t1.nn AS nn1, scal.n1tot, scal.V
+  FROM ictx3 i
+  LEFT JOIN t5 ON t5.ctx = i.ctx5 AND t5.w = i.w
+  LEFT JOIN den5 ON den5.ctx = i.ctx5
+  LEFT JOIN t4 ON t4.ctx = i.ctx4 AND t4.w = i.w
+  LEFT JOIN den4 ON den4.ctx = i.ctx4
+  LEFT JOIN t3 ON t3.ctx = i.ctx3 AND t3.w = i.w
+  LEFT JOIN den3 ON den3.ctx = i.ctx3
+  LEFT JOIN t2 ON t2.ctx = i.ctx2 AND t2.w = i.w
+  LEFT JOIN den2 ON den2.ctx = i.ctx2
+  LEFT JOIN t1 ON t1.w = i.w
+  CROSS JOIN scal
+),
+p1c AS (SELECT *,
+          CAST(COALESCE(nn1, 0) + 1 AS DOUBLE)
+            / CAST(n1tot + V AS DOUBLE) AS p1
+        FROM j),
+p2c AS (SELECT *,
+          CASE WHEN dn2 IS NULL THEN p1 ELSE
+            COALESCE((CAST(nn2 AS DOUBLE) - 0.75)
+                       / CAST(dn2 AS DOUBLE), 0.0)
+            + ((0.75 * CAST(n1p2 AS DOUBLE)) / CAST(dn2 AS DOUBLE)) * p1
+          END AS p2
+        FROM p1c),
+p3c AS (SELECT *,
+          CASE WHEN dn3 IS NULL THEN p2 ELSE
+            COALESCE((CAST(nn3 AS DOUBLE) - 0.75)
+                       / CAST(dn3 AS DOUBLE), 0.0)
+            + ((0.75 * CAST(n1p3 AS DOUBLE)) / CAST(dn3 AS DOUBLE)) * p2
+          END AS p3
+        FROM p2c),
+p4c AS (SELECT *,
+          CASE WHEN dn4 IS NULL THEN p3 ELSE
+            COALESCE((CAST(nn4 AS DOUBLE) - 0.75)
+                       / CAST(dn4 AS DOUBLE), 0.0)
+            + ((0.75 * CAST(n1p4 AS DOUBLE)) / CAST(dn4 AS DOUBLE)) * p3
+          END AS p4
+        FROM p3c),
+pf AS (SELECT doc_id,
+         CASE WHEN ch IS NULL THEN p4 ELSE
+           COALESCE((CAST(c AS DOUBLE) - 0.75)
+                      / CAST(ch AS DOUBLE), 0.0)
+           + ((0.75 * CAST(n1p5 AS DOUBLE)) / CAST(ch AS DOUBLE)) * p4
+         END AS p
+       FROM p4c),
+scored AS (
+  SELECT doc_id,
+         floor(-ln(p) * 1000000.0) / 1000000.0 AS q
+  FROM pf
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS nll
+  FROM scored GROUP BY doc_id
+),
+nlls AS (
+  SELECT dd.doc_id,
+         coalesce(n_tok, 0) AS n_tok,
+         coalesce(nll, 0.0) AS nll
+  FROM documents dd LEFT JOIN s USING (doc_id)
+)
+SELECT doc_id, n_tok, nll,
+       CASE WHEN nll <= 1.50 THEN 'head'
+            WHEN nll <= 3.76 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM nlls
+WHERE nll <= 3.76
+""".replace("{toks}", _TOKS)
+
 ORACLES["kn_perplexity_docs"] = _KN_BIGRAM_LM + """,
 scored AS (
   SELECT doc_id,

@@ -6409,6 +6409,66 @@ def streaming_ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read()
 
 
+def streaming_kn5_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-5 KN filter in CCNet's deployment regime, as a
+    STREAM: the 5-gram model is trained ONCE on the even-``doc_id``
+    half (batch, frozen `kn_ngram_tables`), then documents arrive as
+    four micro-batches, each scored/bucketed against the frozen model
+    through the guarded backoff chain — odd documents probe unseen
+    contexts at every order, so this row pins the ENTIRE fallback
+    ladder cross-engine (the same-corpus `kn5_perplexity_docs` row
+    never misses a join) — and merged through the replay-idempotent
+    K1 writer. Frozen model ⇒ scores are self-contained per document
+    ⇒ continuous ingest ≡ batch recompute, which the oracle pins with
+    LEFT-JOIN + CASE chains matching `_kn_attach_p` step for step.
+    Thresholds 1.50/3.76 span the bimodal frozen-score shape (seen
+    half ≈ 1.1, unseen half ≈ 3.7; stable across SFs)."""
+    import tempfile
+
+    from farmrpg_etl_spark.operators import langmodel as LM
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tables = LM.kn_ngram_tables(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", order=5
+    )
+    src_dir = tempfile.mkdtemp(prefix="farmrpg_kn5_")
+    n_batches = 4
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = ParquetTable(spark, _sink_scratch("kn5sink"))
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        out = LM.ppl_bucket_filter_kn(
+            batch_df, "text", "doc_id", head_nll=1.50, tail_nll=3.76,
+            order=5, tables=tables,
+        )
+        insert_if_absent(
+            sink, out, ["doc_id"], batch_id=batch_id, writer="kn5ppl"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(score)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    tables["top"].unpersist()
+    for t in tables["t"].values():
+        t.unpersist()
+    return sink.read()
+
+
 def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """13-gram decontamination behind a Bloom-filter prune (the 100 TB
     shape: broadcast bit positions instead of gram strings; exact
@@ -6869,6 +6929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kn5_perplexity_docs": kn5_perplexity_docs,
     "kn5_ppl_filter_docs": kn5_ppl_filter_docs,
     "hard_negatives_recall": hard_negatives_recall,
+    "streaming_kn5_filter_docs": streaming_kn5_filter_docs,
     "crawl_robots_e2e_docs": crawl_robots_e2e_docs,
     "k_http_claims_sink": k_http_claims_sink,
     "temperature_mixture_docs": temperature_mixture_docs,
@@ -6910,8 +6971,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
     "random_projection_embeddings": random_projection_embeddings,
-    "mean_pool_embeddings": mean_pool_embeddings,
     # --- end of 50-entry prefix --------------------------------------
+    "mean_pool_embeddings": mean_pool_embeddings,
     "quality_weighted_sample_docs": quality_weighted_sample_docs,
     "source_quota_docs": source_quota_docs,
     "token_shards_docs": token_shards_docs,
