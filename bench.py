@@ -220,6 +220,13 @@ def main() -> None:
         "lang_id_script_docs",
         "k_docstore_partial_sink",
         "streaming_tws_first_seen",
+        # round-13 additions (kn5_ppl_filter subsumes the 5-gram
+        # train+score+bucket pipeline — the lm/perplexity rows would
+        # re-pay its training cost for the same timing signal, and the
+        # bench wall is already near the driver's capture window)
+        "kn5_ppl_filter_docs",
+        "crawl_robots_e2e_docs",
+        "hard_negatives_recall",
     ]:
         run(name)  # warm: compile + cache effects paid here
         # ONE timed steady pass (the headline block keeps min-of-2;
