@@ -549,7 +549,18 @@ def doc_nll_kn_ngram(
     same quantize → decimal-sum → round discipline as :func:`doc_nll`.
     Pass frozen ``tables`` (a :func:`kn_ngram_tables` result) for the
     CCNet regime; unseen events take the guarded backoff chain in
-    :func:`_kn_attach_p` and always score finite."""
+    :func:`_kn_attach_p` and always score finite.
+
+    Corpus-shuffle accounting (the 100 TB shape): the fully-
+    interpolated probability of every SEEN top-order n-gram is
+    precomputed once on the LM tables themselves (LM-sized work,
+    :func:`_kn_attach_p` over ``top``), so the instance stream joins
+    the model exactly ONCE on ``(ctx, w)``; only the MISS stream —
+    empty when scoring the training corpus, the out-of-domain tail
+    under a frozen model — pays the per-level fallback ladder. The
+    alternative (running the ladder on every instance) re-joins the
+    corpus once per order, which is 2(n−1)+1 corpus-wide joins when
+    the top-order tables outgrow broadcast."""
     from farmrpg_etl_spark.queries import _dec_sum
 
     if tables is None:
@@ -559,7 +570,12 @@ def doc_nll_kn_ngram(
             f"tables are order {tables['order']}, requested {order}"
         )
     inst = ngram_instances(df, text_col, id_col, order)
-    scored = _kn_attach_p(inst, tables)
+    lm = _kn_attach_p(tables["top"], tables).select("ctx", "w", "p")
+    hits = inst.join(lm, ["ctx", "w"])
+    misses = inst.join(lm.select("ctx", "w"), ["ctx", "w"], "left_anti")
+    scored = hits.select(id_col, "p").unionByName(
+        _kn_attach_p(misses, tables).select(id_col, "p")
+    )
     q = F.floor(-F.log(F.col("p")) * F.lit(1000000.0)) / F.lit(1000000.0)
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tok"),
