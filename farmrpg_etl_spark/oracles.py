@@ -5036,6 +5036,23 @@ _V5_PAGES = _C4_PAGE_CTES.replace(
     1,
 )
 
+# v6: identical to v5 except the robots gate — rules now come from the
+# fake site's LIVE per-host bodies (sources/fakesite.py /robots.txt:
+# hosts with n%3==0 publish only '* Disallow /Docs', so farmbot's
+# fallback denies every /Docs path; other hosts give farmbot
+# 'Disallow /Docs/{n}' with an Allow carve-out '/Docs/{n}/pub' that
+# only even doc_ids' paths enter) — so the gate reduces to the same
+# arithmetic the crawl_robots_e2e_docs oracle pins. The interior
+# (holdout -> page gate -> line dedup -> census) is shared verbatim.
+_V6_RB = r"""
+WITH d0 AS (
+  SELECT doc_id,
+         CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS n
+  FROM documents
+),
+rb AS (SELECT doc_id FROM d0 WHERE n % 3 <> 0 AND doc_id % 2 = 0),
+"""
+
 ORACLES["training_data_pipeline_v5"] = rf"""
 WITH rb_u AS (
   SELECT doc_id,
@@ -5160,6 +5177,11 @@ SELECT lg.doc_id, n_kept,
        CAST(coalesce(ct.n_contaminated, 0) AS BIGINT) AS n_contaminated
 FROM lg LEFT JOIN ct USING (doc_id)
 """
+
+ORACLES["training_data_pipeline_v6"] = _V6_RB + ORACLES[
+    "training_data_pipeline_v5"
+].split("WHERE coalesce(wn.a, TRUE)\n),\n", 1)[1]
+
 
 # Lines = non-overlapping 8-token windows (the corpus has no newlines);
 # any line occurring >= 2 times corpus-wide is boilerplate and cut.

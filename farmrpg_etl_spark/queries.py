@@ -6812,11 +6812,7 @@ def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     once feeding gate + dedup; the line shuffle sees only
     robots-allowed, gate-surviving, non-eval pages."""
     from farmrpg_etl_spark.functions import urls as U
-    from farmrpg_etl_spark.functions.hashing import word_ngrams
-    from farmrpg_etl_spark.functions.text import lang_id_script
     from farmrpg_etl_spark.operators.crawl import robots_filter
-    from farmrpg_etl_spark.operators.linededup import remove_frequent_lines
-    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
 
     docs = load_table(spark, sf_dir, "documents")
     # 1. robots gate — same URL synthesis and rules as robots_filter_docs
@@ -6858,6 +6854,18 @@ def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("allowed"))
         .select("doc_id")
     )
+    return _crawl_corpus_interior(docs, allowed)
+
+
+def _crawl_corpus_interior(docs: DataFrame, allowed: DataFrame) -> DataFrame:
+    """Steps 2–5 of the v5/v6 recipes — everything after the robots
+    gate (eval holdout, page gate, survivor line dedup, census) —
+    shared so v6 differs from v5 ONLY in where its rules come from."""
+    from farmrpg_etl_spark.functions.hashing import word_ngrams
+    from farmrpg_etl_spark.functions.text import lang_id_script
+    from farmrpg_etl_spark.operators.linededup import remove_frequent_lines
+    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
+
     # 2. eval holdout excluded from training
     train = docs.join(allowed, "doc_id").filter(F.col("doc_id") % 101 != 0)
     # 3.-4. page gate, then survivor-only line dedup (v4 interior)
@@ -6904,6 +6912,74 @@ def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_data_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v6 recipe — v5 with its PRE-BUILT rules relation replaced by
+    the LIVE crawl-politeness loop (the r12 verdict's strongest form
+    of "close the loop"): robots BODIES fetched per host over real
+    HTTP from the fake site (executor-side `demand_fanout`, one GET
+    per host), parsed relationally (`parse_robots_txt` — the bodies
+    relation is host-keyed, so one parse per host by construction),
+    scoped to ``farmbot/1.0`` (RFC 9309 substring matching + *
+    fallback for the ≡0 mod 3 hosts that publish no farmbot group),
+    and applied as the same cheapest-first robots gate. Steps 2–5
+    (holdout → page gate → survivor line dedup → census) are shared
+    verbatim with v5 (`_crawl_corpus_interior`), so the oracle
+    differs from v5's ONLY in the gate arithmetic."""
+    import tempfile
+
+    from farmrpg_etl_spark.operators.crawl import (
+        parse_robots_txt,
+        robots_filter,
+        rules_for_agent,
+    )
+    from farmrpg_etl_spark.sources import landing
+    from farmrpg_etl_spark.sources.fakesite import serve_game_site
+    from farmrpg_etl_spark.sources.http import HttpClientConfig, HttpFetcher
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    srv = serve_game_site()
+    d = tempfile.mkdtemp(prefix="farmrpg_robots_v6_")
+    try:
+        fetcher = HttpFetcher(
+            HttpClientConfig(
+                base_url=f"http://127.0.0.1:{srv.server_address[1]}/",
+                retries=2,
+            )
+        )
+        landing.demand_fanout(
+            docs.select(host.alias("key")).distinct(), "robots",
+            fetcher=fetcher,
+        ).write.mode("overwrite").parquet(d)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    bodies = spark.read.parquet(d).select(
+        F.col("key").alias("host"),
+        F.col("body").cast("string").alias("body"),
+    )
+    rules = rules_for_agent(parse_robots_txt(bodies), "farmbot/1.0")
+    n = F.regexp_extract(F.col("source"), r"(\d+)", 1)
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("/Docs/"),
+            n,
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/pub/")).otherwise(
+                F.lit("/x/")
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    allowed = (
+        robots_filter(urls, rules)
+        .filter(F.col("allowed"))
+        .select("doc_id")
+    )
+    return _crawl_corpus_interior(docs, allowed)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -6930,6 +7006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kn5_ppl_filter_docs": kn5_ppl_filter_docs,
     "hard_negatives_recall": hard_negatives_recall,
     "streaming_kn5_filter_docs": streaming_kn5_filter_docs,
+    "training_data_pipeline_v6": training_data_pipeline_v6,
     "crawl_robots_e2e_docs": crawl_robots_e2e_docs,
     "k_http_claims_sink": k_http_claims_sink,
     "temperature_mixture_docs": temperature_mixture_docs,
@@ -6970,8 +7047,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_canonical_docs": neardup_canonical_docs,
     "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
-    "random_projection_embeddings": random_projection_embeddings,
     # --- end of 50-entry prefix --------------------------------------
+    "random_projection_embeddings": random_projection_embeddings,
     "mean_pool_embeddings": mean_pool_embeddings,
     "quality_weighted_sample_docs": quality_weighted_sample_docs,
     "source_quota_docs": source_quota_docs,
