@@ -227,6 +227,7 @@ def main() -> None:
         "kn5_ppl_filter_docs",
         "crawl_robots_e2e_docs",
         "hard_negatives_recall",
+        "training_data_pipeline_v6",
     ]:
         run(name)  # warm: compile + cache effects paid here
         # ONE timed steady pass (the headline block keeps min-of-2;
