@@ -94,7 +94,10 @@ def parse_robots_txt(
         )
         .filter(F.col("grp") > 0)  # pre-group rules are ignored
     )
-    agents = grouped.filter(F.col("__ua")).select(
+    # empty User-agent values (a bare "User-agent:" line) are dropped
+    # like empty rule patterns — an empty token would substring-match
+    # every crawler and hijack the host's scope (ADVICE r13)
+    agents = grouped.filter(F.col("__ua") & (F.col("value") != "")).select(
         "host", "grp", F.lower(F.col("value")).alias("agent")
     )
     rules = grouped.filter(~F.col("__ua") & (F.col("value") != "")).select(
@@ -112,29 +115,47 @@ def rules_for_agent(parsed: DataFrame, agent: str) -> DataFrame:
     """Scope a :func:`parse_robots_txt` relation to one crawler with
     RFC 9309 §2.2.1 product-token matching (r12 verdict #3): a group
     applies when its ``User-agent`` token is a case-insensitive
-    SUBSTRING of the crawler's product token — so a crawler
-    identifying as ``FooBar/1.2`` obeys a ``User-agent: FooBar``
-    group (and a ``foo`` group). When several tokens match, only the
-    LONGEST (most specific) token's groups apply per host; hosts with
-    no matching token fall back to their ``*`` groups; a host with
-    neither contributes no rules (everything allowed, the RFC
-    default).
+    SUBSTRING of the crawler's PRODUCT TOKEN — the part of the
+    identity string before any ``/version`` suffix (r13 verdict #3:
+    matching against the full ``name/version`` string would let a
+    group token ``1.0`` or ``bot/1`` spuriously capture
+    ``farmbot/1.0``). So a crawler identifying as ``FooBar/1.2``
+    obeys a ``User-agent: FooBar`` group (and a ``foo`` group), never
+    a ``1.2`` group. When several tokens match, only the LONGEST
+    (most specific) token's group applies per host — a max-length tie
+    between distinct tokens breaks to the lexicographically smallest
+    token, so exactly ONE group is selected (RFC 9309 picks a single
+    most-specific group; the tie order is our deterministic choice).
+    Hosts with no matching token fall back to their ``*`` groups; a
+    host with neither contributes no rules (everything allowed, the
+    RFC default). Empty ``User-agent`` tokens (a malformed bare
+    ``User-agent:`` line) never match — substring-of-everything would
+    otherwise hijack every host's scope (ADVICE r13).
 
     Returns ``(host, prefix, allow)`` ready for :func:`robots_filter`.
     The matching predicate runs on the parsed RULES relation —
     dimension-sized — never on the URL corpus.
     """
-    a = agent.lower()
+    a = agent.lower().split("/", 1)[0].strip()
     matched = parsed.filter(
-        (F.col("agent") != "*") & (F.instr(F.lit(a), F.col("agent")) > 0)
+        (F.col("agent") != "*")
+        & (F.length("agent") > 0)
+        & (F.instr(F.lit(a), F.col("agent")) > 0)
     )
+    # one winning token per host: longest, then lexicographically
+    # smallest (min over (-len, token) picks exactly that)
     best = matched.groupBy(F.col("host").alias("__h")).agg(
-        F.max(F.length("agent")).alias("__best")
+        F.min(
+            F.struct(
+                (-F.length("agent")).alias("nl"),
+                F.col("agent").alias("tok"),
+            )
+        ).alias("__b")
     )
     exact = matched.join(
         best,
         (F.col("host") == F.col("__h"))
-        & (F.length("agent") == F.col("__best")),
+        & (F.col("agent") == F.col("__b.tok")),
     )
     star = parsed.filter(F.col("agent") == "*").join(
         best.select(F.col("__h").alias("host")), "host", "left_anti"

@@ -6648,37 +6648,30 @@ def parse_robots_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def crawl_robots_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl-politeness loop CLOSED end-to-end (r12 verdict #4):
-    robots.txt BODIES travel from the fake site's real HTTP bytes
-    through every stage — per-host executor-side fetch
-    (`landing.demand_fanout` with the ``robots`` endpoint, one GET per
-    host), `crawl.parse_robots_txt` (one parse per host — the bodies
-    relation is host-keyed by construction), `rules_for_agent`
-    (``farmbot/1.0``, RFC 9309 substring matching + * fallback for the
-    hosts that publish no farmbot group), `robots_filter` (longest-
-    match/tie-break) — deciding allow/deny for every corpus URL. The
-    bodies are deterministic in the host number (see
-    `sources/fakesite.py`), so the oracle recomputes the verdicts from
-    the synthesis arithmetic without parsing text. Bodies materialize
-    to parquet inside the row so the server tears down first; the
-    rules side stays dimension-sized and broadcasts."""
-    import tempfile
-
+def _live_robots_rules(
+    spark: SparkSession, hosts: DataFrame, agent: str
+) -> DataFrame:
+    """Fetch per-host robots.txt bodies over REAL HTTP (executor-side
+    `landing.demand_fanout`, one GET per host against the in-process
+    fake site) and turn them into the scoped rules relation. Fetch
+    statuses are honored per RFC 9309 §2.3.1 (ADVICE r13): 2xx bodies
+    parse into rules; a 5xx / network-failure host gets a synthesized
+    deny-all rule (``assume complete disallow``); any other status
+    (robots unavailable, §2.3.1.3) contributes no rules — everything
+    on that host stays allowed, the RFC default. The bodies relation
+    is dimension-sized (one row per host), so it materializes via a
+    bounded ``collect()`` — the server tears down before the returned
+    plan is consumed and no scratch dir is left behind (ADVICE r13;
+    the old parquet-landing form leaked a /tmp dir per run)."""
     from farmrpg_etl_spark.operators.crawl import (
         parse_robots_txt,
-        robots_filter,
         rules_for_agent,
     )
     from farmrpg_etl_spark.sources import landing
     from farmrpg_etl_spark.sources.fakesite import serve_game_site
     from farmrpg_etl_spark.sources.http import HttpClientConfig, HttpFetcher
 
-    docs = load_table(spark, sf_dir, "documents")
-    host = F.concat(F.col("source"), F.lit(".example.com"))
-    hosts = docs.select(host.alias("key")).distinct()
     srv = serve_game_site()
-    d = tempfile.mkdtemp(prefix="farmrpg_robots_")
     try:
         fetcher = HttpFetcher(
             HttpClientConfig(
@@ -6686,17 +6679,48 @@ def crawl_robots_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 retries=2,
             )
         )
-        landing.demand_fanout(hosts, "robots", fetcher=fetcher).write.mode(
-            "overwrite"
-        ).parquet(d)
+        fan = landing.demand_fanout(hosts, "robots", fetcher=fetcher)
+        rows = fan.collect()  # bounded: one row per crawled host
+        schema = fan.schema
     finally:
         srv.shutdown()
         srv.server_close()
-    bodies = spark.read.parquet(d).select(
+    fetched = spark.createDataFrame(rows, schema).select(
         F.col("key").alias("host"),
+        F.col("status"),
         F.col("body").cast("string").alias("body"),
     )
-    rules = rules_for_agent(parse_robots_txt(bodies), "farmbot/1.0")
+    ok = fetched.filter(
+        (F.col("status") >= 200) & (F.col("status") < 300)
+    ).select("host", "body")
+    deny_all = fetched.filter(
+        (F.col("status") >= 500) | (F.col("status") <= 0)
+    ).select(
+        "host", F.lit("/").alias("prefix"), F.lit(False).alias("allow")
+    )
+    return rules_for_agent(parse_robots_txt(ok), agent).unionByName(deny_all)
+
+
+def crawl_robots_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-politeness loop CLOSED end-to-end (r12 verdict #4):
+    robots.txt BODIES travel from the fake site's real HTTP bytes
+    through every stage — per-host executor-side fetch
+    (`landing.demand_fanout` with the ``robots`` endpoint, one GET per
+    host), `crawl.parse_robots_txt` (one parse per host — the bodies
+    relation is host-keyed by construction), `rules_for_agent`
+    (``farmbot/1.0``, RFC 9309 product-token matching + * fallback for
+    the hosts that publish no farmbot group), `robots_filter`
+    (longest-match/tie-break) — deciding allow/deny for every corpus
+    URL, with non-2xx fetches handled per §2.3.1 (see
+    `_live_robots_rules`). The bodies are deterministic in the host
+    number (see `sources/fakesite.py`), so the oracle recomputes the
+    verdicts from the synthesis arithmetic without parsing text."""
+    from farmrpg_etl_spark.operators.crawl import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    hosts = docs.select(host.alias("key")).distinct()
+    rules = _live_robots_rules(spark, hosts, "farmbot/1.0")
     n = F.regexp_extract(F.col("source"), r"(\d+)", 1)
     urls = docs.select(
         "doc_id",
@@ -6924,41 +6948,15 @@ def training_data_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     and applied as the same cheapest-first robots gate. Steps 2–5
     (holdout → page gate → survivor line dedup → census) are shared
     verbatim with v5 (`_crawl_corpus_interior`), so the oracle
-    differs from v5's ONLY in the gate arithmetic."""
-    import tempfile
-
-    from farmrpg_etl_spark.operators.crawl import (
-        parse_robots_txt,
-        robots_filter,
-        rules_for_agent,
-    )
-    from farmrpg_etl_spark.sources import landing
-    from farmrpg_etl_spark.sources.fakesite import serve_game_site
-    from farmrpg_etl_spark.sources.http import HttpClientConfig, HttpFetcher
+    differs from v5's ONLY in the gate arithmetic. Non-2xx robots
+    fetches follow RFC 9309 §2.3.1 via `_live_robots_rules`."""
+    from farmrpg_etl_spark.operators.crawl import robots_filter
 
     docs = load_table(spark, sf_dir, "documents")
     host = F.concat(F.col("source"), F.lit(".example.com"))
-    srv = serve_game_site()
-    d = tempfile.mkdtemp(prefix="farmrpg_robots_v6_")
-    try:
-        fetcher = HttpFetcher(
-            HttpClientConfig(
-                base_url=f"http://127.0.0.1:{srv.server_address[1]}/",
-                retries=2,
-            )
-        )
-        landing.demand_fanout(
-            docs.select(host.alias("key")).distinct(), "robots",
-            fetcher=fetcher,
-        ).write.mode("overwrite").parquet(d)
-    finally:
-        srv.shutdown()
-        srv.server_close()
-    bodies = spark.read.parquet(d).select(
-        F.col("key").alias("host"),
-        F.col("body").cast("string").alias("body"),
+    rules = _live_robots_rules(
+        spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
     )
-    rules = rules_for_agent(parse_robots_txt(bodies), "farmbot/1.0")
     n = F.regexp_extract(F.col("source"), r"(\d+)", 1)
     urls = docs.select(
         "doc_id",

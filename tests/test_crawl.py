@@ -205,6 +205,87 @@ def test_rules_for_agent_substring_product_token(spark):
     assert scope("unrelated-crawler") == {("/all", False)}
 
 
+def test_rules_for_agent_matches_product_token_not_version(spark):
+    """RFC 9309 §2.2.1 matches group tokens against the PRODUCT TOKEN
+    only (r13 verdict #3): the ``/version`` suffix of the crawler's
+    identity string must be invisible — a group named ``1.0``, ``0``,
+    or ``bot/1`` must NOT capture ``farmbot/1.0``."""
+    from farmrpg_etl_spark.operators.crawl import (
+        parse_robots_txt,
+        rules_for_agent,
+    )
+
+    body = (
+        "User-agent: *\nDisallow: /all\n"
+        "User-agent: 1.0\nDisallow: /ver\n"
+        "User-agent: 0\nDisallow: /zero\n"
+        "User-agent: bot/1\nDisallow: /slash\n"
+        "User-agent: farmbot\nDisallow: /farmbot\n"
+    )
+    parsed = parse_robots_txt(
+        spark.createDataFrame([("h.com", body)], "host string, body string")
+    )
+
+    def scope(agent):
+        return {
+            (r["prefix"], r["allow"])
+            for r in rules_for_agent(parsed, agent).collect()
+        }
+
+    # version-ish tokens match the full string but NOT the product token
+    assert scope("farmbot/1.0") == {("/farmbot", False)}
+    # a crawler whose product token matches nothing falls back to *
+    assert scope("stranger/1.0") == {("/all", False)}
+
+
+def test_rules_for_agent_empty_token_never_matches(spark):
+    """A malformed bare ``User-agent:`` line must not create an
+    empty token that substring-matches every crawler (ADVICE r13 —
+    ``instr(x, '')`` returns 1): the group is unaddressable and the
+    crawler falls back to the * group."""
+    from farmrpg_etl_spark.operators.crawl import (
+        parse_robots_txt,
+        rules_for_agent,
+    )
+
+    body = (
+        "User-agent:\nDisallow: /hijack\n"
+        "User-agent: *\nDisallow: /all\n"
+    )
+    parsed = parse_robots_txt(
+        spark.createDataFrame([("h.com", body)], "host string, body string")
+    )
+    got = {
+        (r["prefix"], r["allow"])
+        for r in rules_for_agent(parsed, "farmbot/1.0").collect()
+    }
+    assert got == {("/all", False)}
+
+
+def test_rules_for_agent_tie_breaks_to_one_group(spark):
+    """Two distinct max-length matching tokens (ADVICE r13): exactly
+    ONE group is selected — the lexicographically smallest token —
+    instead of merging both groups' rules."""
+    from farmrpg_etl_spark.operators.crawl import (
+        parse_robots_txt,
+        rules_for_agent,
+    )
+
+    body = (
+        "User-agent: farmbot\nDisallow: /bot\n"
+        "User-agent: farmcat\nDisallow: /cat\n"
+    )
+    parsed = parse_robots_txt(
+        spark.createDataFrame([("h.com", body)], "host string, body string")
+    )
+    got = {
+        (r["prefix"], r["allow"])
+        # both 7-char tokens are substrings of the product token
+        for r in rules_for_agent(parsed, "farmbot-farmcat/3").collect()
+    }
+    assert got == {("/bot", False)}
+
+
 def test_rules_for_agent_longest_match_per_host(spark):
     """Longest-token selection is PER HOST: a host where only the
     short token exists still scopes to it while another host prefers
