@@ -357,44 +357,78 @@ def _sfx(ctx: str) -> Column:
 
 
 def ngram_instances(
-    df: DataFrame, text_col: str, id_col: str, order: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    order: int,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """One row per token occurrence: ``(id, ctx, w)`` with ``ctx`` the
-    SEP-joined ``order−1`` preceding tokens, BOS-padded — so every
-    token is predicted, short documents keep all their tokens, and
-    document boundaries never leak context."""
+    """One row per token occurrence: ``(id, *keys, ctx, w)`` with
+    ``ctx`` the SEP-joined ``order−1`` preceding tokens, BOS-padded —
+    so every token is predicted, short documents keep all their
+    tokens, and document boundaries never leak context. ``key_cols``
+    are per-document model-selection keys carried through verbatim
+    (the per-language CCNet regime: one LM per ``lang`` value, all
+    trained/scored in the SAME corpus pass — see
+    :func:`kn_ngram_tables`)."""
     if order < 2:
         raise ValueError("order must be >= 2")
+    keys = list(key_cols)
     k = order - 1
     toks = _toks(F.col(text_col))
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keys],
         toks.alias("__t"),
         F.concat(F.array_repeat(F.lit(BOS), k), toks).alias("__p"),
     )
-    ex = base.select(id_col, "__p", F.posexplode("__t").alias("__i", "w"))
+    ex = base.select(
+        id_col, *keys, "__p", F.posexplode("__t").alias("__i", "w")
+    )
     return ex.select(
         id_col,
+        *keys,
         F.array_join(F.slice("__p", F.col("__i") + 1, k), SEP).alias("ctx"),
         "w",
     )
 
 
 def kn_ngram_tables(
-    df: DataFrame, text_col: str, id_col: str, order: int = 5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    order: int = 5,
+    key_cols: tuple[str, ...] = (),
 ) -> dict:
     """All count relations of the order-``order`` interpolated-KN
     model, one corpus shuffle + LM-sized reaggregations (see module
-    note). Returns ``{"order", "top", "t": {k: ñ_k}, "den": {k:
-    (den, n1p)}, "scal"}`` — a frozen copy of this dict is a complete
-    model for :func:`doc_nll_kn_ngram` (the CCNet regime: train once,
-    score every future batch)."""
-    inst = ngram_instances(df, text_col, id_col, order)
+    note). Returns ``{"order", "keys", "top", "t": {k: ñ_k}, "den":
+    {k: (den, n1p)}, "scal", "handles"}`` — a frozen copy of this
+    dict is a complete model for :func:`doc_nll_kn_ngram` (the CCNet
+    regime: train once, score every future batch).
+
+    ``key_cols`` prefixes every count key, training ONE MODEL PER KEY
+    VALUE in the same corpus pass — the per-language CCNet regime
+    (Wenzek et al. train one LM per language): counts key on
+    ``(lang, ctx, w)``, the base distribution and its scalars become
+    per-language relations, and scoring joins the corpus once on the
+    prefixed keys. N small models cost exactly the same shuffle
+    schedule as one.
+
+    ``handles`` lists every relation this call ``persist()``ed —
+    release them with :func:`unpersist_kn_tables` once the consuming
+    result is materialized (r13 verdict #5: a long-lived session
+    training many models must not accumulate cached LM relations)."""
+    keys = list(key_cols)
+    inst = ngram_instances(df, text_col, id_col, order, key_cols=key_cols)
     top = (
-        inst.groupBy("ctx", "w").agg(F.count(F.lit(1)).alias("c")).persist()
+        inst.groupBy(*keys, "ctx", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
+    handles = [top]
     den = {
-        order: top.groupBy("ctx").agg(
+        order: top.groupBy(*keys, "ctx").agg(
             F.sum("c").alias("den"), F.count(F.lit(1)).alias("n1p")
         )
     }
@@ -405,30 +439,67 @@ def kn_ngram_tables(
         # scorer join) — persist to cut the recompute chain; all
         # levels below the top are strictly smaller than it
         cur = (
-            cur.groupBy(_sfx("ctx").alias("ctx"), "w")
+            cur.groupBy(*keys, _sfx("ctx").alias("ctx"), "w")
             .agg(F.count(F.lit(1)).alias("nn"))
             .persist()
         )
+        handles.append(cur)
         t[k] = cur
-        den[k] = cur.groupBy("ctx").agg(
+        den[k] = cur.groupBy(*keys, "ctx").agg(
             F.sum("nn").alias("den"), F.count(F.lit(1)).alias("n1p")
         )
-    t[1] = cur.groupBy("w").agg(F.count(F.lit(1)).alias("nn"))
-    scal = t[1].agg(
-        F.sum("nn").alias("n1tot"), F.count(F.lit(1)).alias("V")
-    )
-    return {"order": order, "top": top, "t": t, "den": den, "scal": scal}
+    t[1] = cur.groupBy(*keys, "w").agg(F.count(F.lit(1)).alias("nn"))
+    if keys:
+        scal = t[1].groupBy(*keys).agg(
+            F.sum("nn").alias("n1tot"), F.count(F.lit(1)).alias("V")
+        )
+    else:
+        scal = t[1].agg(
+            F.sum("nn").alias("n1tot"), F.count(F.lit(1)).alias("V")
+        )
+    return {
+        "order": order,
+        "keys": keys,
+        "top": top,
+        "t": t,
+        "den": den,
+        "scal": scal,
+        "handles": handles,
+    }
+
+
+def unpersist_kn_tables(tables: dict, blocking: bool = False) -> None:
+    """Release every relation :func:`kn_ngram_tables` persisted (r13
+    verdict #5 / ADVICE). Safe after the consuming result has been
+    materialized — ``unpersist`` only drops the cache, lineage stays,
+    so a later recompute is slow but correct."""
+    for h in tables.get("handles", []):
+        h.unpersist(blocking)
+
+
+def _key_eq(keys: list[str], prefix: str) -> "Column | None":
+    """Conjunction of ``rel.key == aliased key`` terms (None when no
+    keys — the single-model path keeps its original join exprs)."""
+    cond = None
+    for c in keys:
+        term = F.col(c) == F.col(f"{prefix}{c}")
+        cond = term if cond is None else (cond & term)
+    return cond
 
 
 def _kn_attach_p(rel: DataFrame, tables: dict) -> DataFrame:
     """Attach the interpolated probability ``p`` to any relation with
-    ``(ctx, w)`` (top-order context). Left joins + guarded
+    ``(*keys, ctx, w)`` (top-order context). Left joins + guarded
     interpolation: a missing level backs off wholesale (p_k := p_{k−1}
     when the context is unseen at level k), a seen context with an
     unseen word keeps only the redistribution term — so ANY (ctx, w)
     gets finite mass and a frozen model scores novel text. Every join
-    side is LM-sized."""
+    side is LM-sized. With model keys, every level joins on the
+    prefixed key too, so each row is scored by ITS key's model; a key
+    value absent from training has no base distribution and scores
+    null — score only keys you trained."""
     order = tables["order"]
+    keys = tables.get("keys", [])
     d = F.lit(0.75)
     out = rel.withColumn("__ctx%d" % order, F.col("ctx"))
     for k in range(order - 1, 1, -1):
@@ -436,48 +507,65 @@ def _kn_attach_p(rel: DataFrame, tables: dict) -> DataFrame:
             "__ctx%d" % k, _sfx("__ctx%d" % (k + 1))
         )
     # base level: ñ_1(w) and the scalars
-    out = (
-        out.join(
-            F.broadcast(
-                tables["t"][1].select(
-                    F.col("w").alias("__w1"), F.col("nn").alias("__nn1")
-                )
-            ),
-            F.col("w") == F.col("__w1"),
-            "left",
+    t1 = tables["t"][1].select(
+        *[F.col(c).alias(f"__k1_{c}") for c in keys],
+        F.col("w").alias("__w1"),
+        F.col("nn").alias("__nn1"),
+    )
+    cond1 = F.col("w") == F.col("__w1")
+    keq = _key_eq(keys, "__k1_")
+    if keq is not None:
+        cond1 = cond1 & keq
+    out = out.join(F.broadcast(t1), cond1, "left").drop(
+        "__w1", *[f"__k1_{c}" for c in keys]
+    )
+    if keys:
+        sc = tables["scal"].select(
+            *[F.col(c).alias(f"__ks_{c}") for c in keys], "n1tot", "V"
         )
-        .drop("__w1")
-        .crossJoin(F.broadcast(tables["scal"]))
-        .withColumn(
-            "__p1",
-            (F.coalesce(F.col("__nn1"), F.lit(0)) + 1).cast("double")
-            / (F.col("n1tot") + F.col("V")).cast("double"),
+        out = out.join(F.broadcast(sc), _key_eq(keys, "__ks_"), "left").drop(
+            *[f"__ks_{c}" for c in keys]
         )
+    else:
+        out = out.crossJoin(F.broadcast(tables["scal"]))
+    out = out.withColumn(
+        "__p1",
+        (F.coalesce(F.col("__nn1"), F.lit(0)) + 1).cast("double")
+        / (F.col("n1tot") + F.col("V")).cast("double"),
     )
     # middle levels: continuation counts
     for k in range(2, order):
         tk = tables["t"][k].select(
+            *[F.col(c).alias(f"__tk{k}_{c}") for c in keys],
             F.col("ctx").alias("__tc%d" % k),
             F.col("w").alias("__tw%d" % k),
             F.col("nn").alias("__nn%d" % k),
         )
         dk = tables["den"][k].select(
+            *[F.col(c).alias(f"__dk{k}_{c}") for c in keys],
             F.col("ctx").alias("__dc%d" % k),
             F.col("den").alias("__den%d" % k),
             F.col("n1p").alias("__n1p%d" % k),
         )
+        tcond = (F.col("__ctx%d" % k) == F.col("__tc%d" % k)) & (
+            F.col("w") == F.col("__tw%d" % k)
+        )
+        keq = _key_eq(keys, f"__tk{k}_")
+        if keq is not None:
+            tcond = tcond & keq
+        dcond = F.col("__ctx%d" % k) == F.col("__dc%d" % k)
+        keq = _key_eq(keys, f"__dk{k}_")
+        if keq is not None:
+            dcond = dcond & keq
         out = (
-            out.join(
-                tk,
-                (F.col("__ctx%d" % k) == F.col("__tc%d" % k))
-                & (F.col("w") == F.col("__tw%d" % k)),
-                "left",
+            out.join(tk, tcond, "left")
+            .drop(
+                "__tc%d" % k,
+                "__tw%d" % k,
+                *[f"__tk{k}_{c}" for c in keys],
             )
-            .drop("__tc%d" % k, "__tw%d" % k)
-            .join(
-                dk, F.col("__ctx%d" % k) == F.col("__dc%d" % k), "left"
-            )
-            .drop("__dc%d" % k)
+            .join(dk, dcond, "left")
+            .drop("__dc%d" % k, *[f"__dk{k}_{c}" for c in keys])
         )
         nn = F.col("__nn%d" % k).cast("double")
         dd = F.col("__den%d" % k).cast("double")
@@ -492,25 +580,32 @@ def _kn_attach_p(rel: DataFrame, tables: dict) -> DataFrame:
         )
     # top level: raw counts
     to = tables["top"].select(
+        *[F.col(c).alias(f"__tkN_{c}") for c in keys],
         F.col("ctx").alias("__tcN"),
         F.col("w").alias("__twN"),
         F.col("c").alias("__c"),
     )
     dn = tables["den"][order].select(
+        *[F.col(c).alias(f"__dkN_{c}") for c in keys],
         F.col("ctx").alias("__dcN"),
         F.col("den").alias("__ch"),
         F.col("n1p").alias("__n1pN"),
     )
+    tcond = (F.col("__ctx%d" % order) == F.col("__tcN")) & (
+        F.col("w") == F.col("__twN")
+    )
+    keq = _key_eq(keys, "__tkN_")
+    if keq is not None:
+        tcond = tcond & keq
+    dcond = F.col("__ctx%d" % order) == F.col("__dcN")
+    keq = _key_eq(keys, "__dkN_")
+    if keq is not None:
+        dcond = dcond & keq
     out = (
-        out.join(
-            to,
-            (F.col("__ctx%d" % order) == F.col("__tcN"))
-            & (F.col("w") == F.col("__twN")),
-            "left",
-        )
-        .drop("__tcN", "__twN")
-        .join(dn, F.col("__ctx%d" % order) == F.col("__dcN"), "left")
-        .drop("__dcN")
+        out.join(to, tcond, "left")
+        .drop("__tcN", "__twN", *[f"__tkN_{c}" for c in keys])
+        .join(dn, dcond, "left")
+        .drop("__dcN", *[f"__dkN_{c}" for c in keys])
     )
     c = F.col("__c").cast("double")
     ch = F.col("__ch").cast("double")
@@ -526,15 +621,25 @@ def _kn_attach_p(rel: DataFrame, tables: dict) -> DataFrame:
 
 
 def train_kn_ngram_lm(
-    df: DataFrame, text_col: str, id_col: str, order: int = 5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    order: int = 5,
+    tables: dict | None = None,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Order-``order`` interpolated-KN LM table: ``(ctx, w, c, ch, p)``
-    for every observed top-order n-gram, with ``p`` the FULL
-    interpolated probability (all lower levels folded in)."""
-    tables = kn_ngram_tables(df, text_col, id_col, order)
+    """Order-``order`` interpolated-KN LM table: ``(*keys, ctx, w, c,
+    ch, p)`` for every observed top-order n-gram, with ``p`` the FULL
+    interpolated probability (all lower levels folded in). Pass
+    ``tables`` (a :func:`kn_ngram_tables` result) to reuse counts the
+    caller built — and to let the caller :func:`unpersist_kn_tables`
+    once this relation is materialized."""
+    if tables is None:
+        tables = kn_ngram_tables(df, text_col, id_col, order, key_cols)
+    keys = tables.get("keys", [])
     scored = _kn_attach_p(tables["top"], tables)
     return scored.select(
-        "ctx", "w", F.col("c"), F.col("__ch").alias("ch"), "p"
+        *keys, "ctx", "w", F.col("c"), F.col("__ch").alias("ch"), "p"
     )
 
 
@@ -544,6 +649,7 @@ def doc_nll_kn_ngram(
     id_col: str,
     order: int = 5,
     tables: dict | None = None,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Mean NLL per document under the order-``order`` KN model —
     same quantize → decimal-sum → round discipline as :func:`doc_nll`.
@@ -564,15 +670,19 @@ def doc_nll_kn_ngram(
     from farmrpg_etl_spark.queries import _dec_sum
 
     if tables is None:
-        tables = kn_ngram_tables(df, text_col, id_col, order)
+        tables = kn_ngram_tables(df, text_col, id_col, order, key_cols)
     if tables["order"] != order:
         raise ValueError(
             f"tables are order {tables['order']}, requested {order}"
         )
-    inst = ngram_instances(df, text_col, id_col, order)
-    lm = _kn_attach_p(tables["top"], tables).select("ctx", "w", "p")
-    hits = inst.join(lm, ["ctx", "w"])
-    misses = inst.join(lm.select("ctx", "w"), ["ctx", "w"], "left_anti")
+    keys = tables.get("keys", [])
+    inst = ngram_instances(
+        df, text_col, id_col, order, key_cols=tuple(keys)
+    )
+    lm = _kn_attach_p(tables["top"], tables).select(*keys, "ctx", "w", "p")
+    join_keys = [*keys, "ctx", "w"]
+    hits = inst.join(lm, join_keys)
+    misses = inst.join(lm.select(*join_keys), join_keys, "left_anti")
     scored = hits.select(id_col, "p").unionByName(
         _kn_attach_p(misses, tables).select(id_col, "p")
     )
@@ -598,13 +708,16 @@ def ppl_bucket_filter_kn(
     tail_nll: float,
     order: int = 5,
     tables: dict | None = None,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """CCNet bucketing under the order-n KN model — the production
     shape of the filter (:func:`ppl_bucket_filter` is its add-one
     bigram baseline): head/middle kept, tail cut, fixed thresholds
     calibrated once per corpus/language. Pass frozen ``tables`` for
     the batch-comparable regime."""
-    nll = doc_nll_kn_ngram(df, text_col, id_col, order=order, tables=tables)
+    nll = doc_nll_kn_ngram(
+        df, text_col, id_col, order=order, tables=tables, key_cols=key_cols
+    )
     bucket = (
         F.when(F.col("nll") <= F.lit(head_nll), F.lit("head"))
         .when(F.col("nll") <= F.lit(tail_nll), F.lit("middle"))

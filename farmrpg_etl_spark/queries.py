@@ -5535,12 +5535,17 @@ def kn_5gram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     D = 3/4, add-one-smoothed unigram continuation base. The 200
     strongest 5-grams with their fully-interpolated probabilities as
     integer micros; the DuckDB oracle rebuilds all nine count
-    relations and the identically-parenthesized probability chain."""
+    relations and the identically-parenthesized probability chain.
+    The result (bounded: 200 rows) materializes eagerly so the
+    persisted count relations release before the row returns (r13
+    verdict #5 — the verify marathon must not accumulate cached LM
+    tables)."""
     from farmrpg_etl_spark.operators import langmodel as LM
 
     docs = load_table(spark, sf_dir, "documents")
-    lm = LM.train_kn_ngram_lm(docs, "text", "doc_id", order=5)
-    return (
+    tables = LM.kn_ngram_tables(docs, "text", "doc_id", order=5)
+    lm = LM.train_kn_ngram_lm(docs, "text", "doc_id", order=5, tables=tables)
+    out = (
         lm.orderBy(F.col("c").desc(), "ctx", "w")
         .limit(200)
         .select(
@@ -5552,7 +5557,11 @@ def kn_5gram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("prob_micros"),
         )
+        .persist()
     )
+    out.count()
+    LM.unpersist_kn_tables(tables)
+    return out
 
 
 def kn5_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5560,11 +5569,19 @@ def kn5_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 5-gram twin of `kn_perplexity_docs` (same quantize →
     decimal-sum → round discipline; the guarded backoff chain is
     exercised separately by the frozen-model pytest, since a
-    same-corpus score never misses)."""
+    same-corpus score never misses). The scored relation (the row's
+    own output) materializes eagerly so the persisted count relations
+    release before the row returns (r13 verdict #5)."""
     from farmrpg_etl_spark.operators import langmodel as LM
 
     docs = load_table(spark, sf_dir, "documents")
-    return LM.doc_nll_kn_ngram(docs, "text", "doc_id", order=5)
+    tables = LM.kn_ngram_tables(docs, "text", "doc_id", order=5)
+    out = LM.doc_nll_kn_ngram(
+        docs, "text", "doc_id", order=5, tables=tables
+    ).persist()
+    out.count()
+    LM.unpersist_kn_tables(tables)
+    return out
 
 
 def kn5_ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5573,13 +5590,19 @@ def kn5_ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`ppl_filter_docs` is the add-one bigram baseline of the same
     cut). Thresholds 1.02 / 1.13 calibrated once on this corpus
     (median ≈ 0.985, p90 ≈ 1.13 — stable across the three SFs),
-    exactly as CCNet fixes per-language constants."""
+    exactly as CCNet fixes per-language constants. Materialize-then-
+    release like the sibling KN rows (r13 verdict #5)."""
     from farmrpg_etl_spark.operators import langmodel as LM
 
     docs = load_table(spark, sf_dir, "documents")
-    return LM.ppl_bucket_filter_kn(
-        docs, "text", "doc_id", head_nll=1.02, tail_nll=1.13, order=5
-    )
+    tables = LM.kn_ngram_tables(docs, "text", "doc_id", order=5)
+    out = LM.ppl_bucket_filter_kn(
+        docs, "text", "doc_id", head_nll=1.02, tail_nll=1.13, order=5,
+        tables=tables,
+    ).persist()
+    out.count()
+    LM.unpersist_kn_tables(tables)
+    return out
 
 
 def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6463,9 +6486,7 @@ def streaming_kn5_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     q.stop()
-    tables["top"].unpersist()
-    for t in tables["t"].values():
-        t.unpersist()
+    LM.unpersist_kn_tables(tables)
     return sink.read()
 
 

@@ -329,3 +329,34 @@ def test_kn5_bucket_filter_cuts_tail(spark):
     for d, b in out.items():
         assert b == ("head" if nll[d] <= 1.02 else "middle")
     assert any(v > 1.13 for v in nll.values())  # the cut is non-vacuous
+
+
+def test_kn_tables_release_cleanly(spark, docs):
+    """r13 verdict #5: two sequential trainings followed by
+    unpersist_kn_tables leave NO accumulated cached relations —
+    the N-models regime (one LM per language) must not leak
+    LM-sized caches across trainings."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = jmap.size()
+    t1 = LM.kn_ngram_tables(docs, "text", "doc_id", order=3)
+    t1["top"].count()
+    t2 = LM.kn_ngram_tables(docs, "text", "doc_id", order=3)
+    t2["top"].count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    LM.unpersist_kn_tables(t1)
+    LM.unpersist_kn_tables(t2)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_kn_query_rows_release_tables(spark):
+    """The batch KN query rows materialize their result and release
+    every LM count relation before returning — only the one
+    (bounded) result cache may remain."""
+    from farmrpg_etl_spark.queries import kn5_ppl_filter_docs
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = kn5_ppl_filter_docs(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before == 1  # the materialized result, nothing else
+    out.unpersist()
