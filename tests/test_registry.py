@@ -21,6 +21,20 @@ def test_prefix_is_exactly_50():
         assert n in Q.QUERIES, n
 
 
+def test_readme_registry_count_matches():
+    """README's "(N entries" claim is derived from the registry, not
+    hand-maintained (r13 verdict #7: README said 242 while the
+    registry held 246 — counts must match artifacts)."""
+    import os
+
+    readme = os.path.join(os.path.dirname(Q.__file__), "..", "README.md")
+    m = re.search(r"\((\d+) entries", open(readme).read())
+    assert m, "README no longer states the registry entry count"
+    assert int(m.group(1)) == len(Q.QUERIES), (
+        f"README says {m.group(1)} entries, registry has {len(Q.QUERIES)}"
+    )
+
+
 def test_every_query_has_an_oracle():
     missing = [k for k in Q.QUERIES if k not in O.ORACLES]
     assert missing == [], missing
