@@ -3837,6 +3837,160 @@ FROM nlls
 WHERE nll <= 1.13
 """
 
+# Per-language CCNet (Wenzek et al.'s actual multilingual regime):
+# one order-5 KN model per detected language, all count relations
+# keyed by lang, each doc scored by ITS language's model, per-language
+# thresholds (shared constants: operators.langmodel.
+# CCNET_LANG_THRESHOLDS). The langs CTE is the lang_id_script oracle
+# verbatim (11-way probe detection). Every shared CTE is AS
+# MATERIALIZED: without the hint DuckDB re-inlines the keyed count
+# chain per reference and the 9-way probability join goes from <1 s
+# to minutes at sf0.001 (measured); materialization restores the
+# build-each-level-once shape the Spark side has by construction.
+_KN5_LANG_LM = (
+    """WITH langs AS MATERIALIZED ("""
+    + ORACLES["lang_id_script_docs"]
+    + """),
+d AS MATERIALIZED (
+  SELECT documents.doc_id AS doc_id, langs.lang AS lang,
+         {toks} AS toks
+  FROM documents JOIN langs ON langs.doc_id = documents.doc_id),
+ii AS (SELECT doc_id, lang, toks,
+              unnest(generate_series(1, len(toks))) AS i
+       FROM d),
+inst AS MATERIALIZED (
+  SELECT doc_id, lang,
+         array_to_string(list_slice(
+           list_concat(['<s>', '<s>', '<s>', '<s>'], toks), i, i + 3
+         ), ' ') AS ctx,
+         toks[i] AS w
+  FROM ii
+),
+t5 AS MATERIALIZED (
+  SELECT lang, ctx, w, count(*) AS c FROM inst GROUP BY lang, ctx, w),
+den5 AS MATERIALIZED (
+  SELECT lang, ctx, CAST(SUM(c) AS BIGINT) AS den,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM t5 GROUP BY lang, ctx),
+t4 AS MATERIALIZED (
+  SELECT lang, substr(ctx, instr(ctx, ' ') + 1) AS ctx, w,
+         CAST(count(*) AS BIGINT) AS nn
+  FROM t5 GROUP BY 1, 2, 3),
+den4 AS MATERIALIZED (
+  SELECT lang, ctx, CAST(SUM(nn) AS BIGINT) AS den,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM t4 GROUP BY lang, ctx),
+t3 AS MATERIALIZED (
+  SELECT lang, substr(ctx, instr(ctx, ' ') + 1) AS ctx, w,
+         CAST(count(*) AS BIGINT) AS nn
+  FROM t4 GROUP BY 1, 2, 3),
+den3 AS MATERIALIZED (
+  SELECT lang, ctx, CAST(SUM(nn) AS BIGINT) AS den,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM t3 GROUP BY lang, ctx),
+t2 AS MATERIALIZED (
+  SELECT lang, substr(ctx, instr(ctx, ' ') + 1) AS ctx, w,
+         CAST(count(*) AS BIGINT) AS nn
+  FROM t3 GROUP BY 1, 2, 3),
+den2 AS MATERIALIZED (
+  SELECT lang, ctx, CAST(SUM(nn) AS BIGINT) AS den,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM t2 GROUP BY lang, ctx),
+t1 AS MATERIALIZED (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS nn
+  FROM t2 GROUP BY lang, w),
+scal AS MATERIALIZED (
+  SELECT lang, CAST(SUM(nn) AS BIGINT) AS n1tot,
+         CAST(count(*) AS BIGINT) AS V
+  FROM t1 GROUP BY lang),
+j AS (
+  SELECT t5.lang, t5.ctx, t5.w, t5.c,
+         den5.den AS ch, den5.n1p AS n1p5,
+         t4.nn AS nn4, den4.den AS dn4, den4.n1p AS n1p4,
+         t3.nn AS nn3, den3.den AS dn3, den3.n1p AS n1p3,
+         t2.nn AS nn2, den2.den AS dn2, den2.n1p AS n1p2,
+         t1.nn AS nn1, scal.n1tot, scal.V
+  FROM t5
+  JOIN den5 ON den5.lang = t5.lang AND den5.ctx = t5.ctx
+  JOIN t4 ON t4.lang = t5.lang
+         AND t4.ctx = substr(t5.ctx, instr(t5.ctx, ' ') + 1)
+         AND t4.w = t5.w
+  JOIN den4 ON den4.lang = t5.lang AND den4.ctx = t4.ctx
+  JOIN t3 ON t3.lang = t5.lang
+         AND t3.ctx = substr(t4.ctx, instr(t4.ctx, ' ') + 1)
+         AND t3.w = t5.w
+  JOIN den3 ON den3.lang = t5.lang AND den3.ctx = t3.ctx
+  JOIN t2 ON t2.lang = t5.lang
+         AND t2.ctx = substr(t3.ctx, instr(t3.ctx, ' ') + 1)
+         AND t2.w = t5.w
+  JOIN den2 ON den2.lang = t5.lang AND den2.ctx = t2.ctx
+  JOIN t1 ON t1.lang = t5.lang AND t1.w = t5.w
+  JOIN scal ON scal.lang = t5.lang
+),
+p1c AS (SELECT *,
+          CAST(nn1 + 1 AS DOUBLE) / CAST(n1tot + V AS DOUBLE) AS p1
+        FROM j),
+p2c AS (SELECT *,
+          ((CAST(nn2 AS DOUBLE) - 0.75) / CAST(dn2 AS DOUBLE))
+          + ((0.75 * CAST(n1p2 AS DOUBLE)) / CAST(dn2 AS DOUBLE)) * p1
+            AS p2
+        FROM p1c),
+p3c AS (SELECT *,
+          ((CAST(nn3 AS DOUBLE) - 0.75) / CAST(dn3 AS DOUBLE))
+          + ((0.75 * CAST(n1p3 AS DOUBLE)) / CAST(dn3 AS DOUBLE)) * p2
+            AS p3
+        FROM p2c),
+p4c AS (SELECT *,
+          ((CAST(nn4 AS DOUBLE) - 0.75) / CAST(dn4 AS DOUBLE))
+          + ((0.75 * CAST(n1p4 AS DOUBLE)) / CAST(dn4 AS DOUBLE)) * p3
+            AS p4
+        FROM p3c),
+prob AS MATERIALIZED (
+  SELECT lang, ctx, w,
+         ((CAST(c AS DOUBLE) - 0.75) / CAST(ch AS DOUBLE))
+         + ((0.75 * CAST(n1p5 AS DOUBLE)) / CAST(ch AS DOUBLE)) * p4
+           AS p
+  FROM p4c),
+scored AS (
+  SELECT doc_id,
+         floor(-ln(p) * 1000000.0) / 1000000.0 AS q
+  FROM inst JOIN prob USING (lang, ctx, w)
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS nll
+  FROM scored GROUP BY doc_id
+),
+nlls AS (
+  SELECT langs.doc_id AS doc_id, langs.lang AS lang,
+         coalesce(n_tok, 0) AS n_tok,
+         coalesce(nll, 0.0) AS nll
+  FROM langs LEFT JOIN s USING (doc_id)
+)"""
+).replace("{toks}", _TOKS)
+
+# thresholds self-calibrate on the scored snapshot: head = per-lang
+# mean NLL (exact decimal sum, matching Spark's _dec_sum discipline),
+# tail = round(mean * 1.15, 4) — identical expression order to
+# ccnet_per_lang_filter so both engines derive identical constants
+ORACLES["ccnet_per_lang_filter_docs"] = _KN5_LANG_LM + """,
+thrm AS (
+  SELECT lang,
+         round(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 4) AS m
+  FROM nlls GROUP BY lang),
+thr AS (
+  SELECT lang, m AS head_nll, round(m * 1.15, 4) AS tail_nll
+  FROM thrm)
+SELECT nlls.doc_id AS doc_id, nlls.lang AS lang, n_tok, nll,
+       CASE WHEN nll <= head_nll THEN 'head'
+            WHEN nll <= tail_nll THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM nlls JOIN thr ON thr.lang = nlls.lang
+WHERE nll <= tail_nll
+"""
+
 # Frozen order-5 KN model (trained on the even-doc_id half) scoring
 # ALL docs: LEFT joins + CASE chains reproduce _kn_attach_p's guarded
 # backoff ladder step for step — a missing level backs off wholesale

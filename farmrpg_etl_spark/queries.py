@@ -5605,6 +5605,59 @@ def kn5_ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ccnet_per_lang_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet ENDGAME (Wenzek et al. 2020, the literal pipeline):
+    language-ID the corpus, train ONE order-5 interpolated-KN LM per
+    language — all in the same corpus pass via model keys — score
+    every document against ITS language's model, bucket against that
+    language's thresholds, cut the tail. Language is the same 11-way
+    probe detection as `lang_id_script_docs` (the corpus text itself
+    is monolingual synthetic). Thresholds self-calibrate per language
+    on the scored snapshot (mean-anchored band, exact decimal-sum —
+    see `ccnet_per_lang_filter`), so the cut stays non-degenerate at
+    every SF; the DuckDB oracle derives the identical constants.
+
+    The (doc_id, lang) relation is materialized ONCE and joined back:
+    left inline, Catalyst's projection collapse pushes the ~40-regex
+    probe expression below the token posexplode and re-evaluates it
+    PER TOKEN — measured 36 s vs 4 s at sf0.1. At deployment scale
+    lang-ID is a stored column computed at ingest; the persisted
+    doc-count-sized relation here is that column's stand-in (AQE
+    broadcasts it at bench SFs).
+
+    Scale: N languages cost the SAME one-corpus-shuffle schedule as
+    one model — counts key on (lang, ctx, w), lower orders and
+    per-language scalars are LM-sized re-aggregations, scoring joins
+    the corpus once on the prefixed keys; the thresholds relation is
+    dimension-sized and broadcast. Materialize-then-release like the
+    sibling KN rows (r13 verdict #5)."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    d = load_table(spark, sf_dir, "documents")
+    tpl = F.element_at(
+        F.array(
+            *[F.lit(t) for t in _LANGID_TEMPLATES + _SCRIPT_TEMPLATES]
+        ),
+        (F.col("doc_id") % 11 + 1).cast("int"),
+    )
+    noise = F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60))
+    lang_rel = d.select(
+        "doc_id",
+        T.lang_id_script(F.concat_ws(" ", tpl, noise)).alias("lang"),
+    ).persist()
+    docs = d.select("doc_id", "text").join(F.broadcast(lang_rel), "doc_id")
+    tables = LM.kn_ngram_tables(
+        docs, "text", "doc_id", order=5, key_cols=("lang",)
+    )
+    out = LM.ccnet_per_lang_filter(
+        docs, "text", "doc_id", "lang", order=5, tables=tables
+    ).persist()
+    out.count()
+    LM.unpersist_kn_tables(tables)
+    lang_rel.unpersist()
+    return out
+
+
 def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus
     bigram LM — the scoring half of CCNet filtering (monotone in
@@ -7003,70 +7056,17 @@ def training_data_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r13 DRIVER-COVERAGE ROTATION --------------------------------
+    # --- r14 DRIVER-COVERAGE ROTATION --------------------------------
     # The driver verifies exactly the FIRST 50 entries per round.
-    # Head (9): the 4 never-driver-checked rows (two rounds overdue,
-    # r12 verdict #1 — the streaming row runs FIRST on a fresh
-    # session, the r11 TWS precedent), the 3 rows NEW this round
-    # (order-5 KN LM x2, crawl loop e2e), and the 2 rows whose
-    # behavior/plan changed this round (claims sink ordering+nonce,
-    # DECIMAL token quota).
-    # Then the 15 r4-era rows and the 26 oldest r5-era rows — after
-    # this round no driver record predates r5, and the 18 remaining
-    # r5 rows head the r14 rotation. Below the cut rows sit in
-    # stale-first order so future rotations just slide the window;
-    # cumulative map in docs/COVERAGE.md.
-    "streaming_docstore_sink": streaming_docstore_sink,
-    "ann_recall_matryoshka": ann_recall_matryoshka,
-    "parse_robots_rules_docs": parse_robots_rules_docs,
-    "pii_cards_docs": pii_cards_docs,
-    "kn_5gram_lm_docs": kn_5gram_lm_docs,
-    "kn5_perplexity_docs": kn5_perplexity_docs,
-    "kn5_ppl_filter_docs": kn5_ppl_filter_docs,
-    "hard_negatives_recall": hard_negatives_recall,
-    "streaming_kn5_filter_docs": streaming_kn5_filter_docs,
-    "training_data_pipeline_v6": training_data_pipeline_v6,
-    "crawl_robots_e2e_docs": crawl_robots_e2e_docs,
-    "k_http_claims_sink": k_http_claims_sink,
-    "temperature_mixture_docs": temperature_mixture_docs,
-    "k4_partial_doc_sink": k4_partial_doc_sink,
-    "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
-    "k6_additive_rollup_sink": k6_additive_rollup_sink,
-    "bot_dispatch_replies": bot_dispatch_replies,
-    "neardup_clusters_docs": neardup_clusters_docs,
-    "cdc_chunk_docs": cdc_chunk_docs,
-    "semantic_dedup_lloyd": semantic_dedup_lloyd,
-    "text_metrics_docs": text_metrics_docs,
-    "token_budget_mixture_docs": token_budget_mixture_docs,
-    "heavy_hitter_tokens": heavy_hitter_tokens,
-    "ann_topk_ivf_probe": ann_topk_ivf_probe,
-    "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
-    "ann_recall_ivf_probe": ann_recall_ivf_probe,
-    "revenue_by_nation": revenue_by_nation,
-    "asof_click_attribution": asof_click_attribution,
-    "streaming_cdc_events": streaming_cdc_events,
-    "k_time_travel_sink": k_time_travel_sink,
-    "k_delete_tombstones_sink": k_delete_tombstones_sink,
-    "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
-    "streaming_chained_stateful": streaming_chained_stateful,
-    "incremental_curation_sink": incremental_curation_sink,
-    "bm25_topk_docs": bm25_topk_docs,
-    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
-    "decontaminate_docs": decontaminate_docs,
-    "repetition_docs": repetition_docs,
-    "corpus_curation": corpus_curation,
-    "streaming_flags_join_events": streaming_flags_join_events,
-    "streaming_incremental_lsh": streaming_incremental_lsh,
-    "streaming_corpus_ingest": streaming_corpus_ingest,
-    "streaming_dedup_events": streaming_dedup_events,
-    "streaming_windowed_counts": streaming_windowed_counts,
-    "streaming_latest_per_user": streaming_latest_per_user,
-    "streaming_sessionize": streaming_sessionize,
-    "streaming_enriched_counts": streaming_enriched_counts,
-    "neardup_canonical_docs": neardup_canonical_docs,
-    "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
-    "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
-    # --- end of 50-entry prefix --------------------------------------
+    # Head: the rows NEW this round (no driver record yet), then the
+    # final stale window — all 22 r5-era rows and the oldest r8-era
+    # rows. Each new row added this round displaces one r8-era row
+    # below the cut (those demoted rows head the r15 rotation); after
+    # the r14 driver run no other registry row's newest driver record
+    # predates round 9. Below the cut rows sit in stale-first order
+    # (demoted r8 rows, then r9, r10, r12, r13) so future rotations
+    # just slide the window; cumulative map in docs/COVERAGE.md.
+    "ccnet_per_lang_filter_docs": ccnet_per_lang_filter_docs,
     "random_projection_embeddings": random_projection_embeddings,
     "mean_pool_embeddings": mean_pool_embeddings,
     "quality_weighted_sample_docs": quality_weighted_sample_docs,
@@ -7116,6 +7116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures_docs": minhash_signatures_docs,
     "minhash_estimate_error_docs": minhash_estimate_error_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    # --- end of 50-entry prefix --------------------------------------
     "json_props_stats": json_props_stats,
     "q12_shipmode_priority": q12_shipmode_priority,
     "bigram_lm_docs": bigram_lm_docs,
@@ -7263,4 +7264,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives_ivf": hard_negatives_ivf,
     "kn_bigram_lm_docs": kn_bigram_lm_docs,
     "kn_perplexity_docs": kn_perplexity_docs,
+    "streaming_docstore_sink": streaming_docstore_sink,
+    "ann_recall_matryoshka": ann_recall_matryoshka,
+    "parse_robots_rules_docs": parse_robots_rules_docs,
+    "pii_cards_docs": pii_cards_docs,
+    "kn_5gram_lm_docs": kn_5gram_lm_docs,
+    "kn5_perplexity_docs": kn5_perplexity_docs,
+    "kn5_ppl_filter_docs": kn5_ppl_filter_docs,
+    "hard_negatives_recall": hard_negatives_recall,
+    "streaming_kn5_filter_docs": streaming_kn5_filter_docs,
+    "training_data_pipeline_v6": training_data_pipeline_v6,
+    "crawl_robots_e2e_docs": crawl_robots_e2e_docs,
+    "k_http_claims_sink": k_http_claims_sink,
+    "temperature_mixture_docs": temperature_mixture_docs,
+    "k4_partial_doc_sink": k4_partial_doc_sink,
+    "k5_flags_subdoc_sink": k5_flags_subdoc_sink,
+    "k6_additive_rollup_sink": k6_additive_rollup_sink,
+    "bot_dispatch_replies": bot_dispatch_replies,
+    "neardup_clusters_docs": neardup_clusters_docs,
+    "cdc_chunk_docs": cdc_chunk_docs,
+    "semantic_dedup_lloyd": semantic_dedup_lloyd,
+    "text_metrics_docs": text_metrics_docs,
+    "token_budget_mixture_docs": token_budget_mixture_docs,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
+    "ann_topk_ivf_probe": ann_topk_ivf_probe,
+    "kmeans_lloyd_embeddings": kmeans_lloyd_embeddings,
+    "ann_recall_ivf_probe": ann_recall_ivf_probe,
+    "revenue_by_nation": revenue_by_nation,
+    "asof_click_attribution": asof_click_attribution,
+    "streaming_cdc_events": streaming_cdc_events,
+    "k_time_travel_sink": k_time_travel_sink,
+    "k_delete_tombstones_sink": k_delete_tombstones_sink,
+    "pooled_semantic_dedup_embeddings": pooled_semantic_dedup_embeddings,
+    "streaming_chained_stateful": streaming_chained_stateful,
+    "incremental_curation_sink": incremental_curation_sink,
+    "bm25_topk_docs": bm25_topk_docs,
+    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "repetition_docs": repetition_docs,
+    "corpus_curation": corpus_curation,
+    "streaming_flags_join_events": streaming_flags_join_events,
+    "streaming_incremental_lsh": streaming_incremental_lsh,
+    "streaming_corpus_ingest": streaming_corpus_ingest,
+    "streaming_dedup_events": streaming_dedup_events,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_latest_per_user": streaming_latest_per_user,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_enriched_counts": streaming_enriched_counts,
+    "neardup_canonical_docs": neardup_canonical_docs,
+    "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
+    "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
 }
+

@@ -336,16 +336,19 @@ def test_kn_tables_release_cleanly(spark, docs):
     unpersist_kn_tables leave NO accumulated cached relations —
     the N-models regime (one LM per language) must not leak
     LM-sized caches across trainings."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    before = jmap.size()
+    def _ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in jmap.keySet().toArray()}
+
+    before = _ids()
     t1 = LM.kn_ngram_tables(docs, "text", "doc_id", order=3)
     t1["top"].count()
     t2 = LM.kn_ngram_tables(docs, "text", "doc_id", order=3)
     t2["top"].count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    assert _ids() - before  # trainings did cache
     LM.unpersist_kn_tables(t1)
     LM.unpersist_kn_tables(t2)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    assert _ids() - before == set()  # ...and released every handle
 
 
 def test_kn_query_rows_release_tables(spark):
@@ -354,9 +357,99 @@ def test_kn_query_rows_release_tables(spark):
     (bounded) result cache may remain."""
     from farmrpg_etl_spark.queries import kn5_ppl_filter_docs
 
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    def _ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in jmap.keySet().toArray()}
+
+    # compare ID SETS, not sizes: the ContextCleaner may drop OTHER
+    # tests' abandoned caches asynchronously mid-test, shrinking a
+    # size-based count under us
+    before = _ids()
     out = kn5_ppl_filter_docs(spark, "/root/testdata/sf0.001")
     assert out.count() > 0
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after - before == 1  # the materialized result, nothing else
+    added = _ids() - before
+    assert len(added) == 1  # the materialized result, nothing else
     out.unpersist()
+
+
+def test_per_lang_keyed_training_equals_separate_models(spark):
+    """The per-language CCNet invariant: training N models in ONE
+    keyed corpus pass (key_cols=("lang",)) scores every document
+    EXACTLY as training each language's model separately on its own
+    subcorpus — same counts, same interpolation, same IEEE doubles.
+    Both languages share surface tokens so a cross-language count
+    bleed would change the numbers."""
+    rows = [
+        (1, "aa", "the cat sat on the mat"),
+        (2, "aa", "the cat sat on the hat"),
+        (3, "aa", "a cat ran to the mat"),
+        (4, "bb", "the cat sat on the rug"),
+        (5, "bb", "the dog sat on the rug"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    tables = LM.kn_ngram_tables(
+        docs, "text", "doc_id", order=3, key_cols=("lang",)
+    )
+    keyed = {
+        r["doc_id"]: (r["lang"], r["n_tok"], r["nll"])
+        for r in LM.doc_nll_kn_ngram(
+            docs, "text", "doc_id", order=3, tables=tables,
+            key_cols=("lang",),
+        ).collect()
+    }
+    LM.unpersist_kn_tables(tables)
+    assert set(keyed) == {1, 2, 3, 4, 5}
+    for lang in ("aa", "bb"):
+        sub = docs.filter(docs.lang == lang)
+        solo = {
+            r["doc_id"]: (r["n_tok"], r["nll"])
+            for r in LM.doc_nll_kn_ngram(
+                sub, "text", "doc_id", order=3
+            ).collect()
+        }
+        for did, (n_tok, nll) in solo.items():
+            klang, kn_tok, knll = keyed[did]
+            assert klang == lang
+            assert kn_tok == n_tok
+            assert knll == nll, (did, knll, nll)  # exact doubles
+
+
+def test_ccnet_per_lang_filter_whitelist_and_thresholds(spark):
+    """ccnet_per_lang_filter: per-language thresholds decide the
+    bucket (the same nll can be head in one language and tail in
+    another), the tail is cut, and a language with no calibrated
+    thresholds row is cut entirely (the inner join IS CCNet's
+    language whitelist)."""
+    rows = [
+        (1, "aa", "x y x y x y"),
+        (2, "aa", "x z q w p r"),
+        (3, "bb", "x y x y x y"),
+        (4, "cc", "x y x y x y"),  # no thresholds row -> cut
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    thr = spark.createDataFrame(
+        [("aa", 0.7, 1.6), ("bb", 0.1, 0.2)],
+        "lang string, head_nll double, tail_nll double",
+    )
+    out = {
+        r["doc_id"]: (r["lang"], r["bucket"], r["nll"])
+        for r in LM.ccnet_per_lang_filter(
+            docs, "text", "doc_id", "lang", thr, order=3
+        ).collect()
+    }
+    assert 4 not in out  # whitelist: cc has no calibrated row
+    assert 1 in out and out[1][0] == "aa"
+    # doc 3 is bb's ONLY doc: its own-language model knows only this
+    # text, so nll is low — but bb's tight thresholds still cut or
+    # demote it differently than aa would have.
+    if 3 in out:
+        assert out[3][1] in ("head", "middle")
+        assert out[3][2] <= 0.2
+    # aa's two docs: repetitive doc 1 scores lower than the
+    # all-singletons doc 2 under aa's model
+    if 2 in out:
+        assert out[1][2] < out[2][2]
