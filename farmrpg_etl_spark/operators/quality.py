@@ -206,6 +206,119 @@ def mixture_weights_from_counts(
     )
 
 
+def unimax_mixture_weights(
+    per_src: DataFrame,
+    source_col: str,
+    token_budget: int | None = None,
+    max_epochs: int = 2,
+    budget_ratio: int | None = None,
+) -> DataFrame:
+    """UniMax epoch-capped mixture (Chung et al. 2023, the fix for
+    :func:`mixture_weights_from_counts` over-sampling small sources):
+    a source's temperature quota may not exceed ``max_epochs`` passes
+    over its own tokens — capped sources keep exactly
+    ``max_epochs · n_tokens``, and the freed budget is redistributed
+    proportionally (by the same ``n^(3/4)`` micro-scores) among the
+    uncapped rest, recursively, until no source exceeds its cap.
+
+    The recursion is solved in CLOSED FORM as water-filling: order
+    sources by saturation ratio cap/m. For α = 3/4 that ratio is
+    monotone in ``n_tokens`` (cap/m ≈ max_epochs · n^(1/4)/1e6; the
+    micro-floor on m cannot flip the order — the margin is
+    ~δ·1e6·n^(3/4)/4 against a correction ≤ n), so the sort key is
+    the exact integer pair ``(n_tokens, source)`` — no float division
+    anywhere. The capped set is then a PREFIX of that order: a source
+    is capped iff the proportional share of the budget REMAINING
+    after capping all its predecessors still exceeds its own cap —
+    one window pass of exclusive prefix sums, with a running AND so a
+    first failure closes the prefix. All products run in
+    DECIMAL(38,0) (BIGINT overflows at trillion-token counts — the
+    r12 quota lesson); quotas floor exactly via DIV.
+
+    Pass ``budget_ratio=k`` instead of an absolute ``token_budget``
+    to budget ``k · Σ n_tokens`` — exact integers, and the row's
+    capped/uncapped split stays non-degenerate at every snapshot
+    size. Returns ``(source, n_tokens, weight, capped, token_quota,
+    epochs)``; uncapped quotas are ``floor(B_rem · m / M_rem)``, so
+    Σ quota ≤ budget always.
+
+    Scale: the window is over the SOURCE DIMENSION (bounded — tens to
+    thousands of rows), where a single-partition sort is free; the
+    corpus itself is never touched here."""
+    from pyspark.sql import Window
+
+    if (token_budget is None) == (budget_ratio is None):
+        raise ValueError("pass exactly one of token_budget/budget_ratio")
+    full0 = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if token_budget is not None:
+        B = F.lit(int(token_budget)).cast("long")
+    else:
+        B = F.sum(F.col("n_tokens").cast("long")).over(full0) * F.lit(
+            int(budget_ratio)
+        )
+    n = F.col("n_tokens").cast("double")
+    s = F.sqrt(n * F.sqrt(n))  # n^(3/4), exact IEEE ops
+    scored = per_src.select(
+        F.col(source_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(s * F.lit(1000000.0)).cast("long").alias("__m"),
+        (F.col("n_tokens").cast("long") * F.lit(int(max_epochs))).alias(
+            "__cap"
+        ),
+        B.alias("__b"),
+    )
+    w = Window.orderBy("n_tokens", source_col)
+    pre = Window.orderBy("n_tokens", source_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = lambda c: f"CAST({c} AS DECIMAL(38,0))"  # noqa: E731
+    g = (
+        scored.withColumn("__mtot", F.sum("__m").over(full))
+        .withColumn("__cum_m", F.coalesce(F.sum("__m").over(pre), F.lit(0)))
+        .withColumn(
+            "__cum_cap", F.coalesce(F.sum("__cap").over(pre), F.lit(0))
+        )
+        .withColumn(
+            "__flag",
+            F.expr(
+                f"{dec('__b - __cum_cap')} * {dec('__m')}"
+                f" >= {dec('__cap')} * {dec('__mtot - __cum_m')}"
+            ),
+        )
+        # the capped set is a prefix: a first failed saturation test
+        # closes it for every later (larger) source
+        .withColumn("__capped", F.min(F.col("__flag").cast("int")).over(w) == 1)
+    )
+    b_rem = F.sum(F.when(F.col("__capped"), F.col("__cap"))).over(full)
+    m_rem = F.sum(F.when(F.col("__capped"), F.col("__m"))).over(full)
+    g = g.withColumn(
+        "__b_rem", F.col("__b") - F.coalesce(b_rem, F.lit(0))
+    ).withColumn("__m_rem", F.col("__mtot") - F.coalesce(m_rem, F.lit(0)))
+    quota = F.when(F.col("__capped"), F.col("__cap")).otherwise(
+        F.expr(
+            f"CAST({dec('__b_rem')} * {dec('__m')}"
+            f" DIV {dec('__m_rem')} AS BIGINT)"
+        )
+    )
+    return g.select(
+        source_col,
+        "n_tokens",
+        F.round(
+            F.col("__m").cast("double") / F.col("__mtot").cast("double"), 6
+        ).alias("weight"),
+        F.col("__capped").alias("capped"),
+        quota.alias("token_quota"),
+        F.round(
+            quota.cast("double") / F.col("n_tokens").cast("double"), 4
+        ).alias("epochs"),
+    )
+
+
 def token_budget_mixture(
     df: DataFrame,
     text_col: str,

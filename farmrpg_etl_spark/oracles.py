@@ -971,6 +971,79 @@ SELECT source, n_tokens,
 FROM m, tt
 """
 
+# UniMax epoch cap: closed-form water-filling in saturation order
+# (ORDER BY n_tokens, source — exactly the order of cap/m for α=3/4;
+# see quality.unimax_mixture_weights). Exclusive prefix sums feed the
+# per-source saturation test, a running AND closes the capped prefix,
+# and the uncapped rest splits the remaining budget proportionally.
+# All products in DECIMAL(38,0), mirroring Spark expression for
+# expression.
+ORACLES["unimax_mixture_docs"] = f"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+sc AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                         * sqrt(CAST(n_tokens AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS mm,
+         n_tokens * 2 AS cap
+  FROM t
+),
+tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) * 2 AS b,
+              CAST(SUM(mm) AS BIGINT) AS mtot
+       FROM sc),
+g AS (
+  SELECT sc.*, tt.b, tt.mtot,
+         CAST(coalesce(SUM(mm) OVER (
+           ORDER BY n_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_m,
+         CAST(coalesce(SUM(cap) OVER (
+           ORDER BY n_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_cap
+  FROM sc CROSS JOIN tt
+),
+f AS (
+  SELECT *,
+         CAST(b - cum_cap AS DECIMAL(38,0)) * CAST(mm AS DECIMAL(38,0))
+           >= CAST(cap AS DECIMAL(38,0))
+              * CAST(mtot - cum_m AS DECIMAL(38,0)) AS flag
+  FROM g
+),
+cz AS (
+  SELECT *,
+         min(CASE WHEN flag THEN 1 ELSE 0 END)
+           OVER (ORDER BY n_tokens, source) = 1 AS capped
+  FROM f
+),
+rem AS (
+  SELECT CAST(coalesce(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT)
+           AS cap_used,
+         CAST(coalesce(SUM(CASE WHEN capped THEN mm END), 0) AS BIGINT)
+           AS m_used
+  FROM cz
+),
+q AS (
+  SELECT source, n_tokens,
+         round(CAST(mm AS DOUBLE) / CAST(mtot AS DOUBLE), 6) AS weight,
+         capped,
+         CASE WHEN capped THEN cap
+              ELSE CAST(CAST(b - cap_used AS DECIMAL(38,0))
+                        * CAST(mm AS DECIMAL(38,0))
+                        // CAST(mtot - m_used AS DECIMAL(38,0))
+                        AS BIGINT) END AS token_quota
+  FROM cz CROSS JOIN rem
+)
+SELECT source, n_tokens, weight, capped, token_quota,
+       round(CAST(token_quota AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+         AS epochs
+FROM q
+"""
+
 # hard negatives: top-k nearest with a DIFFERENT label (exact form)
 ORACLES["hard_negatives_bruteforce"] = f"""
 WITH {_EMB},

@@ -1441,6 +1441,32 @@ def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.temperature_mixture_weights(d, "text", "source")
 
 
+def unimax_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped mixture (r13 verdict #9; Chung et al.
+    2023): the temperature quota of `temperature_mixture_docs` may
+    not exceed 2 passes over a source's own tokens — capped sources
+    keep exactly 2·n_tokens, the freed budget redistributes
+    proportionally among the rest (`quality.unimax_mixture_weights`,
+    closed-form water-filling on exact integers; all products in
+    DECIMAL(38,0) so the arithmetic survives trillion-token counts —
+    pinned at that scale by pytest). Budget = 2·Σ n_tokens so the
+    capped/uncapped split stays non-degenerate at every SF (~half the
+    sources cap: with α = 3/4 damping, sources below the mean size
+    over-sample and hit the cap first)."""
+    from farmrpg_etl_spark.operators import quality
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        H.words(F.col("text")), F.array().cast("array<string>")
+    )
+    per = d.groupBy("source").agg(
+        F.sum(F.size(toks).cast("long")).alias("n_tokens")
+    )
+    return quality.unimax_mixture_weights(
+        per, "source", budget_ratio=2, max_epochs=2
+    )
+
+
 def hard_negatives_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (exact baseline): per anchor, the top-5
     most-similar vectors of a DIFFERENT label — the contrastive-
@@ -7067,6 +7093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (demoted r8 rows, then r9, r10, r12, r13) so future rotations
     # just slide the window; cumulative map in docs/COVERAGE.md.
     "ccnet_per_lang_filter_docs": ccnet_per_lang_filter_docs,
+    "unimax_mixture_docs": unimax_mixture_docs,
     "random_projection_embeddings": random_projection_embeddings,
     "mean_pool_embeddings": mean_pool_embeddings,
     "quality_weighted_sample_docs": quality_weighted_sample_docs,
@@ -7115,8 +7142,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences_docs": pack_sequences_docs,
     "minhash_signatures_docs": minhash_signatures_docs,
     "minhash_estimate_error_docs": minhash_estimate_error_docs,
-    "cosine_pairs_embeddings": cosine_pairs_embeddings,
     # --- end of 50-entry prefix --------------------------------------
+    "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "json_props_stats": json_props_stats,
     "q12_shipmode_priority": q12_shipmode_priority,
     "bigram_lm_docs": bigram_lm_docs,

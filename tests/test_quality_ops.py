@@ -273,3 +273,93 @@ def test_mixture_quota_exact_at_trillion_token_scale(spark):
     expected = {s: budget * mi // t for s, mi in m.items()}
     assert out == expected
     assert sum(out.values()) <= budget  # floor conserves the budget
+
+
+def _unimax_reference(counts, budget, max_epochs):
+    """Independent pure-int water-filling: iterate — cap any source
+    whose proportional share of the remaining budget exceeds
+    max_epochs · n, remove it, redistribute — until fixpoint. The
+    operator solves this in closed form; this oracle solves it by
+    brute iteration, so agreement pins the closed form."""
+    from math import floor, sqrt
+
+    m = {s: floor(sqrt(n * sqrt(n)) * 1e6) for s, n in counts.items()}
+    capped, quotas = set(), {}
+    while True:
+        b_rem = budget - sum(max_epochs * counts[s] for s in capped)
+        m_rem = sum(mi for s, mi in m.items() if s not in capped)
+        newly = {
+            s
+            for s in counts
+            if s not in capped
+            and b_rem * m[s] >= max_epochs * counts[s] * m_rem
+        }
+        if not newly:
+            break
+        capped |= newly
+    b_rem = budget - sum(max_epochs * counts[s] for s in capped)
+    m_rem = sum(mi for s, mi in m.items() if s not in capped)
+    for s, n in counts.items():
+        if s in capped:
+            quotas[s] = max_epochs * n
+        else:
+            quotas[s] = b_rem * m[s] // m_rem
+    return capped, quotas
+
+
+def test_unimax_epoch_cap_exact_at_trillion_token_scale(spark):
+    """The closed-form water-filling (unimax_mixture_weights) agrees
+    with an independent iterative reference at CLAIMED corpus scale
+    (1e11–1.6e13 tokens per source) — quotas exact to the integer,
+    capped set identical, Σ quota ≤ budget, and every product would
+    overflow BIGINT if the DECIMAL(38,0) discipline slipped."""
+    from farmrpg_etl_spark.operators.quality import unimax_mixture_weights
+
+    counts = {
+        "tail": 100_000_000_000,
+        "web": 16_000_000_000_000,
+        "code": 4_000_000_000_000,
+        "books": 1_000_000_000_000,
+    }
+    per_src = spark.createDataFrame(
+        list(counts.items()), "source string, n_tokens long"
+    )
+    total = sum(counts.values())
+    for ratio, max_epochs in ((1, 2), (3, 2), (3, 4), (2, 2)):
+        budget = ratio * total
+        rows = unimax_mixture_weights(
+            per_src, "source", budget_ratio=ratio, max_epochs=max_epochs
+        ).collect()
+        got_capped = {r["source"] for r in rows if r["capped"]}
+        got_quota = {r["source"]: r["token_quota"] for r in rows}
+        exp_capped, exp_quota = _unimax_reference(counts, budget, max_epochs)
+        assert got_capped == exp_capped, (ratio, max_epochs)
+        assert got_quota == exp_quota, (ratio, max_epochs)
+        assert sum(got_quota.values()) <= budget
+        for r in rows:  # the cap is a hard invariant, never exceeded
+            assert r["token_quota"] <= max_epochs * counts[r["source"]]
+
+
+def test_unimax_absolute_budget_and_arg_validation(spark):
+    """token_budget (absolute) path matches the reference too, and
+    passing both/neither budget forms fails loudly."""
+    import pytest
+
+    from farmrpg_etl_spark.operators.quality import unimax_mixture_weights
+
+    counts = {"a": 1000, "b": 8000}
+    per_src = spark.createDataFrame(
+        list(counts.items()), "source string, n_tokens long"
+    )
+    rows = unimax_mixture_weights(
+        per_src, "source", token_budget=12_000, max_epochs=2
+    ).collect()
+    exp_capped, exp_quota = _unimax_reference(counts, 12_000, 2)
+    assert {r["source"]: r["token_quota"] for r in rows} == exp_quota
+    assert {r["source"] for r in rows if r["capped"]} == exp_capped
+    with pytest.raises(ValueError):
+        unimax_mixture_weights(per_src, "source")
+    with pytest.raises(ValueError):
+        unimax_mixture_weights(
+            per_src, "source", token_budget=1, budget_ratio=1
+        )
