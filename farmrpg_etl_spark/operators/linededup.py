@@ -57,6 +57,7 @@ def remove_frequent_lines(
     id_col: str,
     min_count: int = 2,
     delim: str = "\n",
+    boiler: DataFrame | None = None,
 ) -> DataFrame:
     """Cut every line that appears ``>= min_count`` times corpus-wide
     and reassemble each document from its surviving lines in original
@@ -72,11 +73,16 @@ def remove_frequent_lines(
     computes the census and the reassembly together — n_lines rides
     the aggregation the reassembly already pays for (no third corpus
     scan, no join-back; every document keeps a row because splitting
-    even an empty text yields one line)."""
+    even an empty text yields one line).
+
+    Pass a pre-built ``boiler`` relation (a :func:`frequent_lines`
+    result) to dedup against a FROZEN line-frequency model — the
+    streaming regime, where per-batch decisions must match the batch
+    run's global counts; ``min_count`` is then ignored."""
     lines = split_lines(df, text_col, id_col, delim)
-    boiler = frequent_lines(lines, min_count).select(
-        "line", F.lit(True).alias("__boiler")
-    )
+    if boiler is None:
+        boiler = frequent_lines(lines, min_count)
+    boiler = boiler.select("line", F.lit(True).alias("__boiler"))
     marked = lines.join(F.broadcast(boiler), "line", "left")
     keep_struct = F.when(
         F.col("__boiler").isNull(), F.struct("pos", "line")

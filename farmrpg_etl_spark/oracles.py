@@ -6216,3 +6216,9 @@ SELECT g.key AS event_type, g.hour, g.vm AS value_micros,
                  THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
 FROM g JOIN m ON g.key = m.key
 """
+
+# streaming v6 == batch v6 by construction (frozen rules + frozen
+# frequent-line model + frozen holdout gram set; every other decision
+# is per-document) — the batch oracle IS the streaming oracle, which
+# pins batch/stream equality cross-engine.
+ORACLES["streaming_pipeline_v6"] = ORACLES["training_data_pipeline_v6"]

@@ -6981,10 +6981,24 @@ def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crawl_corpus_interior(docs, allowed)
 
 
-def _crawl_corpus_interior(docs: DataFrame, allowed: DataFrame) -> DataFrame:
+def _crawl_corpus_interior(
+    docs: DataFrame,
+    allowed: DataFrame,
+    boiler: DataFrame | None = None,
+    eval_grams: DataFrame | None = None,
+    persist_pages: bool = True,
+) -> DataFrame:
     """Steps 2–5 of the v5/v6 recipes — everything after the robots
     gate (eval holdout, page gate, survivor line dedup, census) —
-    shared so v6 differs from v5 ONLY in where its rules come from."""
+    shared so v6 differs from v5 ONLY in where its rules come from.
+
+    ``boiler``/``eval_grams`` freeze the two corpus-global relations
+    (the frequent-line model and the holdout gram set) so the SAME
+    interior can replay per micro-batch in the streaming regime —
+    every other decision is per-document, so frozen globals make
+    continuous ingest ≡ the batch run. ``persist_pages=False`` skips
+    the branch-shared persist for micro-batch inputs (batch-sized,
+    read twice, not worth a cache entry per trigger)."""
     from farmrpg_etl_spark.functions.hashing import word_ngrams
     from farmrpg_etl_spark.functions.text import lang_id_script
     from farmrpg_etl_spark.operators.linededup import remove_frequent_lines
@@ -6993,24 +7007,29 @@ def _crawl_corpus_interior(docs: DataFrame, allowed: DataFrame) -> DataFrame:
     # 2. eval holdout excluded from training
     train = docs.join(allowed, "doc_id").filter(F.col("doc_id") % 101 != 0)
     # 3.-4. page gate, then survivor-only line dedup (v4 interior)
-    pages = _docs_as_structured(train).persist()
+    pages = _docs_as_structured(train)
+    if persist_pages:
+        pages = pages.persist()
     keep = (
         c4_fineweb_signals(pages, "text_struct", "doc_id")
         .filter(F.col("keep_c4") & F.col("keep_gopher"))
         .select("doc_id")
     )
     survivors = pages.join(keep, "doc_id")
-    out = remove_frequent_lines(survivors, "text_struct", "doc_id", min_count=2)
-    # 5. census: lang tag + exact contamination vs the eval holdout
-    eval_grams = (
-        docs.filter(F.col("doc_id") % 101 == 0)
-        .select(
-            F.explode(
-                F.array_distinct(word_ngrams(F.col("text"), 13))
-            ).alias("gram")
-        )
-        .distinct()
+    out = remove_frequent_lines(
+        survivors, "text_struct", "doc_id", min_count=2, boiler=boiler
     )
+    # 5. census: lang tag + exact contamination vs the eval holdout
+    if eval_grams is None:
+        eval_grams = (
+            docs.filter(F.col("doc_id") % 101 == 0)
+            .select(
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col("text"), 13))
+                ).alias("gram")
+            )
+            .distinct()
+        )
     out_grams = out.select(
         "doc_id",
         F.explode(
@@ -7078,6 +7097,136 @@ def training_data_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crawl_corpus_interior(docs, allowed)
 
 
+def _v6_urls(docs: DataFrame) -> DataFrame:
+    """The v6 URL synthesis (host + /Docs/<n>/{pub|x}/<id>) — shared
+    by the batch pipeline and its streaming twin so per-batch gate
+    arithmetic is identical by construction."""
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    n = F.regexp_extract(F.col("source"), r"(\d+)", 1)
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("/Docs/"),
+            n,
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/pub/")).otherwise(
+                F.lit("/x/")
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+
+
+def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v6 corpus pipeline in its DEPLOYMENT regime (r13 verdict
+    #10): documents arrive as four micro-batches and flow through the
+    LIVE-crawl robots gate + the full interior per batch, against
+    FROZEN corpus-global models — the live-fetched rules relation,
+    the frequent-line (boilerplate) model, and the eval-holdout gram
+    set, each built once batch-side exactly as `training_data_
+    pipeline_v6` builds them. Every remaining decision (holdout
+    filter, C4/Gopher page gate, line removal, census) is
+    per-document, so continuous ingest ≡ the batch run — the oracle
+    IS the v6 oracle, pinning batch/stream equality cross-engine.
+    Batches merge through the replay-idempotent K1 writer.
+
+    Scale: per-trigger work is batch-sized and joins only broadcast
+    relations (rules, boiler, eval grams — all dimension-sized); no
+    stream-side state, no per-batch shuffle beyond the per-doc
+    aggregations. This is CCNet/RefinedWeb's actual incremental
+    shape: recalibrate the global models per snapshot, stream the
+    crawl through them."""
+    import tempfile
+
+    from farmrpg_etl_spark.operators.crawl import robots_filter
+    from farmrpg_etl_spark.operators.linededup import (
+        frequent_lines,
+        split_lines,
+    )
+    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    rules = _live_robots_rules(
+        spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
+    ).persist()
+    # frozen corpus-global models, built exactly as batch v6 builds
+    # them (gate -> holdout -> page gate -> survivor line counts)
+    allowed_full = (
+        robots_filter(_v6_urls(docs), rules)
+        .filter(F.col("allowed"))
+        .select("doc_id")
+    )
+    train = docs.join(allowed_full, "doc_id").filter(
+        F.col("doc_id") % 101 != 0
+    )
+    pages = _docs_as_structured(train)
+    keep = (
+        c4_fineweb_signals(pages, "text_struct", "doc_id")
+        .filter(F.col("keep_c4") & F.col("keep_gopher"))
+        .select("doc_id")
+    )
+    survivors = pages.join(keep, "doc_id")
+    boiler = frequent_lines(
+        split_lines(survivors, "text_struct", "doc_id"), 2
+    ).persist()
+    from farmrpg_etl_spark.functions.hashing import word_ngrams
+
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 13))
+            ).alias("gram")
+        )
+        .distinct()
+        .persist()
+    )
+    src_dir = tempfile.mkdtemp(prefix="farmrpg_v6s_")
+    n_batches = 4
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = ParquetTable(spark, _sink_scratch("v6ssink"))
+
+    def proc(batch_df: DataFrame, batch_id: int) -> None:
+        allowed_b = (
+            robots_filter(_v6_urls(batch_df), rules)
+            .filter(F.col("allowed"))
+            .select("doc_id")
+        )
+        out = _crawl_corpus_interior(
+            batch_df, allowed_b, boiler=boiler, eval_grams=eval_grams,
+            persist_pages=False,
+        )
+        insert_if_absent(
+            sink, out, ["doc_id"], batch_id=batch_id, writer="v6stream"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(proc)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    rules.unpersist()
+    boiler.unpersist()
+    eval_grams.unpersist()
+    return sink.read()
+
+
 # --------------------------------------------------------------------------
 
 
@@ -7092,6 +7241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # predates round 9. Below the cut rows sit in stale-first order
     # (demoted r8 rows, then r9, r10, r12, r13) so future rotations
     # just slide the window; cumulative map in docs/COVERAGE.md.
+    "streaming_pipeline_v6": streaming_pipeline_v6,
     "ccnet_per_lang_filter_docs": ccnet_per_lang_filter_docs,
     "unimax_mixture_docs": unimax_mixture_docs,
     "random_projection_embeddings": random_projection_embeddings,
@@ -7141,8 +7291,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_docs": simhash_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "minhash_signatures_docs": minhash_signatures_docs,
-    "minhash_estimate_error_docs": minhash_estimate_error_docs,
     # --- end of 50-entry prefix --------------------------------------
+    "minhash_estimate_error_docs": minhash_estimate_error_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "json_props_stats": json_props_stats,
     "q12_shipmode_priority": q12_shipmode_priority,

@@ -380,3 +380,22 @@ def test_crawl_loop_over_real_http(spark):
     assert verdicts == {
         1: (False, 5), 2: (True, 11), 3: (False, 7), 4: (True, 0),
     }
+
+
+def test_streaming_pipeline_v6_equals_batch(spark):
+    """Continuous == batch for the v6 corpus pipeline: four
+    micro-batches through the live-crawl gate + frozen global models
+    (rules, frequent-line set, holdout grams) produce EXACTLY the
+    batch pipeline's rows — the frozen-model construction makes every
+    per-batch decision per-document, so the equality is structural,
+    and this pins it end to end over real HTTP."""
+    from farmrpg_etl_spark.queries import (
+        streaming_pipeline_v6,
+        training_data_pipeline_v6,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in training_data_pipeline_v6(spark, sf).collect()}
+    stream = {tuple(r) for r in streaming_pipeline_v6(spark, sf).collect()}
+    assert stream == batch
+    assert len(batch) > 0
