@@ -552,6 +552,29 @@ def main() -> None:
                 | (F.col("out_digest") > "")
             )
 
+        def stretch_pipeline_v6():
+            # v6 = v5 with the LIVE crawl gate (robots bodies over real
+            # HTTP, one GET per host — host count is unchanged at 10×,
+            # so the e2e-fidelity cost stays constant while the gated
+            # corpus scales). Same column-forcing filter as v5.
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["training_data_pipeline_v6"](spark, stretch_dir).filter(
+                (F.col("n_contaminated") > 0)
+                | (F.col("lang") != "xx")
+                | (F.col("out_digest") > "")
+            )
+
+        def stretch_kn5_filter():
+            # the order-5 KN family's 10× point (r13 verdict #4): LM
+            # training IS the cost — one corpus shuffle into top-order
+            # counts + LM-sized suffix re-aggregations — so this times
+            # the one-corpus-shuffle claim, not just scoring. The row
+            # function materializes and releases its own tables.
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["kn5_ppl_filter_docs"](spark, stretch_dir)
+
         phase("sf1 stretch start")
         stretch = {}
         for name, fn in [
@@ -571,6 +594,8 @@ def main() -> None:
             ("pagerank_10x", stretch_pagerank),
             ("record_linkage_10x", stretch_linkage),
             ("pipeline_v5_10x", stretch_pipeline_v5),
+            ("pipeline_v6_10x", stretch_pipeline_v6),
+            ("kn5_filter_10x", stretch_kn5_filter),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:
@@ -708,7 +733,7 @@ def main() -> None:
         # detail and the docs/SCALE.md curve table.
         if os.environ.get("SPARK_GRAFT_STRETCH_100X", "0") == "1":
             dir100 = "/tmp/farmrpg_sf10_synth"
-            m100 = os.path.join(dir100, f"_SYNTH_OK_v1_{_dir_tag}")
+            m100 = os.path.join(dir100, f"_SYNTH_OK_v2_{_dir_tag}")
             if not os.path.exists(m100):
                 phase("sf10 (100x) synthesis start")
                 k = F.explode(F.sequence(F.lit(0), F.lit(99))).alias("k")
@@ -737,6 +762,25 @@ def main() -> None:
                 docs100.repartition(64).write.mode("overwrite").parquet(
                     f"{dir100}/documents.parquet"
                 )
+                # customer at 100×, same consistent universe replication
+                # as the 10× relational synthesis (record_linkage_100x):
+                # c_custkey shifts by k·10⁹ so the planted typo variants
+                # (+1,000,000 inside each universe) never collide across
+                # universes and clusters stay within a universe
+                cust = load_table(spark, sf_dir, "customer").select(
+                    "*", k
+                )
+                shifted = [
+                    (
+                        (F.col(c) + F.col("k").cast("long") * F.lit(1_000_000_000)).alias(c)
+                        if c == "c_custkey"
+                        else F.col(c)
+                    )
+                    for c in load_table(spark, sf_dir, "customer").columns
+                ]
+                cust.select(*shifted).repartition(16).write.mode(
+                    "overwrite"
+                ).parquet(f"{dir100}/customer.parquet")
                 with open(m100, "w") as fh:
                     fh.write("ok")
             phase("sf10 (100x) stretch start")
@@ -749,6 +793,21 @@ def main() -> None:
                     threshold=0.3, shingle_k=3,
                 )
 
+            def s100_v5():
+                # same column-forcing filter as the 10× point
+                return _Q["training_data_pipeline_v5"](spark, dir100).filter(
+                    (F.col("n_contaminated") > 0)
+                    | (F.col("lang") != "xx")
+                    | (F.col("out_digest") > "")
+                )
+
+            def s100_v6():
+                return _Q["training_data_pipeline_v6"](spark, dir100).filter(
+                    (F.col("n_contaminated") > 0)
+                    | (F.col("lang") != "xx")
+                    | (F.col("out_digest") > "")
+                )
+
             hundred = {
                 "line_dedup_100x": lambda: _Q["line_dedup_docs"](
                     spark, dir100
@@ -758,6 +817,16 @@ def main() -> None:
                     spark, dir100
                 ).filter(~F.col("keep_gopher") | ~F.col("keep_c4")),
                 "pagerank_100x": lambda: _Q["pagerank_docs"](spark, dir100),
+                # r13 verdict #4/#8: the KN-5 family and the
+                # compositions a 100 TB run actually executes
+                "kn5_filter_100x": lambda: _Q["kn5_ppl_filter_docs"](
+                    spark, dir100
+                ),
+                "pipeline_v5_100x": s100_v5,
+                "pipeline_v6_100x": s100_v6,
+                "record_linkage_100x": lambda: _Q["record_linkage_customer"](
+                    spark, dir100
+                ),
             }
             s100 = {}
             for name, fn in hundred.items():

@@ -3920,15 +3920,11 @@ WHERE nll <= 1.13
 # chain per reference and the 9-way probability join goes from <1 s
 # to minutes at sf0.001 (measured); materialization restores the
 # build-each-level-once shape the Spark side has by construction.
-_KN5_LANG_LM = (
-    """WITH langs AS MATERIALIZED ("""
-    + ORACLES["lang_id_script_docs"]
-    + """),
-d AS MATERIALIZED (
-  SELECT documents.doc_id AS doc_id, langs.lang AS lang,
-         {toks} AS toks
-  FROM documents JOIN langs ON langs.doc_id = documents.doc_id),
-ii AS (SELECT doc_id, lang, toks,
+# ii..nlls of the keyed (one-model-per-lang) order-5 KN chain over a
+# `d`(doc_id, lang, toks) relation + a `langs`(doc_id, lang) relation —
+# shared by the standalone per-lang CCNet row and the v7 pipeline
+# (which feeds it the interior's survivors instead of raw documents).
+_KN5_KEYED_TAIL = """ii AS (SELECT doc_id, lang, toks,
               unnest(generate_series(1, len(toks))) AS i
        FROM d),
 inst AS MATERIALIZED (
@@ -4041,6 +4037,17 @@ nlls AS (
          coalesce(nll, 0.0) AS nll
   FROM langs LEFT JOIN s USING (doc_id)
 )"""
+
+_KN5_LANG_LM = (
+    """WITH langs AS MATERIALIZED ("""
+    + ORACLES["lang_id_script_docs"]
+    + """),
+d AS MATERIALIZED (
+  SELECT documents.doc_id AS doc_id, langs.lang AS lang,
+         {toks} AS toks
+  FROM documents JOIN langs ON langs.doc_id = documents.doc_id),
+"""
+    + _KN5_KEYED_TAIL
 ).replace("{toks}", _TOKS)
 
 # thresholds self-calibrate on the scored snapshot: head = per-lang
@@ -5408,6 +5415,60 @@ FROM lg LEFT JOIN ct USING (doc_id)
 ORACLES["training_data_pipeline_v6"] = _V6_RB + ORACLES[
     "training_data_pipeline_v5"
 ].split("WHERE coalesce(wn.a, TRUE)\n),\n", 1)[1]
+
+
+# v7 = v6 + the per-language CCNet perplexity cut as the FINAL gate:
+# the v6 body's closing SELECT becomes a `v7in` CTE (keeping text_out
+# for tokenization), `langs`/`d` re-point the shared keyed-KN5 chain
+# at the interior's survivors, and the same self-calibrating
+# per-language thresholds cut the tail. Every CTE name inside the
+# keyed chain is fresh w.r.t. the v6 body (its doc CTE is `d0`/`st`,
+# the KN chain's is `d`/`ii`/`inst`/t*/den*).
+_v7_pre, _v7_sel = ORACLES["training_data_pipeline_v6"].split(
+    "\nSELECT lg.doc_id, n_kept,\n       md5(text_out) AS out_digest,", 1
+)
+ORACLES["training_data_pipeline_v7"] = (
+    _v7_pre
+    + """,
+v7in AS MATERIALIZED (
+SELECT lg.doc_id AS doc_id, n_kept, text_out,
+       md5(text_out) AS out_digest,"""
+    + _v7_sel
+    + """
+),
+langs AS (SELECT doc_id, lang FROM v7in),
+kd AS MATERIALIZED (
+  SELECT doc_id, lang,
+         """
+    + _TOKS.replace("trim(text)", "trim(text_out)")
+    + """ AS toks
+  FROM v7in),
+"""
+    # the v6 body already owns the CTE name `d` — re-point the shared
+    # keyed chain's source at `kd`
+    + _KN5_KEYED_TAIL.replace("FROM d)", "FROM kd)")
+    + """,
+thrm AS (
+  SELECT lang,
+         round(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 4) AS m
+  FROM nlls GROUP BY lang),
+thr AS (
+  SELECT lang, m AS head_nll, round(m * 1.15, 4) AS tail_nll
+  FROM thrm)
+SELECT v7in.doc_id AS doc_id, v7in.lang AS lang,
+       v7in.n_kept AS n_kept, v7in.out_digest AS out_digest,
+       v7in.n_contaminated AS n_contaminated,
+       nlls.n_tok AS n_tok, nlls.nll AS nll,
+       CASE WHEN nll <= head_nll THEN 'head'
+            WHEN nll <= tail_nll THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM v7in
+JOIN nlls ON nlls.doc_id = v7in.doc_id
+JOIN thr ON thr.lang = nlls.lang
+WHERE nll <= tail_nll
+"""
+)
 
 
 # Lines = non-overlapping 8-token windows (the corpus has no newlines);

@@ -6987,6 +6987,7 @@ def _crawl_corpus_interior(
     boiler: DataFrame | None = None,
     eval_grams: DataFrame | None = None,
     persist_pages: bool = True,
+    include_text: bool = False,
 ) -> DataFrame:
     """Steps 2–5 of the v5/v6 recipes — everything after the robots
     gate (eval holdout, page gate, survivor line dedup, census) —
@@ -7046,6 +7047,7 @@ def _crawl_corpus_interior(
         .select(
             "doc_id",
             "n_kept",
+            *(["text_out"] if include_text else []),
             F.md5(F.col("text_out")).alias("out_digest"),
             lang_id_script(F.col("text_out")).alias("lang"),
             F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
@@ -7095,6 +7097,65 @@ def training_data_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return _crawl_corpus_interior(docs, allowed)
+
+
+def training_data_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v7 — the COMPLETE Wenzek et al. recipe, gates in production
+    order: the live crawl-politeness loop (v6's robots gate over real
+    HTTP) → eval holdout → C4/Gopher page gate → survivor line dedup →
+    contamination census → and finally CCNet's per-language
+    perplexity cut: the interior's own language tag keys ONE order-5
+    KN LM per surviving language (single keyed corpus pass), every
+    survivor is scored by ITS language's model, and the per-language
+    self-calibrated tail is cut (`ccnet_per_lang_filter`). Output:
+    (doc_id, lang, n_kept, out_digest, n_contaminated, n_tok, nll,
+    bucket) for head/middle survivors.
+
+    Scale: the LM stage adds one corpus shuffle over the SURVIVORS
+    (already gated — the cheap filters ran first, the expensive model
+    runs last, CCNet's stated ordering); the per-language construction
+    costs the same shuffle schedule as one model. The survivor
+    relation persists once (it feeds training, scoring, and the final
+    join-back) and releases with the count tables."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+    from farmrpg_etl_spark.operators.crawl import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    rules = _live_robots_rules(
+        spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
+    )
+    allowed = (
+        robots_filter(_v6_urls(docs), rules)
+        .filter(F.col("allowed"))
+        .select("doc_id")
+    )
+    # localCheckpoint, not persist: the interior's lineage (live
+    # fetch + page gate + line dedup + census) is megabyte-scale and
+    # the keyed KN ladder embeds its source ~20×; a cached-but-full
+    # lineage still pays Catalyst re-optimization per action
+    # (measured: nll 50 s -> seconds at sf0.001 after truncation)
+    v7in = _crawl_corpus_interior(
+        docs, allowed, include_text=True
+    ).localCheckpoint()
+    tables = LM.kn_ngram_tables(
+        v7in, "text_out", "doc_id", order=5, key_cols=("lang",)
+    )
+    scored = LM.ccnet_per_lang_filter(
+        v7in, "text_out", "doc_id", "lang", order=5, tables=tables
+    )
+    out = (
+        v7in.select("doc_id", "n_kept", "out_digest", "n_contaminated")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id", "lang", "n_kept", "out_digest", "n_contaminated",
+            "n_tok", "nll", "bucket",
+        )
+        .persist()
+    )
+    out.count()
+    LM.unpersist_kn_tables(tables)
+    return out
 
 
 def _v6_urls(docs: DataFrame) -> DataFrame:
@@ -7242,6 +7303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (demoted r8 rows, then r9, r10, r12, r13) so future rotations
     # just slide the window; cumulative map in docs/COVERAGE.md.
     "streaming_pipeline_v6": streaming_pipeline_v6,
+    "training_data_pipeline_v7": training_data_pipeline_v7,
     "ccnet_per_lang_filter_docs": ccnet_per_lang_filter_docs,
     "unimax_mixture_docs": unimax_mixture_docs,
     "random_projection_embeddings": random_projection_embeddings,
@@ -7290,8 +7352,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datetime_semantics": datetime_semantics,
     "simhash_docs": simhash_docs,
     "pack_sequences_docs": pack_sequences_docs,
-    "minhash_signatures_docs": minhash_signatures_docs,
     # --- end of 50-entry prefix --------------------------------------
+    "minhash_signatures_docs": minhash_signatures_docs,
     "minhash_estimate_error_docs": minhash_estimate_error_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "json_props_stats": json_props_stats,

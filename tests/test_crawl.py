@@ -399,3 +399,31 @@ def test_streaming_pipeline_v6_equals_batch(spark):
     stream = {tuple(r) for r in streaming_pipeline_v6(spark, sf).collect()}
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_pipeline_v7_composes_per_lang_cut_over_v6(spark):
+    """v7 = v6 + the per-language CCNet cut: v7's survivors are a
+    subset of v6's rows (same doc_id/n_kept/out_digest/lang/census),
+    every survivor carries its own language's nll/bucket, and the
+    tail is gone."""
+    from farmrpg_etl_spark.queries import (
+        training_data_pipeline_v6,
+        training_data_pipeline_v7,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    v6 = {
+        r["doc_id"]: (r["n_kept"], r["out_digest"], r["lang"],
+                      r["n_contaminated"])
+        for r in training_data_pipeline_v6(spark, sf).collect()
+    }
+    v7 = training_data_pipeline_v7(spark, sf).collect()
+    assert 0 < len(v7) <= len(v6)
+    for r in v7:
+        assert v6[r["doc_id"]] == (
+            r["n_kept"], r["out_digest"], r["lang"], r["n_contaminated"]
+        )
+        assert r["bucket"] in ("head", "middle")
+        assert r["nll"] >= 0.0
+    # the per-language split is real: >1 language among survivors
+    assert len({r["lang"] for r in v7}) > 1
