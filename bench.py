@@ -228,6 +228,12 @@ def main() -> None:
         "crawl_robots_e2e_docs",
         "hard_negatives_recall",
         "training_data_pipeline_v6",
+        # round-14 additions (v7 subsumes ccnet_per_lang_filter_docs —
+        # it runs the identical keyed-KN stage over the gated
+        # survivors, so timing both would re-pay the same ~30 s
+        # training twice; streaming_pipeline_v6 is its own driver row)
+        "unimax_mixture_docs",
+        "training_data_pipeline_v7",
     ]:
         run(name)  # warm: compile + cache effects paid here
         # ONE timed steady pass (the headline block keeps min-of-2;

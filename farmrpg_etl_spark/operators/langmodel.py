@@ -476,6 +476,29 @@ def kn_ngram_tables(
     }
 
 
+def freeze_kn_tables(tables: dict) -> dict:
+    """Materialize every count relation of a :func:`kn_ngram_tables`
+    result as a lineage-truncated leaf (eager ``localCheckpoint``) and
+    release the persist handles — the FROZEN-MODEL form for streaming
+    scorers: each micro-batch then plans its ladder joins against
+    leaves instead of re-optimizing the full training lineage per
+    trigger (the KN plan tree is megabyte-scale; the driver pays
+    seconds per action otherwise). Returns a new tables dict;
+    ``handles`` is empty because checkpointed blocks release with the
+    session."""
+    frozen = {
+        "order": tables["order"],
+        "keys": list(tables.get("keys", [])),
+        "top": tables["top"].localCheckpoint(),
+        "t": {k: v.localCheckpoint() for k, v in tables["t"].items()},
+        "den": {k: v.localCheckpoint() for k, v in tables["den"].items()},
+        "scal": tables["scal"].localCheckpoint(),
+        "handles": [],
+    }
+    unpersist_kn_tables(tables)
+    return frozen
+
+
 def unpersist_kn_tables(tables: dict, blocking: bool = False) -> None:
     """Release every relation :func:`kn_ngram_tables` persisted (r13
     verdict #5 / ADVICE). Safe after the consuming result has been

@@ -6283,3 +6283,10 @@ FROM g JOIN m ON g.key = m.key
 # is per-document) — the batch oracle IS the streaming oracle, which
 # pins batch/stream equality cross-engine.
 ORACLES["streaming_pipeline_v6"] = ORACLES["training_data_pipeline_v6"]
+
+# streaming per-lang CCNet == the batch row by construction (frozen
+# keyed models + frozen per-language thresholds; scoring the training
+# corpus never misses) — shared oracle pins stream/batch equality.
+ORACLES["streaming_ccnet_per_lang_docs"] = ORACLES[
+    "ccnet_per_lang_filter_docs"
+]

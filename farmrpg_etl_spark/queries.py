@@ -7099,6 +7099,108 @@ def training_data_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crawl_corpus_interior(docs, allowed)
 
 
+def streaming_ccnet_per_lang_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-language CCNet filter in its DEPLOYMENT regime: the N
+    per-language KN models AND their self-calibrated thresholds are
+    frozen batch-side (trained on the full snapshot, exactly as
+    `ccnet_per_lang_filter_docs` builds them), then documents arrive
+    as four micro-batches, each lang-tagged from the frozen (doc_id,
+    lang) relation, scored against ITS language's frozen model, and
+    bucketed/cut against the frozen per-language constants — merged
+    through the replay-idempotent K1 writer. Frozen models + frozen
+    thresholds ⇒ per-document decisions ⇒ continuous ingest ≡ the
+    batch run: the row shares the batch row's oracle verbatim.
+
+    This IS Wenzek et al.'s production shape — calibrate per
+    language per snapshot, stream the crawl through the frozen
+    models — and the scale story matches: per-trigger work joins the
+    batch against LM-sized relations once on the prefixed keys."""
+    import tempfile
+
+    from farmrpg_etl_spark.operators import langmodel as LM
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    d = load_table(spark, sf_dir, "documents")
+    tpl = F.element_at(
+        F.array(
+            *[F.lit(t) for t in _LANGID_TEMPLATES + _SCRIPT_TEMPLATES]
+        ),
+        (F.col("doc_id") % 11 + 1).cast("int"),
+    )
+    noise = F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60))
+    lang_rel = d.select(
+        "doc_id",
+        T.lang_id_script(F.concat_ws(" ", tpl, noise)).alias("lang"),
+    ).persist()
+    docs = d.select("doc_id", "text").join(F.broadcast(lang_rel), "doc_id")
+    tables = LM.freeze_kn_tables(
+        LM.kn_ngram_tables(
+            docs, "text", "doc_id", order=5, key_cols=("lang",)
+        )
+    )
+    # freeze the thresholds exactly as the batch row derives them
+    nll_full = LM.doc_nll_kn_ngram(
+        docs, "text", "doc_id", order=5, tables=tables, key_cols=("lang",)
+    ).localCheckpoint()
+    m = F.round(
+        _dec_sum(F.col("nll")).cast("double") / F.count(F.lit(1)), 4
+    )
+    thr = F.broadcast(
+        nll_full.groupBy("lang").agg(
+            m.alias("head_nll"),
+            F.round(m * F.lit(1.15), 4).alias("tail_nll"),
+        )
+    )
+    src_dir = tempfile.mkdtemp(prefix="farmrpg_ccnets_")
+    n_batches = 4
+    for i in range(n_batches):
+        d.select("doc_id", "text").filter(
+            F.col("doc_id") % n_batches == i
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = ParquetTable(spark, _sink_scratch("ccnetssink"))
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.join(F.broadcast(lang_rel), "doc_id")
+        nll = LM.doc_nll_kn_ngram(
+            batch, "text", "doc_id", order=5, tables=tables,
+            key_cols=("lang",),
+        )
+        out = nll.join(thr, "lang", "inner")
+        bucket = (
+            F.when(F.col("nll") <= F.col("head_nll"), F.lit("head"))
+            .when(F.col("nll") <= F.col("tail_nll"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        out = (
+            out.withColumn("bucket", bucket)
+            .filter(F.col("bucket") != "tail")
+            .select("doc_id", "lang", "n_tok", "nll", "bucket")
+        )
+        insert_if_absent(
+            sink, out, ["doc_id"], batch_id=batch_id, writer="ccnets"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(score)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    LM.unpersist_kn_tables(tables)
+    lang_rel.unpersist()
+    return sink.read()
+
+
 def training_data_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v7 — the COMPLETE Wenzek et al. recipe, gates in production
     order: the live crawl-politeness loop (v6's robots gate over real
@@ -7303,6 +7405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (demoted r8 rows, then r9, r10, r12, r13) so future rotations
     # just slide the window; cumulative map in docs/COVERAGE.md.
     "streaming_pipeline_v6": streaming_pipeline_v6,
+    "streaming_ccnet_per_lang_docs": streaming_ccnet_per_lang_docs,
     "training_data_pipeline_v7": training_data_pipeline_v7,
     "ccnet_per_lang_filter_docs": ccnet_per_lang_filter_docs,
     "unimax_mixture_docs": unimax_mixture_docs,
@@ -7351,8 +7454,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
     "datetime_semantics": datetime_semantics,
     "simhash_docs": simhash_docs,
-    "pack_sequences_docs": pack_sequences_docs,
     # --- end of 50-entry prefix --------------------------------------
+    "pack_sequences_docs": pack_sequences_docs,
     "minhash_signatures_docs": minhash_signatures_docs,
     "minhash_estimate_error_docs": minhash_estimate_error_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
