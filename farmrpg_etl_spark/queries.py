@@ -5583,9 +5583,8 @@ def kn_5gram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("prob_micros"),
         )
-        .persist()
+        .localCheckpoint()
     )
-    out.count()
     LM.unpersist_kn_tables(tables)
     return out
 
@@ -5604,8 +5603,7 @@ def kn5_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = LM.kn_ngram_tables(docs, "text", "doc_id", order=5)
     out = LM.doc_nll_kn_ngram(
         docs, "text", "doc_id", order=5, tables=tables
-    ).persist()
-    out.count()
+    ).localCheckpoint()
     LM.unpersist_kn_tables(tables)
     return out
 
@@ -5625,8 +5623,7 @@ def kn5_ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = LM.ppl_bucket_filter_kn(
         docs, "text", "doc_id", head_nll=1.02, tail_nll=1.13, order=5,
         tables=tables,
-    ).persist()
-    out.count()
+    ).localCheckpoint()
     LM.unpersist_kn_tables(tables)
     return out
 
@@ -5677,8 +5674,7 @@ def ccnet_per_lang_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = LM.ccnet_per_lang_filter(
         docs, "text", "doc_id", "lang", order=5, tables=tables
-    ).persist()
-    out.count()
+    ).localCheckpoint()
     LM.unpersist_kn_tables(tables)
     lang_rel.unpersist()
     return out
@@ -7253,9 +7249,8 @@ def training_data_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "n_kept", "out_digest", "n_contaminated",
             "n_tok", "nll", "bucket",
         )
-        .persist()
+        .localCheckpoint()
     )
-    out.count()
     LM.unpersist_kn_tables(tables)
     return out
 
