@@ -234,6 +234,7 @@ def main() -> None:
         # training twice; streaming_pipeline_v6 is its own driver row)
         "unimax_mixture_docs",
         "training_data_pipeline_v7",
+        "dsir_select_docs",
     ]:
         run(name)  # warm: compile + cache effects paid here
         # ONE timed steady pass (the headline block keeps min-of-2;

@@ -206,6 +206,130 @@ def mixture_weights_from_counts(
     )
 
 
+def _dsir_features(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int, salt: str
+) -> DataFrame:
+    """One row per hashed n-gram occurrence: ``(id, bucket)``.
+    Features are word unigrams + bigrams (the DSIR paper's feature
+    space) hashed to ``n_buckets`` via md5 — deterministic across
+    engines, partitionings, and retries."""
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+    grams = F.concat(toks, word_ngrams(F.col(text_col), 2))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"), F.col("gram"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(int(n_buckets))
+    )
+    return ex.select(id_col, bucket.alias("bucket"))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+    k: int = 100,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023), the hashed-n-gram importance sampler production pipelines
+    use to pick raw-web documents that LOOK LIKE a high-quality
+    target set. Three relational stages:
+
+    1. hash word uni+bigrams of both corpora into ``n_buckets`` md5
+       buckets; fit add-one-smoothed bucket distributions p (target)
+       and q (raw) — exact integer counts, two dimension-sized
+       relations;
+    2. per raw document, the importance logit
+       ``log w = Σ_b c_b · (ln p_b − ln q_b)`` — per-(doc, bucket)
+       counts join the broadcast log-ratio relation once, each term
+       is floor-quantized to micros, and the per-doc sum uses the
+       exact decimal discipline (order-independent);
+    3. Gumbel-top-k: ``key = logw + g`` with ``g = −ln(−ln(u))`` and
+       ``u`` md5-derived from the document id — a DETERMINISTIC
+       sample without replacement ∝ w (Gumbel-max), reproducible
+       across engines/retries, unlike any RNG-state sampler.
+
+    Returns the ``k`` selected rows ``(id, logw, gkey)``.
+
+    Scale: the corpus is scanned once into (id, bucket) pairs; both
+    bucket distributions are ``n_buckets``-sized and broadcast; the
+    only corpus-keyed shuffles are the per-(doc, bucket) count and
+    the per-doc sum; top-k is orderBy+limit (per-partition top-k,
+    then a k-sized merge — no global sort materializes)."""
+    from farmrpg_etl_spark.queries import _dec_sum
+
+    B = int(n_buckets)
+    tf = _dsir_features(target, text_col, id_col, B, salt)
+    rf = _dsir_features(raw, text_col, id_col, B, salt)
+    tcnt = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    rcnt = rf.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    ttot = tf.agg(F.count(F.lit(1)).alias("T"))
+    rtot = rf.agg(F.count(F.lit(1)).alias("R"))
+    # add-one smoothing over the full bucket space: buckets the target
+    # never hit still get finite mass, so ln(p) is total
+    ratio = (
+        rcnt.join(tcnt, "bucket", "left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("T") + F.lit(B)).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("R") + F.lit(B)).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc_bucket = rf.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    term = (
+        F.floor(F.col("c").cast("double") * F.col("lr") * F.lit(1000000.0))
+        / F.lit(1000000.0)
+    )
+    logw = per_doc_bucket.join(F.broadcast(ratio), "bucket").groupBy(
+        id_col
+    ).agg(F.round(_dec_sum(term).cast("double"), 6).alias("logw"))
+    # Gumbel key from the id hash: u in (0,1) exactly, both engines
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"g|{salt}|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32 + 1))
+    scored = raw.select(id_col).join(logw, id_col, "left").select(
+        id_col,
+        F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        F.round(
+            F.coalesce("logw", F.lit(0.0)) - F.log(-F.log(u)), 6
+        ).alias("gkey"),
+    )
+    return scored.orderBy(F.col("gkey").desc(), id_col).limit(int(k))
+
+
 def unimax_mixture_weights(
     per_src: DataFrame,
     source_col: str,

@@ -6290,3 +6290,60 @@ ORACLES["streaming_pipeline_v6"] = ORACLES["training_data_pipeline_v6"]
 ORACLES["streaming_ccnet_per_lang_docs"] = ORACLES[
     "ccnet_per_lang_filter_docs"
 ]
+
+# DSIR (Xie et al. 2023): hashed uni+bigram bucket distributions,
+# add-one smoothed; per-doc importance logit via micro-quantized
+# decimal sum; md5-derived Gumbel keys; deterministic top-k. Mirrors
+# quality.dsir_select expression for expression.
+ORACLES["dsir_select_docs"] = f"""
+WITH tgt AS (SELECT doc_id, {_TOKS} AS toks
+             FROM documents WHERE doc_id % 101 = 0),
+rawd AS (SELECT doc_id, {_TOKS} AS toks
+         FROM documents WHERE doc_id % 101 <> 0),
+tgr AS (
+  SELECT doc_id, unnest(list_concat(toks,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+1], ' '))
+         ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM tgt),
+rgr AS (
+  SELECT doc_id, unnest(list_concat(toks,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+1], ' '))
+         ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM rawd),
+tb AS (SELECT CAST('0x' || substr(md5('dsir|' || gram), 1, 8) AS BIGINT)
+              % 4096 AS bucket FROM tgr),
+rb AS (SELECT doc_id,
+              CAST('0x' || substr(md5('dsir|' || gram), 1, 8) AS BIGINT)
+              % 4096 AS bucket FROM rgr),
+tcnt AS (SELECT bucket, count(*) AS ct FROM tb GROUP BY bucket),
+rcnt AS (SELECT bucket, count(*) AS cr FROM rb GROUP BY bucket),
+tt AS (SELECT count(*) AS T FROM tb),
+rt AS (SELECT count(*) AS R FROM rb),
+ratio AS (
+  SELECT rcnt.bucket,
+         ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+            / CAST(T + 4096 AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE) / CAST(R + 4096 AS DOUBLE)) AS lr
+  FROM rcnt LEFT JOIN tcnt USING (bucket) CROSS JOIN tt CROSS JOIN rt),
+pdb AS (SELECT doc_id, bucket, count(*) AS c
+        FROM rb GROUP BY doc_id, bucket),
+lw AS (
+  SELECT doc_id,
+         round(CAST(SUM(CAST(
+           floor(CAST(c AS DOUBLE) * lr * 1000000.0) / 1000000.0
+           AS DECIMAL(18,6))) AS DOUBLE), 6) AS logw
+  FROM pdb JOIN ratio USING (bucket) GROUP BY doc_id),
+sc AS (
+  SELECT r.doc_id, coalesce(logw, 0.0) AS logw,
+         round(coalesce(logw, 0.0)
+               - ln(-ln((CAST('0x' || substr(
+                     md5('g|dsir|' || CAST(r.doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 1.0) / 4294967297.0)), 6) AS gkey
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 101 <> 0) r
+  LEFT JOIN lw USING (doc_id))
+SELECT doc_id, logw, gkey FROM sc ORDER BY gkey DESC, doc_id LIMIT 100
+"""

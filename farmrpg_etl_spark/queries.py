@@ -1467,6 +1467,27 @@ def unimax_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): pick the 100 raw-corpus
+    documents that look most like the eval-holdout target set
+    (doc_id % 101 == 0 — the same split the decontamination rows
+    use), by hashed-n-gram importance logits + deterministic
+    Gumbel-top-k (`quality.dsir_select`). The md5-derived Gumbel keys
+    make the resample a REPRODUCIBLE sample-without-replacement ∝ w —
+    auditable subsets, the property RNG-state samplers cannot give."""
+    from farmrpg_etl_spark.operators import quality
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality.dsir_select(
+        d.filter(F.col("doc_id") % 101 != 0),
+        d.filter(F.col("doc_id") % 101 == 0),
+        "text",
+        "doc_id",
+        n_buckets=4096,
+        k=100,
+    )
+
+
 def hard_negatives_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (exact baseline): per anchor, the top-5
     most-similar vectors of a DIFFERENT label — the contrastive-
@@ -7404,6 +7425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_data_pipeline_v7": training_data_pipeline_v7,
     "ccnet_per_lang_filter_docs": ccnet_per_lang_filter_docs,
     "unimax_mixture_docs": unimax_mixture_docs,
+    "dsir_select_docs": dsir_select_docs,
     "random_projection_embeddings": random_projection_embeddings,
     "mean_pool_embeddings": mean_pool_embeddings,
     "quality_weighted_sample_docs": quality_weighted_sample_docs,
@@ -7448,8 +7470,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_online_roundtrip": parse_online_roundtrip,
     "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
     "datetime_semantics": datetime_semantics,
-    "simhash_docs": simhash_docs,
     # --- end of 50-entry prefix --------------------------------------
+    "simhash_docs": simhash_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "minhash_signatures_docs": minhash_signatures_docs,
     "minhash_estimate_error_docs": minhash_estimate_error_docs,

@@ -363,3 +363,37 @@ def test_unimax_absolute_budget_and_arg_validation(spark):
         unimax_mixture_weights(
             per_src, "source", token_budget=1, budget_ratio=1
         )
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR's importance logit must rank documents that share the
+    target's n-gram distribution above documents that don't: raw docs
+    written in the target's vocabulary get positive log w, alien-
+    vocabulary docs negative, and top-k selection is deterministic
+    (md5 Gumbel keys — same result on every run)."""
+    from farmrpg_etl_spark.operators.quality import dsir_select
+
+    target = spark.createDataFrame(
+        [(1000 + i, "the quick brown fox jumps over the lazy dog")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox naps under the lazy dog"),
+         (2, "zzz qqq www eee rrr ttt yyy uuu iii ooo"),
+         (3, "the lazy dog and the quick fox"),
+         (4, "aaa bbb ccc ddd eee fff ggg hhh")],
+        "doc_id long, text string",
+    )
+    out = dsir_select(raw, target, "text", "doc_id", n_buckets=256, k=2)
+    rows = {r["doc_id"]: r["logw"] for r in out.collect()}
+    # the two target-like docs are selected; alien docs lose
+    assert set(rows) == {1, 3}
+    assert all(v > 0 for v in rows.values())
+    again = {
+        r["doc_id"]: (r["logw"], r["gkey"])
+        for r in dsir_select(
+            raw, target, "text", "doc_id", n_buckets=256, k=2
+        ).collect()
+    }
+    assert set(again) == {1, 3}  # deterministic resample
