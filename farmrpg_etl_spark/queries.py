@@ -7329,9 +7329,13 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source"
     )
     host = F.concat(F.col("source"), F.lit(".example.com"))
+    # frozen relations are localCheckpoint()ed, not persisted: each
+    # trigger's interior plan embeds them, and a cached-but-full
+    # lineage still pays per-trigger Catalyst re-optimization of the
+    # whole gate/census tree (the same lesson as v7's interior)
     rules = _live_robots_rules(
         spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
-    ).persist()
+    ).localCheckpoint()
     # frozen corpus-global models, built exactly as batch v6 builds
     # them (gate -> holdout -> page gate -> survivor line counts)
     allowed_full = (
@@ -7351,7 +7355,7 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = pages.join(keep, "doc_id")
     boiler = frequent_lines(
         split_lines(survivors, "text_struct", "doc_id"), 2
-    ).persist()
+    ).localCheckpoint()
     from farmrpg_etl_spark.functions.hashing import word_ngrams
 
     eval_grams = (
@@ -7362,7 +7366,7 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram")
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     src_dir = tempfile.mkdtemp(prefix="farmrpg_v6s_")
     n_batches = 4
@@ -7400,9 +7404,6 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     q.stop()
-    rules.unpersist()
-    boiler.unpersist()
-    eval_grams.unpersist()
     return sink.read()
 
 
