@@ -686,3 +686,64 @@ def test_linear_attribution_conserves_credit(sp, evs):
     )
     assert total_credit <= attributable + 1e-9
     assert total_credit >= attributable - attributable * 25e-6
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(0, 9),                 # source tag
+            st.integers(1, 10**13),            # n_tokens (up to 10T)
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    ratio=st.integers(1, 4),
+    epochs=st.integers(1, 4),
+)
+@SETTINGS
+def test_unimax_water_filling_invariants(sp, counts, ratio, epochs):
+    """The closed-form UniMax allocation must, for ANY count vector
+    (including trillion-token values), (a) never exceed a source's
+    epoch cap, (b) never exceed the budget in total, (c) give every
+    capped source EXACTLY its cap, (d) match the independent
+    iterative water-filling reference integer for integer."""
+    from math import floor, sqrt
+
+    from farmrpg_etl_spark.operators.quality import unimax_mixture_weights
+
+    data = [(f"s{t}", n) for t, n in counts]
+    per = sp.createDataFrame(data, "source string, n_tokens long")
+    rows = unimax_mixture_weights(
+        per, "source", budget_ratio=ratio, max_epochs=epochs
+    ).collect()
+    budget = ratio * sum(n for _, n in data)
+    # independent reference (same as test_quality_ops)
+    m = {s: floor(sqrt(n * sqrt(n)) * 1e6) for s, n in data}
+    cmap = dict(data)
+    capped = set()
+    while True:
+        b_rem = budget - sum(epochs * cmap[s] for s in capped)
+        m_rem = sum(mi for s, mi in m.items() if s not in capped)
+        newly = {
+            s for s in cmap
+            if s not in capped
+            and b_rem * m[s] >= epochs * cmap[s] * m_rem
+        }
+        if not newly:
+            break
+        capped |= newly
+    b_rem = budget - sum(epochs * cmap[s] for s in capped)
+    m_rem = sum(mi for s, mi in m.items() if s not in capped)
+    total = 0
+    for r in rows:
+        cap = epochs * cmap[r["source"]]
+        assert r["token_quota"] <= cap
+        total += r["token_quota"]
+        if r["capped"]:
+            assert r["source"] in capped
+            assert r["token_quota"] == cap
+        else:
+            assert r["source"] not in capped
+            assert r["token_quota"] == b_rem * m[r["source"]] // m_rem
+    assert total <= budget
