@@ -6347,3 +6347,48 @@ sc AS (
   LEFT JOIN lw USING (doc_id))
 SELECT doc_id, logw, gkey FROM sc ORDER BY gkey DESC, doc_id LIMIT 100
 """
+
+# One-row corpus report card: aggregates over the text_metrics oracle
+# (nested verbatim as a CTE) + the %101-holdout 13-gram census. All
+# outputs are exact integers or strings; modal-language tie-break is
+# the (count, lang) struct max, field order matching Spark's.
+ORACLES["corpus_report_docs"] = f"""
+WITH tm AS ({ORACLES["text_metrics_docs"]}),
+b AS (
+  SELECT doc_id, lang_pred, n_tokens,
+         CAST(round(quality * 1000000.0) AS BIGINT) AS qm, fp
+  FROM tm),
+scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+         CAST(SUM(qm) AS BIGINT) AS sum_quality_micros
+  FROM b),
+lgc AS (SELECT lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY lang_pred),
+tp AS (SELECT max(struct_pack(n := n, l := lang_pred)) AS t,
+              CAST(count(*) AS BIGINT) AS n_langs
+       FROM lgc),
+egr AS (
+  SELECT DISTINCT unnest(list_distinct(
+           CASE WHEN len(toks) >= 13
+                THEN list_transform(generate_series(1, len(toks) - 12),
+                                    i -> array_to_string(toks[i:i+12], ' '))
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 101 = 0)),
+ogr AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= 13
+                THEN list_transform(generate_series(1, len(toks) - 12),
+                                    i -> array_to_string(toks[i:i+12], ' '))
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE doc_id % 101 <> 0)),
+ctm AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+               AS n_contaminated_docs
+        FROM ogr JOIN egr USING (gram))
+SELECT n_docs, n_tokens, n_docs - n_fp AS n_dup_docs, n_langs,
+       t.l AS top_lang, CAST(t.n AS BIGINT) AS top_lang_n,
+       sum_quality_micros, n_contaminated_docs
+FROM scal CROSS JOIN tp CROSS JOIN ctm
+"""

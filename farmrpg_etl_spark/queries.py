@@ -767,6 +767,63 @@ def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus SNAPSHOT REPORT CARD — the one-row audit artifact a
+    production training-data pipeline emits per build: document/token
+    totals, exact-duplicate count (normalized-text fingerprints),
+    language spread (distinct languages + modal language with its
+    count), total quality mass (integer micros — exact, no float
+    mean), and the holdout-contamination census (docs sharing any
+    13-gram with the doc_id % 101 eval holdout). Composes
+    `text_metrics` + `ngram_contamination` into three dimension-sized
+    aggregates over ONE corpus scan each; every output is an exact
+    integer or a string, so the row is bit-stable across engines,
+    partitionings, and retries — the property an audit artifact
+    needs."""
+    from farmrpg_etl_spark.operators.quality import ngram_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    m = T.text_metrics(d, "text").select(
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        F.round(F.col("quality") * F.lit(1000000.0)).cast("long").alias(
+            "qm"
+        ),
+        "fp",
+    )
+    scal = m.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("fp").alias("n_fp"),
+        F.sum("qm").alias("sum_quality_micros"),
+    )
+    langs = m.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    top = langs.agg(
+        F.max(F.struct(F.col("n"), F.col("lang_pred"))).alias("t"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    contam = ngram_contamination(
+        d.filter(F.col("doc_id") % 101 != 0),
+        d.filter(F.col("doc_id") % 101 == 0),
+        n=13,
+    ).agg(F.count(F.lit(1)).alias("n_contaminated_docs"))
+    return (
+        scal.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(contam))
+        .select(
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs") - F.col("n_fp")).alias("n_dup_docs"),
+            "n_langs",
+            F.col("t.lang_pred").alias("top_lang"),
+            F.col("t.n").alias("top_lang_n"),
+            "sum_quality_micros",
+            "n_contaminated_docs",
+        )
+    )
+
+
 def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible hash-based 20% sample of documents."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -7427,6 +7484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_per_lang_filter_docs": ccnet_per_lang_filter_docs,
     "unimax_mixture_docs": unimax_mixture_docs,
     "dsir_select_docs": dsir_select_docs,
+    "corpus_report_docs": corpus_report_docs,
     "random_projection_embeddings": random_projection_embeddings,
     "mean_pool_embeddings": mean_pool_embeddings,
     "quality_weighted_sample_docs": quality_weighted_sample_docs,
@@ -7470,8 +7528,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_profile_roundtrip": parse_profile_roundtrip,
     "parse_online_roundtrip": parse_online_roundtrip,
     "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
-    "datetime_semantics": datetime_semantics,
     # --- end of 50-entry prefix --------------------------------------
+    "datetime_semantics": datetime_semantics,
     "simhash_docs": simhash_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "minhash_signatures_docs": minhash_signatures_docs,

@@ -397,3 +397,45 @@ def test_dsir_prefers_target_like_documents(spark):
         ).collect()
     }
     assert set(again) == {1, 3}  # deterministic resample
+
+
+def test_corpus_report_is_exact_on_a_tiny_corpus(spark, tmp_path):
+    """The one-row report card's integers must match a hand recount:
+    duplicate fingerprints collapse into n_dup_docs, the modal
+    language and its count are right, the contamination census sees
+    the planted 13-gram overlap, and the quality mass is the sum of
+    per-doc micro-quantized scores."""
+    from farmrpg_etl_spark.functions import text as T
+    from farmrpg_etl_spark.queries import corpus_report_docs
+    import pyspark.sql.functions as F
+
+    shared = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    rows = [
+        (0, shared, "s0"),                      # doc 0: holdout (0 % 101 == 0)
+        (1, "alpha beta gamma", "s0"),
+        (2, "alpha  beta   gamma", "s0"),       # same fp as doc 1
+        (3, shared + " extra tail", "s0"),      # contaminated vs holdout
+        (4, "delta epsilon zeta", "s0"),
+    ]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(str(d))
+    out = corpus_report_docs(spark, str(tmp_path)).collect()[0]
+    assert out["n_docs"] == 5
+    assert out["n_dup_docs"] == 1          # docs 1 and 2 share a fp
+    assert out["n_contaminated_docs"] == 1  # doc 3 only
+    m = T.text_metrics(
+        spark.read.parquet(str(d)), "text"
+    ).select(
+        F.round(F.col("quality") * 1000000.0).cast("long").alias("qm"),
+        "n_tokens", "lang_pred",
+    ).collect()
+    assert out["sum_quality_micros"] == sum(r["qm"] for r in m)
+    assert out["n_tokens"] == sum(r["n_tokens"] for r in m)
+    langs = {}
+    for r in m:
+        langs[r["lang_pred"]] = langs.get(r["lang_pred"], 0) + 1
+    assert out["n_langs"] == len(langs)
+    best = max(langs.items(), key=lambda kv: (kv[1], kv[0]))
+    assert (out["top_lang"], out["top_lang_n"]) == (best[0], best[1])
