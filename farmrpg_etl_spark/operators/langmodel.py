@@ -672,6 +672,11 @@ def train_kn_ngram_lm(
         tables = kn_ngram_tables(
             df, text_col, id_col, order, key_cols, persist=False
         )
+    elif key_cols and list(key_cols) != list(tables.get("keys", [])):
+        raise ValueError(
+            f"tables are keyed by {tables.get('keys', [])},"
+            f" requested {list(key_cols)}"
+        )
     keys = tables.get("keys", [])
     scored = _kn_attach_p(tables["top"], tables)
     return scored.select(
@@ -718,6 +723,14 @@ def doc_nll_kn_ngram(
             f"tables are order {tables['order']}, requested {order}"
         )
     keys = tables.get("keys", [])
+    # an explicit key_cols that disagrees with the tables' keys would
+    # otherwise be silently ignored (the tables win) and surface as a
+    # confusing missing-column error far downstream — fail loudly
+    # like the order check; key_cols=() means "inherit"
+    if key_cols and list(key_cols) != list(keys):
+        raise ValueError(
+            f"tables are keyed by {keys}, requested {list(key_cols)}"
+        )
     inst = ngram_instances(
         df, text_col, id_col, order, key_cols=tuple(keys)
     )
@@ -778,6 +791,27 @@ def ppl_bucket_filter_kn(
         nll.withColumn("bucket", bucket)
         .filter(F.col("bucket") != "tail")
         .select(id_col, "n_tok", "nll", "bucket")
+    )
+
+
+def ccnet_thresholds(
+    nll: DataFrame, lang_col: str, tail_ratio: float = 1.15
+) -> DataFrame:
+    """The per-language snapshot calibration — ``(lang, head_nll,
+    tail_nll)`` with head = per-language mean NLL (exact
+    micro-quantized decimal sum, order-independent) and tail =
+    round(mean · ``tail_ratio``, 4). ONE definition shared by the
+    batch filter and the streaming row so the frozen-threshold regime
+    cannot silently fork from the batch calibration (their common
+    DuckDB oracle derives the identical constants)."""
+    from farmrpg_etl_spark.queries import _dec_sum
+
+    m = F.round(
+        _dec_sum(F.col("nll")).cast("double") / F.count(F.lit(1)), 4
+    )
+    return nll.groupBy(lang_col).agg(
+        m.alias("head_nll"),
+        F.round(m * F.lit(tail_ratio), 4).alias("tail_nll"),
     )
 
 
@@ -845,13 +879,7 @@ def ccnet_per_lang_filter(
         # kn_ngram_tables(persist=False).
         if not own_tables:
             nll = nll.localCheckpoint()
-        m = F.round(
-            _dec_sum(F.col("nll")).cast("double") / F.count(F.lit(1)), 4
-        )
-        thresholds = nll.groupBy(lang_col).agg(
-            m.alias("head_nll"),
-            F.round(m * F.lit(tail_ratio), 4).alias("tail_nll"),
-        )
+        thresholds = ccnet_thresholds(nll, lang_col, tail_ratio)
     out = nll.join(F.broadcast(thresholds), lang_col, "inner")
     bucket = (
         F.when(F.col("nll") <= F.col("head_nll"), F.lit("head"))

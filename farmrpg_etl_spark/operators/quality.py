@@ -259,20 +259,37 @@ def dsir_select(
 
     Returns the ``k`` selected rows ``(id, logw, gkey)``.
 
-    Scale: the corpus is scanned once into (id, bucket) pairs; both
-    bucket distributions are ``n_buckets``-sized and broadcast; the
-    only corpus-keyed shuffles are the per-(doc, bucket) count and
-    the per-doc sum; top-k is orderBy+limit (per-partition top-k,
-    then a k-sized merge — no global sort materializes)."""
+    Scale: each corpus is scanned ONCE — the per-(doc, bucket) count
+    is materialized as the feature matrix and every other count
+    derives from it (raw histogram, totals) or from the
+    dimension-sized target histogram; both bucket distributions are
+    ``n_buckets``-sized and broadcast; the only corpus-keyed shuffles
+    are the feature count and the per-doc sum; top-k is
+    orderBy+limit (per-partition top-k, then a k-sized merge — no
+    global sort materializes)."""
     from farmrpg_etl_spark.queries import _dec_sum
 
     B = int(n_buckets)
     tf = _dsir_features(target, text_col, id_col, B, salt)
     rf = _dsir_features(raw, text_col, id_col, B, salt)
-    tcnt = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    rcnt = rf.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    ttot = tf.agg(F.count(F.lit(1)).alias("T"))
-    rtot = rf.agg(F.count(F.lit(1)).alias("R"))
+    # ONE scan per corpus (r14 review — the first cut re-exploded the
+    # raw corpus three times): the per-(doc, bucket) count is the
+    # materialized feature matrix (eager localCheckpoint — it is the
+    # relation DSIR stores anyway), and every other count DERIVES
+    # from it / from the dimension-sized target histogram
+    per_doc_bucket = (
+        rf.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    tcnt = (
+        tf.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .localCheckpoint()
+    )
+    rcnt = per_doc_bucket.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    ttot = tcnt.agg(F.sum("ct").alias("T"))
+    rtot = rcnt.agg(F.sum("cr").alias("R"))
     # add-one smoothing over the full bucket space: buckets the target
     # never hit still get finite mass, so ln(p) is total
     ratio = (
@@ -292,9 +309,6 @@ def dsir_select(
                 )
             ).alias("lr"),
         )
-    )
-    per_doc_bucket = rf.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("c")
     )
     term = (
         F.floor(F.col("c").cast("double") * F.col("lr") * F.lit(1000000.0))
@@ -401,32 +415,52 @@ def unimax_mixture_weights(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     dec = lambda c: f"CAST({c} AS DECIMAL(38,0))"  # noqa: E731
+    # the SUMS run in DECIMAL(38,0), not just the products: Σ __m over
+    # ~1,700 ten-trillion-token sources is ~1.1e19 > 2^63, so a BIGINT
+    # window sum would hit ANSI overflow in exactly the domain the
+    # docstring claims (review r14 finding — the r12 lesson applied to
+    # the aggregates, not only the products)
+    mdec = F.expr(dec("__m"))
+    capdec = F.expr(dec("__cap"))
     g = (
-        scored.withColumn("__mtot", F.sum("__m").over(full))
-        .withColumn("__cum_m", F.coalesce(F.sum("__m").over(pre), F.lit(0)))
+        scored.withColumn("__mtot", F.sum(mdec).over(full))
         .withColumn(
-            "__cum_cap", F.coalesce(F.sum("__cap").over(pre), F.lit(0))
+            "__cum_m",
+            F.coalesce(F.sum(mdec).over(pre), F.lit(0).cast("decimal(38,0)")),
+        )
+        .withColumn(
+            "__cum_cap",
+            F.coalesce(
+                F.sum(capdec).over(pre), F.lit(0).cast("decimal(38,0)")
+            ),
         )
         .withColumn(
             "__flag",
             F.expr(
-                f"{dec('__b - __cum_cap')} * {dec('__m')}"
-                f" >= {dec('__cap')} * {dec('__mtot - __cum_m')}"
+                f"({dec('__b')} - __cum_cap) * {dec('__m')}"
+                f" >= {dec('__cap')} * (__mtot - __cum_m)"
             ),
         )
         # the capped set is a prefix: a first failed saturation test
         # closes it for every later (larger) source
         .withColumn("__capped", F.min(F.col("__flag").cast("int")).over(w) == 1)
     )
-    b_rem = F.sum(F.when(F.col("__capped"), F.col("__cap"))).over(full)
-    m_rem = F.sum(F.when(F.col("__capped"), F.col("__m"))).over(full)
+    b_rem = F.sum(F.when(F.col("__capped"), capdec)).over(full)
+    m_rem = F.sum(F.when(F.col("__capped"), mdec)).over(full)
     g = g.withColumn(
-        "__b_rem", F.col("__b") - F.coalesce(b_rem, F.lit(0))
-    ).withColumn("__m_rem", F.col("__mtot") - F.coalesce(m_rem, F.lit(0)))
+        "__b_rem",
+        F.expr(dec("__b"))
+        - F.coalesce(b_rem, F.lit(0).cast("decimal(38,0)")),
+    ).withColumn(
+        "__m_rem",
+        F.col("__mtot")
+        - F.coalesce(m_rem, F.lit(0).cast("decimal(38,0)")),
+    )
     quota = F.when(F.col("__capped"), F.col("__cap")).otherwise(
         F.expr(
-            f"CAST({dec('__b_rem')} * {dec('__m')}"
-            f" DIV {dec('__m_rem')} AS BIGINT)"
+            "CAST(CAST(__b_rem AS DECIMAL(38,0))"
+            f" * {dec('__m')}"
+            " DIV CAST(__m_rem AS DECIMAL(38,0)) AS BIGINT)"
         )
     )
     return g.select(

@@ -993,25 +993,27 @@ sc AS (
   FROM t
 ),
 tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) * 2 AS b,
-              CAST(SUM(mm) AS BIGINT) AS mtot
+              CAST(SUM(CAST(mm AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS mtot
        FROM sc),
+-- the SUMS run in DECIMAL(38,0), not only the products: the micro
+-- scores sum past 2^63 at ~1,700 ten-trillion-token sources
 g AS (
   SELECT sc.*, tt.b, tt.mtot,
-         CAST(coalesce(SUM(mm) OVER (
+         CAST(coalesce(SUM(CAST(mm AS DECIMAL(38,0))) OVER (
            ORDER BY n_tokens, source
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS BIGINT) AS cum_m,
-         CAST(coalesce(SUM(cap) OVER (
+           AS DECIMAL(38,0)) AS cum_m,
+         CAST(coalesce(SUM(CAST(cap AS DECIMAL(38,0))) OVER (
            ORDER BY n_tokens, source
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS BIGINT) AS cum_cap
+           AS DECIMAL(38,0)) AS cum_cap
   FROM sc CROSS JOIN tt
 ),
 f AS (
   SELECT *,
-         CAST(b - cum_cap AS DECIMAL(38,0)) * CAST(mm AS DECIMAL(38,0))
-           >= CAST(cap AS DECIMAL(38,0))
-              * CAST(mtot - cum_m AS DECIMAL(38,0)) AS flag
+         (CAST(b AS DECIMAL(38,0)) - cum_cap) * CAST(mm AS DECIMAL(38,0))
+           >= CAST(cap AS DECIMAL(38,0)) * (mtot - cum_m) AS flag
   FROM g
 ),
 cz AS (
@@ -1021,10 +1023,12 @@ cz AS (
   FROM f
 ),
 rem AS (
-  SELECT CAST(coalesce(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT)
-           AS cap_used,
-         CAST(coalesce(SUM(CASE WHEN capped THEN mm END), 0) AS BIGINT)
-           AS m_used
+  SELECT CAST(coalesce(SUM(CASE WHEN capped
+                            THEN CAST(cap AS DECIMAL(38,0)) END), 0)
+           AS DECIMAL(38,0)) AS cap_used,
+         CAST(coalesce(SUM(CASE WHEN capped
+                            THEN CAST(mm AS DECIMAL(38,0)) END), 0)
+           AS DECIMAL(38,0)) AS m_used
   FROM cz
 ),
 q AS (
@@ -1032,9 +1036,9 @@ q AS (
          round(CAST(mm AS DOUBLE) / CAST(mtot AS DOUBLE), 6) AS weight,
          capped,
          CASE WHEN capped THEN cap
-              ELSE CAST(CAST(b - cap_used AS DECIMAL(38,0))
+              ELSE CAST((CAST(b AS DECIMAL(38,0)) - cap_used)
                         * CAST(mm AS DECIMAL(38,0))
-                        // CAST(mtot - m_used AS DECIMAL(38,0))
+                        // (mtot - m_used)
                         AS BIGINT) END AS token_quota
   FROM cz CROSS JOIN rem
 )

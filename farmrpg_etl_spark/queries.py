@@ -711,6 +711,22 @@ _SCRIPT_TEMPLATES = [
 ]
 
 
+def _lang_probe(d: DataFrame) -> "Column":
+    """The 11-way lang-ID probe (template by doc_id % 11 + 60 chars of
+    the doc's own text as adversarial Latin noise) — ONE definition
+    shared by lang_id_script_docs and both per-language CCNet rows,
+    whose oracles embed the lang_id_script oracle verbatim and so
+    depend on every Spark copy staying identical (r14 review)."""
+    tpl = F.element_at(
+        F.array(
+            *[F.lit(t) for t in _LANGID_TEMPLATES + _SCRIPT_TEMPLATES]
+        ),
+        (F.col("doc_id") % 11 + 1).cast("int"),
+    )
+    noise = F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60))
+    return F.concat_ws(" ", tpl, noise)
+
+
 def lang_id_script_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-aware language ID (``lang_id_script`` — r10 verdict #8)
     over an 11-way probe corpus: doc_id % 11 selects one of the six
@@ -721,15 +737,7 @@ def lang_id_script_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ja, Han-only → zh discrimination); Latin docs fall through to the
     trigram argmax. The oracle recomputes both layers in SQL."""
     d = load_table(spark, sf_dir, "documents")
-    tpl = F.element_at(
-        F.array(
-            *[F.lit(t) for t in _LANGID_TEMPLATES + _SCRIPT_TEMPLATES]
-        ),
-        (F.col("doc_id") % 11 + 1).cast("int"),
-    )
-    noise = F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60))
-    probe = F.concat_ws(" ", tpl, noise)
-    return d.select("doc_id", T.lang_id_script(probe).alias("lang"))
+    return d.select("doc_id", T.lang_id_script(_lang_probe(d)).alias("lang"))
 
 
 def lang_id_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,6 +791,9 @@ def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from farmrpg_etl_spark.operators.quality import ngram_contamination
 
     d = load_table(spark, sf_dir, "documents")
+    # the ~40-regex metrics bundle is the dominant cost and feeds two
+    # independent aggregates — materialize it once (doc-count-sized
+    # leaf; r14 review caught the double corpus scan)
     m = T.text_metrics(d, "text").select(
         "doc_id",
         "lang_pred",
@@ -791,7 +802,7 @@ def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qm"
         ),
         "fp",
-    )
+    ).localCheckpoint()
     scal = m.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
@@ -5735,16 +5746,8 @@ def ccnet_per_lang_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from farmrpg_etl_spark.operators import langmodel as LM
 
     d = load_table(spark, sf_dir, "documents")
-    tpl = F.element_at(
-        F.array(
-            *[F.lit(t) for t in _LANGID_TEMPLATES + _SCRIPT_TEMPLATES]
-        ),
-        (F.col("doc_id") % 11 + 1).cast("int"),
-    )
-    noise = F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60))
     lang_rel = d.select(
-        "doc_id",
-        T.lang_id_script(F.concat_ws(" ", tpl, noise)).alias("lang"),
+        "doc_id", T.lang_id_script(_lang_probe(d)).alias("lang")
     ).persist()
     docs = d.select("doc_id", "text").join(F.broadcast(lang_rel), "doc_id")
     tables = LM.kn_ngram_tables(
@@ -6895,20 +6898,7 @@ def crawl_robots_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     host = F.concat(F.col("source"), F.lit(".example.com"))
     hosts = docs.select(host.alias("key")).distinct()
     rules = _live_robots_rules(spark, hosts, "farmbot/1.0")
-    n = F.regexp_extract(F.col("source"), r"(\d+)", 1)
-    urls = docs.select(
-        "doc_id",
-        host.alias("host"),
-        F.concat(
-            F.lit("/Docs/"),
-            n,
-            F.when(F.col("doc_id") % 2 == 0, F.lit("/pub/")).otherwise(
-                F.lit("/x/")
-            ),
-            F.col("doc_id").cast("string"),
-        ).alias("path"),
-    )
-    return robots_filter(urls, rules).select(
+    return robots_filter(_v6_urls(docs), rules).select(
         "doc_id", "matched_len", "allowed"
     )
 
@@ -7055,6 +7045,31 @@ def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crawl_corpus_interior(docs, allowed)
 
 
+def _crawl_survivors(
+    docs: DataFrame, allowed: DataFrame, materialize: bool = True
+) -> DataFrame:
+    """Gate → eval-holdout → C4/Gopher page gate → surviving pages —
+    ONE definition shared by `_crawl_corpus_interior` and the
+    streaming-v6 frozen-model prep (r14 review: the stream ≡ batch
+    guarantee depends on these steps staying byte-equivalent, so they
+    exist once). ``materialize`` eagerly localCheckpoints the
+    structured-pages relation (it feeds both the gate branch and the
+    dedup branch; a persist here had no release path and leaked a
+    CacheManager entry per pipeline call — r14 review)."""
+    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
+
+    train = docs.join(allowed, "doc_id").filter(F.col("doc_id") % 101 != 0)
+    pages = _docs_as_structured(train)
+    if materialize:
+        pages = pages.localCheckpoint()
+    keep = (
+        c4_fineweb_signals(pages, "text_struct", "doc_id")
+        .filter(F.col("keep_c4") & F.col("keep_gopher"))
+        .select("doc_id")
+    )
+    return pages.join(keep, "doc_id")
+
+
 def _crawl_corpus_interior(
     docs: DataFrame,
     allowed: DataFrame,
@@ -7077,20 +7092,12 @@ def _crawl_corpus_interior(
     from farmrpg_etl_spark.functions.hashing import word_ngrams
     from farmrpg_etl_spark.functions.text import lang_id_script
     from farmrpg_etl_spark.operators.linededup import remove_frequent_lines
-    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
 
-    # 2. eval holdout excluded from training
-    train = docs.join(allowed, "doc_id").filter(F.col("doc_id") % 101 != 0)
-    # 3.-4. page gate, then survivor-only line dedup (v4 interior)
-    pages = _docs_as_structured(train)
-    if persist_pages:
-        pages = pages.persist()
-    keep = (
-        c4_fineweb_signals(pages, "text_struct", "doc_id")
-        .filter(F.col("keep_c4") & F.col("keep_gopher"))
-        .select("doc_id")
+    # 2.-4. gate -> holdout -> page gate -> survivors (shared chain),
+    # then survivor-only line dedup
+    survivors = _crawl_survivors(
+        docs, allowed, materialize=persist_pages
     )
-    survivors = pages.join(keep, "doc_id")
     out = remove_frequent_lines(
         survivors, "text_struct", "doc_id", min_count=2, boiler=boiler
     )
@@ -7152,21 +7159,8 @@ def training_data_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = _live_robots_rules(
         spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
     )
-    n = F.regexp_extract(F.col("source"), r"(\d+)", 1)
-    urls = docs.select(
-        "doc_id",
-        host.alias("host"),
-        F.concat(
-            F.lit("/Docs/"),
-            n,
-            F.when(F.col("doc_id") % 2 == 0, F.lit("/pub/")).otherwise(
-                F.lit("/x/")
-            ),
-            F.col("doc_id").cast("string"),
-        ).alias("path"),
-    )
     allowed = (
-        robots_filter(urls, rules)
+        robots_filter(_v6_urls(docs), rules)
         .filter(F.col("allowed"))
         .select("doc_id")
     )
@@ -7197,16 +7191,8 @@ def streaming_ccnet_per_lang_docs(
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
 
     d = load_table(spark, sf_dir, "documents")
-    tpl = F.element_at(
-        F.array(
-            *[F.lit(t) for t in _LANGID_TEMPLATES + _SCRIPT_TEMPLATES]
-        ),
-        (F.col("doc_id") % 11 + 1).cast("int"),
-    )
-    noise = F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60))
     lang_rel = d.select(
-        "doc_id",
-        T.lang_id_script(F.concat_ws(" ", tpl, noise)).alias("lang"),
+        "doc_id", T.lang_id_script(_lang_probe(d)).alias("lang")
     ).persist()
     docs = d.select("doc_id", "text").join(F.broadcast(lang_rel), "doc_id")
     tables = LM.freeze_kn_tables(
@@ -7218,15 +7204,11 @@ def streaming_ccnet_per_lang_docs(
     nll_full = LM.doc_nll_kn_ngram(
         docs, "text", "doc_id", order=5, tables=tables, key_cols=("lang",)
     ).localCheckpoint()
-    m = F.round(
-        _dec_sum(F.col("nll")).cast("double") / F.count(F.lit(1)), 4
-    )
-    thr = F.broadcast(
-        nll_full.groupBy("lang").agg(
-            m.alias("head_nll"),
-            F.round(m * F.lit(1.15), 4).alias("tail_nll"),
-        )
-    )
+    # the SAME calibration expression as the batch row, by
+    # construction (shared helper — r14 review: a copy here could
+    # silently fork from ccnet_per_lang_filter and surface as a
+    # cross-engine mismatch)
+    thr = F.broadcast(LM.ccnet_thresholds(nll_full, "lang"))
     src_dir = tempfile.mkdtemp(prefix="farmrpg_ccnets_")
     n_batches = 4
     for i in range(n_batches):
@@ -7379,7 +7361,6 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         frequent_lines,
         split_lines,
     )
-    from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -7393,23 +7374,14 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = _live_robots_rules(
         spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
     ).localCheckpoint()
-    # frozen corpus-global models, built exactly as batch v6 builds
-    # them (gate -> holdout -> page gate -> survivor line counts)
+    # frozen corpus-global models, built via the SAME survivor chain
+    # as batch v6 (shared helper — byte-equivalence by construction)
     allowed_full = (
         robots_filter(_v6_urls(docs), rules)
         .filter(F.col("allowed"))
         .select("doc_id")
     )
-    train = docs.join(allowed_full, "doc_id").filter(
-        F.col("doc_id") % 101 != 0
-    )
-    pages = _docs_as_structured(train)
-    keep = (
-        c4_fineweb_signals(pages, "text_struct", "doc_id")
-        .filter(F.col("keep_c4") & F.col("keep_gopher"))
-        .select("doc_id")
-    )
-    survivors = pages.join(keep, "doc_id")
+    survivors = _crawl_survivors(docs, allowed_full, materialize=False)
     boiler = frequent_lines(
         split_lines(survivors, "text_struct", "doc_id"), 2
     ).localCheckpoint()

@@ -441,15 +441,48 @@ def test_ccnet_per_lang_filter_whitelist_and_thresholds(spark):
             docs, "text", "doc_id", "lang", thr, order=3
         ).collect()
     }
-    assert 4 not in out  # whitelist: cc has no calibrated row
-    assert 1 in out and out[1][0] == "aa"
-    # doc 3 is bb's ONLY doc: its own-language model knows only this
-    # text, so nll is low — but bb's tight thresholds still cut or
-    # demote it differently than aa would have.
-    if 3 in out:
-        assert out[3][1] in ("head", "middle")
-        assert out[3][2] <= 0.2
+    # exact membership pinned (r14 review: conditional asserts could
+    # pass vacuously if a regression cut docs 2/3 entirely)
+    assert set(out) == {1, 2, 3}  # cc (doc 4) cut by the whitelist
+    assert out[1][0] == "aa"
+    # the SAME text is head under aa's loose thresholds (doc 1,
+    # nll 0.319 <= 0.7) but only middle under bb's tight ones (doc 3,
+    # nll 0.1425 > 0.1): per-language thresholds decide the bucket
+    assert out[1][1] == "head"
+    assert out[3] == ("bb", "middle", 0.1425)
+    assert out[3][2] <= 0.2  # within bb's tail, so kept
     # aa's two docs: repetitive doc 1 scores lower than the
-    # all-singletons doc 2 under aa's model
-    if 2 in out:
-        assert out[1][2] < out[2][2]
+    # all-singletons doc 2 under aa's model, landing in middle
+    assert out[2][1] == "middle"
+    assert out[1][2] < out[2][2]
+
+
+def test_keyed_tables_reject_mismatched_key_cols(spark):
+    """An explicit key_cols that disagrees with the tables' keys
+    fails loudly (like the order check) instead of being silently
+    overridden by the tables."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "aa", "x y z"), (2, "bb", "x y w")],
+        "doc_id long, lang string, text string",
+    )
+    tables = LM.kn_ngram_tables(
+        docs, "text", "doc_id", order=2, key_cols=("lang",)
+    )
+    with pytest.raises(ValueError, match="keyed by"):
+        LM.doc_nll_kn_ngram(
+            docs, "text", "doc_id", order=2, tables=tables,
+            key_cols=("source",),
+        )
+    with pytest.raises(ValueError, match="keyed by"):
+        LM.train_kn_ngram_lm(
+            docs, "text", "doc_id", order=2, tables=tables,
+            key_cols=("source",),
+        )
+    # inherit path (key_cols=()) still works
+    assert LM.doc_nll_kn_ngram(
+        docs, "text", "doc_id", order=2, tables=tables,
+        key_cols=("lang",),
+    ).count() == 2
+    LM.unpersist_kn_tables(tables)

@@ -56,13 +56,15 @@ class TestTrainingDataPipelineV5:
         }
         assert 0 < len(rows) < len(eligible)
 
-    def test_plan_pages_persist_once_no_cartesian(self, spark):
-        """The structured-pages relation persists and feeds both the
-        gate and dedup branches; rules/eval-gram joins never degrade
-        to cartesian products."""
+    def test_plan_pages_materialize_once_no_cartesian(self, spark):
+        """The structured-pages relation materializes ONCE (an eager
+        localCheckpoint leaf — r14: a persist here had no release
+        path and leaked a cache entry per pipeline call) and feeds
+        both the gate and dedup branches; rules/eval-gram joins never
+        degrade to cartesian products."""
         df = QUERIES["training_data_pipeline_v5"](spark, SF)
         opt = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "InMemoryRelation" in opt
+        assert ("LogicalRDD" in opt) or ("ExistingRDD" in opt)
         assert "CartesianProduct" not in opt
         phys = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in phys

@@ -439,3 +439,26 @@ def test_corpus_report_is_exact_on_a_tiny_corpus(spark, tmp_path):
     assert out["n_langs"] == len(langs)
     best = max(langs.items(), key=lambda kv: (kv[1], kv[0]))
     assert (out["top_lang"], out["top_lang_n"]) == (best[0], best[1])
+
+
+def test_unimax_survives_1700_ten_trillion_token_sources(spark):
+    """The micro-score SUM passes 2^63 at ~1,700 ten-trillion-token
+    sources (Σ m ≈ 1.1e19) — the window sums must run in
+    DECIMAL(38,0) like the products, or ANSI mode kills the job in
+    exactly the domain the operator claims (r14 review finding)."""
+    from farmrpg_etl_spark.operators.quality import unimax_mixture_weights
+
+    n = 10_000_000_000_000  # 10T tokens each
+    per = spark.createDataFrame(
+        [(f"s{i:04d}", n + i) for i in range(1700)],
+        "source string, n_tokens long",
+    )
+    rows = unimax_mixture_weights(
+        per, "source", budget_ratio=2, max_epochs=2
+    ).collect()
+    assert len(rows) == 1700
+    budget = 2 * sum(n + i for i in range(1700))
+    total = sum(r["token_quota"] for r in rows)
+    assert 0 < total <= budget
+    for r in rows:  # caps hold everywhere
+        assert r["token_quota"] <= 2 * (n + int(r["source"][1:]))
