@@ -874,11 +874,14 @@ def ccnet_per_lang_filter(
         # plan against a leaf instead of re-optimizing the full
         # KN-ladder tree (megabyte-scale; measured seconds of driver
         # time per downstream action). Eager, so it also releases
-        # itself with the session like any shuffle file. Self-built
-        # tables skip it to stay side-effect-free like
-        # kn_ngram_tables(persist=False).
-        if not own_tables:
-            nll = nll.localCheckpoint()
+        # itself with the session like any shuffle file — which is why
+        # the convenience path (self-built tables) checkpoints too:
+        # without it the whole KN training+scoring pipeline would run
+        # once for the calibration aggregate and again for the bucket
+        # join, with every unpersisted ladder level recomputed per
+        # reference (the r14 advice's perf cliff). Checkpointing stays
+        # side-effect-free — no cache entries outlive the session.
+        nll = nll.localCheckpoint()
         thresholds = ccnet_thresholds(nll, lang_col, tail_ratio)
     out = nll.join(F.broadcast(thresholds), lang_col, "inner")
     bucket = (

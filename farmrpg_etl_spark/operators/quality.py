@@ -387,6 +387,13 @@ def unimax_mixture_weights(
 
     if (token_budget is None) == (budget_ratio is None):
         raise ValueError("pass exactly one of token_budget/budget_ratio")
+    if budget_ratio is not None and not isinstance(budget_ratio, int):
+        # the whole operator runs on exact integers; silently flooring
+        # a float ratio (2.5 -> 2) would change the budget by up to a
+        # full corpus pass without any signal
+        raise TypeError(
+            f"budget_ratio must be an int, got {type(budget_ratio).__name__}"
+        )
     full0 = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

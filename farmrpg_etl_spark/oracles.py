@@ -3917,9 +3917,11 @@ WHERE nll <= 1.13
 # Per-language CCNet (Wenzek et al.'s actual multilingual regime):
 # one order-5 KN model per detected language, all count relations
 # keyed by lang, each doc scored by ITS language's model, per-language
-# thresholds (shared constants: operators.langmodel.
-# CCNET_LANG_THRESHOLDS). The langs CTE is the lang_id_script oracle
-# verbatim (11-way probe detection). Every shared CTE is AS
+# thresholds SELF-CALIBRATED from the snapshot itself (the
+# mean-anchored band computed by operators.langmodel.ccnet_thresholds:
+# keep nll <= lang_mean + spread, demote the band above it — no
+# hard-coded constants anywhere). The langs CTE is the lang_id_script
+# oracle verbatim (11-way probe detection). Every shared CTE is AS
 # MATERIALIZED: without the hint DuckDB re-inlines the keyed count
 # chain per reference and the 9-way probability join goes from <1 s
 # to minutes at sf0.001 (measured); materialization restores the

@@ -363,6 +363,10 @@ def test_unimax_absolute_budget_and_arg_validation(spark):
         unimax_mixture_weights(
             per_src, "source", token_budget=1, budget_ratio=1
         )
+    # a float ratio must raise, not silently floor (2.5 -> 2 would
+    # shrink the budget by half a corpus pass without any signal)
+    with pytest.raises(TypeError):
+        unimax_mixture_weights(per_src, "source", budget_ratio=2.5)
 
 
 def test_dsir_prefers_target_like_documents(spark):
