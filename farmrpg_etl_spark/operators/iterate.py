@@ -24,8 +24,8 @@ calling the iterative operators; when unset, a local temp dir is used
 
 from __future__ import annotations
 
-import tempfile
 
+from farmrpg_etl_spark.scratch import scratch_dir
 from pyspark.sql import DataFrame
 
 
@@ -36,7 +36,7 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     before returning); disk cost is one small per-round table."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="farmrpg_ckpt_"))
+        sc.setCheckpointDir(scratch_dir("ckpt"))
     cached = df.persist()
     out = cached.checkpoint()  # eager: fills the cache, then writes from it
     cached.unpersist()

@@ -26,6 +26,7 @@ from farmrpg_etl_spark.functions import hashing as H
 from farmrpg_etl_spark.functions import text as T
 from farmrpg_etl_spark.functions import vectors as V
 from farmrpg_etl_spark.operators import cdc, dedup, filters, joins, latest, rollup, similarity
+from farmrpg_etl_spark.scratch import scratch_dir
 from farmrpg_etl_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -2499,12 +2500,11 @@ def streaming_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     union of per-batch deltas must equal the one-shot batch run. That
     equality is the correctness argument for running this pipeline
     nightly on a 100 TB corpus instead of re-pairing from scratch."""
-    import tempfile
 
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src_dir = tempfile.mkdtemp(prefix="farmrpg_ing_")
+    src_dir = scratch_dir("ing")
     n_batches = 4
     for i in range(n_batches):
         d.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
@@ -2516,8 +2516,8 @@ def streaming_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    index = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_sigidx_"))
-    pairs_tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_pairs_"))
+    index = ParquetTable(spark, scratch_dir("sigidx"))
+    pairs_tbl = ParquetTable(spark, scratch_dir("pairs"))
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         stored = index.read()
@@ -2566,12 +2566,11 @@ def streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the one-shot full-batch encode — incremental ≡ batch is
     exactly the claim that lets a 100 TB corpus maintain its ANN index
     by delta."""
-    import tempfile
 
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    src_dir = tempfile.mkdtemp(prefix="farmrpg_pqing_")
+    src_dir = scratch_dir("pqing")
     n_batches = 4
     for i in range(n_batches):
         e.filter(F.col("vec_id") % n_batches == i).coalesce(1).write.mode(
@@ -2585,14 +2584,14 @@ def streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # offline training job: commit the seed codebook before the stream
-    cb_tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_pqcb_"))
+    cb_tbl = ParquetTable(spark, scratch_dir("pqcb"))
     cb_tbl._commit(
         unitized(e.orderBy(F.col("vec_id").asc()).limit(16)).select(
             F.col("vec_id").alias("k"), F.col("__cv").alias("__bv")
         ),
         batch_id=-1, writer="codebook",
     )
-    index_tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_pqidx_"))
+    index_tbl = ParquetTable(spark, scratch_dir("pqidx"))
 
     schema = spark.read.parquet(src_dir).schema
     stream = (
@@ -2641,7 +2640,6 @@ def streaming_docstore_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone, so the row passes only if streaming ingest == batch
     recompute."""
     import os as _os
-    import tempfile as _tf
 
     from farmrpg_etl_spark.sinks.docstore import (
         DocStoreSpec,
@@ -2651,7 +2649,7 @@ def streaming_docstore_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from farmrpg_etl_spark.streaming import ops
 
     spec = DocStoreSpec(
-        _os.path.join(_tf.mkdtemp(prefix="farmrpg_sdoc_"), "store.db")
+        _os.path.join(scratch_dir("sdoc"), "store.db")
     )
 
     def to_docs(b: DataFrame) -> DataFrame:
@@ -2731,7 +2729,6 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin(batch index = doc_id % 4, then doc_id) over gated docs —
     i.e. continuous ingest must equal the batch recomputation, the
     same equality argument as streaming_incremental_lsh."""
-    import tempfile
 
     from farmrpg_etl_spark.operators.dedup import keep_first_per_key
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
@@ -2748,7 +2745,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + F.lit(1_000_001)).alias("doc_id"), "text"
         )
     )
-    src_dir = tempfile.mkdtemp(prefix="farmrpg_cing_")
+    src_dir = scratch_dir("cing")
     n_batches = 4
     for i in range(n_batches):
         d.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
@@ -2760,7 +2757,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    corpus = ParquetTable(spark, tempfile.mkdtemp(prefix="farmrpg_corp_"))
+    corpus = ParquetTable(spark, scratch_dir("corp"))
     digest = F.md5(
         F.regexp_replace(
             F.lower(F.trim(F.col("text"))), r"\s+", " "
@@ -4173,9 +4170,7 @@ def decode_real_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sink_scratch(prefix: str) -> str:
-    import tempfile
-
-    return tempfile.mkdtemp(prefix=f"farmrpg_sink_{prefix}_")
+    return scratch_dir(f"sink_{prefix}")
 
 
 def k1_insert_absent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5138,7 +5133,6 @@ def s_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading the zone back must reproduce every poller's row exactly
     (fixed fetch_ts, deterministic stub payload = the poll's
     'source|key' bytes)."""
-    import tempfile
     from datetime import datetime
 
     from farmrpg_etl_spark.sources import landing
@@ -5146,7 +5140,7 @@ def s_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fetcher(spec: landing.PollSpec) -> tuple[int, bytes]:
         return 200, f"{spec.source}|{spec.key or ''}".encode()
 
-    d = tempfile.mkdtemp(prefix="farmrpg_landing_")
+    d = scratch_dir("landing")
     landing.land_poll_sweep(
         spark, d, fetcher=fetcher, fetch_ts=datetime(2024, 6, 1, 12, 0, 0)
     )
@@ -5179,7 +5173,6 @@ def s_http_poll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, key), so the oracle recomputes every digest; the only
     difference from `s_landing_roundtrip` is that these payloads
     travelled over real sockets."""
-    import tempfile
     from datetime import datetime
 
     from farmrpg_etl_spark.sources import landing
@@ -5193,7 +5186,7 @@ def s_http_poll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cookie="s3cret",
             )
         )
-        d = tempfile.mkdtemp(prefix="farmrpg_http_landing_")
+        d = scratch_dir("http_landing")
         landing.land_poll_sweep(
             spark, d, fetcher=fetcher, fetch_ts=datetime(2024, 6, 1, 12, 0, 0)
         )
@@ -5215,7 +5208,6 @@ def s_http_demand_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-message fetch tasks (scrapers/mailbox.py:63-72) with the
     network path real. Materialized to parquet inside the row so the
     server can be torn down before the driver consumes the result."""
-    import tempfile
 
     from farmrpg_etl_spark.sources import landing
     from farmrpg_etl_spark.sources.http import HttpClientConfig, HttpFetcher
@@ -5225,7 +5217,7 @@ def s_http_demand_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string").alias("key")
     )
     srv = _local_game_site()
-    d = tempfile.mkdtemp(prefix="farmrpg_http_fanout_")
+    d = scratch_dir("http_fanout")
     try:
         fetcher = HttpFetcher(
             HttpClientConfig(
@@ -5429,7 +5421,6 @@ def k_docstore_partial_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     are preserved by the patch. End state is read back over the
     partitioned doc reader and parsed with a typed ``from_json``."""
     import os as _os
-    import tempfile as _tf
 
     from farmrpg_etl_spark.sinks.docstore import (
         DocStoreSpec,
@@ -5467,7 +5458,7 @@ def k_docstore_partial_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc"),
     )
     spec = DocStoreSpec(
-        _os.path.join(_tf.mkdtemp(prefix="farmrpg_docstore_"), "store.db")
+        _os.path.join(scratch_dir("docstore"), "store.db")
     )
     set_docs(seed, spec, merge=True)
     set_docs(batch, spec, merge=True)
@@ -5491,7 +5482,6 @@ def k_docstore_subdoc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``k5_flags_subdoc_sink``; same oracle. The prefix read selects
     the subdoc subtree and the path parses back to (room, msg_id)."""
     import os as _os
-    import tempfile as _tf
 
     from farmrpg_etl_spark.operators.latest import latest_per_key_agg
     from farmrpg_etl_spark.sinks.docstore import (
@@ -5534,7 +5524,7 @@ def k_docstore_subdoc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     spec = DocStoreSpec(
-        _os.path.join(_tf.mkdtemp(prefix="farmrpg_subdoc_"), "store.db")
+        _os.path.join(scratch_dir("subdoc"), "store.db")
     )
     b1 = resolved.filter(F.col("src_id") <= mid)
     b2 = resolved.filter(F.col("src_id") > mid)
@@ -6547,7 +6537,6 @@ def streaming_ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADVICE regime), continuous ingest ≡ the batch recompute, which is
     exactly what the oracle pins. Unseen bigrams take the add-one
     zero-count fallback; the tail bucket is cut before the sink."""
-    import tempfile
 
     from farmrpg_etl_spark.operators import langmodel as LM
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
@@ -6556,7 +6545,7 @@ def streaming_ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = LM.train_bigram_lm(
         docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
     ).persist()
-    src_dir = tempfile.mkdtemp(prefix="farmrpg_ppl_")
+    src_dir = scratch_dir("ppl")
     n_batches = 4
     for i in range(n_batches):
         docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
@@ -6602,7 +6591,6 @@ def streaming_kn5_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT-JOIN + CASE chains matching `_kn_attach_p` step for step.
     Thresholds 1.50/3.76 span the bimodal frozen-score shape (seen
     half ≈ 1.1, unseen half ≈ 3.7; stable across SFs)."""
-    import tempfile
 
     from farmrpg_etl_spark.operators import langmodel as LM
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
@@ -6611,7 +6599,7 @@ def streaming_kn5_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = LM.kn_ngram_tables(
         docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", order=5
     )
-    src_dir = tempfile.mkdtemp(prefix="farmrpg_kn5_")
+    src_dir = scratch_dir("kn5")
     n_batches = 4
     for i in range(n_batches):
         docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
@@ -7185,7 +7173,6 @@ def streaming_ccnet_per_lang_docs(
     language per snapshot, stream the crawl through the frozen
     models — and the scale story matches: per-trigger work joins the
     batch against LM-sized relations once on the prefixed keys."""
-    import tempfile
 
     from farmrpg_etl_spark.operators import langmodel as LM
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
@@ -7209,7 +7196,7 @@ def streaming_ccnet_per_lang_docs(
     # silently fork from ccnet_per_lang_filter and surface as a
     # cross-engine mismatch)
     thr = F.broadcast(LM.ccnet_thresholds(nll_full, "lang"))
-    src_dir = tempfile.mkdtemp(prefix="farmrpg_ccnets_")
+    src_dir = scratch_dir("ccnets")
     n_batches = 4
     for i in range(n_batches):
         d.select("doc_id", "text").filter(
@@ -7354,7 +7341,6 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations. This is CCNet/RefinedWeb's actual incremental
     shape: recalibrate the global models per snapshot, stream the
     crawl through them."""
-    import tempfile
 
     from farmrpg_etl_spark.operators.crawl import robots_filter
     from farmrpg_etl_spark.operators.linededup import (
@@ -7397,7 +7383,7 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    src_dir = tempfile.mkdtemp(prefix="farmrpg_v6s_")
+    src_dir = scratch_dir("v6s")
     n_batches = 4
     for i in range(n_batches):
         docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
