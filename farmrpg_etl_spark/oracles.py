@@ -6398,3 +6398,127 @@ SELECT n_docs, n_tokens, n_docs - n_fp AS n_dup_docs, n_langs,
        sum_quality_micros, n_contaminated_docs
 FROM scal CROSS JOIN tp CROSS JOIN ctm
 """
+
+# --- round 15: v7 compositions -------------------------------------------
+
+# streaming v7 == batch v7 by construction (frozen v6 globals + frozen
+# per-lang KN models + frozen thresholds; every per-batch decision is
+# per-document) — the shared oracle pins stream ≡ batch cross-engine.
+ORACLES["streaming_pipeline_v7"] = ORACLES["training_data_pipeline_v7"]
+
+# The v7 head/middle survivor relation as a reusable CTE block: the
+# v7 oracle's prefix (everything up to its final SELECT) + a
+# materialized survivor CTE named v7out ("surv" is taken by the page
+# chain). Shared by the v8 (DSIR-selection) oracle and the
+# built-corpus report card, mirroring queries._v7_interior_scored.
+_v7_prefix = ORACLES["training_data_pipeline_v7"].split(
+    "\nSELECT v7in.doc_id AS doc_id", 1
+)[0]
+_V7OUT = (
+    _v7_prefix
+    + """,
+v7out AS MATERIALIZED (
+  SELECT v7in.doc_id AS doc_id, v7in.lang AS lang,
+         v7in.text_out AS text_out, v7in.out_digest AS out_digest,
+         v7in.n_contaminated AS n_contaminated,
+         nlls.n_tok AS n_tok, nlls.nll AS nll,
+         CASE WHEN nll <= head_nll THEN 'head'
+              WHEN nll <= tail_nll THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM v7in
+  JOIN nlls ON nlls.doc_id = v7in.doc_id
+  JOIN thr ON thr.lang = nlls.lang
+  WHERE nll <= tail_nll
+)"""
+)
+
+# v8 = DSIR selection over the v7 survivors: the dsir_select_docs
+# oracle chain (hashed uni+bigram buckets, add-one smoothing,
+# micro-quantized logit, md5-Gumbel top-k) re-pointed at v7out's
+# text_out as the raw corpus and the %101 holdout as the target;
+# ds_-prefixed CTE names keep the namespace disjoint from the v7
+# body (which already owns `rb`).
+_DS_GRAMS = """unnest(list_concat(toks,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+1], ' '))
+         ELSE CAST([] AS VARCHAR[]) END)) AS gram"""
+ORACLES["training_data_pipeline_v8"] = (
+    _V7OUT
+    + f""",
+ds_tgt AS (SELECT doc_id, {_TOKS} AS toks
+           FROM documents WHERE doc_id % 101 = 0),
+ds_rawd AS (SELECT doc_id,
+                   {_TOKS.replace("trim(text)", "trim(text_out)")} AS toks
+            FROM v7out),
+ds_tgr AS (SELECT doc_id, {_DS_GRAMS} FROM ds_tgt),
+ds_rgr AS (SELECT doc_id, {_DS_GRAMS} FROM ds_rawd),
+ds_tb AS (SELECT CAST('0x' || substr(md5('dsir|' || gram), 1, 8) AS BIGINT)
+                 % 4096 AS bucket FROM ds_tgr),
+ds_rb AS (SELECT doc_id,
+                 CAST('0x' || substr(md5('dsir|' || gram), 1, 8) AS BIGINT)
+                 % 4096 AS bucket FROM ds_rgr),
+ds_tcnt AS (SELECT bucket, count(*) AS ct FROM ds_tb GROUP BY bucket),
+ds_rcnt AS (SELECT bucket, count(*) AS cr FROM ds_rb GROUP BY bucket),
+ds_tt AS (SELECT count(*) AS T FROM ds_tb),
+ds_rt AS (SELECT count(*) AS R FROM ds_rb),
+ds_ratio AS (
+  SELECT ds_rcnt.bucket,
+         ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+            / CAST(T + 4096 AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE) / CAST(R + 4096 AS DOUBLE)) AS lr
+  FROM ds_rcnt LEFT JOIN ds_tcnt USING (bucket)
+  CROSS JOIN ds_tt CROSS JOIN ds_rt),
+ds_pdb AS (SELECT doc_id, bucket, count(*) AS c
+           FROM ds_rb GROUP BY doc_id, bucket),
+ds_lw AS (
+  SELECT doc_id,
+         round(CAST(SUM(CAST(
+           floor(CAST(c AS DOUBLE) * lr * 1000000.0) / 1000000.0
+           AS DECIMAL(18,6))) AS DOUBLE), 6) AS logw
+  FROM ds_pdb JOIN ds_ratio USING (bucket) GROUP BY doc_id),
+ds_sc AS (
+  SELECT r.doc_id, coalesce(logw, 0.0) AS logw,
+         round(coalesce(logw, 0.0)
+               - ln(-ln((CAST('0x' || substr(
+                     md5('g|dsir|' || CAST(r.doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 1.0) / 4294967297.0)), 6) AS gkey
+  FROM (SELECT doc_id FROM v7out) r
+  LEFT JOIN ds_lw USING (doc_id)),
+ds_top AS (SELECT doc_id, logw, gkey FROM ds_sc
+           ORDER BY gkey DESC, doc_id LIMIT 50)
+SELECT ds_top.doc_id AS doc_id, v7out.lang AS lang,
+       v7out.bucket AS bucket, ds_top.logw AS logw, ds_top.gkey AS gkey
+FROM ds_top JOIN v7out ON v7out.doc_id = ds_top.doc_id
+"""
+)
+
+# Built-corpus report card: the corpus_report_docs card families over
+# the v7 survivors — token totals from the LM scorer's exact n_tok,
+# duplicates via out_digest fingerprints, language spread with the
+# (n, lang) struct-max tie-break, quality mass as the exact integer
+# perplexity micro-sum (nll is 4-decimal by construction), residual
+# contamination = survivors still sharing a 13-gram with the holdout.
+ORACLES["corpus_report_v7_docs"] = (
+    _V7OUT
+    + """,
+rc_scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT out_digest) AS BIGINT) AS n_fp,
+         CAST(SUM(CAST(round(nll * 10000.0) AS BIGINT)) AS BIGINT)
+           AS sum_nll_tenk,
+         CAST(SUM(CASE WHEN n_contaminated > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contaminated_docs
+  FROM v7out),
+rc_lgc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM v7out GROUP BY lang),
+rc_tp AS (SELECT max(struct_pack(n := n, l := lang)) AS t,
+                 CAST(count(*) AS BIGINT) AS n_langs
+          FROM rc_lgc)
+SELECT n_docs, n_tokens, n_docs - n_fp AS n_dup_docs, n_langs,
+       t.l AS top_lang, CAST(t.n AS BIGINT) AS top_lang_n,
+       sum_nll_tenk, n_contaminated_docs
+FROM rc_scal CROSS JOIN rc_tp
+"""
+)

@@ -7260,46 +7260,13 @@ def training_data_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     (already gated — the cheap filters ran first, the expensive model
     runs last, CCNet's stated ordering); the per-language construction
     costs the same shuffle schedule as one model. The survivor
-    relation persists once (it feeds training, scoring, and the final
-    join-back) and releases with the count tables."""
-    from farmrpg_etl_spark.operators import langmodel as LM
-    from farmrpg_etl_spark.operators.crawl import robots_filter
-
-    docs = load_table(spark, sf_dir, "documents")
-    host = F.concat(F.col("source"), F.lit(".example.com"))
-    rules = _live_robots_rules(
-        spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
-    )
-    allowed = (
-        robots_filter(_v6_urls(docs), rules)
-        .filter(F.col("allowed"))
-        .select("doc_id")
-    )
-    # localCheckpoint, not persist: the interior's lineage (live
-    # fetch + page gate + line dedup + census) is megabyte-scale and
-    # the keyed KN ladder embeds its source ~20×; a cached-but-full
-    # lineage still pays Catalyst re-optimization per action
-    # (measured: nll 50 s -> seconds at sf0.001 after truncation)
-    v7in = _crawl_corpus_interior(
-        docs, allowed, include_text=True
-    ).localCheckpoint()
-    tables = LM.kn_ngram_tables(
-        v7in, "text_out", "doc_id", order=5, key_cols=("lang",)
-    )
-    scored = LM.ccnet_per_lang_filter(
-        v7in, "text_out", "doc_id", "lang", order=5, tables=tables
-    )
-    out = (
-        v7in.select("doc_id", "n_kept", "out_digest", "n_contaminated")
-        .join(scored, "doc_id")
-        .select(
-            "doc_id", "lang", "n_kept", "out_digest", "n_contaminated",
-            "n_tok", "nll", "bucket",
-        )
-        .localCheckpoint()
-    )
-    LM.unpersist_kn_tables(tables)
-    return out
+    relation is a localCheckpointed leaf (it feeds training, scoring,
+    and the final join-back; the keyed KN ladder embeds its source
+    ~20×, and a cached-but-full lineage still pays Catalyst
+    re-optimization per action — measured: nll 50 s -> seconds at
+    sf0.001 after truncation). Body shared with the v8/report-card
+    compositions via `_v7_interior_scored`."""
+    return _v7_interior_scored(spark, sf_dir)
 
 
 def _v6_urls(docs: DataFrame) -> DataFrame:
@@ -7422,71 +7389,302 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read()
 
 
+def _v7_interior_scored(
+    spark: SparkSession, sf_dir: str, include_text: bool = False
+) -> DataFrame:
+    """The complete v7 recipe (live robots gate → holdout → page gate
+    → line dedup → census → per-language CCNet perplexity cut),
+    returning the head/middle SURVIVOR relation — one definition
+    shared by the flagship `training_data_pipeline_v7` row, the v8
+    (DSIR-selection) composition, and the built-corpus report card,
+    so the three rows cannot silently fork on any gate.
+    ``include_text`` carries ``text_out`` through for consumers that
+    re-tokenize the survivors (DSIR's feature hash). The returned
+    relation is a localCheckpointed leaf: survivor-count-sized, and
+    the keyed KN ladder above it embeds its source ~20×."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+    from farmrpg_etl_spark.operators.crawl import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    rules = _live_robots_rules(
+        spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
+    )
+    allowed = (
+        robots_filter(_v6_urls(docs), rules)
+        .filter(F.col("allowed"))
+        .select("doc_id")
+    )
+    v7in = _crawl_corpus_interior(
+        docs, allowed, include_text=True
+    ).localCheckpoint()
+    tables = LM.kn_ngram_tables(
+        v7in, "text_out", "doc_id", order=5, key_cols=("lang",)
+    )
+    scored = LM.ccnet_per_lang_filter(
+        v7in, "text_out", "doc_id", "lang", order=5, tables=tables
+    )
+    out = (
+        v7in.select(
+            "doc_id",
+            "n_kept",
+            *(["text_out"] if include_text else []),
+            "out_digest",
+            "n_contaminated",
+        )
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_kept",
+            *(["text_out"] if include_text else []),
+            "out_digest",
+            "n_contaminated",
+            "n_tok",
+            "nll",
+            "bucket",
+        )
+        .localCheckpoint()
+    )
+    LM.unpersist_kn_tables(tables)
+    return out
+
+
+def training_data_pipeline_v8(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """v8 — raw web → FILTERED → SELECTED: Xie et al.'s actual DSIR
+    deployment runs importance resampling over the already
+    quality-gated pool, so the selection stage composes over v7's
+    head/middle survivors (the complete recipe,
+    `_v7_interior_scored`) with the eval holdout (doc_id % 101 == 0
+    raw documents — the same split every decontamination row uses) as
+    the target distribution. `quality.dsir_select` hashes survivor
+    text_out uni+bigrams against the holdout's, scores each survivor
+    by its importance logit, and keeps the deterministic md5-Gumbel
+    top-50 — a reproducible sample-without-replacement ∝ w. Output:
+    (doc_id, lang, bucket, logw, gkey) for the selected set.
+
+    Scale: the survivor relation is a checkpointed leaf (the gates
+    already ran); DSIR adds ONE scan per corpus (feature matrix
+    materialized, bucket histograms broadcast) and an orderBy+limit
+    top-k (per-partition top-k + k-sized merge, no global sort)."""
+    from farmrpg_etl_spark.operators import quality
+
+    surv = _v7_interior_scored(spark, sf_dir, include_text=True)
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 101 == 0).select(
+        "doc_id", F.col("text").alias("text_out")
+    )
+    sel = quality.dsir_select(
+        surv, target, "text_out", "doc_id", n_buckets=4096, k=50
+    )
+    return sel.join(
+        surv.select("doc_id", "lang", "bucket"), "doc_id"
+    ).select("doc_id", "lang", "bucket", "logw", "gkey")
+
+
+def corpus_report_v7_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report card a production build actually publishes: the
+    one-row audit of the BUILT corpus (v7's head/middle survivors),
+    not the raw snapshot (`corpus_report_docs` covers that). Same
+    card families over the survivor relation: document/token totals
+    (token count = the LM scorer's exact n_tok), exact-duplicate
+    count (out_digest fingerprints of the line-deduped text),
+    language spread (distinct langs + modal language with count,
+    (n, lang) struct-max tie-break), quality mass — here the
+    perplexity mass Σ round(nll·10⁴) as an exact integer (nll is
+    4-decimal by construction, so the micro-sum is exact; the built
+    corpus's quality signal IS the per-language LM the pipeline
+    trained), and the residual-contamination census (survivors still
+    sharing a 13-gram with the holdout). Every output is an exact
+    integer or a string — bit-stable across engines, partitionings,
+    and retries.
+
+    Scale: one pass over a survivor-count-sized checkpointed leaf;
+    three dimension-sized aggregates, broadcast-joined."""
+    surv = _v7_interior_scored(spark, sf_dir)
+    scal = surv.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("out_digest").alias("n_fp"),
+        F.sum(F.round(F.col("nll") * F.lit(10000.0)).cast("long")).alias(
+            "sum_nll_tenk"
+        ),
+        F.sum((F.col("n_contaminated") > 0).cast("long")).alias(
+            "n_contaminated_docs"
+        ),
+    )
+    langs = surv.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    top = langs.agg(
+        F.max(F.struct(F.col("n"), F.col("lang"))).alias("t"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return scal.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs") - F.col("n_fp")).alias("n_dup_docs"),
+        "n_langs",
+        F.col("t.lang").alias("top_lang"),
+        F.col("t.n").alias("top_lang_n"),
+        "sum_nll_tenk",
+        "n_contaminated_docs",
+    )
+
+
+def streaming_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE v7 recipe in its deployment regime (r14 verdict
+    #3): the composition of the two existing frozen-model streaming
+    bodies. Frozen batch-side, exactly as the batch rows build them:
+    the live-fetched robots rules, the frequent-line (boilerplate)
+    model, the eval-holdout gram set (the v6 globals), PLUS the
+    per-language order-5 KN models trained on the full batch
+    interior's survivors and their self-calibrated per-language
+    thresholds (the per-lang CCNet globals). Documents then arrive as
+    four micro-batches; each batch runs the v6 interior against the
+    frozen globals and its survivors are scored by THEIR language's
+    frozen model and cut against the frozen constants — merged
+    through the replay-idempotent K1 writer. Every per-batch decision
+    is per-document against frozen relations, so continuous ingest ≡
+    the batch run: the row shares `training_data_pipeline_v7`'s
+    oracle verbatim, pinning stream ≡ batch cross-engine.
+
+    Scale: per-trigger work is batch-sized; the interior joins only
+    broadcast dimension relations, and scoring joins the batch once
+    on the (lang, ctx) prefixed keys against LM-sized frozen leaves —
+    recalibrate per snapshot, stream the crawl through the frozen
+    models, CCNet's actual incremental shape."""
+    from farmrpg_etl_spark.functions.hashing import word_ngrams
+    from farmrpg_etl_spark.operators import langmodel as LM
+    from farmrpg_etl_spark.operators.crawl import robots_filter
+    from farmrpg_etl_spark.operators.linededup import (
+        frequent_lines,
+        split_lines,
+    )
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    # --- frozen v6 globals (identical prep to streaming_pipeline_v6)
+    rules = _live_robots_rules(
+        spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
+    ).localCheckpoint()
+    allowed_full = (
+        robots_filter(_v6_urls(docs), rules)
+        .filter(F.col("allowed"))
+        .select("doc_id")
+    )
+    survivors_full = _crawl_survivors(docs, allowed_full, materialize=False)
+    boiler = frequent_lines(
+        split_lines(survivors_full, "text_struct", "doc_id"), 2
+    ).localCheckpoint()
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 13))
+            ).alias("gram")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # --- frozen per-lang CCNet globals, trained on the full batch
+    # interior (exactly what training_data_pipeline_v7 trains on)
+    v7in_full = _crawl_corpus_interior(
+        docs, allowed_full, boiler=boiler, eval_grams=eval_grams,
+        persist_pages=False, include_text=True,
+    ).localCheckpoint()
+    tables = LM.freeze_kn_tables(
+        LM.kn_ngram_tables(
+            v7in_full, "text_out", "doc_id", order=5, key_cols=("lang",)
+        )
+    )
+    nll_full = LM.doc_nll_kn_ngram(
+        v7in_full, "text_out", "doc_id", order=5, tables=tables,
+        key_cols=("lang",),
+    ).localCheckpoint()
+    thr = F.broadcast(LM.ccnet_thresholds(nll_full, "lang"))
+    src_dir = scratch_dir("v7s")
+    n_batches = 4
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = ParquetTable(spark, _sink_scratch("v7ssink"))
+
+    def proc(batch_df: DataFrame, batch_id: int) -> None:
+        allowed_b = (
+            robots_filter(_v6_urls(batch_df), rules)
+            .filter(F.col("allowed"))
+            .select("doc_id")
+        )
+        interior = _crawl_corpus_interior(
+            batch_df, allowed_b, boiler=boiler, eval_grams=eval_grams,
+            persist_pages=False, include_text=True,
+        )
+        nll = LM.doc_nll_kn_ngram(
+            interior, "text_out", "doc_id", order=5, tables=tables,
+            key_cols=("lang",),
+        )
+        scored = nll.join(thr, "lang", "inner")
+        bucket = (
+            F.when(F.col("nll") <= F.col("head_nll"), F.lit("head"))
+            .when(F.col("nll") <= F.col("tail_nll"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        scored = (
+            scored.withColumn("bucket", bucket)
+            .filter(F.col("bucket") != "tail")
+            .select("doc_id", "lang", "n_tok", "nll", "bucket")
+        )
+        out = (
+            interior.select(
+                "doc_id", "n_kept", "out_digest", "n_contaminated"
+            )
+            .join(scored, "doc_id")
+            .select(
+                "doc_id", "lang", "n_kept", "out_digest",
+                "n_contaminated", "n_tok", "nll", "bucket",
+            )
+        )
+        insert_if_absent(
+            sink, out, ["doc_id"], batch_id=batch_id, writer="v7stream"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(proc)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    LM.unpersist_kn_tables(tables)
+    return sink.read()
+
+
 # --------------------------------------------------------------------------
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r14 DRIVER-COVERAGE ROTATION --------------------------------
+    # --- r15 DRIVER-COVERAGE ROTATION --------------------------------
     # The driver verifies exactly the FIRST 50 entries per round.
-    # Head: the rows NEW this round (no driver record yet), then the
-    # final stale window — all 22 r5-era rows and the oldest r8-era
-    # rows. Each new row added this round displaces one r8-era row
-    # below the cut (those demoted rows head the r15 rotation); after
-    # the r14 driver run no other registry row's newest driver record
-    # predates round 9. Below the cut rows sit in stale-first order
-    # (demoted r8 rows, then r9, r10, r12, r13) so future rotations
-    # just slide the window; cumulative map in docs/COVERAGE.md.
-    "streaming_pipeline_v6": streaming_pipeline_v6,
-    "streaming_ccnet_per_lang_docs": streaming_ccnet_per_lang_docs,
-    "training_data_pipeline_v7": training_data_pipeline_v7,
-    "ccnet_per_lang_filter_docs": ccnet_per_lang_filter_docs,
-    "unimax_mixture_docs": unimax_mixture_docs,
-    "dsir_select_docs": dsir_select_docs,
-    "corpus_report_docs": corpus_report_docs,
-    "random_projection_embeddings": random_projection_embeddings,
-    "mean_pool_embeddings": mean_pool_embeddings,
-    "quality_weighted_sample_docs": quality_weighted_sample_docs,
-    "source_quota_docs": source_quota_docs,
-    "token_shards_docs": token_shards_docs,
-    "boilerplate_docs": boilerplate_docs,
-    "unigram_surprise_docs": unigram_surprise_docs,
-    "corpus_diff_docs": corpus_diff_docs,
-    "deterministic_sample_docs": deterministic_sample_docs,
-    "priority_sample_docs": priority_sample_docs,
-    "stratified_sample_docs": stratified_sample_docs,
-    "vocab_topk_docs": vocab_topk_docs,
-    "tfidf_top_terms": tfidf_top_terms,
-    "chunk_documents": chunk_documents,
-    "pii_redaction": pii_redaction,
-    "hourly_rollup_events": hourly_rollup_events,
-    "histogram_quantile_events": histogram_quantile_events,
-    "zorder_events": zorder_events,
-    "salted_join_events": salted_join_events,
-    "multimodal_meta_docs": multimodal_meta_docs,
-    "frame_sample_docs": frame_sample_docs,
-    "decode_media_docs": decode_media_docs,
-    "resize_media_docs": resize_media_docs,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
-    "user_pipeline_e2e": user_pipeline_e2e,
-    "flags_pipeline_e2e": flags_pipeline_e2e,
-    "chat_pipeline_e2e": chat_pipeline_e2e,
-    "parse_message_roundtrip": parse_message_roundtrip,
-    "parse_flags_roundtrip": parse_flags_roundtrip,
-    "parse_chat_roundtrip": parse_chat_roundtrip,
-    "scalar_text_functions": scalar_text_functions,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
-    "exact_dedup_docs": exact_dedup_docs,
-    "cut_dup_span_docs": cut_dup_span_docs,
-    "bpe_merges_docs": bpe_merges_docs,
-    "bpe_token_counts_docs": bpe_token_counts_docs,
-    "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
-    "training_data_pipeline": training_data_pipeline,
-    "parse_profile_roundtrip": parse_profile_roundtrip,
-    "parse_online_roundtrip": parse_online_roundtrip,
-    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
-    # --- end of 50-entry prefix --------------------------------------
+    # Head: the 7 rows whose newest driver record is r8-era (the rows
+    # the r14 additions displaced — the final mini-rotation; after
+    # this run no registry row's record predates r9), then the 3 rows
+    # NEW this round (streaming v7 twin, v8 DSIR selection, built-
+    # corpus report card), then the 40 oldest r9-era rows. Below the
+    # cut rows stay stale-first (remaining r9, then r10, r12, r13,
+    # r14) so future rotations just slide the window; cumulative map
+    # in docs/COVERAGE.md.
     "datetime_semantics": datetime_semantics,
     "simhash_docs": simhash_docs,
     "pack_sequences_docs": pack_sequences_docs,
@@ -7494,6 +7692,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_estimate_error_docs": minhash_estimate_error_docs,
     "cosine_pairs_embeddings": cosine_pairs_embeddings,
     "json_props_stats": json_props_stats,
+    "streaming_pipeline_v7": streaming_pipeline_v7,
+    "training_data_pipeline_v8": training_data_pipeline_v8,
+    "corpus_report_v7_docs": corpus_report_v7_docs,
     "q12_shipmode_priority": q12_shipmode_priority,
     "bigram_lm_docs": bigram_lm_docs,
     "perplexity_docs": perplexity_docs,
@@ -7534,6 +7735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_pq": ann_recall_pq,
     "ann_topk_pq_rerank": ann_topk_pq_rerank,
     "ann_recall_pq_rerank": ann_recall_pq_rerank,
+    # --- end of 50-entry prefix --------------------------------------
     "hybrid_retrieval_docs": hybrid_retrieval_docs,
     "streaming_pq_index": streaming_pq_index,
     "k_change_feed_sink": k_change_feed_sink,
@@ -7690,5 +7892,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_canonical_docs": neardup_canonical_docs,
     "bpe_merge_candidates_docs": bpe_merge_candidates_docs,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
+    "streaming_pipeline_v6": streaming_pipeline_v6,
+    "streaming_ccnet_per_lang_docs": streaming_ccnet_per_lang_docs,
+    "training_data_pipeline_v7": training_data_pipeline_v7,
+    "ccnet_per_lang_filter_docs": ccnet_per_lang_filter_docs,
+    "unimax_mixture_docs": unimax_mixture_docs,
+    "dsir_select_docs": dsir_select_docs,
+    "corpus_report_docs": corpus_report_docs,
+    "random_projection_embeddings": random_projection_embeddings,
+    "mean_pool_embeddings": mean_pool_embeddings,
+    "quality_weighted_sample_docs": quality_weighted_sample_docs,
+    "source_quota_docs": source_quota_docs,
+    "token_shards_docs": token_shards_docs,
+    "boilerplate_docs": boilerplate_docs,
+    "unigram_surprise_docs": unigram_surprise_docs,
+    "corpus_diff_docs": corpus_diff_docs,
+    "deterministic_sample_docs": deterministic_sample_docs,
+    "priority_sample_docs": priority_sample_docs,
+    "stratified_sample_docs": stratified_sample_docs,
+    "vocab_topk_docs": vocab_topk_docs,
+    "tfidf_top_terms": tfidf_top_terms,
+    "chunk_documents": chunk_documents,
+    "pii_redaction": pii_redaction,
+    "hourly_rollup_events": hourly_rollup_events,
+    "histogram_quantile_events": histogram_quantile_events,
+    "zorder_events": zorder_events,
+    "salted_join_events": salted_join_events,
+    "multimodal_meta_docs": multimodal_meta_docs,
+    "frame_sample_docs": frame_sample_docs,
+    "decode_media_docs": decode_media_docs,
+    "resize_media_docs": resize_media_docs,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "mailbox_pipeline_e2e": mailbox_pipeline_e2e,
+    "user_pipeline_e2e": user_pipeline_e2e,
+    "flags_pipeline_e2e": flags_pipeline_e2e,
+    "chat_pipeline_e2e": chat_pipeline_e2e,
+    "parse_message_roundtrip": parse_message_roundtrip,
+    "parse_flags_roundtrip": parse_flags_roundtrip,
+    "parse_chat_roundtrip": parse_chat_roundtrip,
+    "scalar_text_functions": scalar_text_functions,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+    "exact_dedup_docs": exact_dedup_docs,
+    "cut_dup_span_docs": cut_dup_span_docs,
+    "bpe_merges_docs": bpe_merges_docs,
+    "bpe_token_counts_docs": bpe_token_counts_docs,
+    "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
+    "training_data_pipeline": training_data_pipeline,
+    "parse_profile_roundtrip": parse_profile_roundtrip,
+    "parse_online_roundtrip": parse_online_roundtrip,
+    "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
 }
 

