@@ -235,6 +235,11 @@ def main() -> None:
         "unimax_mixture_docs",
         "training_data_pipeline_v7",
         "dsir_select_docs",
+        # round-15 additions (v8 = DSIR selection composed over v7's
+        # survivors; corpus_report_v7_docs and streaming_pipeline_v7
+        # reuse the same interior+KN plans, so timing them separately
+        # would re-pay the identical ~15 s stage for no new signal)
+        "training_data_pipeline_v8",
     ]:
         run(name)  # warm: compile + cache effects paid here
         # ONE timed steady pass (the headline block keeps min-of-2;
@@ -582,6 +587,17 @@ def main() -> None:
 
             return _Q["kn5_ppl_filter_docs"](spark, stretch_dir)
 
+        def stretch_ccnet_per_lang():
+            # per-language CCNet at 10× (r14 verdict #9): N languages
+            # are claimed to cost ONE model's shuffle schedule (counts
+            # key on (lang, ctx, w); every lower level is an LM-sized
+            # re-aggregation) — this point, against kn5_filter_10x's
+            # single-model cost on the same corpus, is the direct
+            # measurement of that claim.
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["ccnet_per_lang_filter_docs"](spark, stretch_dir)
+
         phase("sf1 stretch start")
         stretch = {}
         for name, fn in [
@@ -603,6 +619,7 @@ def main() -> None:
             ("pipeline_v5_10x", stretch_pipeline_v5),
             ("pipeline_v6_10x", stretch_pipeline_v6),
             ("kn5_filter_10x", stretch_kn5_filter),
+            ("ccnet_per_lang_10x", stretch_ccnet_per_lang),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
         ]:
@@ -620,7 +637,18 @@ def main() -> None:
                 fn().count()
                 steady.append(time.time() - t0)
             stretch[name] = {
-                "sec": round(min(steady), 3), "cold_sec": cold_sec, "rows": n,
+                # best-of-ALL-runs, cold included (r14 verdict #7): rows
+                # built on localCheckpoint leaves re-train fresh leaves
+                # on every invocation, so a "steady" pass is another
+                # full honest run that can overlap the previous pass's
+                # shuffle-file GC and come out SLOWER than cold
+                # (kn5_filter_100x: 106.7 s steady vs 91.3 s cold).
+                # Reporting min-over-three keeps sec <= cold_sec by
+                # construction while staying an honestly-recomputed
+                # number; cold_sec stays visible for the compile cost.
+                "sec": round(min(steady + [cold_sec]), 3),
+                "cold_sec": cold_sec,
+                "rows": n,
             }
             spark.catalog.clearCache()
         # AQE-runtime-skew-split vs manual salt, A/B on a PLANTED
@@ -829,6 +857,12 @@ def main() -> None:
                 "kn5_filter_100x": lambda: _Q["kn5_ppl_filter_docs"](
                     spark, dir100
                 ),
+                # r14 verdict #9: the per-language construction's
+                # "N languages cost one model's shuffle schedule"
+                # claim, measured at 100× against kn5_filter_100x
+                "ccnet_per_lang_100x": lambda: _Q[
+                    "ccnet_per_lang_filter_docs"
+                ](spark, dir100),
                 "pipeline_v5_100x": s100_v5,
                 "pipeline_v6_100x": s100_v6,
                 "record_linkage_100x": lambda: _Q["record_linkage_customer"](
@@ -846,7 +880,10 @@ def main() -> None:
                     fn().count()
                     steady.append(time.time() - t0)
                 s100[name] = {
-                    "sec": round(min(steady), 3),
+                    # best-of-all-runs incl. cold — same rationale as
+                    # the 10× block (localCheckpoint-leaf rows honestly
+                    # recompute per pass and can overlap GC)
+                    "sec": round(min(steady + [cold_sec]), 3),
                     "cold_sec": cold_sec,
                     "rows": n,
                 }
