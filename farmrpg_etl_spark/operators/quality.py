@@ -484,6 +484,94 @@ def unimax_mixture_weights(
     )
 
 
+def unimax_assemble(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    token_budget: int | None = None,
+    max_epochs: int = 2,
+    budget_ratio: int | None = None,
+) -> DataFrame:
+    """The UniMax SCHEDULE, materialized: turn
+    :func:`unimax_mixture_weights`' per-source token quotas into the
+    per-document replication plan a training build actually executes
+    — ``(id, source, n_tok, n_copies)`` where ``n_copies`` is how
+    many times the document appears in the assembled corpus.
+
+    Semantics are epoch fills: documents of a source are ordered by
+    the deterministic md5(source|id) key (unbiased w.r.t. id order,
+    bit-reproducible), and a document is included in epoch ``e`` iff
+    ``e · N_s + cum ≤ quota_s`` where ``cum`` is its inclusive
+    running token total and ``N_s`` the source's total tokens — i.e.
+    full passes over the source until the remaining quota is a
+    partial pass, which takes the deterministic PREFIX of the order.
+    Consequences pinned by pytest: a capped source (quota =
+    max_epochs · N_s) gives every document exactly ``max_epochs``
+    copies; an uncapped source fills ``floor(quota/N_s)`` full epochs
+    plus a prefix, and Σ n_copies · n_tok never exceeds its quota.
+    All arithmetic is exact integers; copies use integer DIV.
+
+    Scale shape: the per-source running total is
+    :func:`~farmrpg_etl_spark.operators.chunking.grouped_prefix_sum`
+    (order-aligned hash-prefix buckets — a source holding 80% of a
+    100 TB corpus cumsums across all executors, not one task); the
+    quota relation is source-dimension-sized and broadcast; the
+    per-doc relation is projected once and checkpointed (it feeds
+    both the per-source totals and the cumsum)."""
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(
+            F.coalesce(
+                words(F.col(text_col)), F.array().cast("array<string>")
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(
+            F.concat_ws("|", F.col(source_col), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    ).localCheckpoint()
+    per_src = base.groupBy(source_col).agg(
+        F.sum("n_tok").alias("n_tokens")
+    )
+    quotas = unimax_mixture_weights(
+        per_src,
+        source_col,
+        token_budget=token_budget,
+        max_epochs=max_epochs,
+        budget_ratio=budget_ratio,
+    )
+    from farmrpg_etl_spark.operators.chunking import grouped_prefix_sum
+
+    cum = grouped_prefix_sum(base, [source_col], "__h", "n_tok", "cum")
+    j = cum.join(
+        F.broadcast(
+            quotas.select(
+                source_col,
+                F.col("n_tokens").alias("__ns"),
+                "token_quota",
+            )
+        ),
+        source_col,
+    )
+    copies = (
+        F.when(F.col("__ns") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("token_quota") >= F.col("cum"),
+            F.expr("(token_quota - cum) DIV __ns") + F.lit(1),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return j.select(
+        id_col,
+        source_col,
+        "n_tok",
+        copies.cast("long").alias("n_copies"),
+    )
+
+
 def token_budget_mixture(
     df: DataFrame,
     text_col: str,

@@ -6522,3 +6522,36 @@ SELECT n_docs, n_tokens, n_docs - n_fp AS n_dup_docs, n_langs,
 FROM rc_scal CROSS JOIN rc_tp
 """
 )
+
+# UniMax assembly: the unimax_mixture_docs oracle's quota CTE chain
+# (everything before its final SELECT) + the epoch-fill tail — docs
+# ordered per source by md5(source|id), inclusive running token
+# totals, copies = full epochs + deterministic partial-epoch prefix,
+# all exact integers (integer // for the epoch count).
+_unimax_prefix = ORACLES["unimax_mixture_docs"].split(
+    "\nSELECT source, n_tokens, weight, capped, token_quota,", 1
+)[0]
+ORACLES["unimax_assemble_docs"] = (
+    _unimax_prefix
+    + f""",
+ua_pd AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         md5(source || '|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+ua_w AS (
+  SELECT ua_pd.doc_id, ua_pd.source, ua_pd.n_tok,
+         CAST(SUM(ua_pd.n_tok) OVER (
+           PARTITION BY ua_pd.source ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         q.token_quota AS token_quota, q.n_tokens AS ns
+  FROM ua_pd JOIN q USING (source))
+SELECT doc_id, source, n_tok,
+       CAST(CASE WHEN ns = 0 THEN 0
+                 WHEN token_quota >= cum
+                 THEN (token_quota - cum) // ns + 1
+                 ELSE 0 END AS BIGINT) AS n_copies
+FROM ua_w
+"""
+)

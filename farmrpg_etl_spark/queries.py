@@ -1536,6 +1536,24 @@ def unimax_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unimax_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniMax schedule MATERIALIZED (the step after
+    `unimax_mixture_docs`): per-source token quotas (closed-form
+    water-filling, budget = 2·Σ n_tokens, 2-epoch cap) turned into
+    the per-document replication plan — (doc_id, source, n_tok,
+    n_copies). Epoch-fill semantics: full passes over each source
+    until the remaining quota is a partial pass, which takes the
+    deterministic md5(source|id)-prefix of the order; capped sources
+    give every document exactly 2 copies, uncapped ones fill
+    floor(quota/N) epochs + a prefix. Exact integers end to end."""
+    from farmrpg_etl_spark.operators import quality
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality.unimax_assemble(
+        d, "text", "doc_id", "source", budget_ratio=2, max_epochs=2
+    )
+
+
 def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): pick the 100 raw-corpus
     documents that look most like the eval-holdout target set
@@ -7695,6 +7713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_pipeline_v7": streaming_pipeline_v7,
     "training_data_pipeline_v8": training_data_pipeline_v8,
     "corpus_report_v7_docs": corpus_report_v7_docs,
+    "unimax_assemble_docs": unimax_assemble_docs,
     "q12_shipmode_priority": q12_shipmode_priority,
     "bigram_lm_docs": bigram_lm_docs,
     "perplexity_docs": perplexity_docs,
@@ -7734,8 +7753,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_pq": ann_topk_pq,
     "ann_recall_pq": ann_recall_pq,
     "ann_topk_pq_rerank": ann_topk_pq_rerank,
-    "ann_recall_pq_rerank": ann_recall_pq_rerank,
     # --- end of 50-entry prefix --------------------------------------
+    "ann_recall_pq_rerank": ann_recall_pq_rerank,
     "hybrid_retrieval_docs": hybrid_retrieval_docs,
     "streaming_pq_index": streaming_pq_index,
     "k_change_feed_sink": k_change_feed_sink,

@@ -466,3 +466,60 @@ def test_unimax_survives_1700_ten_trillion_token_sources(spark):
     assert 0 < total <= budget
     for r in rows:  # caps hold everywhere
         assert r["token_quota"] <= 2 * (n + int(r["source"][1:]))
+
+
+def test_unimax_assemble_epoch_fill_semantics(spark):
+    """The materialized UniMax schedule honors its quota contract
+    exactly: a capped source (quota = max_epochs·N) gives EVERY doc
+    exactly max_epochs copies; an uncapped source fills whole epochs
+    plus a deterministic prefix with Σ n_copies·n_tok ≤ quota and
+    > quota − N (the next doc would overflow); output is identical
+    across runs."""
+    from farmrpg_etl_spark.operators.quality import (
+        unimax_assemble,
+        unimax_mixture_weights,
+    )
+
+    rows = []
+    # "small": few tokens -> over-samples under alpha=3/4 -> capped
+    for i in range(5):
+        rows.append((i, "small", "a b c"))
+    # "big": dominates the corpus -> uncapped
+    for i in range(40):
+        rows.append((100 + i, "big", "w x y z " * 25))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    # budget_ratio=1 (not 2): with ratio == max_epochs and one other
+    # source capped, the big source's share exactly saturates its own
+    # cap and everything caps — ratio 1 keeps it genuinely uncapped
+    out = unimax_assemble(
+        df, "text", "doc_id", "source", budget_ratio=1, max_epochs=2
+    ).collect()
+    out2 = unimax_assemble(
+        df, "text", "doc_id", "source", budget_ratio=1, max_epochs=2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    per = spark.createDataFrame(
+        [("small", 15), ("big", 4000)], "source string, n_tokens long"
+    )
+    q = {
+        r["source"]: (r["capped"], r["token_quota"])
+        for r in unimax_mixture_weights(
+            per, "source", budget_ratio=1, max_epochs=2
+        ).collect()
+    }
+    assert q["small"][0] and not q["big"][0]
+    small = [r for r in out if r["source"] == "small"]
+    big = [r for r in out if r["source"] == "big"]
+    assert len(small) == 5 and len(big) == 40
+    # capped source: every doc exactly max_epochs copies
+    assert {r["n_copies"] for r in small} == {2}
+    # uncapped source: greedy fill within quota, next doc overflows
+    used = sum(r["n_copies"] * r["n_tok"] for r in big)
+    quota = q["big"][1]
+    assert used <= quota
+    assert quota - used < 4000  # less than one full epoch left unfilled
+    # full epochs are uniform: min copies = floor(quota/N)
+    assert min(r["n_copies"] for r in big) == quota // 4000
+    assert max(r["n_copies"] for r in big) <= quota // 4000 + 1
