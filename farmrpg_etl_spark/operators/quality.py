@@ -229,6 +229,139 @@ def _dsir_features(
     return ex.select(id_col, bucket.alias("bucket"))
 
 
+def _dsir_ratio(rcnt: DataFrame, tcnt: DataFrame, B: int) -> DataFrame:
+    """The add-one-smoothed log importance ratio ``ln p − ln q`` per
+    bucket, from the two bucket histograms — ONE definition shared by
+    the inline construction in :func:`dsir_scored` and the standalone
+    :func:`dsir_log_ratio` (the frozen-calibration path), so the
+    batch and streaming regimes cannot fork on the smoothing."""
+    ttot = tcnt.agg(F.sum("ct").alias("T"))
+    rtot = rcnt.agg(F.sum("cr").alias("R"))
+    # add-one smoothing over the full bucket space: buckets the target
+    # never hit still get finite mass, so ln(p) is total
+    return (
+        rcnt.join(tcnt, "bucket", "left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("T") + F.lit(B)).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("R") + F.lit(B)).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+
+
+def dsir_log_ratio(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """The DSIR calibration artifact on its own: the ``(bucket, lr)``
+    log-ratio relation fit on (raw, target) — what a deployment
+    FREEZES per snapshot so later batches can be scored against it
+    (:func:`dsir_scored` with ``ratio=``). Dimension-sized
+    (``n_buckets`` rows), broadcastable."""
+    B = int(n_buckets)
+    rcnt = (
+        _dsir_features(raw, text_col, id_col, B, salt)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    tcnt = (
+        _dsir_features(target, text_col, id_col, B, salt)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    return _dsir_ratio(rcnt, tcnt, B)
+
+
+def dsir_scored(
+    raw: DataFrame,
+    target: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+    ratio: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR scores ``(id, logw, gkey)`` for every raw
+    document (stages 1-2 of :func:`dsir_select` plus the Gumbel key,
+    without the top-k cut).
+
+    With ``ratio=None`` the log-ratio relation is fit on (raw,
+    target) in one scan per corpus. Passing a frozen ``ratio``
+    relation (built batch-side via :func:`dsir_log_ratio`) is the
+    DEPLOYMENT regime: calibrate once per snapshot, score any later
+    batch against the frozen constants — per-document decisions, so
+    a streamed corpus scores identically to the batch run."""
+    from farmrpg_etl_spark.queries import _dec_sum
+
+    B = int(n_buckets)
+    rf = _dsir_features(raw, text_col, id_col, B, salt)
+    # ONE scan per corpus (r14 review — the first cut re-exploded the
+    # raw corpus three times): the per-(doc, bucket) count is the
+    # materialized feature matrix (eager localCheckpoint — it is the
+    # relation DSIR stores anyway), and every other count DERIVES
+    # from it / from the dimension-sized target histogram
+    per_doc_bucket = (
+        rf.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    if ratio is None:
+        tf = _dsir_features(target, text_col, id_col, B, salt)
+        tcnt = (
+            tf.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("ct"))
+            .localCheckpoint()
+        )
+        rcnt = per_doc_bucket.groupBy("bucket").agg(F.sum("c").alias("cr"))
+        ratio = _dsir_ratio(rcnt, tcnt, B)
+    term = (
+        F.floor(F.col("c").cast("double") * F.col("lr") * F.lit(1000000.0))
+        / F.lit(1000000.0)
+    )
+    logw = per_doc_bucket.join(F.broadcast(ratio), "bucket").groupBy(
+        id_col
+    ).agg(F.round(_dec_sum(term).cast("double"), 6).alias("logw"))
+    # Gumbel key from the id hash: u in (0,1) exactly, both engines
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"g|{salt}|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32 + 1))
+    scored = raw.select(id_col).join(logw, id_col, "left").select(
+        id_col,
+        F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        F.round(
+            F.coalesce("logw", F.lit(0.0)) - F.log(-F.log(u)), 6
+        ).alias("gkey"),
+    )
+    return scored
+
+
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,
@@ -266,81 +399,10 @@ def dsir_select(
     ``n_buckets``-sized and broadcast; the only corpus-keyed shuffles
     are the feature count and the per-doc sum; top-k is
     orderBy+limit (per-partition top-k, then a k-sized merge — no
-    global sort materializes)."""
-    from farmrpg_etl_spark.queries import _dec_sum
-
-    B = int(n_buckets)
-    tf = _dsir_features(target, text_col, id_col, B, salt)
-    rf = _dsir_features(raw, text_col, id_col, B, salt)
-    # ONE scan per corpus (r14 review — the first cut re-exploded the
-    # raw corpus three times): the per-(doc, bucket) count is the
-    # materialized feature matrix (eager localCheckpoint — it is the
-    # relation DSIR stores anyway), and every other count DERIVES
-    # from it / from the dimension-sized target histogram
-    per_doc_bucket = (
-        rf.groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
-    tcnt = (
-        tf.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .localCheckpoint()
-    )
-    rcnt = per_doc_bucket.groupBy("bucket").agg(F.sum("c").alias("cr"))
-    ttot = tcnt.agg(F.sum("ct").alias("T"))
-    rtot = rcnt.agg(F.sum("cr").alias("R"))
-    # add-one smoothing over the full bucket space: buckets the target
-    # never hit still get finite mass, so ln(p) is total
-    ratio = (
-        rcnt.join(tcnt, "bucket", "left")
-        .crossJoin(F.broadcast(ttot))
-        .crossJoin(F.broadcast(rtot))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                    / (F.col("T") + F.lit(B)).cast("double")
-                )
-                - F.log(
-                    (F.col("cr") + 1).cast("double")
-                    / (F.col("R") + F.lit(B)).cast("double")
-                )
-            ).alias("lr"),
-        )
-    )
-    term = (
-        F.floor(F.col("c").cast("double") * F.col("lr") * F.lit(1000000.0))
-        / F.lit(1000000.0)
-    )
-    logw = per_doc_bucket.join(F.broadcast(ratio), "bucket").groupBy(
-        id_col
-    ).agg(F.round(_dec_sum(term).cast("double"), 6).alias("logw"))
-    # Gumbel key from the id hash: u in (0,1) exactly, both engines
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"g|{salt}|"), F.col(id_col).cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float(2**32 + 1))
-    scored = raw.select(id_col).join(logw, id_col, "left").select(
-        id_col,
-        F.coalesce("logw", F.lit(0.0)).alias("logw"),
-        F.round(
-            F.coalesce("logw", F.lit(0.0)) - F.log(-F.log(u)), 6
-        ).alias("gkey"),
-    )
+    global sort materializes). Stages 1-2 live in
+    :func:`dsir_scored`, which also takes a FROZEN ratio relation —
+    the streaming deployment path."""
+    scored = dsir_scored(raw, target, text_col, id_col, n_buckets, salt)
     return scored.orderBy(F.col("gkey").desc(), id_col).limit(int(k))
 
 

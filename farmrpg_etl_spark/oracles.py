@@ -6555,3 +6555,10 @@ SELECT doc_id, source, n_tok,
 FROM ua_w
 """
 )
+
+# streaming v8 == batch v8 by construction: on top of the v7 twin's
+# frozen globals, the DSIR log-ratio relation and the selection
+# cutoff (the batch top-50's smallest Gumbel key) freeze batch-side,
+# turning Gumbel-top-k into a stateless per-document threshold — the
+# shared oracle pins stream ≡ batch cross-engine.
+ORACLES["streaming_pipeline_v8"] = ORACLES["training_data_pipeline_v8"]

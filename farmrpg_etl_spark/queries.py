@@ -7572,6 +7572,59 @@ def streaming_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the (lang, ctx) prefixed keys against LM-sized frozen leaves —
     recalibrate per snapshot, stream the crawl through the frozen
     models, CCNet's actual incremental shape."""
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    fz = _v7_frozen_globals(spark, docs)
+    rules, boiler, eval_grams = fz["rules"], fz["boiler"], fz["eval_grams"]
+    tables, thr = fz["tables"], fz["thr"]
+    src_dir = scratch_dir("v7s")
+    n_batches = 4
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = ParquetTable(spark, _sink_scratch("v7ssink"))
+
+    def proc(batch_df: DataFrame, batch_id: int) -> None:
+        out = _v7_frozen_batch(batch_df, fz)
+        insert_if_absent(
+            sink, out, ["doc_id"], batch_id=batch_id, writer="v7stream"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(proc)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    LM.unpersist_kn_tables(tables)
+    return sink.read()
+
+
+def _v7_frozen_globals(spark: SparkSession, docs: DataFrame) -> dict:
+    """Everything the v7-family streaming twins freeze batch-side,
+    built exactly as the batch rows build it — the v6 globals
+    (live-fetched robots rules, frequent-line model, holdout gram
+    set) plus the per-lang CCNet globals (keyed KN tables trained on
+    the full batch interior's survivors, self-calibrated per-language
+    thresholds). One definition shared by `streaming_pipeline_v7` and
+    `streaming_pipeline_v8` so the twins cannot fork from each other
+    or from the batch rows. All relations are lineage-truncated
+    leaves (localCheckpoint / frozen tables) — each trigger plans
+    against leaves instead of re-optimizing the training lineage."""
     from farmrpg_etl_spark.functions.hashing import word_ngrams
     from farmrpg_etl_spark.operators import langmodel as LM
     from farmrpg_etl_spark.operators.crawl import robots_filter
@@ -7579,13 +7632,8 @@ def streaming_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         frequent_lines,
         split_lines,
     )
-    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source"
-    )
     host = F.concat(F.col("source"), F.lit(".example.com"))
-    # --- frozen v6 globals (identical prep to streaming_pipeline_v6)
     rules = _live_robots_rules(
         spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
     ).localCheckpoint()
@@ -7608,8 +7656,6 @@ def streaming_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    # --- frozen per-lang CCNet globals, trained on the full batch
-    # interior (exactly what training_data_pipeline_v7 trains on)
     v7in_full = _crawl_corpus_interior(
         docs, allowed_full, boiler=boiler, eval_grams=eval_grams,
         persist_pages=False, include_text=True,
@@ -7624,7 +7670,144 @@ def streaming_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=("lang",),
     ).localCheckpoint()
     thr = F.broadcast(LM.ccnet_thresholds(nll_full, "lang"))
-    src_dir = scratch_dir("v7s")
+    return {
+        "rules": rules,
+        "boiler": boiler,
+        "eval_grams": eval_grams,
+        "v7in_full": v7in_full,
+        "tables": tables,
+        "nll_full": nll_full,
+        "thr": thr,
+    }
+
+
+def _v7_frozen_batch(
+    batch_df: DataFrame | None,
+    fz: dict,
+    include_text: bool = False,
+    interior: DataFrame | None = None,
+    nll: DataFrame | None = None,
+) -> DataFrame:
+    """One micro-batch through the complete frozen v7 recipe: the v6
+    interior against the frozen globals, survivors scored by THEIR
+    language's frozen model and cut against the frozen thresholds.
+    Returns the batch's v7 rows (the shared per-trigger body of both
+    streaming twins); ``include_text`` carries text_out through for
+    v8's DSIR scoring. Pass the frozen full-corpus ``interior``/
+    ``nll`` leaves to apply the same cut to the WHOLE snapshot
+    without recomputing either (the v8 calibration path)."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+    from farmrpg_etl_spark.operators.crawl import robots_filter
+
+    if interior is None:
+        allowed_b = (
+            robots_filter(_v6_urls(batch_df), fz["rules"])
+            .filter(F.col("allowed"))
+            .select("doc_id")
+        )
+        interior = _crawl_corpus_interior(
+            batch_df, allowed_b, boiler=fz["boiler"],
+            eval_grams=fz["eval_grams"], persist_pages=False,
+            include_text=True,
+        )
+    if nll is None:
+        nll = LM.doc_nll_kn_ngram(
+            interior, "text_out", "doc_id", order=5, tables=fz["tables"],
+            key_cols=("lang",),
+        )
+    scored = nll.join(fz["thr"], "lang", "inner")
+    bucket = (
+        F.when(F.col("nll") <= F.col("head_nll"), F.lit("head"))
+        .when(F.col("nll") <= F.col("tail_nll"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    scored = (
+        scored.withColumn("bucket", bucket)
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id", "lang", "n_tok", "nll", "bucket")
+    )
+    return (
+        interior.select(
+            "doc_id",
+            "n_kept",
+            *(["text_out"] if include_text else []),
+            "out_digest",
+            "n_contaminated",
+        )
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_kept",
+            *(["text_out"] if include_text else []),
+            "out_digest",
+            "n_contaminated",
+            "n_tok",
+            "nll",
+            "bucket",
+        )
+    )
+
+
+def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v8 in its deployment regime: raw web streamed → filtered →
+    SELECTED, every model frozen per snapshot. On top of the v7
+    twin's frozen globals, the DSIR calibration freezes too: the
+    add-one-smoothed bucket log-ratio relation (fit batch-side on the
+    full survivor pool vs the eval holdout, `dsir_log_ratio`) and the
+    SELECTION CUTOFF — the smallest Gumbel key among the batch run's
+    top-50. Each micro-batch then runs the complete frozen recipe,
+    scores its survivors against the frozen ratio, and keeps exactly
+    the documents whose deterministic gkey clears the frozen cutoff —
+    a per-document decision, so the union over batches IS the batch
+    top-50 (gkeys are distinct by construction; the shared batch v8
+    oracle pins stream ≡ batch cross-engine).
+
+    This is how importance-resampling selection actually deploys:
+    Gumbel-top-k needs a global order, which a stream cannot see —
+    freezing the k-th key per snapshot converts it into a stateless
+    per-document threshold, the same trick the per-language CCNet
+    twin uses for its calibrated thresholds.
+
+    Scale: the frozen ratio is n_buckets-sized and broadcast; the
+    cutoff is ONE scalar (the only collect, bounded by construction);
+    per-trigger work is batch-sized."""
+    from farmrpg_etl_spark.operators.quality import (
+        dsir_log_ratio,
+        dsir_scored,
+    )
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    fz = _v7_frozen_globals(spark, docs)
+    # --- frozen DSIR calibration: ratio + the batch top-50's floor,
+    # derived from the frozen full-corpus leaves (no recompute)
+    surv_full = _v7_frozen_batch(
+        None, fz, include_text=True,
+        interior=fz["v7in_full"], nll=fz["nll_full"],
+    )
+    target = docs.filter(F.col("doc_id") % 101 == 0).select(
+        "doc_id", F.col("text").alias("text_out")
+    )
+    ratio = F.broadcast(
+        dsir_log_ratio(
+            surv_full, target, "text_out", "doc_id", n_buckets=4096
+        ).localCheckpoint()
+    )
+    scored_full = dsir_scored(
+        surv_full, None, "text_out", "doc_id", n_buckets=4096, ratio=ratio
+    )
+    # the k-th selected gkey — one scalar, the documented bounded
+    # collect; distinct gkeys (pinned by pytest) make the cut exact
+    cutoff = (
+        scored_full.orderBy(F.col("gkey").desc(), "doc_id")
+        .limit(50)
+        .agg(F.min("gkey").alias("g"))
+        .collect()[0]["g"]
+    )
+    src_dir = scratch_dir("v8s")
     n_batches = 4
     for i in range(n_batches):
         docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
@@ -7636,45 +7819,24 @@ def streaming_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    sink = ParquetTable(spark, _sink_scratch("v7ssink"))
+    sink = ParquetTable(spark, _sink_scratch("v8ssink"))
 
     def proc(batch_df: DataFrame, batch_id: int) -> None:
-        allowed_b = (
-            robots_filter(_v6_urls(batch_df), rules)
-            .filter(F.col("allowed"))
-            .select("doc_id")
-        )
-        interior = _crawl_corpus_interior(
-            batch_df, allowed_b, boiler=boiler, eval_grams=eval_grams,
-            persist_pages=False, include_text=True,
-        )
-        nll = LM.doc_nll_kn_ngram(
-            interior, "text_out", "doc_id", order=5, tables=tables,
-            key_cols=("lang",),
-        )
-        scored = nll.join(thr, "lang", "inner")
-        bucket = (
-            F.when(F.col("nll") <= F.col("head_nll"), F.lit("head"))
-            .when(F.col("nll") <= F.col("tail_nll"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-        )
-        scored = (
-            scored.withColumn("bucket", bucket)
-            .filter(F.col("bucket") != "tail")
-            .select("doc_id", "lang", "n_tok", "nll", "bucket")
-        )
-        out = (
-            interior.select(
-                "doc_id", "n_kept", "out_digest", "n_contaminated"
-            )
-            .join(scored, "doc_id")
-            .select(
-                "doc_id", "lang", "n_kept", "out_digest",
-                "n_contaminated", "n_tok", "nll", "bucket",
-            )
-        )
+        # batch-sized leaf: the survivor relation feeds both the DSIR
+        # feature hash and the metadata join-back — one interior run
+        # per trigger, not two
+        surv_b = _v7_frozen_batch(
+            batch_df, fz, include_text=True
+        ).localCheckpoint()
+        sel = dsir_scored(
+            surv_b, None, "text_out", "doc_id", n_buckets=4096,
+            ratio=ratio,
+        ).filter(F.col("gkey") >= F.lit(float(cutoff)))
+        out = sel.join(
+            surv_b.select("doc_id", "lang", "bucket"), "doc_id"
+        ).select("doc_id", "lang", "bucket", "logw", "gkey")
         insert_if_absent(
-            sink, out, ["doc_id"], batch_id=batch_id, writer="v7stream"
+            sink, out, ["doc_id"], batch_id=batch_id, writer="v8stream"
         )
 
     q = (
@@ -7685,7 +7847,9 @@ def streaming_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     q.stop()
-    LM.unpersist_kn_tables(tables)
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    LM.unpersist_kn_tables(fz["tables"])
     return sink.read()
 
 
@@ -7714,6 +7878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_data_pipeline_v8": training_data_pipeline_v8,
     "corpus_report_v7_docs": corpus_report_v7_docs,
     "unimax_assemble_docs": unimax_assemble_docs,
+    "streaming_pipeline_v8": streaming_pipeline_v8,
     "q12_shipmode_priority": q12_shipmode_priority,
     "bigram_lm_docs": bigram_lm_docs,
     "perplexity_docs": perplexity_docs,
@@ -7752,8 +7917,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_encode_embeddings": pq_encode_embeddings,
     "ann_topk_pq": ann_topk_pq,
     "ann_recall_pq": ann_recall_pq,
-    "ann_topk_pq_rerank": ann_topk_pq_rerank,
     # --- end of 50-entry prefix --------------------------------------
+    "ann_topk_pq_rerank": ann_topk_pq_rerank,
     "ann_recall_pq_rerank": ann_recall_pq_rerank,
     "hybrid_retrieval_docs": hybrid_retrieval_docs,
     "streaming_pq_index": streaming_pq_index,

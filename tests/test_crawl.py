@@ -505,3 +505,21 @@ def test_corpus_report_v7_matches_v7_output(spark):
     assert c["n_contaminated_docs"] == sum(
         1 for r in v7 if r["n_contaminated"] > 0
     )
+
+
+def test_streaming_v8_equals_batch_v8(spark):
+    """The streaming v8 twin freezes the DSIR log-ratio AND the
+    selection cutoff (the batch top-50's smallest Gumbel key), so the
+    union of per-batch selections must equal the batch v8 selection
+    exactly — Gumbel-top-k converted into a stateless per-document
+    threshold."""
+    from farmrpg_etl_spark.queries import (
+        streaming_pipeline_v8,
+        training_data_pipeline_v8,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in training_data_pipeline_v8(spark, sf).collect()}
+    stream = {tuple(r) for r in streaming_pipeline_v8(spark, sf).collect()}
+    assert stream == batch
+    assert len(batch) == 50
