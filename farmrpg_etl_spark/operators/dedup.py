@@ -428,6 +428,57 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
+def leakage_safe_splits(
+    docs: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/valid/test assignment that CANNOT leak near-duplicates
+    across splits: the deterministic md5 split key hashes the
+    CLUSTER id (the connected-component label from
+    :func:`neardup_clusters`; documents in no near-dup family are
+    their own cluster), not the document id — so an entire near-dup
+    family lands in one split by construction. Hashing document ids
+    instead is the classic eval-contamination bug: two 99%-identical
+    documents split across train and test make the test set
+    memorizable.
+
+    Returns ``(id, cluster_id, split)`` with split ∈ train/valid/test
+    at ``train_pct``/``valid_pct``/remainder. Deterministic across
+    engines, partitionings, and retries (same md5-bucket discipline
+    as :func:`deterministic_sample`).
+
+    Scale shape: one left join of the corpus against the
+    (id, cluster_id) label relation (clusters are pair-graph-sized —
+    only docs in some family appear — so the join's right side is
+    small relative to the corpus and the split key itself is a pure
+    per-row expression; no shuffle beyond the join)."""
+    lab = clusters.withColumnRenamed("id", id_col)
+    full = docs.select(id_col).join(lab, id_col, "left")
+    cid = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"), cid.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return full.select(
+        id_col, cid.alias("cluster_id"), split.alias("split")
+    )
+
+
 def length_band(text_col, band_width_log2: float = 0.5):
     """Secondary blocking key: floor(log2(token_count)/w). Documents
     whose lengths differ by more than ~2^w can't clear a meaningful

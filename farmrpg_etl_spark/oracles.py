@@ -6562,3 +6562,33 @@ FROM ua_w
 # turning Gumbel-top-k into a stateless per-document threshold — the
 # shared oracle pins stream ≡ batch cross-engine.
 ORACLES["streaming_pipeline_v8"] = ORACLES["training_data_pipeline_v8"]
+
+# Leakage-safe splits: the neardup_clusters_docs oracle (recursive
+# connected components over the MinHash-LSH pair graph) as the label
+# CTE, singletons their own cluster, split bucket = md5 of the
+# CLUSTER id — whole families land in one split by construction.
+_ndc_prefix, _ndc_sel = ORACLES["neardup_clusters_docs"].rsplit(
+    "\nSELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a", 1
+)
+ORACLES["leakage_safe_splits_docs"] = (
+    _ndc_prefix
+    + """,
+cl AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+fullc AS (
+  SELECT documents.doc_id AS doc_id,
+         coalesce(cl.cluster_id, documents.doc_id) AS cluster_id
+  FROM documents LEFT JOIN cl ON cl.id = documents.doc_id
+),
+bk AS (
+  SELECT doc_id, cluster_id,
+         CAST('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)),
+                             1, 8) AS BIGINT) % 100 AS b
+  FROM fullc
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM bk
+"""
+)

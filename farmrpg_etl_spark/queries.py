@@ -887,6 +887,24 @@ def neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_clusters(pairs)
 
 
+def leakage_safe_splits_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/valid/test assignment: near-dup
+    clusters (MinHash-LSH pairs -> connected components, the
+    `neardup_clusters_docs` construction) are hashed to splits as
+    WHOLE FAMILIES — `dedup.leakage_safe_splits` keys the md5 split
+    bucket on the cluster id, so two 99%-identical documents can
+    never land on opposite sides of the train/test boundary (the
+    classic eval-contamination bug of id-keyed splitting).
+    (doc_id, cluster_id, split) at 80/10/10."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3,
+        shingle_k=3,
+    )
+    clusters = dedup.neardup_clusters(pairs)
+    return dedup.leakage_safe_splits(d, "doc_id", clusters)
+
+
 def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection over near-dup families: the
     step after clustering that decides WHICH copy survives. Each
@@ -7879,6 +7897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report_v7_docs": corpus_report_v7_docs,
     "unimax_assemble_docs": unimax_assemble_docs,
     "streaming_pipeline_v8": streaming_pipeline_v8,
+    "leakage_safe_splits_docs": leakage_safe_splits_docs,
     "q12_shipmode_priority": q12_shipmode_priority,
     "bigram_lm_docs": bigram_lm_docs,
     "perplexity_docs": perplexity_docs,
@@ -7916,8 +7935,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cut_dup_span_fixpoint_docs": cut_dup_span_fixpoint_docs,
     "pq_encode_embeddings": pq_encode_embeddings,
     "ann_topk_pq": ann_topk_pq,
-    "ann_recall_pq": ann_recall_pq,
     # --- end of 50-entry prefix --------------------------------------
+    "ann_recall_pq": ann_recall_pq,
     "ann_topk_pq_rerank": ann_topk_pq_rerank,
     "ann_recall_pq_rerank": ann_recall_pq_rerank,
     "hybrid_retrieval_docs": hybrid_retrieval_docs,

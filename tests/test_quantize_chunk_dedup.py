@@ -253,3 +253,39 @@ def test_neardup_clusters_deep_path_graph(spark):
     got = labels.collect()
     assert len(got) == 25
     assert all(r.cluster_id == 0 for r in got)
+
+
+def test_leakage_safe_splits_keep_families_together(spark):
+    """The split key hashes the CLUSTER id: every member of a near-dup
+    family gets the family's split; singletons are their own cluster;
+    assignment is deterministic and total (every doc exactly one
+    split)."""
+    from farmrpg_etl_spark.operators.dedup import leakage_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # three families with scattered member ids + 194 singletons
+    clusters = spark.createDataFrame(
+        [(1, 1), (150, 1), (199, 1), (7, 7), (8, 7), (20, 20), (21, 20)],
+        "id long, cluster_id long",
+    )
+    out = leakage_safe_splits(docs, "doc_id", clusters).collect()
+    out2 = leakage_safe_splits(docs, "doc_id", clusters).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    assert len(out) == 200
+    by_id = {r["doc_id"]: r for r in out}
+    # family members share cluster AND split
+    for fam in ([1, 150, 199], [7, 8], [20, 21]):
+        splits = {by_id[i]["split"] for i in fam}
+        cids = {by_id[i]["cluster_id"] for i in fam}
+        assert len(splits) == 1 and cids == {fam[0]}, fam
+    # singletons are their own cluster
+    assert by_id[100]["cluster_id"] == 100
+    # all three splits are populated at this size and the shares are
+    # in sane bands (md5 buckets: 80/10/10 nominal)
+    from collections import Counter
+
+    c = Counter(r["split"] for r in out)
+    assert set(c) == {"train", "valid", "test"}
+    assert c["train"] > c["valid"] and c["train"] > c["test"]
