@@ -634,6 +634,71 @@ def unimax_assemble(
     )
 
 
+def doremi_excess_weights(
+    nll_by_source: DataFrame,
+    source_col: str,
+    nll_col: str = "nll",
+    eta: float = 1.0,
+) -> DataFrame:
+    """One DoReMi domain-reweighting step (Xie et al. 2023b) against
+    a FROZEN reference model: domains whose documents the reference
+    LM finds HARD (high mean NLL — excess loss over the easiest
+    domain) get up-weighted multiplicatively, ``w_d ∝ exp(η ·
+    excess_d)``, normalized over domains. DoReMi proper alternates
+    proxy retraining with this update; with the reference frozen the
+    update has a closed form per step, and one step over the
+    production LM's scores is the deployable artifact (the mixture a
+    train run actually consumes). Completes the mixture family:
+    size-based temperature (`mixture_weights_from_counts`) → epoch
+    caps (`unimax_mixture_weights`) → schedule (`unimax_assemble`) →
+    model-informed reweighting (this).
+
+    Exactness discipline: per-domain mean NLL via the
+    order-independent decimal sum (the `ccnet_thresholds` pattern);
+    excess rounded to 4 decimals; the exp is floor-quantized to
+    integer micros BEFORE normalizing, so the softmax runs on exact
+    integers and only the final ratio is a (identically-ordered)
+    double. Returns ``(source, n_docs, mean_nll, excess, weight)``.
+
+    Scale: the input is per-document scores; everything after the
+    one groupBy is over the DOMAIN dimension (bounded — the same
+    single-partition-window justification as
+    :func:`unimax_mixture_weights`)."""
+    from pyspark.sql import Window
+
+    from farmrpg_etl_spark.queries import _dec_sum
+
+    m = F.round(
+        _dec_sum(F.col(nll_col)).cast("double") / F.count(F.lit(1)), 4
+    )
+    per = nll_by_source.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), m.alias("mean_nll")
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = per.withColumn(
+        "excess",
+        F.round(F.col("mean_nll") - F.min("mean_nll").over(full), 4),
+    ).withColumn(
+        "__ew",
+        F.floor(
+            F.exp(F.lit(float(eta)) * F.col("excess")) * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    return per.select(
+        source_col,
+        "n_docs",
+        "mean_nll",
+        "excess",
+        F.round(
+            F.col("__ew").cast("double")
+            / F.sum("__ew").over(full).cast("double"),
+            6,
+        ).alias("weight"),
+    )
+
+
 def token_budget_mixture(
     df: DataFrame,
     text_col: str,

@@ -6592,3 +6592,29 @@ SELECT doc_id, cluster_id,
 FROM bk
 """
 )
+
+# DoReMi excess-loss domain weights: the frozen bigram reference LM's
+# per-doc NLL chain (_DOC_NLL verbatim) -> per-source mean (decimal
+# sum, the ccnet_thresholds pattern) -> excess over the easiest
+# domain -> exp floor-quantized to integer micros BEFORE the
+# normalization, so the softmax is exact integers and only the final
+# ratio is an (identically-ordered) double.
+ORACLES["doremi_weights_docs"] = _DOC_NLL + """,
+dm_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         round(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 4) AS mean_nll
+  FROM nlls JOIN documents USING (doc_id)
+  GROUP BY source),
+dm_mn AS (SELECT MIN(mean_nll) AS mmin FROM dm_src),
+dm_ex AS (
+  SELECT source, n_docs, mean_nll,
+         round(mean_nll - mmin, 4) AS excess,
+         CAST(floor(exp(1.0 * round(mean_nll - mmin, 4)) * 1000000.0)
+              AS BIGINT) AS ew
+  FROM dm_src CROSS JOIN dm_mn),
+dm_tot AS (SELECT CAST(SUM(ew) AS BIGINT) AS wsum FROM dm_ex)
+SELECT source, n_docs, mean_nll, excess,
+       round(CAST(ew AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS weight
+FROM dm_ex CROSS JOIN dm_tot
+"""

@@ -1593,6 +1593,23 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doremi_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style model-informed domain weights (Xie et al. 2023b):
+    every document scored by the frozen corpus bigram reference LM
+    (the `perplexity_docs` scorer), per-source mean NLL, and one
+    multiplicative excess-loss update — hard domains up-weighted,
+    w ∝ exp(excess over the easiest domain), micro-quantized softmax
+    (`quality.doremi_excess_weights`). The mixture a train run
+    actually consumes after the size-based and epoch-capped stages."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+    from farmrpg_etl_spark.operators import quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    nll = LM.doc_nll(docs, "text", "doc_id")
+    j = nll.join(docs.select("doc_id", "source"), "doc_id")
+    return quality.doremi_excess_weights(j, "source", eta=1.0)
+
+
 def hard_negatives_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (exact baseline): per anchor, the top-5
     most-similar vectors of a DIFFERENT label — the contrastive-
@@ -7898,6 +7915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_assemble_docs": unimax_assemble_docs,
     "streaming_pipeline_v8": streaming_pipeline_v8,
     "leakage_safe_splits_docs": leakage_safe_splits_docs,
+    "doremi_weights_docs": doremi_weights_docs,
     "q12_shipmode_priority": q12_shipmode_priority,
     "bigram_lm_docs": bigram_lm_docs,
     "perplexity_docs": perplexity_docs,
@@ -7934,8 +7952,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_data_pipeline_v2": training_data_pipeline_v2,
     "cut_dup_span_fixpoint_docs": cut_dup_span_fixpoint_docs,
     "pq_encode_embeddings": pq_encode_embeddings,
-    "ann_topk_pq": ann_topk_pq,
     # --- end of 50-entry prefix --------------------------------------
+    "ann_topk_pq": ann_topk_pq,
     "ann_recall_pq": ann_recall_pq,
     "ann_topk_pq_rerank": ann_topk_pq_rerank,
     "ann_recall_pq_rerank": ann_recall_pq_rerank,

@@ -523,3 +523,31 @@ def test_unimax_assemble_epoch_fill_semantics(spark):
     # full epochs are uniform: min copies = floor(quota/N)
     assert min(r["n_copies"] for r in big) == quota // 4000
     assert max(r["n_copies"] for r in big) <= quota // 4000 + 1
+
+
+def test_doremi_excess_weights_upweight_hard_domains(spark):
+    """One DoReMi update against a frozen reference: the domain with
+    higher mean NLL (excess loss) gets the larger weight; the easiest
+    domain has excess exactly 0; weights normalize to ~1; the
+    micro-quantized softmax is deterministic."""
+    from farmrpg_etl_spark.operators.quality import doremi_excess_weights
+
+    rows = [
+        ("easy", 1.0), ("easy", 1.2), ("easy", 0.8),
+        ("hard", 3.0), ("hard", 3.4),
+        ("mid", 2.0), ("mid", 2.2),
+    ]
+    df = spark.createDataFrame(rows, "source string, nll double")
+    out = {r["source"]: r for r in
+           doremi_excess_weights(df, "source", eta=1.0).collect()}
+    out2 = {r["source"]: r for r in
+            doremi_excess_weights(df, "source", eta=1.0).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }
+    assert out["easy"]["excess"] == 0.0
+    assert out["hard"]["mean_nll"] == 3.2
+    assert out["hard"]["excess"] == 2.2
+    assert out["hard"]["weight"] > out["mid"]["weight"] > out["easy"]["weight"]
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 2e-6
+    assert out["easy"]["n_docs"] == 3 and out["hard"]["n_docs"] == 2
