@@ -816,7 +816,7 @@ def ccnet_thresholds(
 
 
 def ccnet_per_lang_filter(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str,
     id_col: str,
     lang_col: str,
@@ -824,6 +824,7 @@ def ccnet_per_lang_filter(
     order: int = 5,
     tables: dict | None = None,
     tail_ratio: float = 1.15,
+    nll: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet's ACTUAL multilingual regime (Wenzek et al. 2020): one
     order-``order`` KN LM per language — all trained in the SAME
@@ -852,19 +853,25 @@ def ccnet_per_lang_filter(
     w)``, every lower level and the per-language scalars are LM-sized
     re-aggregations, scoring joins the corpus once on the prefixed
     keys — so N languages cost the same shuffle schedule as one
-    model, which is why CCNet can afford 100+ of them."""
+    model, which is why CCNet can afford 100+ of them.
+
+    Pass a precomputed ``nll`` relation (``(id, lang, n_tok, nll)``,
+    e.g. a frozen leaf scored per micro-batch) to skip scoring and
+    apply ONLY the threshold cut — the streaming twins' path, so the
+    bucket/cut arithmetic exists exactly once (review r15: three
+    hand copies of the CASE chain had crept in)."""
     from farmrpg_etl_spark.queries import _dec_sum
 
-    own_tables = tables is None
-    if own_tables:
-        tables = kn_ngram_tables(
-            df, text_col, id_col, order, key_cols=(lang_col,),
-            persist=False,
+    if nll is None:
+        if tables is None:
+            tables = kn_ngram_tables(
+                df, text_col, id_col, order, key_cols=(lang_col,),
+                persist=False,
+            )
+        nll = doc_nll_kn_ngram(
+            df, text_col, id_col, order=order, tables=tables,
+            key_cols=(lang_col,),
         )
-    nll = doc_nll_kn_ngram(
-        df, text_col, id_col, order=order, tables=tables,
-        key_cols=(lang_col,),
-    )
     if thresholds is None:
         # the scored relation feeds BOTH the calibration aggregate and
         # the bucket join — materialize it (doc-count-sized: id, lang,

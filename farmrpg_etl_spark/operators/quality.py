@@ -229,18 +229,37 @@ def _dsir_features(
     return ex.select(id_col, bucket.alias("bucket"))
 
 
-def _dsir_ratio(rcnt: DataFrame, tcnt: DataFrame, B: int) -> DataFrame:
+def _dsir_ratio(
+    rcnt: DataFrame, tcnt: DataFrame, B: int, full_space: bool = False
+) -> DataFrame:
     """The add-one-smoothed log importance ratio ``ln p − ln q`` per
     bucket, from the two bucket histograms — ONE definition shared by
     the inline construction in :func:`dsir_scored` and the standalone
     :func:`dsir_log_ratio` (the frozen-calibration path), so the
-    batch and streaming regimes cannot fork on the smoothing."""
+    batch and streaming regimes cannot fork on the smoothing.
+
+    ``full_space=True`` emits a row for EVERY bucket id in [0, B),
+    not only buckets the raw corpus hit: a FROZEN ratio scores later
+    batches whose grams may hash to buckets the calibration corpus
+    never produced — those buckets must carry their smoothed
+    ``lr = ln((ct+1)/(T+B)) − ln((cr+1)/(R+B))`` with cr = 0, or an
+    inner scoring join silently drops the terms (review r15). The
+    inline same-corpus path keeps ``False``: its per-doc buckets are
+    a subset of its own histogram by construction."""
     ttot = tcnt.agg(F.sum("ct").alias("T"))
     rtot = rcnt.agg(F.sum("cr").alias("R"))
+    if full_space:
+        base = (
+            rcnt.sparkSession.range(int(B))
+            .select(F.col("id").alias("bucket"))
+            .join(rcnt, "bucket", "left")
+        )
+    else:
+        base = rcnt
     # add-one smoothing over the full bucket space: buckets the target
     # never hit still get finite mass, so ln(p) is total
     return (
-        rcnt.join(tcnt, "bucket", "left")
+        base.join(tcnt, "bucket", "left")
         .crossJoin(F.broadcast(ttot))
         .crossJoin(F.broadcast(rtot))
         .select(
@@ -251,7 +270,7 @@ def _dsir_ratio(rcnt: DataFrame, tcnt: DataFrame, B: int) -> DataFrame:
                     / (F.col("T") + F.lit(B)).cast("double")
                 )
                 - F.log(
-                    (F.col("cr") + 1).cast("double")
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
                     / (F.col("R") + F.lit(B)).cast("double")
                 )
             ).alias("lr"),
@@ -283,7 +302,10 @@ def dsir_log_ratio(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
-    return _dsir_ratio(rcnt, tcnt, B)
+    # full bucket space: a frozen ratio must carry smoothed mass for
+    # buckets the calibration corpus never hit, or scoring a later
+    # batch silently drops those terms (review r15)
+    return _dsir_ratio(rcnt, tcnt, B, full_space=True)
 
 
 def dsir_scored(
@@ -307,6 +329,8 @@ def dsir_scored(
     a streamed corpus scores identically to the batch run."""
     from farmrpg_etl_spark.queries import _dec_sum
 
+    if target is None and ratio is None:
+        raise ValueError("pass target (to fit the ratio) or a frozen ratio")
     B = int(n_buckets)
     rf = _dsir_features(raw, text_col, id_col, B, salt)
     # ONE scan per corpus (r14 review — the first cut re-exploded the
@@ -618,8 +642,21 @@ def unimax_assemble(
         ),
         source_col,
     )
+    # a zero-token document consumes nothing, so "quota >= cum" holds
+    # AT exact saturation and the plain formula would grant it a copy
+    # in an epoch that does not exist (capped source, first in order:
+    # max_epochs + 1 copies — review r15). Zero-token docs use the
+    # strict form: included in epoch e iff capacity remains BEYOND
+    # their cum, i.e. e·N + cum < quota.
     copies = (
         F.when(F.col("__ns") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("n_tok") == 0,
+            F.when(
+                F.col("token_quota") > F.col("cum"),
+                F.expr("(token_quota - cum - 1) DIV __ns") + F.lit(1),
+            ).otherwise(F.lit(0).cast("long")),
+        )
         .when(
             F.col("token_quota") >= F.col("cum"),
             F.expr("(token_quota - cum) DIV __ns") + F.lit(1),

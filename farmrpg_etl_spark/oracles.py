@@ -6549,6 +6549,10 @@ ua_w AS (
   FROM ua_pd JOIN q USING (source))
 SELECT doc_id, source, n_tok,
        CAST(CASE WHEN ns = 0 THEN 0
+                 WHEN n_tok = 0 THEN
+                   CASE WHEN token_quota > cum
+                        THEN (token_quota - cum - 1) // ns + 1
+                        ELSE 0 END
                  WHEN token_quota >= cum
                  THEN (token_quota - cum) // ns + 1
                  ELSE 0 END AS BIGINT) AS n_copies

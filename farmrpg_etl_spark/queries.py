@@ -7269,16 +7269,9 @@ def streaming_ccnet_per_lang_docs(
             batch, "text", "doc_id", order=5, tables=tables,
             key_cols=("lang",),
         )
-        out = nll.join(thr, "lang", "inner")
-        bucket = (
-            F.when(F.col("nll") <= F.col("head_nll"), F.lit("head"))
-            .when(F.col("nll") <= F.col("tail_nll"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-        )
-        out = (
-            out.withColumn("bucket", bucket)
-            .filter(F.col("bucket") != "tail")
-            .select("doc_id", "lang", "n_tok", "nll", "bucket")
+        # the frozen-threshold cut lives once, in ccnet_per_lang_filter
+        out = LM.ccnet_per_lang_filter(
+            None, "text", "doc_id", "lang", thresholds=thr, nll=nll
         )
         insert_if_absent(
             sink, out, ["doc_id"], batch_id=batch_id, writer="ccnets"
@@ -7750,16 +7743,10 @@ def _v7_frozen_batch(
             interior, "text_out", "doc_id", order=5, tables=fz["tables"],
             key_cols=("lang",),
         )
-    scored = nll.join(fz["thr"], "lang", "inner")
-    bucket = (
-        F.when(F.col("nll") <= F.col("head_nll"), F.lit("head"))
-        .when(F.col("nll") <= F.col("tail_nll"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-    )
-    scored = (
-        scored.withColumn("bucket", bucket)
-        .filter(F.col("bucket") != "tail")
-        .select("doc_id", "lang", "n_tok", "nll", "bucket")
+    # the frozen-threshold cut lives ONCE, in ccnet_per_lang_filter
+    # (review r15: a third hand copy of the CASE chain had crept in)
+    scored = LM.ccnet_per_lang_filter(
+        None, "text_out", "doc_id", "lang", thresholds=fz["thr"], nll=nll
     )
     return (
         interior.select(
@@ -7790,13 +7777,14 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin's frozen globals, the DSIR calibration freezes too: the
     add-one-smoothed bucket log-ratio relation (fit batch-side on the
     full survivor pool vs the eval holdout, `dsir_log_ratio`) and the
-    SELECTION CUTOFF — the smallest Gumbel key among the batch run's
-    top-50. Each micro-batch then runs the complete frozen recipe,
-    scores its survivors against the frozen ratio, and keeps exactly
-    the documents whose deterministic gkey clears the frozen cutoff —
-    a per-document decision, so the union over batches IS the batch
-    top-50 (gkeys are distinct by construction; the shared batch v8
-    oracle pins stream ≡ batch cross-engine).
+    SELECTION CUTOFF — the full (gkey, doc_id) sort key of the batch
+    run's rank-50 row, so a 6-decimal Gumbel-key tie at the 50/51
+    boundary cannot admit an extra row. Each micro-batch then runs
+    the complete frozen recipe, scores its survivors against the
+    frozen ratio, and keeps exactly the documents that clear the
+    frozen floor — a per-document decision, so the union over batches
+    IS the batch top-50 (the shared batch v8 oracle pins stream ≡
+    batch cross-engine).
 
     This is how importance-resampling selection actually deploys:
     Gumbel-top-k needs a global order, which a stream cannot see —
@@ -7818,11 +7806,14 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fz = _v7_frozen_globals(spark, docs)
     # --- frozen DSIR calibration: ratio + the batch top-50's floor,
-    # derived from the frozen full-corpus leaves (no recompute)
+    # derived from the frozen full-corpus leaves (no interior
+    # recompute), and itself checkpointed — the ratio fit and the
+    # cutoff scoring each explode it (review r15: two passes over a
+    # live nll⋈thr⋈interior plan re-ran the join both times)
     surv_full = _v7_frozen_batch(
         None, fz, include_text=True,
         interior=fz["v7in_full"], nll=fz["nll_full"],
-    )
+    ).localCheckpoint()
     target = docs.filter(F.col("doc_id") % 101 == 0).select(
         "doc_id", F.col("text").alias("text_out")
     )
@@ -7834,13 +7825,17 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_full = dsir_scored(
         surv_full, None, "text_out", "doc_id", n_buckets=4096, ratio=ratio
     )
-    # the k-th selected gkey — one scalar, the documented bounded
-    # collect; distinct gkeys (pinned by pytest) make the cut exact
-    cutoff = (
+    # the frozen selection floor is the FULL (gkey, doc_id) sort key
+    # of the rank-50 row, not the gkey alone: 6-decimal gkeys can tie
+    # at the 50/51 boundary on larger snapshots, and a gkey-only
+    # threshold would then admit 51 rows where the batch keeps 50
+    # (review r15). One row collected — bounded by construction.
+    floor_row = (
         scored_full.orderBy(F.col("gkey").desc(), "doc_id")
         .limit(50)
-        .agg(F.min("gkey").alias("g"))
-        .collect()[0]["g"]
+        .orderBy(F.col("gkey").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .collect()
     )
     src_dir = scratch_dir("v8s")
     n_batches = 4
@@ -7856,6 +7851,15 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = ParquetTable(spark, _sink_scratch("v8ssink"))
 
+    if floor_row:
+        g50 = float(floor_row[0]["gkey"])
+        id50 = int(floor_row[0]["doc_id"])
+        keep = (F.col("gkey") > F.lit(g50)) | (
+            (F.col("gkey") == F.lit(g50)) & (F.col("doc_id") <= F.lit(id50))
+        )
+    else:  # empty survivor pool: nothing clears the (absent) floor
+        keep = F.lit(False)
+
     def proc(batch_df: DataFrame, batch_id: int) -> None:
         # batch-sized leaf: the survivor relation feeds both the DSIR
         # feature hash and the metadata join-back — one interior run
@@ -7866,7 +7870,7 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = dsir_scored(
             surv_b, None, "text_out", "doc_id", n_buckets=4096,
             ratio=ratio,
-        ).filter(F.col("gkey") >= F.lit(float(cutoff)))
+        ).filter(keep)
         out = sel.join(
             surv_b.select("doc_id", "lang", "bucket"), "doc_id"
         ).select("doc_id", "lang", "bucket", "logw", "gkey")
@@ -7896,12 +7900,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver verifies exactly the FIRST 50 entries per round.
     # Head: the 7 rows whose newest driver record is r8-era (the rows
     # the r14 additions displaced — the final mini-rotation; after
-    # this run no registry row's record predates r9), then the 3 rows
-    # NEW this round (streaming v7 twin, v8 DSIR selection, built-
-    # corpus report card), then the 40 oldest r9-era rows. Below the
-    # cut rows stay stale-first (remaining r9, then r10, r12, r13,
-    # r14) so future rotations just slide the window; cumulative map
-    # in docs/COVERAGE.md.
+    # this run no registry row's record predates r9), then the 7 rows
+    # NEW this round (streaming v7/v8 twins, v8 DSIR selection,
+    # built-corpus report card, unimax schedule, leakage-safe splits,
+    # DoReMi weights), then the 36 oldest r9-era rows (each new row
+    # added after the initial rotation slid one r9 row below the
+    # cut). Below the cut rows stay stale-first (remaining 13 r9,
+    # then r10, r12, r13, r14) so future rotations just slide the
+    # window; cumulative map in docs/COVERAGE.md.
     "datetime_semantics": datetime_semantics,
     "simhash_docs": simhash_docs,
     "pack_sequences_docs": pack_sequences_docs,

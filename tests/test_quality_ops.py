@@ -525,6 +525,27 @@ def test_unimax_assemble_epoch_fill_semantics(spark):
     assert max(r["n_copies"] for r in big) <= quota // 4000 + 1
 
 
+def test_unimax_assemble_zero_token_docs_respect_the_epoch_cap(spark):
+    """A zero-token document consumes no budget, so the naive
+    quota >= cum test holds AT exact saturation — it must still get
+    exactly max_epochs copies in a capped source, never max_epochs+1
+    (review r15)."""
+    from farmrpg_etl_spark.operators.quality import unimax_assemble
+
+    rows = [(0, "small", ""), (1, "small", "a b c"), (2, "small", "d e")]
+    rows += [(100 + i, "big", "w x y z " * 25) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {r["doc_id"]: r for r in unimax_assemble(
+        df, "text", "doc_id", "source", budget_ratio=1, max_epochs=2
+    ).collect()}
+    # the capped source's docs — INCLUDING the empty one wherever it
+    # lands in the md5 order — get exactly 2 copies
+    assert {out[i]["n_copies"] for i in (0, 1, 2)} == {2}
+    assert out[0]["n_tok"] == 0
+
+
 def test_doremi_excess_weights_upweight_hard_domains(spark):
     """One DoReMi update against a frozen reference: the domain with
     higher mean NLL (excess loss) gets the larger weight; the easiest

@@ -7,17 +7,25 @@ from farmrpg_etl_spark import scratch
 
 
 def test_scratch_dirs_registered_and_swept():
-    d1 = scratch.scratch_dir("testrow")
-    d2 = scratch.scratch_dir("sink_testrow")
-    assert os.path.isdir(d1) and os.path.isdir(d2)
-    assert os.path.basename(d1).startswith("farmrpg_testrow_")
-    # a populated dir is removed too (the sink case: parquet under it)
-    open(os.path.join(d2, "part-0.parquet"), "w").write("x")
-    n = scratch.sweep()
-    assert n >= 2
-    assert not os.path.exists(d1) and not os.path.exists(d2)
-    # idempotent: a second sweep has nothing to do
-    assert scratch.sweep() == 0
+    # isolate from the shared pytest process: sweeping the GLOBAL
+    # registry here would delete sink/checkpoint dirs other tests'
+    # returned DataFrames still read lazily (review r15)
+    saved = scratch._SCRATCH_DIRS[:]
+    del scratch._SCRATCH_DIRS[:]
+    try:
+        d1 = scratch.scratch_dir("testrow")
+        d2 = scratch.scratch_dir("sink_testrow")
+        assert os.path.isdir(d1) and os.path.isdir(d2)
+        assert os.path.basename(d1).startswith("farmrpg_testrow_")
+        # a populated dir is removed too (the sink case: parquet under it)
+        open(os.path.join(d2, "part-0.parquet"), "w").write("x")
+        n = scratch.sweep()
+        assert n == 2
+        assert not os.path.exists(d1) and not os.path.exists(d2)
+        # idempotent: a second sweep has nothing to do
+        assert scratch.sweep() == 0
+    finally:
+        scratch._SCRATCH_DIRS.extend(saved)
 
 
 def test_all_registry_scratch_routes_through_manager():
