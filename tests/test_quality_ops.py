@@ -572,3 +572,53 @@ def test_doremi_excess_weights_upweight_hard_domains(spark):
     assert out["hard"]["weight"] > out["mid"]["weight"] > out["easy"]["weight"]
     assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 2e-6
     assert out["easy"]["n_docs"] == 3 and out["hard"]["n_docs"] == 2
+
+
+def test_dsir_frozen_ratio_scores_unseen_buckets(spark):
+    """The deployment regime: a ratio frozen on snapshot S must carry
+    smoothed mass for EVERY bucket, so a later batch whose grams hash
+    to buckets S never produced still gets the documented add-one
+    logit — not a silently-dropped term (review r15: the inner
+    scoring join used to eat those terms). Also: frozen-ratio scoring
+    of the calibration corpus itself equals the fresh-fit scoring."""
+    from farmrpg_etl_spark.operators.quality import (
+        dsir_log_ratio,
+        dsir_scored,
+    )
+
+    cal = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "alpha beta alpha beta")], "doc_id long, text string"
+    )
+    B = 64
+    ratio = dsir_log_ratio(cal, tgt, "text", "doc_id", n_buckets=B)
+    # full bucket space: every bucket id present exactly once
+    rows = ratio.collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(B))
+    # frozen-ratio scoring == fresh-fit scoring on the same corpus
+    frozen = {r["doc_id"]: (r["logw"], r["gkey"]) for r in dsir_scored(
+        cal, None, "text", "doc_id", n_buckets=B, ratio=ratio
+    ).collect()}
+    fresh = {r["doc_id"]: (r["logw"], r["gkey"]) for r in dsir_scored(
+        cal, tgt, "text", "doc_id", n_buckets=B
+    ).collect()}
+    assert frozen == fresh
+    # a LATER batch with vocabulary the calibration never saw: every
+    # gram still contributes (logw nonzero through the smoothed lr),
+    # and no row is dropped
+    later = spark.createDataFrame(
+        [(7, "zeta eta theta iota kappa")], "doc_id long, text string"
+    )
+    out = dsir_scored(
+        later, None, "text", "doc_id", n_buckets=B, ratio=ratio
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["logw"] != 0.0
+    # arg validation: neither target nor ratio is a loud error
+    import pytest
+
+    with pytest.raises(ValueError):
+        dsir_scored(later, None, "text", "doc_id", n_buckets=B)
