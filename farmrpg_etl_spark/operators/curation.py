@@ -6,7 +6,7 @@ diffing.
 
 All operators are pure DataFrame compositions (no UDFs); every
 aggregate that crosses engines is either integral or goes through the
-quantize→decimal-sum discipline (`queries._dec_sum` rationale) so the
+quantize→decimal-sum discipline (`functions.exact.dec_sum` rationale) so the
 DuckDB oracles hash-match bit-for-bit.
 """
 
@@ -158,7 +158,7 @@ def unigram_surprise(
     quantize→decimal-sum discipline so the double aggregate is
     order-independent and oracle-exact.
     """
-    from farmrpg_etl_spark.queries import _dec_sum
+    from farmrpg_etl_spark.functions.exact import dec_sum as _dec_sum
 
     toks = F.coalesce(
         words(F.col(text_col)), F.array().cast("array<string>")

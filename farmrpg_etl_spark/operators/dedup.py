@@ -456,6 +456,21 @@ def leakage_safe_splits(
     only docs in some family appear — so the join's right side is
     small relative to the corpus and the split key itself is a pure
     per-row expression; no shuffle beyond the join)."""
+    if not (
+        isinstance(train_pct, int)
+        and isinstance(valid_pct, int)
+        and 0 <= train_pct
+        and 0 <= valid_pct
+        and train_pct + valid_pct <= 100
+    ):
+        # silent misconfiguration here is the worst kind: pcts that
+        # sum past 100 produce an EMPTY test split with no signal
+        # (same loud-validation rule as unimax budget_ratio).
+        raise ValueError(
+            "leakage_safe_splits: train_pct/valid_pct must be ints with "
+            "0 <= train_pct, 0 <= valid_pct, train_pct + valid_pct <= 100 "
+            f"(got train_pct={train_pct!r}, valid_pct={valid_pct!r})"
+        )
     lab = clusters.withColumnRenamed("id", id_col)
     full = docs.select(id_col).join(lab, id_col, "left")
     cid = F.coalesce(F.col("cluster_id"), F.col(id_col))

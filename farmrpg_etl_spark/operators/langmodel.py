@@ -168,7 +168,7 @@ def doc_nll_kn(
     ``N1+(·,w) = 0`` for a never-seen word); unseen context →
     ``p_cont(w)`` alone. Every path is finite because the continuation
     distribution is add-one smoothed at training time."""
-    from farmrpg_etl_spark.queries import _dec_sum
+    from farmrpg_etl_spark.functions.exact import dec_sum as _dec_sum
 
     if lm is None:
         lm = train_kn_bigram_lm(df, text_col, id_col)
@@ -235,7 +235,7 @@ def doc_nll(
     Each ``-ln(p)`` is floor-quantized to micros per row, then summed
     exactly in decimal and rounded to 4 dp, so partial-aggregation
     order cannot move the hash."""
-    from farmrpg_etl_spark.queries import _dec_sum
+    from farmrpg_etl_spark.functions.exact import dec_sum as _dec_sum
 
     if lm is None:
         lm = train_bigram_lm(df, text_col, id_col)
@@ -709,7 +709,7 @@ def doc_nll_kn_ngram(
     alternative (running the ladder on every instance) re-joins the
     corpus once per order, which is 2(n−1)+1 corpus-wide joins when
     the top-order tables outgrow broadcast."""
-    from farmrpg_etl_spark.queries import _dec_sum
+    from farmrpg_etl_spark.functions.exact import dec_sum as _dec_sum
 
     if tables is None:
         # self-built tables never expose their handles, so build them
@@ -804,7 +804,7 @@ def ccnet_thresholds(
     batch filter and the streaming row so the frozen-threshold regime
     cannot silently fork from the batch calibration (their common
     DuckDB oracle derives the identical constants)."""
-    from farmrpg_etl_spark.queries import _dec_sum
+    from farmrpg_etl_spark.functions.exact import dec_sum as _dec_sum
 
     m = F.round(
         _dec_sum(F.col("nll")).cast("double") / F.count(F.lit(1)), 4
@@ -860,8 +860,13 @@ def ccnet_per_lang_filter(
     apply ONLY the threshold cut — the streaming twins' path, so the
     bucket/cut arithmetic exists exactly once (review r15: three
     hand copies of the CASE chain had crept in)."""
-    from farmrpg_etl_spark.queries import _dec_sum
+    from farmrpg_etl_spark.functions.exact import dec_sum as _dec_sum
 
+    if df is None and nll is None:
+        raise ValueError(
+            "ccnet_per_lang_filter: pass df (to score) or a precomputed "
+            "nll relation — with both None there is nothing to cut"
+        )
     if nll is None:
         if tables is None:
             tables = kn_ngram_tables(

@@ -327,7 +327,7 @@ def dsir_scored(
     DEPLOYMENT regime: calibrate once per snapshot, score any later
     batch against the frozen constants — per-document decisions, so
     a streamed corpus scores identically to the batch run."""
-    from farmrpg_etl_spark.queries import _dec_sum
+    from farmrpg_etl_spark.functions.exact import dec_sum as _dec_sum
 
     if target is None and ratio is None:
         raise ValueError("pass target (to fit the ratio) or a frozen ratio")
@@ -588,8 +588,11 @@ def unimax_assemble(
     Semantics are epoch fills: documents of a source are ordered by
     the deterministic md5(source|id) key (unbiased w.r.t. id order,
     bit-reproducible), and a document is included in epoch ``e`` iff
-    ``e · N_s + cum ≤ quota_s`` where ``cum`` is its inclusive
-    running token total and ``N_s`` the source's total tokens — i.e.
+    ``e · N_s + cum ≤ quota_s AND e · N_s < quota_s`` where ``cum``
+    is its inclusive running token total and ``N_s`` the source's
+    total tokens (the second clause only bites for zero-token
+    documents, whose boundary cases both ways are pinned by pytest;
+    for any doc with tokens it is implied by the first) — i.e.
     full passes over the source until the remaining quota is a
     partial pass, which takes the deterministic PREFIX of the order.
     Consequences pinned by pytest: a capped source (quota =
@@ -642,19 +645,28 @@ def unimax_assemble(
         ),
         source_col,
     )
-    # a zero-token document consumes nothing, so "quota >= cum" holds
-    # AT exact saturation and the plain formula would grant it a copy
-    # in an epoch that does not exist (capped source, first in order:
-    # max_epochs + 1 copies — review r15). Zero-token docs use the
-    # strict form: included in epoch e iff capacity remains BEYOND
-    # their cum, i.e. e·N + cum < quota.
+    # a zero-token document consumes nothing, so its epoch membership
+    # must be position-robust at BOTH boundaries: the plain inclusive
+    # rule grants max_epochs+1 copies when it sorts FIRST at exact
+    # saturation (cum=0, quota=e_max·N — review r15), and the r15
+    # strict form (e·N + cum < quota) under-grants when it sorts LAST
+    # (cum=N, quota=2N → 1 copy, breaking the "capped source gives
+    # every doc exactly max_epochs copies" invariant — ADVICE r16).
+    # The position-robust rule: included in epoch e iff
+    # e·N + cum ≤ quota AND e·N < quota, i.e.
+    # copies = least(floor((quota-cum)/N)+1, ceil(quota/N)).
+    # For n_tok ≥ 1 the second term is implied (cum ≥ 1), so the
+    # plain inclusive rule stands for non-empty docs.
     copies = (
         F.when(F.col("__ns") == 0, F.lit(0).cast("long"))
         .when(
             F.col("n_tok") == 0,
             F.when(
-                F.col("token_quota") > F.col("cum"),
-                F.expr("(token_quota - cum - 1) DIV __ns") + F.lit(1),
+                F.col("token_quota") >= F.col("cum"),
+                F.least(
+                    F.expr("(token_quota - cum) DIV __ns") + F.lit(1),
+                    F.expr("(token_quota + __ns - 1) DIV __ns"),
+                ),
             ).otherwise(F.lit(0).cast("long")),
         )
         .when(
@@ -703,7 +715,7 @@ def doremi_excess_weights(
     :func:`unimax_mixture_weights`)."""
     from pyspark.sql import Window
 
-    from farmrpg_etl_spark.queries import _dec_sum
+    from farmrpg_etl_spark.functions.exact import dec_sum as _dec_sum
 
     m = F.round(
         _dec_sum(F.col(nll_col)).cast("double") / F.count(F.lit(1)), 4

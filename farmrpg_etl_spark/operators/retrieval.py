@@ -15,7 +15,7 @@ the DuckDB oracle. This operator therefore uses the RATIONAL idf core
 ``log``-idf, strictly monotone in it), so per-term scores stay in plain
 IEEE double arithmetic that both engines evaluate identically; the
 per-term contributions are quantized to 1e-6 and decimal-summed
-(``queries._dec_sum`` discipline) so the final score is
+(``functions.exact.dec_sum`` discipline) so the final score is
 order-independent. Documented as "BM25 (rational-idf variant)".
 
 NOT order-equivalent to log-idf BM25 for MULTI-term queries: each
@@ -110,7 +110,7 @@ def bm25_topk(
     term_score = idf * (F.col("__tf").cast("double") * F.lit(k1 + 1.0)) / denom
     q6 = F.floor(F.lit(1000000.0) * term_score) / F.lit(1000000.0)
 
-    from farmrpg_etl_spark.queries import _dec_sum
+    from farmrpg_etl_spark.functions.exact import dec_sum as _dec_sum
 
     agg = scored.groupBy(query_id_col, id_col).agg(
         F.round(_dec_sum(q6).cast("double"), 6).alias("score")

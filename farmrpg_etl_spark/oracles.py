@@ -6550,8 +6550,9 @@ ua_w AS (
 SELECT doc_id, source, n_tok,
        CAST(CASE WHEN ns = 0 THEN 0
                  WHEN n_tok = 0 THEN
-                   CASE WHEN token_quota > cum
-                        THEN (token_quota - cum - 1) // ns + 1
+                   CASE WHEN token_quota >= cum
+                        THEN least((token_quota - cum) // ns + 1,
+                                   (token_quota + ns - 1) // ns)
                         ELSE 0 END
                  WHEN token_quota >= cum
                  THEN (token_quota - cum) // ns + 1

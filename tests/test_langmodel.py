@@ -457,6 +457,16 @@ def test_ccnet_per_lang_filter_whitelist_and_thresholds(spark):
     assert out[1][2] < out[2][2]
 
 
+def test_ccnet_per_lang_filter_requires_df_or_nll(spark):
+    """df=None with the default nll=None is an argument error, not an
+    opaque AttributeError deep in kn_ngram_tables (ADVICE r16 —
+    mirrors dsir_scored's guard)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="pass df"):
+        LM.ccnet_per_lang_filter(None, "text", "doc_id", "lang")
+
+
 def test_keyed_tables_reject_mismatched_key_cols(spark):
     """An explicit key_cols that disagrees with the tables' keys
     fails loudly (like the order check) instead of being silently

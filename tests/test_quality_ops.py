@@ -546,6 +546,42 @@ def test_unimax_assemble_zero_token_docs_respect_the_epoch_cap(spark):
     assert out[0]["n_tok"] == 0
 
 
+def test_unimax_assemble_zero_token_doc_sorting_last_gets_full_epochs(
+    spark,
+):
+    """The OTHER zero-token boundary (ADVICE r16): an empty document
+    whose md5 key sorts LAST in a capped source has inclusive
+    cum == N_s, and at quota == max_epochs·N_s the r15 strict rule
+    (e·N + cum < quota) granted it only 1 copy. The position-robust
+    rule (e·N + cum ≤ quota AND e·N < quota) must give it exactly
+    max_epochs copies like every other doc in the capped source."""
+    import hashlib
+
+    from farmrpg_etl_spark.operators.quality import unimax_assemble
+
+    key = lambda i: hashlib.md5(f"small|{i}".encode()).hexdigest()
+    nonempty = [1, 2]
+    # pick an empty-doc id whose md5(source|id) sorts after both
+    # non-empty docs' keys — the test constructs the edge, it doesn't
+    # hope for it
+    empty_id = next(
+        i
+        for i in range(3, 2000)
+        if key(i) > max(key(j) for j in nonempty)
+    )
+    rows = [(1, "small", "a b c"), (2, "small", "d e"),
+            (empty_id, "small", "")]
+    rows += [(100000 + i, "big", "w x y z " * 25) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {r["doc_id"]: r for r in unimax_assemble(
+        df, "text", "doc_id", "source", budget_ratio=1, max_epochs=2
+    ).collect()}
+    assert out[empty_id]["n_tok"] == 0
+    assert {out[i]["n_copies"] for i in (1, 2, empty_id)} == {2}
+
+
 def test_doremi_excess_weights_upweight_hard_domains(spark):
     """One DoReMi update against a frozen reference: the domain with
     higher mean NLL (excess loss) gets the larger weight; the easiest

@@ -289,3 +289,28 @@ def test_leakage_safe_splits_keep_families_together(spark):
     c = Counter(r["split"] for r in out)
     assert set(c) == {"train", "valid", "test"}
     assert c["train"] > c["valid"] and c["train"] > c["test"]
+
+
+def test_leakage_safe_splits_validates_percentages(spark):
+    """Misconfigured split percentages fail LOUDLY (ADVICE r16):
+    pcts summing past 100 would otherwise silently empty the test
+    split, negatives would shift every row into one split."""
+    import pytest
+
+    from farmrpg_etl_spark.operators.dedup import leakage_safe_splits
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    clusters = spark.createDataFrame([], "id long, cluster_id long")
+    for train, valid in [(95, 10), (-1, 10), (80, -5), (101, 0)]:
+        with pytest.raises(ValueError, match="leakage_safe_splits"):
+            leakage_safe_splits(
+                docs, "doc_id", clusters, train_pct=train, valid_pct=valid
+            )
+    with pytest.raises(ValueError, match="leakage_safe_splits"):
+        leakage_safe_splits(
+            docs, "doc_id", clusters, train_pct=80.0, valid_pct=10
+        )
+    # the boundary itself is legal: 90/10/0 just has an empty test
+    # split the caller asked for
+    leakage_safe_splits(docs, "doc_id", clusters, train_pct=90,
+                        valid_pct=10)
