@@ -158,6 +158,67 @@ def pack_documents(
     )
 
 
+def pack_schedule(
+    assembled: DataFrame,
+    id_col: str,
+    source_col: str,
+    *,
+    seq_len: int = 512,
+) -> DataFrame:
+    """Materialize a REPLICATION SCHEDULE (``unimax_assemble``'s
+    ``(id, source, n_tok, n_copies)``) into the packed training
+    layout: every (document, copy) occupies ``n_tok`` tokens at a
+    global offset in one deterministic globally-shuffled stream —
+    order key ``md5(source|id|copy)``, so copies of a document and
+    documents of a source spread uniformly through the epoch instead
+    of clumping (the shuffling a training run wants), yet the layout
+    is bit-reproducible. The stream is cut into ``seq_len``-token
+    packs; emits per copy its offset and first/last pack.
+
+    Output: ``(id, source, copy, n_tok, start_offset, first_pack,
+    last_pack)`` with ``copy`` ∈ 1..n_copies.
+
+    Scale: the copy expansion is a narrow 1→N flatMap; the global
+    offset comes from :func:`grouped_prefix_sum` with no group (256
+    order-aligned md5-prefix buckets), so a 100 TB schedule cumsums
+    across all executors — no single-partition window, no collect."""
+    rows = assembled.filter(F.col("n_copies") > 0).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+        ).alias("copy"),
+    )
+    rows = rows.withColumn(
+        "__ord",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col(source_col),
+                F.col(id_col).cast("string"),
+                F.col("copy").cast("string"),
+            )
+        ),
+    )
+    cum = grouped_prefix_sum(rows, [], "__ord", "n_tok", "cum_tokens")
+    start = F.col("cum_tokens") - F.col("n_tok")
+    return cum.select(
+        id_col,
+        source_col,
+        "copy",
+        "n_tok",
+        start.cast("long").alias("start_offset"),
+        F.floor(start / F.lit(seq_len)).cast("long").alias("first_pack"),
+        # zero-token copies occupy no tokens: their span is their start
+        F.floor(
+            F.greatest(F.col("cum_tokens") - 1, start) / F.lit(seq_len)
+        )
+        .cast("long")
+        .alias("last_pack"),
+    )
+
+
 def grouped_prefix_sum(
     df: DataFrame,
     group_cols: list[str],

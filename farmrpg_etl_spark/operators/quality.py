@@ -748,6 +748,89 @@ def doremi_excess_weights(
     )
 
 
+def doremi_iterated_weights(
+    nll_by_source: DataFrame,
+    source_col: str,
+    nll_col: str = "nll",
+    eta: float = 1.0,
+    rounds: int = 4,
+) -> DataFrame:
+    """DoReMi's iterated multiplicative-weights loop (Xie et al.
+    2023b) against the frozen reference LM: ``rounds`` Hedge-style
+    updates ``w_{t+1} ∝ w_t · exp(η · excess_d)`` with per-round
+    micro-quantization, starting from the uniform mixture.
+    :func:`doremi_excess_weights` is the single closed-form step;
+    this is the fixed-iteration variant (the PageRank pattern: the
+    oracle recomputes EVERY round, so the per-round floor-quantized
+    integers pin the whole trajectory cross-engine, not just the
+    fixed point). Because the reference is frozen the excess vector
+    is constant and the iterate provably drifts toward one-hot on
+    the hardest domain as t→∞ — exactly why DoReMi publishes the
+    AVERAGE of the iterates, returned here as ``weight_avg``
+    (``weight`` is the final round's mixture).
+
+    Per round, in exact integers: ``ew = floor(w · exp(η·excess))``
+    (w ≤ 1e6 micros and excess ≤ ~20, so ew ≤ ~5e14 — no overflow),
+    then ``w' = ew·10⁶ DIV Σew`` (integer division, identical to
+    DuckDB ``//`` for non-negatives). Returns ``(source, n_docs,
+    mean_nll, excess, weight, weight_avg)``.
+
+    Scale: one corpus-sized groupBy; every round is a window over the
+    DOMAIN dimension (bounded — the same single-partition-window
+    justification as :func:`unimax_mixture_weights`)."""
+    from pyspark.sql import Window
+
+    from farmrpg_etl_spark.functions.exact import dec_sum as _dec_sum
+
+    if not (isinstance(rounds, int) and rounds >= 1):
+        raise ValueError(f"rounds must be a positive int, got {rounds!r}")
+    m = F.round(
+        _dec_sum(F.col(nll_col)).cast("double") / F.count(F.lit(1)), 4
+    )
+    per = nll_by_source.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), m.alias("mean_nll")
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cur = (
+        per.withColumn(
+            "excess",
+            F.round(F.col("mean_nll") - F.min("mean_nll").over(full), 4),
+        )
+        .withColumn("w", F.lit(1000000).cast("long"))
+        .withColumn("wa", F.lit(0).cast("long"))
+    )
+    for _ in range(rounds):
+        cur = (
+            cur.withColumn(
+                "__ew",
+                F.floor(
+                    F.col("w").cast("double")
+                    * F.exp(F.lit(float(eta)) * F.col("excess"))
+                ).cast("long"),
+            )
+            .withColumn("__tot", F.sum("__ew").over(full))
+            .withColumn(
+                "w", F.expr("(__ew * CAST(1000000 AS BIGINT)) DIV __tot")
+            )
+            .withColumn("wa", F.col("wa") + F.col("w"))
+            .drop("__ew", "__tot")
+        )
+    return cur.select(
+        source_col,
+        "n_docs",
+        "mean_nll",
+        "excess",
+        F.round(F.col("w").cast("double") / F.lit(1000000.0), 6).alias(
+            "weight"
+        ),
+        F.round(
+            F.col("wa").cast("double") / F.lit(float(rounds) * 1000000.0), 6
+        ).alias("weight_avg"),
+    )
+
+
 def token_budget_mixture(
     df: DataFrame,
     text_col: str,

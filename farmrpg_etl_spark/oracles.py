@@ -808,38 +808,59 @@ SELECT tok, COUNT(*) AS n FROM t GROUP BY tok
 ORDER BY n DESC, tok ASC LIMIT 50
 """
 
-# connected components over the LSH pair graph via recursive reachability
-ORACLES["neardup_clusters_docs"] = f"""
-WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip()},
-sigs AS (SELECT doc_id, {_sig_list(16)} AS sig FROM s),
-buckets AS ({_BUCKETS}),
-cand AS (
+# connected components over the LSH pair graph via recursive
+# reachability. The chain is a prefix-parameterized generator so
+# larger compositions (leakage splits, the v9 build) can embed it
+# without CTE-name collisions — the chain exists ONCE.
+def _neardup_cluster_chain(p: str = "") -> str:
+    """MinHash-LSH pairs → connected components as a CTE chain with
+    every name ``p``-prefixed; ends at ``{p}cl`` = (id, cluster_id).
+    Must be spliced into a ``WITH RECURSIVE`` clause (``{p}reach``
+    is recursive)."""
+    buckets = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sig, {b} AS band_id, {_band_key(b, 4)} AS band_key"
+        f" FROM {p}sigs"
+        for b in range(4)
+    )
+    return f"""
+{p}shd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+{p}shs AS (SELECT doc_id, toks, {_SHINGLES} AS sh FROM {p}shd),
+{p}sigs AS (SELECT doc_id, {_sig_list(16)} AS sig FROM {p}shs),
+{p}buckets AS ({buckets}),
+{p}cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.sig AS sig_a, b.sig AS sig_b
-  FROM buckets a JOIN buckets b
+  FROM {p}buckets a JOIN {p}buckets b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
 ),
-pairs AS (
+{p}pairs AS (
   SELECT id_a, id_b FROM (
     SELECT id_a, id_b,
       round(list_sum(list_transform(generate_series(1, 16),
         i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0, 6)
         AS jaccard
-    FROM cand
+    FROM {p}cand
   ) WHERE jaccard >= 0.3
 ),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION SELECT id_b, id_a FROM pairs
+{p}edges AS (
+  SELECT id_a AS src, id_b AS dst FROM {p}pairs
+  UNION SELECT id_b, id_a FROM {p}pairs
 ),
-reach(a, b) AS (
-  SELECT src, src FROM edges
+{p}reach(a, b) AS (
+  SELECT src, src FROM {p}edges
   UNION
-  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-)
-SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a
+  SELECT r.a, e.dst FROM {p}reach r JOIN {p}edges e ON r.b = e.src
+),
+{p}cl AS (SELECT a AS id, MIN(b) AS cluster_id FROM {p}reach GROUP BY a)
 """
+
+
+ORACLES["neardup_clusters_docs"] = (
+    "WITH RECURSIVE "
+    + _neardup_cluster_chain("").strip().lstrip(",")
+    + "\nSELECT id, cluster_id FROM cl\n"
+)
 
 ORACLES["corpus_curation"] = rf"""
 WITH d AS (SELECT doc_id, text, source, {_TOKS} AS toks FROM documents),
@@ -978,28 +999,31 @@ FROM m, tt
 # and the uncapped rest splits the remaining budget proportionally.
 # All products in DECIMAL(38,0), mirroring Spark expression for
 # expression.
-ORACLES["unimax_mixture_docs"] = f"""
-WITH t AS (
-  SELECT source,
-         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source
-),
-sc AS (
+def _unimax_quota_chain(
+    src: str, p: str = "", budget_ratio: int = 2, max_epochs: int = 2
+) -> str:
+    """The UniMax closed-form water-filling chain as a reusable,
+    prefix-parameterized CTE block: from ``src`` = (source, n_tokens)
+    to ``{p}q`` = (source, n_tokens, weight, capped, token_quota).
+    Exists once so the standalone rows and the v9 build composition
+    cannot fork on the quota arithmetic."""
+    return f"""
+{p}sc AS (
   SELECT source, n_tokens,
          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
                          * sqrt(CAST(n_tokens AS DOUBLE)))
                     * 1000000.0) AS BIGINT) AS mm,
-         n_tokens * 2 AS cap
-  FROM t
+         n_tokens * {max_epochs} AS cap
+  FROM {src}
 ),
-tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) * 2 AS b,
+{p}tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) * {budget_ratio} AS b,
               CAST(SUM(CAST(mm AS DECIMAL(38,0))) AS DECIMAL(38,0))
                 AS mtot
-       FROM sc),
+       FROM {p}sc),
 -- the SUMS run in DECIMAL(38,0), not only the products: the micro
 -- scores sum past 2^63 at ~1,700 ten-trillion-token sources
-g AS (
-  SELECT sc.*, tt.b, tt.mtot,
+{p}g AS (
+  SELECT {p}sc.*, {p}tt.b, {p}tt.mtot,
          CAST(coalesce(SUM(CAST(mm AS DECIMAL(38,0))) OVER (
            ORDER BY n_tokens, source
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -1008,30 +1032,30 @@ g AS (
            ORDER BY n_tokens, source
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS DECIMAL(38,0)) AS cum_cap
-  FROM sc CROSS JOIN tt
+  FROM {p}sc CROSS JOIN {p}tt
 ),
-f AS (
+{p}f AS (
   SELECT *,
          (CAST(b AS DECIMAL(38,0)) - cum_cap) * CAST(mm AS DECIMAL(38,0))
            >= CAST(cap AS DECIMAL(38,0)) * (mtot - cum_m) AS flag
-  FROM g
+  FROM {p}g
 ),
-cz AS (
+{p}cz AS (
   SELECT *,
          min(CASE WHEN flag THEN 1 ELSE 0 END)
            OVER (ORDER BY n_tokens, source) = 1 AS capped
-  FROM f
+  FROM {p}f
 ),
-rem AS (
+{p}rem AS (
   SELECT CAST(coalesce(SUM(CASE WHEN capped
                             THEN CAST(cap AS DECIMAL(38,0)) END), 0)
            AS DECIMAL(38,0)) AS cap_used,
          CAST(coalesce(SUM(CASE WHEN capped
                             THEN CAST(mm AS DECIMAL(38,0)) END), 0)
            AS DECIMAL(38,0)) AS m_used
-  FROM cz
+  FROM {p}cz
 ),
-q AS (
+{p}q AS (
   SELECT source, n_tokens,
          round(CAST(mm AS DOUBLE) / CAST(mtot AS DOUBLE), 6) AS weight,
          capped,
@@ -1040,13 +1064,62 @@ q AS (
                         * CAST(mm AS DECIMAL(38,0))
                         // (mtot - m_used)
                         AS BIGINT) END AS token_quota
-  FROM cz CROSS JOIN rem
-)
+  FROM {p}cz CROSS JOIN {p}rem
+)"""
+
+
+def _unimax_fill_chain(docs_src: str, quota: str, p: str) -> str:
+    """The epoch-fill tail as a reusable CTE block: from ``docs_src``
+    = (doc_id, source, n_tok) and ``quota`` = the quota CTE to
+    ``{p}copies`` = (doc_id, source, n_tok, n_copies). Docs order per
+    source by md5(source|id); inclusive running token totals; copies
+    = full epochs + deterministic partial-epoch prefix; zero-token
+    docs use the position-robust epoch rule (included in epoch e iff
+    e·N + cum ≤ quota AND e·N < quota). All exact integers."""
+    return f""",
+{p}pd AS (
+  SELECT doc_id, source, n_tok,
+         md5(source || '|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM {docs_src}),
+{p}w AS (
+  SELECT {p}pd.doc_id AS doc_id, {p}pd.source AS source,
+         {p}pd.n_tok AS n_tok,
+         CAST(SUM({p}pd.n_tok) OVER (
+           PARTITION BY {p}pd.source ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         token_quota, n_tokens AS ns
+  FROM {p}pd JOIN {quota} USING (source)),
+{p}copies AS (
+  SELECT doc_id, source, n_tok,
+       CAST(CASE WHEN ns = 0 THEN 0
+                 WHEN n_tok = 0 THEN
+                   CASE WHEN token_quota >= cum
+                        THEN least((token_quota - cum) // ns + 1,
+                                   (token_quota + ns - 1) // ns)
+                        ELSE 0 END
+                 WHEN token_quota >= cum
+                 THEN (token_quota - cum) // ns + 1
+                 ELSE 0 END AS BIGINT) AS n_copies
+  FROM {p}w)
+"""
+
+
+ORACLES["unimax_mixture_docs"] = (
+    f"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),"""
+    + _unimax_quota_chain("t")
+    + """
 SELECT source, n_tokens, weight, capped, token_quota,
        round(CAST(token_quota AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
          AS epochs
 FROM q
 """
+)
 
 # hard negatives: top-k nearest with a DIFFERENT label (exact form)
 ORACLES["hard_negatives_bruteforce"] = f"""
@@ -6524,40 +6597,21 @@ FROM rc_scal CROSS JOIN rc_tp
 )
 
 # UniMax assembly: the unimax_mixture_docs oracle's quota CTE chain
-# (everything before its final SELECT) + the epoch-fill tail — docs
-# ordered per source by md5(source|id), inclusive running token
-# totals, copies = full epochs + deterministic partial-epoch prefix,
-# all exact integers (integer // for the epoch count).
+# (everything before its final SELECT) + the shared epoch-fill tail
+# (`_unimax_fill_chain`) — all exact integers.
 _unimax_prefix = ORACLES["unimax_mixture_docs"].split(
     "\nSELECT source, n_tokens, weight, capped, token_quota,", 1
 )[0]
 ORACLES["unimax_assemble_docs"] = (
     _unimax_prefix
     + f""",
-ua_pd AS (
+ua_base AS (
   SELECT doc_id, source,
-         CAST(len({_TOKS}) AS BIGINT) AS n_tok,
-         md5(source || '|' || CAST(doc_id AS VARCHAR)) AS h
-  FROM documents),
-ua_w AS (
-  SELECT ua_pd.doc_id, ua_pd.source, ua_pd.n_tok,
-         CAST(SUM(ua_pd.n_tok) OVER (
-           PARTITION BY ua_pd.source ORDER BY h
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS cum,
-         q.token_quota AS token_quota, q.n_tokens AS ns
-  FROM ua_pd JOIN q USING (source))
-SELECT doc_id, source, n_tok,
-       CAST(CASE WHEN ns = 0 THEN 0
-                 WHEN n_tok = 0 THEN
-                   CASE WHEN token_quota >= cum
-                        THEN least((token_quota - cum) // ns + 1,
-                                   (token_quota + ns - 1) // ns)
-                        ELSE 0 END
-                 WHEN token_quota >= cum
-                 THEN (token_quota - cum) // ns + 1
-                 ELSE 0 END AS BIGINT) AS n_copies
-FROM ua_w
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok
+  FROM documents)"""
+    + _unimax_fill_chain("ua_base", "q", "ua_")
+    + """
+SELECT doc_id, source, n_tok, n_copies FROM ua_copies
 """
 )
 
@@ -6568,17 +6622,122 @@ FROM ua_w
 # shared oracle pins stream ≡ batch cross-engine.
 ORACLES["streaming_pipeline_v8"] = ORACLES["training_data_pipeline_v8"]
 
-# Leakage-safe splits: the neardup_clusters_docs oracle (recursive
-# connected components over the MinHash-LSH pair graph) as the label
-# CTE, singletons their own cluster, split bucket = md5 of the
-# CLUSTER id — whole families land in one split by construction.
-_ndc_prefix, _ndc_sel = ORACLES["neardup_clusters_docs"].rsplit(
-    "\nSELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a", 1
-)
-ORACLES["leakage_safe_splits_docs"] = (
-    _ndc_prefix
+# --- round 16: the full build artifact (v9) -------------------------------
+#
+# v9 = v8's selected set → leakage-safe splits (train only) → UniMax
+# schedule over the selected train docs → packed layout. The oracle
+# composes the v8 chain (everything through ds_top), the prefix-
+# parameterized neardup cluster chain (nd_), the shared UniMax quota
+# (ux_) + epoch-fill (v9_) chains, and the cumsum/pack tail. The
+# whole clause becomes WITH RECURSIVE because nd_reach is recursive.
+_v8_prefix = ORACLES["training_data_pipeline_v8"].rsplit(
+    "\nSELECT ds_top.doc_id AS doc_id", 1
+)[0]
+assert _v8_prefix.lstrip().startswith("WITH ")
+_V9_SPLITS = (
+    _v8_prefix.replace("WITH ", "WITH RECURSIVE ", 1)
     + """,
-cl AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+v9sel AS (
+  SELECT ds_top.doc_id AS doc_id, v7out.lang AS lang,
+         v7out.text_out AS text_out, v7out.out_digest AS out_digest,
+         v7out.n_contaminated AS n_contaminated,
+         v7out.n_tok AS n_tok, v7out.nll AS nll
+  FROM ds_top JOIN v7out ON v7out.doc_id = ds_top.doc_id),"""
+    + _neardup_cluster_chain("nd_")
+    + """,
+v9sp AS (
+  SELECT v9sel.doc_id AS doc_id,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM v9sel JOIN (
+    SELECT v9sel.doc_id AS did,
+           CAST('0x' || substr(md5('split|' || CAST(
+                 coalesce(nd_cl.cluster_id, v9sel.doc_id) AS VARCHAR)),
+                 1, 8) AS BIGINT) % 100 AS b
+    FROM v9sel LEFT JOIN nd_cl ON nd_cl.id = v9sel.doc_id
+  ) bk ON bk.did = v9sel.doc_id)"""
+)
+
+_V9_TOKS = _TOKS.replace("trim(text)", "trim(text_out)")
+ORACLES["training_data_pipeline_v9"] = (
+    _V9_SPLITS
+    + f""",
+v9doc AS (
+  SELECT v9sel.doc_id AS doc_id, documents.source AS source,
+         CAST(len({_V9_TOKS}) AS BIGINT) AS n_tok
+  FROM v9sel
+  JOIN v9sp ON v9sp.doc_id = v9sel.doc_id AND v9sp.split = 'train'
+  JOIN documents ON documents.doc_id = v9sel.doc_id),
+v9t AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM v9doc GROUP BY source),"""
+    + _unimax_quota_chain("v9t", "ux_")
+    + _unimax_fill_chain("v9doc", "ux_q", "v9_")
+    + """,
+v9ex AS (
+  SELECT doc_id, source, n_tok,
+         unnest(generate_series(1, n_copies)) AS copy
+  FROM v9_copies WHERE n_copies > 0),
+v9ord AS (
+  SELECT doc_id, source, CAST(copy AS BIGINT) AS copy, n_tok,
+         md5(source || '|' || CAST(doc_id AS VARCHAR)
+             || '|' || CAST(copy AS VARCHAR)) AS ord
+  FROM v9ex),
+v9cum AS (
+  SELECT doc_id, source, copy, n_tok,
+         CAST(SUM(n_tok) OVER (
+           ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM v9ord)
+SELECT doc_id, source, copy, n_tok,
+       cum - n_tok AS start_offset,
+       (cum - n_tok) // 512 AS first_pack,
+       greatest(cum - 1, cum - n_tok) // 512 AS last_pack
+FROM v9cum
+"""
+)
+
+# Split-aware report card over the v9 build: the corpus_report_v7
+# card families grouped per split — one row per split present.
+ORACLES["corpus_report_v9_splits"] = (
+    _V9_SPLITS
+    + """,
+rc9 AS (
+  SELECT v9sp.split AS split, v9sel.*
+  FROM v9sel JOIN v9sp ON v9sp.doc_id = v9sel.doc_id),
+rc9_scal AS (
+  SELECT split,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT out_digest) AS BIGINT) AS n_fp,
+         CAST(SUM(CAST(round(nll * 10000.0) AS BIGINT)) AS BIGINT)
+           AS sum_nll_tenk,
+         CAST(SUM(CASE WHEN n_contaminated > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contaminated_docs
+  FROM rc9 GROUP BY split),
+rc9_lgc AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+            FROM rc9 GROUP BY split, lang),
+rc9_tp AS (SELECT split, max(struct_pack(n := n, l := lang)) AS t,
+                  CAST(count(*) AS BIGINT) AS n_langs
+           FROM rc9_lgc GROUP BY split)
+SELECT rc9_scal.split AS split, n_docs, n_tokens,
+       n_docs - n_fp AS n_dup_docs, n_langs,
+       t.l AS top_lang, CAST(t.n AS BIGINT) AS top_lang_n,
+       sum_nll_tenk, n_contaminated_docs
+FROM rc9_scal JOIN rc9_tp ON rc9_tp.split = rc9_scal.split
+"""
+)
+
+# Leakage-safe splits: the neardup cluster chain (recursive connected
+# components over the MinHash-LSH pair graph) as the label CTE,
+# singletons their own cluster, split bucket = md5 of the CLUSTER id
+# — whole families land in one split by construction.
+ORACLES["leakage_safe_splits_docs"] = (
+    "WITH RECURSIVE "
+    + _neardup_cluster_chain("").strip().lstrip(",")
+    + """,
 fullc AS (
   SELECT documents.doc_id AS doc_id,
          coalesce(cl.cluster_id, documents.doc_id) AS cluster_id
@@ -6597,6 +6756,13 @@ SELECT doc_id, cluster_id,
 FROM bk
 """
 )
+
+# streaming split assignment == the batch row by construction (frozen
+# cluster-label relation; the split is a pure per-document md5 of the
+# family id) — the shared oracle pins stream ≡ batch cross-engine.
+ORACLES["streaming_leakage_splits_docs"] = ORACLES[
+    "leakage_safe_splits_docs"
+]
 
 # DoReMi excess-loss domain weights: the frozen bigram reference LM's
 # per-doc NLL chain (_DOC_NLL verbatim) -> per-source mean (decimal
@@ -6623,3 +6789,57 @@ SELECT source, n_docs, mean_nll, excess,
        round(CAST(ew AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS weight
 FROM dm_ex CROSS JOIN dm_tot
 """
+
+# Iterated DoReMi: 4 Hedge rounds w' = floor(w·exp(η·excess))·10⁶ //
+# Σ, per-round micro-quantized (the PageRank oracle pattern — the
+# oracle recomputes EVERY round, pinning the trajectory, not just the
+# fixed point); weight = final iterate, weight_avg = mean of iterates
+# (the published DoReMi mixture).
+_DMI_ROUNDS = 4
+
+
+def _doremi_iter_chain(rounds: int, eta: float = 1.0) -> str:
+    ctes = [
+        """
+di_mn AS (SELECT MIN(mean_nll) AS mmin FROM dm_src),
+di_w0 AS (
+  SELECT source, n_docs, mean_nll,
+         round(mean_nll - mmin, 4) AS excess,
+         CAST(1000000 AS BIGINT) AS w, CAST(0 AS BIGINT) AS wa
+  FROM dm_src CROSS JOIN di_mn)"""
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""
+di_e{t} AS (
+  SELECT source, n_docs, mean_nll, excess, wa,
+         CAST(floor(CAST(w AS DOUBLE) * exp({eta} * excess)) AS BIGINT)
+           AS ew
+  FROM di_w{t - 1}),
+di_w{t} AS (
+  SELECT source, n_docs, mean_nll, excess,
+         CAST(ew * CAST(1000000 AS BIGINT)
+              // (SUM(ew) OVER ()) AS BIGINT) AS w,
+         wa + CAST(ew * CAST(1000000 AS BIGINT)
+                   // (SUM(ew) OVER ()) AS BIGINT) AS wa
+  FROM di_e{t})""")
+    return ",".join(ctes)
+
+
+ORACLES["doremi_iterated_docs"] = (
+    _DOC_NLL
+    + """,
+dm_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         round(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 4) AS mean_nll
+  FROM nlls JOIN documents USING (doc_id)
+  GROUP BY source),"""
+    + _doremi_iter_chain(_DMI_ROUNDS)
+    + f"""
+SELECT source, n_docs, mean_nll, excess,
+       round(CAST(w AS DOUBLE) / 1000000.0, 6) AS weight,
+       round(CAST(wa AS DOUBLE) / ({_DMI_ROUNDS} * 1000000.0), 6)
+         AS weight_avg
+FROM di_w{_DMI_ROUNDS}
+"""
+)

@@ -7876,72 +7876,225 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round 16: the full build artifact (v9), split-aware audit, iterated
+# DoReMi, streaming split assignment
+# --------------------------------------------------------------------------
+
+
+def _v9_selected_with_splits(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared v9 interior: v8's DSIR-selected survivors (the
+    complete v7 recipe + frozen-target importance resampling,
+    `_v7_interior_scored` + `quality.dsir_select`) carrying their
+    audit columns, plus their leakage-safe split assignment — the
+    near-dup clusters are computed over the RAW corpus, so family
+    labels are global and a selected document inherits its family's
+    split even when its near-twins were filtered out upstream.
+    Returns ``(selected, splits)``; one definition shared by
+    `training_data_pipeline_v9` and `corpus_report_v9_splits` so the
+    build and its report card cannot fork."""
+    from farmrpg_etl_spark.operators import quality
+
+    surv = _v7_interior_scored(spark, sf_dir, include_text=True)
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 101 == 0).select(
+        "doc_id", F.col("text").alias("text_out")
+    )
+    sel = quality.dsir_select(
+        surv, target, "text_out", "doc_id", n_buckets=4096, k=50
+    )
+    selected = surv.join(sel.select("doc_id"), "doc_id").localCheckpoint()
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3,
+        shingle_k=3,
+    )
+    clusters = dedup.neardup_clusters(pairs)
+    splits = dedup.leakage_safe_splits(selected, "doc_id", clusters)
+    return selected, splits
+
+
+def training_data_pipeline_v9(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """v9 — the FULL BUILD ARTIFACT: raw web → filtered (v7) →
+    selected (v8's DSIR top-50) → leakage-safe split assignment
+    (train only; near-dup families can't straddle the eval boundary)
+    → materialized UniMax schedule (`quality.unimax_assemble`,
+    exact-integer epoch fills over the selected train docs) → packed
+    training layout (`chunking.pack_schedule`: every (doc, copy) at
+    its global offset in the deterministic md5-shuffled stream, cut
+    into 512-token packs). The relation a training run actually
+    reads: (doc_id, source, copy, n_tok, start_offset, first_pack,
+    last_pack).
+
+    Every stage is the already-verified standalone operator — this
+    row pins their COMPOSITION, end to end, against one oracle over
+    the final packed relation.
+
+    Scale: the selected relation is a checkpointed leaf; clusters are
+    pair-graph-sized; the schedule cumsum is `grouped_prefix_sum`
+    (no single-partition window); the pack offsets come from the
+    bucketed global prefix sum. No collect anywhere."""
+    from farmrpg_etl_spark.operators import quality
+    from farmrpg_etl_spark.operators.chunking import pack_schedule
+
+    selected, splits = _v9_selected_with_splits(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    train = (
+        selected.select("doc_id", "text_out")
+        .join(
+            splits.filter(F.col("split") == "train").select("doc_id"),
+            "doc_id",
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    assembled = quality.unimax_assemble(
+        train, "text_out", "doc_id", "source", budget_ratio=2, max_epochs=2
+    )
+    return pack_schedule(assembled, "doc_id", "source", seq_len=512)
+
+
+def corpus_report_v9_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-aware report card of the v9 build: the
+    `corpus_report_v7_docs` card families, grouped PER SPLIT over the
+    v8-selected corpus — one row per train/valid/test split present,
+    so the leakage guarantee is auditable in the published artifact
+    (a reviewer reads off each split's doc/token totals, duplicate
+    fingerprints, language spread, exact perplexity mass and residual
+    contamination without re-running the build). Exact integers and
+    strings only.
+
+    Scale: one pass over the selected checkpointed leaf; the per-
+    (split, lang) aggregate is dimension-sized."""
+    selected, splits = _v9_selected_with_splits(spark, sf_dir)
+    j = selected.join(splits.select("doc_id", "split"), "doc_id")
+    scal = j.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("out_digest").alias("n_fp"),
+        F.sum(F.round(F.col("nll") * F.lit(10000.0)).cast("long")).alias(
+            "sum_nll_tenk"
+        ),
+        F.sum((F.col("n_contaminated") > 0).cast("long")).alias(
+            "n_contaminated_docs"
+        ),
+    )
+    langs = j.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+    top = langs.groupBy("split").agg(
+        F.max(F.struct(F.col("n"), F.col("lang"))).alias("t"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return scal.join(F.broadcast(top), "split").select(
+        "split",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs") - F.col("n_fp")).alias("n_dup_docs"),
+        "n_langs",
+        F.col("t.lang").alias("top_lang"),
+        F.col("t.n").alias("top_lang_n"),
+        "sum_nll_tenk",
+        "n_contaminated_docs",
+    )
+
+
+def doremi_iterated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi's iterated multiplicative-weights loop (4 rounds)
+    against the frozen corpus bigram reference LM — the fixed-
+    iteration completion of `doremi_weights_docs`' single step
+    (`quality.doremi_iterated_weights`). Per-round micro-quantization
+    pins the whole weight trajectory cross-engine (the PageRank
+    oracle pattern: DuckDB recomputes every round); `weight` is the
+    final iterate, `weight_avg` the published DoReMi mixture (the
+    average of iterates — the frozen-reference loop provably drifts
+    toward one-hot on the hardest domain, which is exactly why the
+    paper averages)."""
+    from farmrpg_etl_spark.operators import langmodel as LM
+    from farmrpg_etl_spark.operators import quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    nll = LM.doc_nll(docs, "text", "doc_id")
+    j = nll.join(docs.select("doc_id", "source"), "doc_id")
+    return quality.doremi_iterated_weights(
+        j, "source", eta=1.0, rounds=4
+    )
+
+
+def streaming_leakage_splits_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe split assignment in its deployment regime: the
+    near-dup CLUSTER-label relation freezes batch-side (per corpus
+    snapshot, like every frozen-globals twin), then documents arrive
+    as four micro-batches and each batch's docs get their split from
+    the frozen labels — a pure per-document md5 of the family id
+    (singletons hash their own id), so the union over batches IS the
+    batch assignment and the row shares `leakage_safe_splits_docs`'
+    oracle verbatim (stream ≡ batch cross-engine). This is how split
+    assignment actually runs in continuous ingest: recluster per
+    snapshot, assign per document as they stream through.
+
+    Scale: the frozen label relation is pair-graph-sized (only docs
+    in some family appear); per-trigger work is one left join against
+    that leaf plus a per-row expression."""
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3,
+        shingle_k=3,
+    )
+    clusters = dedup.neardup_clusters(pairs).localCheckpoint()
+    src_dir = scratch_dir("splits_s")
+    n_batches = 4
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = ParquetTable(spark, _sink_scratch("splitssink"))
+
+    def proc(batch_df: DataFrame, batch_id: int) -> None:
+        out = dedup.leakage_safe_splits(batch_df, "doc_id", clusters)
+        insert_if_absent(
+            sink, out, ["doc_id"], batch_id=batch_id, writer="splitstream"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(proc)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return sink.read()
+
+
+# --------------------------------------------------------------------------
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r15 DRIVER-COVERAGE ROTATION --------------------------------
+    # --- r16 DRIVER-COVERAGE ROTATION --------------------------------
     # The driver verifies exactly the FIRST 50 entries per round.
-    # Head: the 7 rows whose newest driver record is r8-era (the rows
-    # the r14 additions displaced — the final mini-rotation; after
-    # this run no registry row's record predates r9), then the 7 rows
-    # NEW this round (streaming v7/v8 twins, v8 DSIR selection,
-    # built-corpus report card, unimax schedule, leakage-safe splits,
-    # DoReMi weights), then the 36 oldest r9-era rows (each new row
-    # added after the initial rotation slid one r9 row below the
-    # cut). Below the cut rows stay stale-first (remaining 13 r9,
-    # then r10, r12, r13, r14) so future rotations just slide the
-    # window; cumulative map in docs/COVERAGE.md.
-    "datetime_semantics": datetime_semantics,
-    "simhash_docs": simhash_docs,
-    "pack_sequences_docs": pack_sequences_docs,
-    "minhash_signatures_docs": minhash_signatures_docs,
-    "minhash_estimate_error_docs": minhash_estimate_error_docs,
-    "cosine_pairs_embeddings": cosine_pairs_embeddings,
-    "json_props_stats": json_props_stats,
-    "streaming_pipeline_v7": streaming_pipeline_v7,
-    "training_data_pipeline_v8": training_data_pipeline_v8,
-    "corpus_report_v7_docs": corpus_report_v7_docs,
-    "unimax_assemble_docs": unimax_assemble_docs,
-    "streaming_pipeline_v8": streaming_pipeline_v8,
-    "leakage_safe_splits_docs": leakage_safe_splits_docs,
-    "doremi_weights_docs": doremi_weights_docs,
-    "q12_shipmode_priority": q12_shipmode_priority,
-    "bigram_lm_docs": bigram_lm_docs,
-    "perplexity_docs": perplexity_docs,
-    "ppl_filter_docs": ppl_filter_docs,
-    "ppl_external_lm_docs": ppl_external_lm_docs,
-    "line_dedup_docs": line_dedup_docs,
-    "url_canonicalize_docs": url_canonicalize_docs,
-    "quality_logit_docs": quality_logit_docs,
-    "k_compact_sink": k_compact_sink,
-    "streaming_dedup_watermark_events": streaming_dedup_watermark_events,
-    "funnel_events": funnel_events,
-    "funnel_summary_events": funnel_summary_events,
-    "cohort_retention_events": cohort_retention_events,
-    "training_data_pipeline_v3": training_data_pipeline_v3,
-    "bloom_decontaminate_docs": bloom_decontaminate_docs,
-    "streaming_ppl_filter_docs": streaming_ppl_filter_docs,
-    "domain_stats_docs": domain_stats_docs,
-    "pagerank_docs": pagerank_docs,
-    "char_entropy_docs": char_entropy_docs,
-    "event_transitions_events": event_transitions_events,
-    "linear_attribution_events": linear_attribution_events,
-    "gap_fill_events": gap_fill_events,
-    "k_partitioned_sink": k_partitioned_sink,
-    "record_linkage_customer": record_linkage_customer,
-    "winsorize_events": winsorize_events,
-    "dq_checks_events": dq_checks_events,
-    "dq_orphan_orders": dq_orphan_orders,
-    "anomaly_hours_events": anomaly_hours_events,
-    "ann_topk_bruteforce": ann_topk_bruteforce,
-    "ann_topk_ivf": ann_topk_ivf,
-    "ann_topk_quantized": ann_topk_quantized,
-    "embedding_centroids": embedding_centroids,
-    "embed_media_docs": embed_media_docs,
-    "training_data_pipeline_v2": training_data_pipeline_v2,
-    "cut_dup_span_fixpoint_docs": cut_dup_span_fixpoint_docs,
-    "pq_encode_embeddings": pq_encode_embeddings,
-    # --- end of 50-entry prefix --------------------------------------
+    # Head: streaming_cdc_tws (TWS rows run first — fresh session,
+    # r10-policy), then the 13 rows whose newest driver record is
+    # r9-era (the final r9 cohort: PQ/IVFPQ ANN + recall ledgers,
+    # hybrid retrieval, streaming PQ index, change-feed/SCD2 sinks,
+    # skew profile, quota sampling, span pipeline), then the 4 rows
+    # NEW this round (the v9 full-build artifact, its split-aware
+    # report card, iterated DoReMi, streaming split assignment), then
+    # the 32 oldest r10-era rows. After this run no registry row's
+    # driver record predates r10. Below the cut rows stay stale-first
+    # (remaining 16 r10, then r12/r13/r14, then the r15-verified
+    # rows last) so future rotations just slide the window;
+    # cumulative map in docs/COVERAGE.md.
+    "streaming_cdc_tws": streaming_cdc_tws,
     "ann_topk_pq": ann_topk_pq,
     "ann_recall_pq": ann_recall_pq,
     "ann_topk_pq_rerank": ann_topk_pq_rerank,
@@ -7955,6 +8108,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_quota_sample_embeddings": cluster_quota_sample_embeddings,
     "cut_span_pipeline_docs": cut_span_pipeline_docs,
     "k_scd2_sink": k_scd2_sink,
+    "training_data_pipeline_v9": training_data_pipeline_v9,
+    "corpus_report_v9_splits": corpus_report_v9_splits,
+    "doremi_iterated_docs": doremi_iterated_docs,
+    "streaming_leakage_splits_docs": streaming_leakage_splits_docs,
     "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
     "k_schema_evolve_sink": k_schema_evolve_sink,
     "lang_id_ngram_docs": lang_id_ngram_docs,
@@ -7965,7 +8122,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_sqldb_merge_update": k_sqldb_merge_update,
     "k_sqldb_upsert": k_sqldb_upsert,
     "c4_fineweb_filter_docs": c4_fineweb_filter_docs,
-    "streaming_cdc_tws": streaming_cdc_tws,
     "q1_pricing_summary": q1_pricing_summary,
     "j3_fk_hydrate": j3_fk_hydrate,
     "j2_correlated_update": j2_correlated_update,
@@ -7988,6 +8144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": sessionize_events,
     "pivot_event_counts": pivot_event_counts,
     "unpivot_event_counts": unpivot_event_counts,
+    # --- end of 50-entry prefix --------------------------------------
     "median_value_by_type": median_value_by_type,
     "range_join_prior_events": range_join_prior_events,
     "q4_order_priority": q4_order_priority,
@@ -8152,5 +8309,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_profile_roundtrip": parse_profile_roundtrip,
     "parse_online_roundtrip": parse_online_roundtrip,
     "parse_mailbox_roundtrip": parse_mailbox_roundtrip,
+    "datetime_semantics": datetime_semantics,
+    "simhash_docs": simhash_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "minhash_signatures_docs": minhash_signatures_docs,
+    "minhash_estimate_error_docs": minhash_estimate_error_docs,
+    "cosine_pairs_embeddings": cosine_pairs_embeddings,
+    "json_props_stats": json_props_stats,
+    "streaming_pipeline_v7": streaming_pipeline_v7,
+    "training_data_pipeline_v8": training_data_pipeline_v8,
+    "corpus_report_v7_docs": corpus_report_v7_docs,
+    "unimax_assemble_docs": unimax_assemble_docs,
+    "streaming_pipeline_v8": streaming_pipeline_v8,
+    "leakage_safe_splits_docs": leakage_safe_splits_docs,
+    "doremi_weights_docs": doremi_weights_docs,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "bigram_lm_docs": bigram_lm_docs,
+    "perplexity_docs": perplexity_docs,
+    "ppl_filter_docs": ppl_filter_docs,
+    "ppl_external_lm_docs": ppl_external_lm_docs,
+    "line_dedup_docs": line_dedup_docs,
+    "url_canonicalize_docs": url_canonicalize_docs,
+    "quality_logit_docs": quality_logit_docs,
+    "k_compact_sink": k_compact_sink,
+    "streaming_dedup_watermark_events": streaming_dedup_watermark_events,
+    "funnel_events": funnel_events,
+    "funnel_summary_events": funnel_summary_events,
+    "cohort_retention_events": cohort_retention_events,
+    "training_data_pipeline_v3": training_data_pipeline_v3,
+    "bloom_decontaminate_docs": bloom_decontaminate_docs,
+    "streaming_ppl_filter_docs": streaming_ppl_filter_docs,
+    "domain_stats_docs": domain_stats_docs,
+    "pagerank_docs": pagerank_docs,
+    "char_entropy_docs": char_entropy_docs,
+    "event_transitions_events": event_transitions_events,
+    "linear_attribution_events": linear_attribution_events,
+    "gap_fill_events": gap_fill_events,
+    "k_partitioned_sink": k_partitioned_sink,
+    "record_linkage_customer": record_linkage_customer,
+    "winsorize_events": winsorize_events,
+    "dq_checks_events": dq_checks_events,
+    "dq_orphan_orders": dq_orphan_orders,
+    "anomaly_hours_events": anomaly_hours_events,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_quantized": ann_topk_quantized,
+    "embedding_centroids": embedding_centroids,
+    "embed_media_docs": embed_media_docs,
+    "training_data_pipeline_v2": training_data_pipeline_v2,
+    "cut_dup_span_fixpoint_docs": cut_dup_span_fixpoint_docs,
+    "pq_encode_embeddings": pq_encode_embeddings,
 }
 

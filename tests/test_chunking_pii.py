@@ -181,3 +181,78 @@ def test_cdc_chunks_survive_head_insertion(spark):
     # boundaries are content-local: all but the edited-head chunks realign
     # (fixed-size chunking would shift EVERY downstream chunk digest)
     assert len(a & b) >= len(a) - 2
+
+
+def test_pack_schedule_partitions_the_token_stream(spark):
+    """pack_schedule lays every (doc, copy) at a distinct contiguous
+    offset: offsets+lengths tile [0, total) with no gaps or overlaps,
+    copy counts match the schedule, pack spans are consistent with
+    the offsets, and the layout is deterministic."""
+    from farmrpg_etl_spark.operators.chunking import pack_schedule
+
+    assembled = spark.createDataFrame(
+        [
+            (1, "a", 30, 2),
+            (2, "a", 50, 1),
+            (3, "b", 7, 3),
+            (4, "b", 0, 2),   # zero-token doc: occupies nothing
+            (5, "c", 11, 0),  # zero copies: absent from the layout
+        ],
+        "doc_id long, source string, n_tok long, n_copies long",
+    )
+    out = pack_schedule(assembled, "doc_id", "source", seq_len=16).collect()
+    out2 = pack_schedule(assembled, "doc_id", "source", seq_len=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    from collections import Counter
+
+    copies = Counter(r["doc_id"] for r in out)
+    assert copies == {1: 2, 2: 1, 3: 3, 4: 2}
+    assert 5 not in copies
+    # offsets tile the stream: sorted (start, start+n_tok) are contiguous
+    spans = sorted((r["start_offset"], r["start_offset"] + r["n_tok"])
+                   for r in out)
+    assert spans[0][0] == 0
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert s1 == max(e0, s0), (s0, e0, s1)
+    total = sum(r["n_tok"] for r in out)
+    assert max(e for _, e in spans) == total == 30 * 2 + 50 + 7 * 3
+    for r in out:
+        assert r["first_pack"] == r["start_offset"] // 16
+        last_tok = max(r["start_offset"] + r["n_tok"] - 1, r["start_offset"])
+        assert r["last_pack"] == last_tok // 16
+
+
+def test_pack_schedule_no_leakage_composition(spark):
+    """The v9 composition contract: a doc assigned to valid/test by
+    leakage_safe_splits NEVER appears in the packed training layout,
+    and near-dup family members share the train/non-train decision."""
+    from farmrpg_etl_spark.operators.chunking import pack_schedule
+    from farmrpg_etl_spark.operators.dedup import leakage_safe_splits
+    from farmrpg_etl_spark.operators.quality import unimax_assemble
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), "tok " * (i % 7 + 1)) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (12, 10)],
+        "id long, cluster_id long",
+    )
+    sp = leakage_safe_splits(docs, "doc_id", clusters)
+    rows = {r["doc_id"]: r["split"] for r in sp.collect()}
+    # family members share their split
+    assert rows[1] == rows[2]
+    assert rows[10] == rows[11] == rows[12]
+    train_ids = {i for i, s in rows.items() if s == "train"}
+    held_out = set(rows) - train_ids
+    assert held_out, "need a non-empty valid/test set for the pin"
+    train = docs.join(
+        sp.filter("split = 'train'").select("doc_id"), "doc_id"
+    )
+    assembled = unimax_assemble(
+        train, "text", "doc_id", "source", budget_ratio=2, max_epochs=2
+    )
+    packed = pack_schedule(assembled, "doc_id", "source", seq_len=8)
+    packed_ids = {r["doc_id"] for r in packed.select("doc_id").collect()}
+    assert packed_ids <= train_ids
+    assert packed_ids.isdisjoint(held_out)

@@ -658,3 +658,49 @@ def test_dsir_frozen_ratio_scores_unseen_buckets(spark):
 
     with pytest.raises(ValueError):
         dsir_scored(later, None, "text", "doc_id", n_buckets=B)
+
+
+def test_doremi_iterated_weights_trajectory(spark):
+    """The frozen-reference Hedge loop drifts toward the hardest
+    domain: its weight increases monotonically with rounds, the
+    easiest domain's decreases, weight_avg lies strictly between the
+    uniform start and the final iterate for the hardest domain, and
+    the trajectory is deterministic. rounds must be a positive int."""
+    import pytest
+
+    from farmrpg_etl_spark.operators.quality import doremi_iterated_weights
+
+    rows = [
+        ("easy", 1.0), ("easy", 1.2), ("easy", 0.8),
+        ("hard", 3.0), ("hard", 3.4),
+        ("mid", 2.0), ("mid", 2.2),
+    ]
+    df = spark.createDataFrame(rows, "source string, nll double")
+    with pytest.raises(ValueError, match="rounds"):
+        doremi_iterated_weights(df, "source", rounds=0)
+    with pytest.raises(ValueError, match="rounds"):
+        doremi_iterated_weights(df, "source", rounds=2.5)
+    seen = []
+    for k in (1, 2, 4):
+        out = {r["source"]: r for r in
+               doremi_iterated_weights(df, "source", eta=1.0,
+                                       rounds=k).collect()}
+        out2 = {r["source"]: r for r in
+                doremi_iterated_weights(df, "source", eta=1.0,
+                                        rounds=k).collect()}
+        assert {s: tuple(v) for s, v in out.items()} == {
+            s: tuple(v) for s, v in out2.items()
+        }
+        assert out["easy"]["excess"] == 0.0
+        assert abs(sum(v["weight"] for v in out.values()) - 1.0) < 1e-4
+        seen.append(out)
+    hard = [o["hard"]["weight"] for o in seen]
+    easy = [o["easy"]["weight"] for o in seen]
+    assert hard[0] < hard[1] < hard[2]  # drifts toward one-hot
+    assert easy[0] > easy[1] > easy[2]
+    final = seen[-1]["hard"]
+    # the published mixture is the average of iterates: strictly
+    # inside (first iterate, final iterate) for the hardest domain
+    assert hard[0] < final["weight_avg"] < final["weight"]
+    # round 1 average == round 1 weight (one iterate)
+    assert seen[0]["hard"]["weight_avg"] == seen[0]["hard"]["weight"]
