@@ -843,7 +843,35 @@ def main() -> None:
                     | (F.col("out_digest") > "")
                 )
 
+            # r15 verdict #2: stretch points for the flagship
+            # compositions. BOTH their 10x and 100x runs live in THIS
+            # gated block (not the per-round sf1 list): v7/v8 embed
+            # the complete per-language KN training — minutes per run
+            # at sf1 — which the per-round driver window doesn't have.
+            # v7's filter forces the audit columns (same anti-elision
+            # rule as v5/v6); v8's forces the DSIR score columns (the
+            # top-50 count alone would be 50 regardless of values).
+            def s_v7(d):
+                return lambda: _Q["training_data_pipeline_v7"](
+                    spark, d
+                ).filter(
+                    (F.col("n_contaminated") > 0)
+                    | (F.col("lang") != "xx")
+                    | (F.col("out_digest") > "")
+                )
+
+            def s_v8(d):
+                return lambda: _Q["training_data_pipeline_v8"](
+                    spark, d
+                ).filter(
+                    (F.col("logw") != 0.0) | (F.col("bucket") != "")
+                )
+
             hundred = {
+                "pipeline_v7_10x": s_v7(stretch_dir),
+                "pipeline_v8_10x": s_v8(stretch_dir),
+                "pipeline_v7_100x": s_v7(dir100),
+                "pipeline_v8_100x": s_v8(dir100),
                 "line_dedup_100x": lambda: _Q["line_dedup_docs"](
                     spark, dir100
                 ).filter(F.col("n_kept") < F.col("n_lines")),
