@@ -651,6 +651,13 @@ def main() -> None:
                 "rows": n,
             }
             spark.catalog.clearCache()
+            # free this row's localCheckpoint blocks (JVM GC of the
+            # unreferenced DataFrames — clearCache() doesn't touch
+            # them; see the 100× loop's note)
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
         # AQE-runtime-skew-split vs manual salt, A/B on a PLANTED
         # power-law key at 10×: half the fact rows share key 0, the
         # rest spread over 999 keys — the shape where a plain shuffle
@@ -916,6 +923,19 @@ def main() -> None:
                     "rows": n,
                 }
                 spark.catalog.clearCache()
+                # release this row's localCheckpoint blocks before the
+                # next row plans: checkpoint RDD blocks are freed on
+                # JVM GC of the unreferenced DataFrame, not by
+                # clearCache(), and the v7/v8 100× rows each pin a
+                # full-corpus-with-text interior — three rows of those
+                # blocks piling up OOMed an 8g heap on the row AFTER
+                # them (kn5_filter_100x, r16 first stretch run).
+                import gc as _gc
+
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                phase(f"100x row done: {name} "
+                      f"{s100[name]['sec']}s (cold {cold_sec}s)")
             out["sf10_stretch"] = s100
             phase("sf10 (100x) stretch done")
 
