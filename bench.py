@@ -240,6 +240,14 @@ def main() -> None:
         # reuse the same interior+KN plans, so timing them separately
         # would re-pay the identical ~15 s stage for no new signal)
         "training_data_pipeline_v8",
+        # round-16 additions (v9 = the full build: v8's interior +
+        # clusters + schedule + packing, so corpus_report_v9_splits
+        # would re-pay the same ~20 s interior for no new signal;
+        # streaming_leakage_splits is its batch row + micro-batch
+        # plumbing, timed via the batch row's cluster stage)
+        "training_data_pipeline_v9",
+        "doremi_iterated_docs",
+        "leakage_safe_splits_docs",
     ]:
         run(name)  # warm: compile + cache effects paid here
         # ONE timed steady pass (the headline block keeps min-of-2;
