@@ -188,19 +188,31 @@ def mixture_weights_from_counts(
     # ARITHMETIC_OVERFLOW, r12 advice #2). The decimal product stays
     # ≤ ~34 digits, DIV floors exactly, and the quota itself is
     # ≤ budget so the BIGINT output cannot overflow.
+    # the __t > 0 guards mirror unimax_mixture_weights' (r16 property
+    # find: ANSI throws DIVIDE_BY_ZERO for the all-empty corpus, and
+    # decimal DIV by zero throws unconditionally)
     quota = F.expr(
-        f"CAST(CAST({int(token_budget)} AS DECIMAL(38,0))"
+        f"CASE WHEN __t > 0 THEN CAST(CAST({int(token_budget)}"
+        " AS DECIMAL(38,0))"
         " * CAST(__m AS DECIMAL(38,0))"
         " DIV CAST(__t AS DECIMAL(38,0)) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
     )
     return (
         scored.crossJoin(F.broadcast(total))
         .select(
             source_col,
             "n_tokens",
-            F.round(
-                F.col("__m").cast("double") / F.col("__t").cast("double"), 6
-            ).alias("weight"),
+            F.when(
+                F.col("__t") > 0,
+                F.round(
+                    F.col("__m").cast("double")
+                    / F.col("__t").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("weight"),
             quota.alias("token_quota"),
         )
     )
@@ -556,17 +568,35 @@ def unimax_mixture_weights(
             " DIV CAST(__m_rem AS DECIMAL(38,0)) AS BIGINT)"
         )
     )
+    # degenerate-corpus guards (found by the r16 hypothesis property:
+    # Spark 4 ANSI throws DIVIDE_BY_ZERO even for DOUBLE division) —
+    # an all-empty corpus has __mtot = 0, and any single all-empty
+    # source has n_tokens = 0 per row; both get weight/epochs 0.0
+    # instead of crashing the whole query. The uncapped-quota DIV is
+    # safe by construction: uncapped ⇒ mm ≥ 1 ⇒ __m_rem ≥ 1.
     return g.select(
         source_col,
         "n_tokens",
-        F.round(
-            F.col("__m").cast("double") / F.col("__mtot").cast("double"), 6
-        ).alias("weight"),
+        F.when(
+            F.col("__mtot") > 0,
+            F.round(
+                F.col("__m").cast("double")
+                / F.col("__mtot").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("weight"),
         F.col("__capped").alias("capped"),
         quota.alias("token_quota"),
-        F.round(
-            quota.cast("double") / F.col("n_tokens").cast("double"), 4
-        ).alias("epochs"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                quota.cast("double") / F.col("n_tokens").cast("double"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
     )
 
 

@@ -987,8 +987,12 @@ m AS (
 ),
 tt AS (SELECT CAST(SUM(mm) AS BIGINT) AS total FROM m)
 SELECT source, n_tokens,
-       round(CAST(mm AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight,
-       CAST(1000000 AS BIGINT) * mm // total AS token_quota
+       CASE WHEN total > 0
+            THEN round(CAST(mm AS DOUBLE) / CAST(total AS DOUBLE), 6)
+            ELSE 0.0 END AS weight,
+       CASE WHEN total > 0
+            THEN CAST(1000000 AS BIGINT) * mm // total
+            ELSE CAST(0 AS BIGINT) END AS token_quota
 FROM m, tt
 """
 
@@ -1057,7 +1061,9 @@ def _unimax_quota_chain(
 ),
 {p}q AS (
   SELECT source, n_tokens,
-         round(CAST(mm AS DOUBLE) / CAST(mtot AS DOUBLE), 6) AS weight,
+         CASE WHEN mtot > 0
+              THEN round(CAST(mm AS DOUBLE) / CAST(mtot AS DOUBLE), 6)
+              ELSE 0.0 END AS weight,
          capped,
          CASE WHEN capped THEN cap
               ELSE CAST((CAST(b AS DECIMAL(38,0)) - cap_used)
@@ -1115,8 +1121,10 @@ WITH t AS (
     + _unimax_quota_chain("t")
     + """
 SELECT source, n_tokens, weight, capped, token_quota,
-       round(CAST(token_quota AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
-         AS epochs
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(token_quota AS DOUBLE)
+                       / CAST(n_tokens AS DOUBLE), 4)
+            ELSE 0.0 END AS epochs
 FROM q
 """
 )

@@ -747,3 +747,84 @@ def test_unimax_water_filling_invariants(sp, counts, ratio, epochs):
             assert r["source"] not in capped
             assert r["token_quota"] == b_rem * m[r["source"]] // m_rem
     assert total <= budget
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 2),     # source index
+            st.integers(0, 12),    # token count (0 = empty doc)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    ratio=st.integers(1, 3),
+    epochs=st.integers(1, 3),
+)
+@SETTINGS
+def test_unimax_assemble_epoch_fill_property(sp, docs, ratio, epochs):
+    """The materialized schedule must, for ANY corpus shape (zero-
+    token docs anywhere in the md5 order, any budget_ratio/max_epochs):
+    (a) never let a source's Σ n_copies·n_tok exceed its quota,
+    (b) give every doc of a capped source exactly max_epochs copies,
+    (c) match the independent epoch-membership reference — a doc is
+    in epoch e iff e·N + cum ≤ quota AND e·N < quota — doc for doc
+    (the r15/r16 zero-token boundary rule, checked at BOTH ends of
+    the order because hypothesis controls the md5 positions only
+    indirectly through ids)."""
+    import hashlib
+
+    from farmrpg_etl_spark.operators.quality import (
+        unimax_assemble,
+        unimax_mixture_weights,
+    )
+
+    rows = [
+        (i, f"s{t}", "t " * n) for i, (t, n) in enumerate(docs)
+    ]
+    df = sp.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in unimax_assemble(
+            df, "text", "doc_id", "source",
+            budget_ratio=ratio, max_epochs=epochs,
+        ).collect()
+    }
+    per = [
+        (s, sum(n for _, (t2, n) in enumerate(docs) if f"s{t2}" == s))
+        for s in sorted({f"s{t}" for t, _ in docs})
+    ]
+    q = {
+        r["source"]: (r["capped"], r["token_quota"], dict(per)[r["source"]])
+        for r in unimax_mixture_weights(
+            sp.createDataFrame(per, "source string, n_tokens long"),
+            "source", budget_ratio=ratio, max_epochs=epochs,
+        ).collect()
+    }
+    # independent reference: md5 order + inclusive cumsum + epoch rule
+    for s, (capped, quota, n_s) in q.items():
+        members = [
+            (hashlib.md5(f"{s}|{i}".encode()).hexdigest(), i, n)
+            for i, (t, n) in enumerate(docs)
+            if f"s{t}" == s
+        ]
+        members.sort()
+        cum = 0
+        used = 0
+        for _, i, n in members:
+            cum += n
+            if n_s == 0:
+                want = 0
+            else:
+                want = len([
+                    e for e in range(0, ratio * epochs + 2)
+                    if e * n_s + cum <= quota and e * n_s < quota
+                ])
+            assert out[i]["n_copies"] == want, (s, i, n, cum, quota, n_s)
+            used += out[i]["n_copies"] * n
+            # the docstring invariant (capped => exactly max_epochs
+            # copies) presumes a source with tokens; an all-empty
+            # source caps at quota 0 and replicates nothing
+            if capped and n_s > 0:
+                assert out[i]["n_copies"] == epochs, (s, i)
+        assert used <= quota
