@@ -248,6 +248,10 @@ def main() -> None:
         "training_data_pipeline_v9",
         "doremi_iterated_docs",
         "leakage_safe_splits_docs",
+        # streaming_pipeline_v9 re-pays the identical frozen
+        # interior + schedule (timed via the batch v9 row); the
+        # trained classifier is its own new timing signal
+        "logit_train_docs",
     ]:
         run(name)  # warm: compile + cache effects paid here
         # ONE timed steady pass (the headline block keeps min-of-2;

@@ -974,6 +974,187 @@ def quality_logit(
     )
 
 
+def logit_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ntok_scale: int = 100,
+) -> DataFrame:
+    """The :func:`quality_logit` feature vector as a reusable relation
+    — ``(id, n_tok, x_ntok, x_punct, x_stop, x_dist)`` with every
+    feature ROUND-QUANTIZED to 6 decimals so a trainer consuming them
+    computes on engine-portable doubles (the same exactness discipline
+    as :func:`doremi_iterated_weights`). ``x_ntok`` is the token count
+    clamped at 1000 and divided by ``ntok_scale`` so it lives on the
+    same order of magnitude as the ratio features (unscaled raw counts
+    make a shared learning rate useless).
+
+    Scale shape: pure projection — no shuffle, no UDF."""
+    from farmrpg_etl_spark.functions.text import LANG_MARKERS, punct_ratio
+
+    t = F.col(text_col)
+    toks = F.coalesce(words(t), F.array().cast("array<string>"))
+    d = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tok"),
+        punct_ratio(t).alias("__praw"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__ndist"),
+        toks.alias("__toks"),
+    )
+    stop_hits = F.size(
+        F.filter(F.col("__toks"), lambda x: x.isin(*LANG_MARKERS["en"]))
+    )
+    sraw = F.when(F.col("n_tok") == 0, F.lit(0.0)).otherwise(
+        stop_hits.cast("double") / F.col("n_tok").cast("double")
+    )
+    draw = F.when(F.col("n_tok") == 0, F.lit(0.0)).otherwise(
+        F.col("__ndist").cast("double") / F.col("n_tok").cast("double")
+    )
+    return d.select(
+        id_col,
+        "n_tok",
+        F.round(
+            F.least(F.col("n_tok"), F.lit(1000).cast("long"))
+            / F.lit(float(ntok_scale)),
+            6,
+        ).alias("x_ntok"),
+        F.round(F.col("__praw"), 6).alias("x_punct"),
+        F.round(sraw, 6).alias("x_stop"),
+        F.round(draw, 6).alias("x_dist"),
+    )
+
+
+# (feature-column, weight-column) pairs of the trainable classifier;
+# the bias rides as an implicit all-ones feature.
+LOGIT_TRAIN_FEATURES = (
+    ("x_ntok", "w_ntok"),
+    ("x_punct", "w_punct"),
+    ("x_stop", "w_stop"),
+    ("x_dist", "w_dist"),
+)
+
+
+def logit_train(
+    feats: DataFrame,
+    label_col: str,
+    *,
+    eta: float = 4.0,
+    rounds: int = 3,
+) -> DataFrame:
+    """Distributed training of the linear quality classifier —
+    full-batch gradient descent over a :func:`logit_features`
+    relation carrying a 0/1 ``label_col``, the missing half of
+    :func:`quality_logit` (which only APPLIES pinned weights). This
+    is how model-based quality filters are actually built at scale
+    (the GPT-3/LLaMA/DCLM recipe: label a corpus with a cheap rule or
+    a seed set, train a linear scorer over it, filter with the
+    scorer): each round is ONE corpus-sized aggregate producing the
+    5-component gradient; weights never leave the plan (a 1-row
+    relation cross-joined back in, never collected).
+
+    Cross-engine exactness (the :func:`doremi_iterated_weights`
+    regime, extended to a per-DOCUMENT inner term): the sigmoid is
+    the HARD sigmoid ``clamp(0.5 + z/4, 0, 1)`` — pure +,*,/ IEEE
+    arithmetic, no libm ``exp`` whose last ULP differs per engine —
+    floor-quantized to integer micros per document; the gradient is
+    an exact integer sum of ``residual_micros · feature_micros``
+    products (DECIMAL(38,0) — a long sum would overflow near ~9e18
+    micros², i.e. well inside 100 TB); each round's weights are
+    round-quantized back to 6 decimals. The DuckDB oracle recomputes
+    EVERY round from the same integers (the PageRank pattern), so the
+    whole weight trajectory is pinned, not just the fixed point.
+
+    Returns ``(step, w_bias, w_ntok, w_punct, w_stop, w_dist)`` for
+    step ∈ 0..rounds (step 0 = the zero init).
+
+    Scale shape: ``rounds`` passes over a checkpointed skinny feature
+    leaf — the honest cost of full-batch GD; per pass one global
+    partial-aggregating reduce (map-side combine, no keyed shuffle),
+    weights broadcast (1 row). No collect, no UDF."""
+    if not (isinstance(rounds, int) and rounds >= 1):
+        raise ValueError(f"rounds must be a positive int, got {rounds!r}")
+    if not (isinstance(eta, (int, float)) and eta > 0):
+        raise ValueError(f"eta must be a positive number, got {eta!r}")
+    wcols = ["w_bias"] + [w for _, w in LOGIT_TRAIN_FEATURES]
+    spark = feats.sparkSession
+    base = feats.select(
+        F.col(label_col).cast("long").alias("__y"),
+        *[x for x, _ in LOGIT_TRAIN_FEATURES],
+    ).localCheckpoint()
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(c) for c in wcols]
+    )
+    out = w.select(F.lit(0).alias("step"), *wcols)
+    for t in range(1, rounds + 1):
+        j = base.crossJoin(F.broadcast(w))
+        z = F.col("w_bias")
+        for x, wc in LOGIT_TRAIN_FEATURES:
+            z = z + F.col(wc) * F.col(x)
+        z = F.round(z, 6)
+        s = F.least(
+            F.greatest(F.lit(0.5) + z / F.lit(4.0), F.lit(0.0)), F.lit(1.0)
+        )
+        r = (
+            F.floor(s * F.lit(1000000.0)).cast("long")
+            - F.col("__y") * F.lit(1000000).cast("long")
+        )
+        xm = {
+            x: F.round(F.col(x) * F.lit(1000000.0)).cast("long")
+            for x, _ in LOGIT_TRAIN_FEATURES
+        }
+        agg = j.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(
+                (r * F.lit(1000000).cast("long")).cast("decimal(38,0)")
+            ).alias("__g_bias"),
+            *[
+                F.sum((r * xm[x]).cast("decimal(38,0)")).alias(f"__g_{x}")
+                for x, _ in LOGIT_TRAIN_FEATURES
+            ],
+            # max over 0 rows is NULL; weights are all-zero whenever
+            # the corpus is empty (zero init + zero gradients), so a
+            # 0.0 fallback is exact, not an approximation
+            *[F.coalesce(F.max(c), F.lit(0.0)).alias(c) for c in wcols],
+        )
+        # empty corpus: count 0 makes every gradient sum NULL — treat
+        # as a zero gradient (weights stay put) instead of NaN/NULL
+        # weights (the all-empty-corpora guard regime, r15)
+        denom = F.greatest(F.col("__n"), F.lit(1).cast("long")).cast(
+            "double"
+        ) * F.lit(1000000000000.0)
+        gname = {"w_bias": "__g_bias"} | {
+            wc: f"__g_{x}" for x, wc in LOGIT_TRAIN_FEATURES
+        }
+        w = agg.select(
+            *[
+                F.round(
+                    F.col(c)
+                    - F.lit(float(eta))
+                    * (
+                        F.coalesce(
+                            F.col(gname[c]), F.lit(0).cast("decimal(38,0)")
+                        ).cast("double")
+                        / denom
+                    ),
+                    6,
+                ).alias(c)
+                for c in wcols
+            ]
+        )
+        # cut each round's lineage: the 1-row weight relation is both
+        # the next round's join input and a union leg — left live, the
+        # K-round loop re-executes every earlier round's corpus
+        # aggregate (O(K²) passes; 6 HashAggregates for K=3 in the
+        # executed plan) and the plan tree doubles per round. The
+        # reliable-checkpoint bracket makes it exactly K passes.
+        from farmrpg_etl_spark.operators.iterate import truncate_lineage
+
+        w = truncate_lineage(w)
+        out = out.unionByName(w.select(F.lit(t).alias("step"), *wcols))
+    return out
+
+
 # Bloom-filter geometry for bloom_prune_contamination. m is a power of
 # two so the modulo is a cheap mask; k=3 md5-slice hashes are portable
 # (bit-identical in Spark and the DuckDB oracle).

@@ -6851,3 +6851,108 @@ SELECT source, n_docs, mean_nll, excess,
 FROM di_w{_DMI_ROUNDS}
 """
 )
+
+# Trained quality classifier: 3 rounds of full-batch hard-sigmoid
+# gradient descent over the quantized logit_features relation, labels
+# from the "≥50 tokens and ≥3% stopwords" rule gate. The oracle
+# recomputes EVERY round (the PageRank/iterated-DoReMi pattern): the
+# per-document sigmoid floor-quantizes to integer micros, the gradient
+# is an exact integer sum of residual·feature micros products, each
+# round's weights round-quantize back to 6 decimals — so the whole
+# trajectory (steps 0..3) is pinned cross-engine, no libm exp anywhere.
+_LT_ROUNDS = 3
+_LT_ETA = 4.0
+
+
+def _logit_train_chain(rounds: int, eta: float) -> str:
+    ctes = [
+        """
+lt_w0 AS (SELECT 0.0 AS w_bias, 0.0 AS w_ntok, 0.0 AS w_punct,
+                 0.0 AS w_stop, 0.0 AS w_dist)"""
+    ]
+    z = (
+        "round(w_bias + w_ntok * x_ntok + w_punct * x_punct"
+        " + w_stop * x_stop + w_dist * x_dist, 6)"
+    )
+    r = (
+        f"CAST(floor(least(greatest(0.5 + {z} / 4.0, 0.0), 1.0)"
+        " * 1000000.0) AS BIGINT) - y * 1000000"
+    )
+    for t in range(1, rounds + 1):
+        ctes.append(f"""
+lt_a{t} AS (
+  SELECT
+    CAST(greatest(count(*), 1) AS DOUBLE) * 1000000000000.0 AS den,
+    CAST(coalesce(SUM(r * 1000000), 0) AS DOUBLE) AS g_bias,
+    CAST(coalesce(SUM(r * xn_m), 0) AS DOUBLE) AS g_ntok,
+    CAST(coalesce(SUM(r * xp_m), 0) AS DOUBLE) AS g_punct,
+    CAST(coalesce(SUM(r * xs_m), 0) AS DOUBLE) AS g_stop,
+    CAST(coalesce(SUM(r * xd_m), 0) AS DOUBLE) AS g_dist,
+    coalesce(max(w_bias), 0.0) AS w_bias,
+    coalesce(max(w_ntok), 0.0) AS w_ntok,
+    coalesce(max(w_punct), 0.0) AS w_punct,
+    coalesce(max(w_stop), 0.0) AS w_stop,
+    coalesce(max(w_dist), 0.0) AS w_dist
+  FROM (SELECT lt_lab.*, w.*, {r} AS r
+        FROM lt_lab CROSS JOIN lt_w{t - 1} w)),
+lt_w{t} AS (
+  SELECT round(w_bias - {eta} * (g_bias / den), 6) AS w_bias,
+         round(w_ntok - {eta} * (g_ntok / den), 6) AS w_ntok,
+         round(w_punct - {eta} * (g_punct / den), 6) AS w_punct,
+         round(w_stop - {eta} * (g_stop / den), 6) AS w_stop,
+         round(w_dist - {eta} * (g_dist / den), 6) AS w_dist
+  FROM lt_a{t})""")
+    return ",".join(ctes)
+
+
+ORACLES["logit_train_docs"] = (
+    f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tok,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE CAST(len(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+              / len(text) END AS praw,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
+    len(list_filter(toks,
+        x -> list_contains(['the','and','of','to','a'], x))) AS stop_hits
+  FROM d
+),
+lt_f AS (
+  SELECT doc_id, n_tok,
+    round(least(n_tok, 1000) / 100.0, 6) AS x_ntok,
+    round(praw, 6) AS x_punct,
+    round(CASE WHEN n_tok = 0 THEN 0.0
+          ELSE CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) END, 6)
+      AS x_stop,
+    round(CASE WHEN n_tok = 0 THEN 0.0
+          ELSE CAST(n_dist AS DOUBLE) / CAST(n_tok AS DOUBLE) END, 6)
+      AS x_dist
+  FROM f
+),
+lt_lab AS (
+  SELECT x_ntok, x_punct, x_stop, x_dist,
+    CAST(CASE WHEN n_tok >= 50 AND x_stop >= 0.03
+              THEN 1 ELSE 0 END AS BIGINT) AS y,
+    CAST(round(x_ntok * 1000000.0) AS BIGINT) AS xn_m,
+    CAST(round(x_punct * 1000000.0) AS BIGINT) AS xp_m,
+    CAST(round(x_stop * 1000000.0) AS BIGINT) AS xs_m,
+    CAST(round(x_dist * 1000000.0) AS BIGINT) AS xd_m
+  FROM lt_f
+),"""
+    + _logit_train_chain(_LT_ROUNDS, _LT_ETA)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS step, w_bias, w_ntok, w_punct,"
+        f" w_stop, w_dist FROM lt_w{t}"
+        for t in range(_LT_ROUNDS + 1)
+    )
+    + "\n"
+)
+
+# The streaming v9 twin freezes the whole build plan per snapshot
+# (globals, DSIR ratio + floor, splits, schedule) and streams the
+# per-document selection — union over micro-batches == the batch
+# build, so the shared oracle pins stream ≡ batch cross-engine.
+ORACLES["streaming_pipeline_v9"] = ORACLES["training_data_pipeline_v9"]

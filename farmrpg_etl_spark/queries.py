@@ -8076,6 +8076,170 @@ def streaming_leakage_splits_docs(
     return sink.read()
 
 
+def logit_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the model-based quality classifier instead of applying
+    pinned weights (`quality_logit_docs`' missing half — the
+    GPT-3/LLaMA/DCLM recipe labels a corpus with a cheap rule, trains
+    a linear scorer, filters with the scorer): 3 rounds of full-batch
+    gradient descent (`quality.logit_train`) over the
+    `quality.logit_features` relation, labels from the rule gate
+    "≥ 50 tokens and ≥ 3% English stopwords". Hard-sigmoid surrogate
+    + per-document micro-quantization keep every round exact
+    integers cross-engine (no libm `exp` in the inner loop); the
+    oracle recomputes all 3 rounds, pinning the weight TRAJECTORY
+    (steps 0..3), not just the fixed point. On this corpus the
+    trained gate reaches ~93% train agreement with the rule by step
+    3 (pinned by pytest).
+
+    Scale: 3 passes over a checkpointed skinny feature leaf, each one
+    global partial-aggregating reduce; weights stay a broadcast 1-row
+    relation — no collect, no UDF, no keyed shuffle."""
+    from farmrpg_etl_spark.operators.quality import logit_features, logit_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = logit_features(docs, "text", "doc_id", ntok_scale=100)
+    labeled = feats.withColumn(
+        "y",
+        F.when(
+            (F.col("n_tok") >= 50) & (F.col("x_stop") >= 0.03), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    return logit_train(labeled, "y", eta=4.0, rounds=3)
+
+
+def streaming_pipeline_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v9 — the FULL BUILD — in its deployment regime, completing the
+    frozen-globals twin ladder (v6 → v7 → v8 → splits → v9): per
+    corpus snapshot the models AND the build plan freeze — the v7
+    globals, the DSIR ratio + rank-50 selection floor (the v8 twin's
+    frozen cutoff), and the PACKED SCHEDULE itself (selection → train
+    split → UniMax epoch fills → pack offsets). The schedule MUST
+    freeze: a copy's global start offset is a prefix sum over the
+    whole selected stream, which no per-document decision can see —
+    the same global-order argument that froze the Gumbel floor. What
+    streams is the per-document work: each micro-batch runs the
+    complete frozen recipe, scores its survivors against the frozen
+    ratio/floor, and the documents that clear it pick up their frozen
+    placement rows — so the union over batches IS the batch build and
+    the row shares `training_data_pipeline_v9`'s oracle verbatim
+    (stream ≡ batch cross-engine).
+
+    Scale: the frozen schedule is selection-sized (top-k × ≤
+    max_epochs copies) and broadcast; per-trigger work is the frozen
+    v7 recipe on the batch (batch-sized) plus that broadcast join;
+    the only collect is the v8 twin's one frozen-cutoff row."""
+    from farmrpg_etl_spark.operators.chunking import pack_schedule
+    from farmrpg_etl_spark.operators.quality import (
+        dsir_log_ratio,
+        dsir_scored,
+        unimax_assemble,
+    )
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    fz = _v7_frozen_globals(spark, docs)
+    surv_full = _v7_frozen_batch(
+        None, fz, include_text=True,
+        interior=fz["v7in_full"], nll=fz["nll_full"],
+    ).localCheckpoint()
+    target = docs.filter(F.col("doc_id") % 101 == 0).select(
+        "doc_id", F.col("text").alias("text_out")
+    )
+    ratio = F.broadcast(
+        dsir_log_ratio(
+            surv_full, target, "text_out", "doc_id", n_buckets=4096
+        ).localCheckpoint()
+    )
+    scored_full = dsir_scored(
+        surv_full, None, "text_out", "doc_id", n_buckets=4096, ratio=ratio
+    )
+    floor_row = (
+        scored_full.orderBy(F.col("gkey").desc(), "doc_id")
+        .limit(50)
+        .orderBy(F.col("gkey").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .collect()
+    )
+    if floor_row:
+        g50 = float(floor_row[0]["gkey"])
+        id50 = int(floor_row[0]["doc_id"])
+        keep = (F.col("gkey") > F.lit(g50)) | (
+            (F.col("gkey") == F.lit(g50)) & (F.col("doc_id") <= F.lit(id50))
+        )
+    else:
+        keep = F.lit(False)
+    # --- the frozen snapshot plan: selection → leakage-safe train
+    # split → UniMax epoch fills → packed offsets, all derived from
+    # the frozen leaves batch-side and checkpointed (selection-sized:
+    # ≤ k docs × ≤ max_epochs copies)
+    selected = surv_full.join(
+        scored_full.filter(keep).select("doc_id"), "doc_id"
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs.select("doc_id", "text"), "text", "doc_id",
+        num_hashes=16, bands=4, threshold=0.3, shingle_k=3,
+    )
+    clusters = dedup.neardup_clusters(pairs)
+    splits = dedup.leakage_safe_splits(selected, "doc_id", clusters)
+    train = (
+        selected.select("doc_id", "text_out")
+        .join(
+            splits.filter(F.col("split") == "train").select("doc_id"),
+            "doc_id",
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    assembled = unimax_assemble(
+        train, "text_out", "doc_id", "source", budget_ratio=2, max_epochs=2
+    )
+    schedule = pack_schedule(
+        assembled, "doc_id", "source", seq_len=512
+    ).localCheckpoint()
+
+    src_dir = scratch_dir("v9s")
+    n_batches = 4
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = ParquetTable(spark, _sink_scratch("v9ssink"))
+
+    def proc(batch_df: DataFrame, batch_id: int) -> None:
+        surv_b = _v7_frozen_batch(batch_df, fz, include_text=True)
+        sel_b = dsir_scored(
+            surv_b, None, "text_out", "doc_id", n_buckets=4096, ratio=ratio
+        ).filter(keep).select("doc_id")
+        out = sel_b.join(F.broadcast(schedule), "doc_id").select(
+            "doc_id", "source", "copy", "n_tok",
+            "start_offset", "first_pack", "last_pack",
+        )
+        insert_if_absent(
+            sink, out, ["doc_id", "copy"], batch_id=batch_id,
+            writer="v9stream",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(proc)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    from farmrpg_etl_spark.operators import langmodel as LM
+
+    LM.unpersist_kn_tables(fz["tables"])
+    return sink.read()
+
+
 # --------------------------------------------------------------------------
 
 
@@ -8086,12 +8250,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10-policy), then the 13 rows whose newest driver record is
     # r9-era (the final r9 cohort: PQ/IVFPQ ANN + recall ledgers,
     # hybrid retrieval, streaming PQ index, change-feed/SCD2 sinks,
-    # skew profile, quota sampling, span pipeline), then the 4 rows
+    # skew profile, quota sampling, span pipeline), then the 6 rows
     # NEW this round (the v9 full-build artifact, its split-aware
-    # report card, iterated DoReMi, streaming split assignment), then
-    # the 32 oldest r10-era rows. After this run no registry row's
+    # report card, iterated DoReMi, streaming split assignment, the
+    # trained quality classifier, the streaming v9 twin), then
+    # the 30 oldest r10-era rows. After this run no registry row's
     # driver record predates r10. Below the cut rows stay stale-first
-    # (remaining 16 r10, then r12/r13/r14, then the r15-verified
+    # (remaining 18 r10, then r12/r13/r14, then the r15-verified
     # rows last) so future rotations just slide the window;
     # cumulative map in docs/COVERAGE.md.
     "streaming_cdc_tws": streaming_cdc_tws,
@@ -8112,6 +8277,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report_v9_splits": corpus_report_v9_splits,
     "doremi_iterated_docs": doremi_iterated_docs,
     "streaming_leakage_splits_docs": streaming_leakage_splits_docs,
+    "logit_train_docs": logit_train_docs,
+    "streaming_pipeline_v9": streaming_pipeline_v9,
     "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
     "k_schema_evolve_sink": k_schema_evolve_sink,
     "lang_id_ngram_docs": lang_id_ngram_docs,
@@ -8142,9 +8309,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trailing_1h_sum_events": trailing_1h_sum_events,
     "set_ops_events": set_ops_events,
     "sessionize_events": sessionize_events,
+    # --- end of 50-entry prefix --------------------------------------
     "pivot_event_counts": pivot_event_counts,
     "unpivot_event_counts": unpivot_event_counts,
-    # --- end of 50-entry prefix --------------------------------------
     "median_value_by_type": median_value_by_type,
     "range_join_prior_events": range_join_prior_events,
     "q4_order_priority": q4_order_priority,

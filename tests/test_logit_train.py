@@ -1,0 +1,156 @@
+"""Trained quality classifier: logit_features quantization and the
+full-batch hard-sigmoid gradient-descent loop (logit_train)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from farmrpg_etl_spark.operators.quality import (
+    LOGIT_TRAIN_FEATURES,
+    logit_features,
+    logit_train,
+)
+
+
+def _feats(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return logit_features(df, "text", "doc_id", ntok_scale=100)
+
+
+def test_logit_features_quantized_and_edge_rows(spark):
+    out = {
+        r.doc_id: r
+        for r in _feats(
+            spark,
+            [
+                (1, "the the quick fox"),
+                (2, ""),
+                (3, None),
+            ],
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1.n_tok == 4
+    assert r1.x_ntok == round(4 / 100.0, 6)
+    assert r1.x_stop == 0.5  # 2 of 4 tokens are 'the'
+    assert r1.x_dist == 0.75  # 3 distinct of 4
+    # empty/NULL text behaves like an empty document, ratios 0 not NULL
+    for i in (2, 3):
+        assert out[i].n_tok == 0
+        assert out[i].x_stop == 0.0 and out[i].x_dist == 0.0
+
+
+def _hand_gd(rows, labels, eta=4.0, rounds=3):
+    """Reference implementation of the exact-integer GD round."""
+    w = [0.0] * 5  # bias then LOGIT_TRAIN_FEATURES order
+    traj = [list(w)]
+    for _ in range(rounds):
+        g = [0] * 5
+        n = max(len(rows), 1)
+        for x, y in zip(rows, labels):
+            xv = [1.0, *x]
+            z = round(
+                (((w[0] + w[1] * xv[1]) + w[2] * xv[2]) + w[3] * xv[3])
+                + w[4] * xv[4],
+                6,
+            )
+            s = min(max(0.5 + z / 4.0, 0.0), 1.0)
+            r = math.floor(s * 1e6) - y * 1000000
+            for j in range(5):
+                g[j] += r * int(round(xv[j] * 1e6))
+        w = [
+            round(w[j] - eta * (float(g[j]) / (n * 1e12)), 6)
+            for j in range(5)
+        ]
+        traj.append(list(w))
+    return traj
+
+
+def test_logit_train_matches_hand_computed_trajectory(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "x y z"),
+        (3, "the the the the a a of to and"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        (5, ""),
+    ]
+    labels = {1: 1, 2: 0, 3: 1, 4: 0, 5: 0}
+    feats = _feats(spark, texts).withColumn(
+        "y",
+        F.when(
+            F.col("doc_id").isin(*[k for k, v in labels.items() if v]),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    got = {
+        r.step: [r.w_bias]
+        + [r[w] for _, w in LOGIT_TRAIN_FEATURES]
+        for r in logit_train(feats, "y", eta=4.0, rounds=3).collect()
+    }
+    frows = {
+        r.doc_id: [r.x_ntok, r.x_punct, r.x_stop, r.x_dist]
+        for r in feats.collect()
+    }
+    ids = sorted(frows)
+    traj = _hand_gd([frows[i] for i in ids], [labels[i] for i in ids])
+    assert sorted(got) == [0, 1, 2, 3]
+    for t in range(4):
+        assert got[t] == pytest.approx(traj[t], abs=0.0), (t, got[t], traj[t])
+
+
+def test_logit_train_learns_a_separable_rule(spark):
+    # y = 1 iff the doc contains stopwords: linearly separable on
+    # x_stop, so training must move w_stop positive and the trained
+    # gate must agree with the rule better than the zero init (which
+    # predicts all-keep at z=0).
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "the quick fox and the dog of it"))
+        else:
+            rows.append((i, "alpha beta gamma delta epsilon zeta"))
+    feats = _feats(spark, rows).withColumn(
+        "y", (F.col("x_stop") > 0).cast("int")
+    )
+    w = {
+        r.step: r
+        for r in logit_train(feats, "y", eta=4.0, rounds=3).collect()
+    }
+    assert w[3].w_stop > 0.0
+    # trained accuracy beats the all-keep init
+    final = w[3]
+    z = (
+        F.lit(final.w_bias)
+        + F.lit(final.w_ntok) * F.col("x_ntok")
+        + F.lit(final.w_punct) * F.col("x_punct")
+        + F.lit(final.w_stop) * F.col("x_stop")
+        + F.lit(final.w_dist) * F.col("x_dist")
+    )
+    acc = feats.select(
+        F.avg(((z >= 0).cast("int") == F.col("y")).cast("double")).alias("a")
+    ).collect()[0].a
+    acc0 = feats.select(F.avg(F.col("y").cast("double")).alias("a")).collect()[
+        0
+    ].a  # all-keep accuracy = positive rate
+    assert acc > acc0
+
+
+def test_logit_train_empty_corpus_keeps_zero_weights(spark):
+    feats = _feats(spark, [(1, "the fox")]).filter(F.lit(False)).withColumn(
+        "y", F.lit(0)
+    )
+    rows = logit_train(feats, "y", eta=4.0, rounds=2).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.w_bias == 0.0 and r.w_stop == 0.0
+
+
+def test_logit_train_validates_args(spark):
+    feats = _feats(spark, [(1, "the fox")]).withColumn("y", F.lit(1))
+    with pytest.raises(ValueError):
+        logit_train(feats, "y", rounds=0)
+    with pytest.raises(ValueError):
+        logit_train(feats, "y", eta=-1.0)
