@@ -6905,8 +6905,10 @@ lt_w{t} AS (
     return ",".join(ctes)
 
 
-ORACLES["logit_train_docs"] = (
-    f"""
+# Shared feature+label chain: quantized logit_features + the rule
+# gate labels + feature micros, doc_id/n_tok carried through so the
+# apply/filter oracle can score per document from the same relation.
+_LT_FEATS = f"""
 WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 f AS (
   SELECT doc_id,
@@ -6932,7 +6934,7 @@ lt_f AS (
   FROM f
 ),
 lt_lab AS (
-  SELECT x_ntok, x_punct, x_stop, x_dist,
+  SELECT doc_id, n_tok, x_ntok, x_punct, x_stop, x_dist,
     CAST(CASE WHEN n_tok >= 50 AND x_stop >= 0.03
               THEN 1 ELSE 0 END AS BIGINT) AS y,
     CAST(round(x_ntok * 1000000.0) AS BIGINT) AS xn_m,
@@ -6941,6 +6943,9 @@ lt_lab AS (
     CAST(round(x_dist * 1000000.0) AS BIGINT) AS xd_m
   FROM lt_f
 ),"""
+
+ORACLES["logit_train_docs"] = (
+    _LT_FEATS
     + _logit_train_chain(_LT_ROUNDS, _LT_ETA)
     + "\n"
     + "\nUNION ALL ".join(
@@ -6949,6 +6954,25 @@ lt_lab AS (
         for t in range(_LT_ROUNDS + 1)
     )
     + "\n"
+)
+
+# Train → deploy: score every document with the TRAINED weights (the
+# final round's 1-row relation cross-joined back), label on the
+# 6-decimal-quantized score; rule_y rides along so the published
+# relation pins the trained gate's agreement with its teacher rule.
+ORACLES["logit_train_filter_docs"] = (
+    _LT_FEATS
+    + _logit_train_chain(_LT_ROUNDS, _LT_ETA)
+    + f"""
+SELECT doc_id, n_tok,
+  round(w_bias + w_ntok * x_ntok + w_punct * x_punct
+        + w_stop * x_stop + w_dist * x_dist, 6) AS score,
+  CASE WHEN round(w_bias + w_ntok * x_ntok + w_punct * x_punct
+                  + w_stop * x_stop + w_dist * x_dist, 6) >= 0
+       THEN 'keep' ELSE 'drop' END AS label,
+  y AS rule_y
+FROM lt_lab CROSS JOIN lt_w{_LT_ROUNDS}
+"""
 )
 
 # The streaming v9 twin freezes the whole build plan per snapshot

@@ -8107,6 +8107,53 @@ def logit_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logit_train(labeled, "y", eta=4.0, rounds=3)
 
 
+def logit_train_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → DEPLOY: the trained classifier of `logit_train_docs`
+    applied back to the corpus — the complete model-based-filtering
+    loop (label with a cheap rule, train a linear scorer, filter with
+    the scorer). The final round's weights stay a 1-row broadcast
+    relation cross-joined into the scoring projection (never
+    collected); ``score`` is the 6-decimal-quantized trained logit,
+    ``label`` its sign, and ``rule_y`` rides along so the published
+    relation pins the trained gate's agreement with its teacher rule
+    (0.93 at sf0.01, 0.84 at sf0.001). Oracle recomputes the training chain AND
+    the scoring join.
+
+    Scale: training as `logit_train_docs` (K corpus passes); scoring
+    is one broadcast-join projection over the corpus — no keyed
+    shuffle, no collect, no UDF."""
+    from farmrpg_etl_spark.operators.quality import (
+        LOGIT_TRAIN_FEATURES,
+        logit_features,
+        logit_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = logit_features(docs, "text", "doc_id", ntok_scale=100)
+    labeled = feats.withColumn(
+        "y",
+        F.when(
+            (F.col("n_tok") >= 50) & (F.col("x_stop") >= 0.03), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    traj = logit_train(labeled, "y", eta=4.0, rounds=3)
+    final = traj.filter(F.col("step") == 3).drop("step")
+    j = labeled.crossJoin(F.broadcast(final))
+    z = F.col("w_bias")
+    for x, wc in LOGIT_TRAIN_FEATURES:
+        z = z + F.col(wc) * F.col(x)
+    score = F.round(z, 6)
+    return j.select(
+        "doc_id",
+        "n_tok",
+        score.alias("score"),
+        F.when(score >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+        F.col("y").cast("long").alias("rule_y"),
+    )
+
+
 def streaming_pipeline_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v9 — the FULL BUILD — in its deployment regime, completing the
     frozen-globals twin ladder (v6 → v7 → v8 → splits → v9): per
@@ -8250,13 +8297,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10-policy), then the 13 rows whose newest driver record is
     # r9-era (the final r9 cohort: PQ/IVFPQ ANN + recall ledgers,
     # hybrid retrieval, streaming PQ index, change-feed/SCD2 sinks,
-    # skew profile, quota sampling, span pipeline), then the 6 rows
+    # skew profile, quota sampling, span pipeline), then the 7 rows
     # NEW this round (the v9 full-build artifact, its split-aware
     # report card, iterated DoReMi, streaming split assignment, the
-    # trained quality classifier, the streaming v9 twin), then
-    # the 30 oldest r10-era rows. After this run no registry row's
-    # driver record predates r10. Below the cut rows stay stale-first
-    # (remaining 18 r10, then r12/r13/r14, then the r15-verified
+    # trained quality classifier + its deployed filter, the streaming
+    # v9 twin), then the 29 oldest r10-era rows. After this run no
+    # registry row's driver record predates r10. Below the cut rows
+    # stay stale-first
+    # (remaining 19 r10, then r12/r13/r14, then the r15-verified
     # rows last) so future rotations just slide the window;
     # cumulative map in docs/COVERAGE.md.
     "streaming_cdc_tws": streaming_cdc_tws,
@@ -8278,6 +8326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doremi_iterated_docs": doremi_iterated_docs,
     "streaming_leakage_splits_docs": streaming_leakage_splits_docs,
     "logit_train_docs": logit_train_docs,
+    "logit_train_filter_docs": logit_train_filter_docs,
     "streaming_pipeline_v9": streaming_pipeline_v9,
     "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
     "k_schema_evolve_sink": k_schema_evolve_sink,
@@ -8308,8 +8357,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_panel_events": window_panel_events,
     "trailing_1h_sum_events": trailing_1h_sum_events,
     "set_ops_events": set_ops_events,
-    "sessionize_events": sessionize_events,
     # --- end of 50-entry prefix --------------------------------------
+    "sessionize_events": sessionize_events,
     "pivot_event_counts": pivot_event_counts,
     "unpivot_event_counts": unpivot_event_counts,
     "median_value_by_type": median_value_by_type,

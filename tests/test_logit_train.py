@@ -148,6 +148,22 @@ def test_logit_train_empty_corpus_keeps_zero_weights(spark):
         assert r.w_bias == 0.0 and r.w_stop == 0.0
 
 
+def test_logit_train_filter_row_agrees_with_teacher_rule(spark):
+    # the deployed registry row: the trained gate must substantially
+    # agree with the rule it distilled (measured: 0.84 at sf0.001,
+    # 0.93 at sf0.01; pin a conservative floor)
+    from farmrpg_etl_spark.queries import logit_train_filter_docs
+
+    out = logit_train_filter_docs(spark, "/root/testdata/sf0.001")
+    agree = out.select(
+        F.avg(
+            ((F.col("label") == "keep").cast("int")
+             == F.col("rule_y").cast("int")).cast("double")
+        ).alias("a")
+    ).collect()[0].a
+    assert agree >= 0.8, agree
+
+
 def test_logit_train_validates_args(spark):
     feats = _feats(spark, [(1, "the fox")]).withColumn("y", F.lit(1))
     with pytest.raises(ValueError):
