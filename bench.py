@@ -915,6 +915,17 @@ def main() -> None:
                 "record_linkage_100x": lambda: _Q["record_linkage_customer"](
                     spark, dir100
                 ),
+                # r16 addition: the trained classifier. The K
+                # gradient rounds run EAGERLY inside fn() (per-round
+                # reliable checkpoints), so the timed window captures
+                # the full training cost; the counted relation is just
+                # the 4-row weight trajectory.
+                "logit_train_10x": lambda: _Q["logit_train_docs"](
+                    spark, stretch_dir
+                ),
+                "logit_train_100x": lambda: _Q["logit_train_docs"](
+                    spark, dir100
+                ),
             }
             s100 = {}
             for name, fn in hundred.items():
