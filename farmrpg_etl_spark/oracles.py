@@ -6980,3 +6980,9 @@ FROM lt_lab CROSS JOIN lt_w{_LT_ROUNDS}
 # per-document selection — union over micro-batches == the batch
 # build, so the shared oracle pins stream ≡ batch cross-engine.
 ORACLES["streaming_pipeline_v9"] = ORACLES["training_data_pipeline_v9"]
+
+# The streaming classifier twin trains batch-side (full-batch GD needs
+# the whole-corpus gradient) and scores per micro-batch against the
+# frozen 1-row weights — union over batches == the batch scoring, so
+# the shared oracle pins stream ≡ batch cross-engine.
+ORACLES["streaming_logit_filter_docs"] = ORACLES["logit_train_filter_docs"]

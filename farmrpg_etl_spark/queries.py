@@ -8154,6 +8154,92 @@ def logit_train_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_logit_filter_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trained classifier in its deployment regime (the
+    frozen-globals pattern of every twin in the ladder): the model
+    TRAINS batch-side per corpus snapshot — full-batch GD needs the
+    whole-corpus gradient, which no per-document decision can see —
+    then documents arrive as micro-batches and each batch scores
+    against the frozen 1-row weight relation, a pure per-document
+    projection. The union over batches IS the batch scoring, so the
+    row shares `logit_train_filter_docs`' oracle verbatim (stream ≡
+    batch cross-engine). This is exactly how model-based quality
+    filters deploy in continuous ingest: retrain per snapshot, score
+    per document.
+
+    Scale: the frozen weights are ONE row (broadcast by
+    construction); per-trigger work is the feature projection plus
+    that join — no shuffle, no state, no collect."""
+    from farmrpg_etl_spark.operators.quality import (
+        LOGIT_TRAIN_FEATURES,
+        logit_features,
+        logit_train,
+    )
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def rule(feats: DataFrame) -> DataFrame:
+        return feats.withColumn(
+            "y",
+            F.when(
+                (F.col("n_tok") >= 50) & (F.col("x_stop") >= 0.03), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+
+    labeled = rule(logit_features(docs, "text", "doc_id", ntok_scale=100))
+    traj = logit_train(labeled, "y", eta=4.0, rounds=3)
+    final = traj.filter(F.col("step") == 3).drop("step")
+
+    src_dir = scratch_dir("logit_s")
+    n_batches = 4
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = ParquetTable(spark, _sink_scratch("logitsink"))
+
+    def proc(batch_df: DataFrame, batch_id: int) -> None:
+        fb = rule(
+            logit_features(batch_df, "text", "doc_id", ntok_scale=100)
+        )
+        j = fb.crossJoin(F.broadcast(final))
+        z = F.col("w_bias")
+        for x, wc in LOGIT_TRAIN_FEATURES:
+            z = z + F.col(wc) * F.col(x)
+        score = F.round(z, 6)
+        out = j.select(
+            "doc_id",
+            "n_tok",
+            score.alias("score"),
+            F.when(score >= 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+            F.col("y").cast("long").alias("rule_y"),
+        )
+        insert_if_absent(
+            sink, out, ["doc_id"], batch_id=batch_id, writer="logitstream"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(proc)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return sink.read()
+
+
 def streaming_pipeline_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v9 — the FULL BUILD — in its deployment regime, completing the
     frozen-globals twin ladder (v6 → v7 → v8 → splits → v9): per
@@ -8297,14 +8383,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10-policy), then the 13 rows whose newest driver record is
     # r9-era (the final r9 cohort: PQ/IVFPQ ANN + recall ledgers,
     # hybrid retrieval, streaming PQ index, change-feed/SCD2 sinks,
-    # skew profile, quota sampling, span pipeline), then the 7 rows
+    # skew profile, quota sampling, span pipeline), then the 8 rows
     # NEW this round (the v9 full-build artifact, its split-aware
     # report card, iterated DoReMi, streaming split assignment, the
-    # trained quality classifier + its deployed filter, the streaming
-    # v9 twin), then the 29 oldest r10-era rows. After this run no
-    # registry row's driver record predates r10. Below the cut rows
-    # stay stale-first
-    # (remaining 19 r10, then r12/r13/r14, then the r15-verified
+    # trained quality classifier + its deployed filter + that
+    # filter's streaming twin, the streaming v9 twin), then the 28
+    # oldest r10-era rows. After this run no registry row's driver
+    # record predates r10. Below the cut rows stay stale-first
+    # (remaining 20 r10, then r12/r13/r14, then the r15-verified
     # rows last) so future rotations just slide the window;
     # cumulative map in docs/COVERAGE.md.
     "streaming_cdc_tws": streaming_cdc_tws,
@@ -8327,6 +8413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_leakage_splits_docs": streaming_leakage_splits_docs,
     "logit_train_docs": logit_train_docs,
     "logit_train_filter_docs": logit_train_filter_docs,
+    "streaming_logit_filter_docs": streaming_logit_filter_docs,
     "streaming_pipeline_v9": streaming_pipeline_v9,
     "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
     "k_schema_evolve_sink": k_schema_evolve_sink,
@@ -8356,8 +8443,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total_orders": running_total_orders,
     "window_panel_events": window_panel_events,
     "trailing_1h_sum_events": trailing_1h_sum_events,
-    "set_ops_events": set_ops_events,
     # --- end of 50-entry prefix --------------------------------------
+    "set_ops_events": set_ops_events,
     "sessionize_events": sessionize_events,
     "pivot_event_counts": pivot_event_counts,
     "unpivot_event_counts": unpivot_event_counts,
