@@ -991,6 +991,10 @@ def logit_features(
     make a shared learning rate useless).
 
     Scale shape: pure projection — no shuffle, no UDF."""
+    if not (isinstance(ntok_scale, int) and ntok_scale >= 1):
+        raise ValueError(
+            f"ntok_scale must be a positive int, got {ntok_scale!r}"
+        )
     from farmrpg_etl_spark.functions.text import LANG_MARKERS, punct_ratio
 
     t = F.col(text_col)
@@ -1067,6 +1071,11 @@ def logit_train(
 
     Returns ``(step, w_bias, w_ntok, w_punct, w_stop, w_dist)`` for
     step ∈ 0..rounds (step 0 = the zero init).
+
+    ``label_col`` must be NON-NULL 0/1 per row: a NULL label drops
+    that row's products from the gradient sums while still counting
+    it in the denominator (a silently damped step), and values
+    outside {0,1} turn the loss into regression toward that value.
 
     Scale shape: ``rounds`` passes over a checkpointed skinny feature
     leaf — the honest cost of full-batch GD; per pass one global

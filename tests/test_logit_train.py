@@ -170,3 +170,10 @@ def test_logit_train_validates_args(spark):
         logit_train(feats, "y", rounds=0)
     with pytest.raises(ValueError):
         logit_train(feats, "y", eta=-1.0)
+    with pytest.raises(ValueError):
+        logit_features(
+            spark.createDataFrame([(1, "x")], ["doc_id", "text"]),
+            "text",
+            "doc_id",
+            ntok_scale=0,
+        )
