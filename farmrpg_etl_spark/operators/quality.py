@@ -915,38 +915,28 @@ def token_budget_mixture(
 QUALITY_LOGIT_WEIGHTS = (-0.75, 0.00390625, -3.0, 2.0, 0.75)
 
 
-def quality_logit(
-    df, text_col: str = "text", id_col: str = "doc_id"
-):
-    """Linear (logistic-regression-style) document quality classifier —
-    the model-based filtering stage of the GPT-3/LLaMA data recipes,
-    with the learned weights pinned as literals. Features are cheap
-    one-pass column expressions (token count, punctuation ratio,
-    English-stopword ratio, distinct-token ratio); the score is the
-    raw linear logit (monotone in the sigmoid, which is skipped so the
-    value stays oracle-exact), floor-quantized to micros; ``label`` is
-    ``keep`` iff the logit is non-negative.
+def _quality_raw_features(df, text_col: str, id_col: str):
+    """The ONE definition of the quality-classifier raw feature math
+    (token count, punctuation ratio, English-stopword ratio,
+    distinct-token ratio), shared by :func:`quality_logit` (pinned
+    weights, unrounded logit) and :func:`logit_features` (the
+    quantized trainable relation) so the two halves of the classifier
+    cannot fork. Returns ``(d, stop_r, dist_r)``: ``d`` carries
+    ``(id, n_tok, __praw, __ndist, __toks)`` and the two ratio
+    expressions reference its columns. Expression text and
+    association order are pinned by both rows' oracles — edit only in
+    lockstep with them."""
+    from farmrpg_etl_spark.functions.text import LANG_MARKERS, punct_ratio
 
-    Scale shape: pure projection — no shuffle, no UDF, whole-stage
-    codegen; the weights are literals, not a join. Feature math is
-    written in the exact association order the oracle uses so the
-    doubles agree bit-for-bit.
-    """
-    from farmrpg_etl_spark.functions.hashing import words
-    from farmrpg_etl_spark.functions.text import punct_ratio
-
-    w0, w_ntok, w_punct, w_stop, w_dist = QUALITY_LOGIT_WEIGHTS
     t = F.col(text_col)
     toks = F.coalesce(words(t), F.array().cast("array<string>"))
     d = df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tok"),
-        punct_ratio(t).alias("punct_r"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_dist"),
+        punct_ratio(t).alias("__praw"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__ndist"),
         toks.alias("__toks"),
     )
-    from farmrpg_etl_spark.functions.text import LANG_MARKERS
-
     stop_hits = F.size(
         F.filter(F.col("__toks"), lambda x: x.isin(*LANG_MARKERS["en"]))
     )
@@ -954,19 +944,40 @@ def quality_logit(
         stop_hits.cast("double") / F.col("n_tok").cast("double")
     )
     dist_r = F.when(F.col("n_tok") == 0, F.lit(0.0)).otherwise(
-        F.col("n_dist").cast("double") / F.col("n_tok").cast("double")
+        F.col("__ndist").cast("double") / F.col("n_tok").cast("double")
     )
+    return d, stop_r, dist_r
+
+
+def quality_logit(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Linear (logistic-regression-style) document quality classifier —
+    the model-based filtering stage of the GPT-3/LLaMA data recipes,
+    with the learned weights pinned as literals. Features are cheap
+    one-pass column expressions (:func:`_quality_raw_features`); the
+    score is the raw linear logit (monotone in the sigmoid, which is
+    skipped so the value stays oracle-exact), floor-quantized to
+    micros; ``label`` is ``keep`` iff the logit is non-negative.
+
+    Scale shape: pure projection — no shuffle, no UDF, whole-stage
+    codegen; the weights are literals, not a join. Feature math is
+    written in the exact association order the oracle uses so the
+    doubles agree bit-for-bit.
+    """
+    w0, w_ntok, w_punct, w_stop, w_dist = QUALITY_LOGIT_WEIGHTS
+    d, stop_r, dist_r = _quality_raw_features(df, text_col, id_col)
     logit = (
         F.lit(w0)
         + F.lit(w_ntok) * F.col("n_tok").cast("double")
-        + F.lit(w_punct) * F.col("punct_r")
+        + F.lit(w_punct) * F.col("__praw")
         + F.lit(w_stop) * stop_r
         + F.lit(w_dist) * dist_r
     )
     return d.select(
         id_col,
         "n_tok",
-        F.round(F.col("punct_r"), 6).alias("punct_r"),
+        F.round(F.col("__praw"), 6).alias("punct_r"),
         F.round(stop_r, 6).alias("stop_r"),
         F.round(dist_r, 6).alias("dist_r"),
         (F.floor(logit * F.lit(1000000.0)) / F.lit(1000000.0)).alias("logit"),
@@ -988,33 +999,19 @@ def logit_features(
     as :func:`doremi_iterated_weights`). ``x_ntok`` is the token count
     clamped at 1000 and divided by ``ntok_scale`` so it lives on the
     same order of magnitude as the ratio features (unscaled raw counts
-    make a shared learning rate useless).
+    make a shared learning rate useless). A NULL ``text_col`` behaves
+    like an empty document on EVERY feature — ``x_punct`` coalesces
+    to 0.0 (``punct_ratio(NULL)`` is NULL; left through, one NULL-text
+    row would NULL its z-score and silently drop its whole gradient
+    contribution from :func:`logit_train` while still counting in the
+    denominator).
 
     Scale shape: pure projection — no shuffle, no UDF."""
     if not (isinstance(ntok_scale, int) and ntok_scale >= 1):
         raise ValueError(
             f"ntok_scale must be a positive int, got {ntok_scale!r}"
         )
-    from farmrpg_etl_spark.functions.text import LANG_MARKERS, punct_ratio
-
-    t = F.col(text_col)
-    toks = F.coalesce(words(t), F.array().cast("array<string>"))
-    d = df.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("n_tok"),
-        punct_ratio(t).alias("__praw"),
-        F.size(F.array_distinct(toks)).cast("long").alias("__ndist"),
-        toks.alias("__toks"),
-    )
-    stop_hits = F.size(
-        F.filter(F.col("__toks"), lambda x: x.isin(*LANG_MARKERS["en"]))
-    )
-    sraw = F.when(F.col("n_tok") == 0, F.lit(0.0)).otherwise(
-        stop_hits.cast("double") / F.col("n_tok").cast("double")
-    )
-    draw = F.when(F.col("n_tok") == 0, F.lit(0.0)).otherwise(
-        F.col("__ndist").cast("double") / F.col("n_tok").cast("double")
-    )
+    d, sraw, draw = _quality_raw_features(df, text_col, id_col)
     return d.select(
         id_col,
         "n_tok",
@@ -1023,7 +1020,7 @@ def logit_features(
             / F.lit(float(ntok_scale)),
             6,
         ).alias("x_ntok"),
-        F.round(F.col("__praw"), 6).alias("x_punct"),
+        F.round(F.coalesce(F.col("__praw"), F.lit(0.0)), 6).alias("x_punct"),
         F.round(sraw, 6).alias("x_stop"),
         F.round(draw, 6).alias("x_dist"),
     )

@@ -6913,7 +6913,7 @@ WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 f AS (
   SELECT doc_id,
     CAST(len(toks) AS BIGINT) AS n_tok,
-    CASE WHEN len(text) = 0 THEN 0.0
+    CASE WHEN text IS NULL OR len(text) = 0 THEN 0.0
          ELSE CAST(len(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
               / len(text) END AS praw,
     CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,

@@ -7754,6 +7754,61 @@ def _v7_frozen_batch(
     )
 
 
+def _v8_frozen_selection(spark: SparkSession, docs: DataFrame, fz: dict):
+    """The frozen DSIR calibration shared by the v8 and v9 twins (one
+    definition so the twins cannot fork): the checkpointed full-
+    corpus survivor pool, the broadcast add-one-smoothed bucket
+    log-ratio (fit on survivors vs the %101 eval holdout), and the
+    batch rank-50 SELECTION FLOOR as a per-document keep predicate.
+
+    The floor is the FULL (gkey, doc_id) sort key of the rank-50 row,
+    not the gkey alone: 6-decimal gkeys can tie at the 50/51 boundary
+    on larger snapshots, and a gkey-only threshold would then admit
+    51 rows where the batch keeps 50 (review r15). One row collected
+    — bounded by construction. The survivor relation is checkpointed
+    because the ratio fit and the cutoff scoring each explode it
+    (review r15: two passes over a live nll⋈thr⋈interior plan re-ran
+    the join both times).
+
+    Returns ``(surv_full, scored_full, ratio, keep)``."""
+    from farmrpg_etl_spark.operators.quality import (
+        dsir_log_ratio,
+        dsir_scored,
+    )
+
+    surv_full = _v7_frozen_batch(
+        None, fz, include_text=True,
+        interior=fz["v7in_full"], nll=fz["nll_full"],
+    ).localCheckpoint()
+    target = docs.filter(F.col("doc_id") % 101 == 0).select(
+        "doc_id", F.col("text").alias("text_out")
+    )
+    ratio = F.broadcast(
+        dsir_log_ratio(
+            surv_full, target, "text_out", "doc_id", n_buckets=4096
+        ).localCheckpoint()
+    )
+    scored_full = dsir_scored(
+        surv_full, None, "text_out", "doc_id", n_buckets=4096, ratio=ratio
+    )
+    floor_row = (
+        scored_full.orderBy(F.col("gkey").desc(), "doc_id")
+        .limit(50)
+        .orderBy(F.col("gkey").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .collect()
+    )
+    if floor_row:
+        g50 = float(floor_row[0]["gkey"])
+        id50 = int(floor_row[0]["doc_id"])
+        keep = (F.col("gkey") > F.lit(g50)) | (
+            (F.col("gkey") == F.lit(g50)) & (F.col("doc_id") <= F.lit(id50))
+        )
+    else:  # empty survivor pool: nothing clears the (absent) floor
+        keep = F.lit(False)
+    return surv_full, scored_full, ratio, keep
+
+
 def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v8 in its deployment regime: raw web streamed → filtered →
     SELECTED, every model frozen per snapshot. On top of the v7
@@ -7778,48 +7833,14 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the frozen ratio is n_buckets-sized and broadcast; the
     cutoff is ONE scalar (the only collect, bounded by construction);
     per-trigger work is batch-sized."""
-    from farmrpg_etl_spark.operators.quality import (
-        dsir_log_ratio,
-        dsir_scored,
-    )
+    from farmrpg_etl_spark.operators.quality import dsir_scored
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
     fz = _v7_frozen_globals(spark, docs)
-    # --- frozen DSIR calibration: ratio + the batch top-50's floor,
-    # derived from the frozen full-corpus leaves (no interior
-    # recompute), and itself checkpointed — the ratio fit and the
-    # cutoff scoring each explode it (review r15: two passes over a
-    # live nll⋈thr⋈interior plan re-ran the join both times)
-    surv_full = _v7_frozen_batch(
-        None, fz, include_text=True,
-        interior=fz["v7in_full"], nll=fz["nll_full"],
-    ).localCheckpoint()
-    target = docs.filter(F.col("doc_id") % 101 == 0).select(
-        "doc_id", F.col("text").alias("text_out")
-    )
-    ratio = F.broadcast(
-        dsir_log_ratio(
-            surv_full, target, "text_out", "doc_id", n_buckets=4096
-        ).localCheckpoint()
-    )
-    scored_full = dsir_scored(
-        surv_full, None, "text_out", "doc_id", n_buckets=4096, ratio=ratio
-    )
-    # the frozen selection floor is the FULL (gkey, doc_id) sort key
-    # of the rank-50 row, not the gkey alone: 6-decimal gkeys can tie
-    # at the 50/51 boundary on larger snapshots, and a gkey-only
-    # threshold would then admit 51 rows where the batch keeps 50
-    # (review r15). One row collected — bounded by construction.
-    floor_row = (
-        scored_full.orderBy(F.col("gkey").desc(), "doc_id")
-        .limit(50)
-        .orderBy(F.col("gkey").asc(), F.col("doc_id").desc())
-        .limit(1)
-        .collect()
-    )
+    _, _, ratio, keep = _v8_frozen_selection(spark, docs, fz)
     src_dir = scratch_dir("v8s")
     n_batches = 4
     for i in range(n_batches):
@@ -7833,15 +7854,6 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src_dir)
     )
     sink = ParquetTable(spark, _sink_scratch("v8ssink"))
-
-    if floor_row:
-        g50 = float(floor_row[0]["gkey"])
-        id50 = int(floor_row[0]["doc_id"])
-        keep = (F.col("gkey") > F.lit(g50)) | (
-            (F.col("gkey") == F.lit(g50)) & (F.col("doc_id") <= F.lit(id50))
-        )
-    else:  # empty survivor pool: nothing clears the (absent) floor
-        keep = F.lit(False)
 
     def proc(batch_df: DataFrame, batch_id: int) -> None:
         # batch-sized leaf: the survivor relation feeds both the DSIR
@@ -7881,6 +7893,41 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _frozen_doc_clusters(docs: DataFrame) -> DataFrame:
+    """Near-dup FAMILY labels over the raw corpus (MinHash-LSH band
+    pairs → connected components) — the ONE parameterization shared
+    by the batch v9 interior, the streaming split twin, and the v9
+    twin, so a parameter drift cannot fork their family structure."""
+    pairs = dedup.minhash_lsh_pairs(
+        docs.select("doc_id", "text"), "text", "doc_id",
+        num_hashes=16, bands=4, threshold=0.3, shingle_k=3,
+    )
+    return dedup.neardup_clusters(pairs)
+
+
+def _v9_pack_tail(
+    docs: DataFrame, selected: DataFrame, splits: DataFrame
+) -> DataFrame:
+    """The build tail shared by `training_data_pipeline_v9` and its
+    streaming twin (split-gate → UniMax epoch fills → packed
+    offsets), one definition so the two constructions cannot fork."""
+    from farmrpg_etl_spark.operators.chunking import pack_schedule
+    from farmrpg_etl_spark.operators.quality import unimax_assemble
+
+    train = (
+        selected.select("doc_id", "text_out")
+        .join(
+            splits.filter(F.col("split") == "train").select("doc_id"),
+            "doc_id",
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    assembled = unimax_assemble(
+        train, "text_out", "doc_id", "source", budget_ratio=2, max_epochs=2
+    )
+    return pack_schedule(assembled, "doc_id", "source", seq_len=512)
+
+
 def _v9_selected_with_splits(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -7905,11 +7952,7 @@ def _v9_selected_with_splits(
         surv, target, "text_out", "doc_id", n_buckets=4096, k=50
     )
     selected = surv.join(sel.select("doc_id"), "doc_id").localCheckpoint()
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3,
-        shingle_k=3,
-    )
-    clusters = dedup.neardup_clusters(pairs)
+    clusters = _frozen_doc_clusters(docs)
     splits = dedup.leakage_safe_splits(selected, "doc_id", clusters)
     return selected, splits
 
@@ -7936,23 +7979,9 @@ def training_data_pipeline_v9(
     pair-graph-sized; the schedule cumsum is `grouped_prefix_sum`
     (no single-partition window); the pack offsets come from the
     bucketed global prefix sum. No collect anywhere."""
-    from farmrpg_etl_spark.operators import quality
-    from farmrpg_etl_spark.operators.chunking import pack_schedule
-
     selected, splits = _v9_selected_with_splits(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    train = (
-        selected.select("doc_id", "text_out")
-        .join(
-            splits.filter(F.col("split") == "train").select("doc_id"),
-            "doc_id",
-        )
-        .join(docs.select("doc_id", "source"), "doc_id")
-    )
-    assembled = quality.unimax_assemble(
-        train, "text_out", "doc_id", "source", budget_ratio=2, max_epochs=2
-    )
-    return pack_schedule(assembled, "doc_id", "source", seq_len=512)
+    return _v9_pack_tail(docs, selected, splits)
 
 
 def corpus_report_v9_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8040,11 +8069,7 @@ def streaming_leakage_splits_docs(
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3,
-        shingle_k=3,
-    )
-    clusters = dedup.neardup_clusters(pairs).localCheckpoint()
+    clusters = _frozen_doc_clusters(docs).localCheckpoint()
     src_dir = scratch_dir("splits_s")
     n_batches = 4
     for i in range(n_batches):
@@ -8076,6 +8101,65 @@ def streaming_leakage_splits_docs(
     return sink.read()
 
 
+# The trained-classifier family's shared pieces: one definition of
+# the teacher rule, the training call, and the scoring projection —
+# three registry rows (trainer, deployed filter, streaming twin)
+# and the twin's per-trigger batches all go through these, so the
+# rows cannot fork from each other or from the oracle constants
+# (_LT_ROUNDS/_LT_ETA in oracles.py pin the same values).
+_LOGIT_ETA = 4.0
+_LOGIT_ROUNDS = 3
+
+
+def _logit_labeled(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Quantized `quality.logit_features` + the teacher rule-gate
+    label ("≥ 50 tokens and ≥ 3% English stopwords")."""
+    from farmrpg_etl_spark.operators.quality import logit_features
+
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    feats = logit_features(docs, "text", "doc_id", ntok_scale=100)
+    return feats.withColumn(
+        "y",
+        F.when(
+            (F.col("n_tok") >= 50) & (F.col("x_stop") >= 0.03), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+
+
+def _logit_trained(labeled: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(full weight trajectory, the FINAL round's 1-row weights)."""
+    from farmrpg_etl_spark.operators.quality import logit_train
+
+    traj = logit_train(labeled, "y", eta=_LOGIT_ETA, rounds=_LOGIT_ROUNDS)
+    return traj, traj.filter(F.col("step") == _LOGIT_ROUNDS).drop("step")
+
+
+def _logit_score(labeled: DataFrame, final: DataFrame) -> DataFrame:
+    """Score a labeled feature relation against trained weights: the
+    1-row weight relation broadcasts into a pure projection; label is
+    the 6-decimal-quantized logit's sign, teacher verdict rides
+    along."""
+    from farmrpg_etl_spark.operators.quality import LOGIT_TRAIN_FEATURES
+
+    j = labeled.crossJoin(F.broadcast(final))
+    z = F.col("w_bias")
+    for x, wc in LOGIT_TRAIN_FEATURES:
+        z = z + F.col(wc) * F.col(x)
+    score = F.round(z, 6)
+    return j.select(
+        "doc_id",
+        "n_tok",
+        score.alias("score"),
+        F.when(score >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+        F.col("y").cast("long").alias("rule_y"),
+    )
+
+
 def logit_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN the model-based quality classifier instead of applying
     pinned weights (`quality_logit_docs`' missing half — the
@@ -8094,17 +8178,8 @@ def logit_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: 3 passes over a checkpointed skinny feature leaf, each one
     global partial-aggregating reduce; weights stay a broadcast 1-row
     relation — no collect, no UDF, no keyed shuffle."""
-    from farmrpg_etl_spark.operators.quality import logit_features, logit_train
-
-    docs = load_table(spark, sf_dir, "documents")
-    feats = logit_features(docs, "text", "doc_id", ntok_scale=100)
-    labeled = feats.withColumn(
-        "y",
-        F.when(
-            (F.col("n_tok") >= 50) & (F.col("x_stop") >= 0.03), F.lit(1)
-        ).otherwise(F.lit(0)),
-    )
-    return logit_train(labeled, "y", eta=4.0, rounds=3)
+    traj, _ = _logit_trained(_logit_labeled(spark, sf_dir))
+    return traj
 
 
 def logit_train_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8122,36 +8197,9 @@ def logit_train_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training as `logit_train_docs` (K corpus passes); scoring
     is one broadcast-join projection over the corpus — no keyed
     shuffle, no collect, no UDF."""
-    from farmrpg_etl_spark.operators.quality import (
-        LOGIT_TRAIN_FEATURES,
-        logit_features,
-        logit_train,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    feats = logit_features(docs, "text", "doc_id", ntok_scale=100)
-    labeled = feats.withColumn(
-        "y",
-        F.when(
-            (F.col("n_tok") >= 50) & (F.col("x_stop") >= 0.03), F.lit(1)
-        ).otherwise(F.lit(0)),
-    )
-    traj = logit_train(labeled, "y", eta=4.0, rounds=3)
-    final = traj.filter(F.col("step") == 3).drop("step")
-    j = labeled.crossJoin(F.broadcast(final))
-    z = F.col("w_bias")
-    for x, wc in LOGIT_TRAIN_FEATURES:
-        z = z + F.col(wc) * F.col(x)
-    score = F.round(z, 6)
-    return j.select(
-        "doc_id",
-        "n_tok",
-        score.alias("score"),
-        F.when(score >= 0, F.lit("keep"))
-        .otherwise(F.lit("drop"))
-        .alias("label"),
-        F.col("y").cast("long").alias("rule_y"),
-    )
+    labeled = _logit_labeled(spark, sf_dir)
+    _, final = _logit_trained(labeled)
+    return _logit_score(labeled, final)
 
 
 def streaming_logit_filter_docs(
@@ -8172,26 +8220,10 @@ def streaming_logit_filter_docs(
     Scale: the frozen weights are ONE row (broadcast by
     construction); per-trigger work is the feature projection plus
     that join — no shuffle, no state, no collect."""
-    from farmrpg_etl_spark.operators.quality import (
-        LOGIT_TRAIN_FEATURES,
-        logit_features,
-        logit_train,
-    )
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def rule(feats: DataFrame) -> DataFrame:
-        return feats.withColumn(
-            "y",
-            F.when(
-                (F.col("n_tok") >= 50) & (F.col("x_stop") >= 0.03), F.lit(1)
-            ).otherwise(F.lit(0)),
-        )
-
-    labeled = rule(logit_features(docs, "text", "doc_id", ntok_scale=100))
-    traj = logit_train(labeled, "y", eta=4.0, rounds=3)
-    final = traj.filter(F.col("step") == 3).drop("step")
+    _, final = _logit_trained(_logit_labeled(spark, sf_dir, docs=docs))
 
     src_dir = scratch_dir("logit_s")
     n_batches = 4
@@ -8208,22 +8240,8 @@ def streaming_logit_filter_docs(
     sink = ParquetTable(spark, _sink_scratch("logitsink"))
 
     def proc(batch_df: DataFrame, batch_id: int) -> None:
-        fb = rule(
-            logit_features(batch_df, "text", "doc_id", ntok_scale=100)
-        )
-        j = fb.crossJoin(F.broadcast(final))
-        z = F.col("w_bias")
-        for x, wc in LOGIT_TRAIN_FEATURES:
-            z = z + F.col(wc) * F.col(x)
-        score = F.round(z, 6)
-        out = j.select(
-            "doc_id",
-            "n_tok",
-            score.alias("score"),
-            F.when(score >= 0, F.lit("keep"))
-            .otherwise(F.lit("drop"))
-            .alias("label"),
-            F.col("y").cast("long").alias("rule_y"),
+        out = _logit_score(
+            _logit_labeled(spark, sf_dir, docs=batch_df), final
         )
         insert_if_absent(
             sink, out, ["doc_id"], batch_id=batch_id, writer="logitstream"
@@ -8261,75 +8279,30 @@ def streaming_pipeline_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_epochs copies) and broadcast; per-trigger work is the frozen
     v7 recipe on the batch (batch-sized) plus that broadcast join;
     the only collect is the v8 twin's one frozen-cutoff row."""
-    from farmrpg_etl_spark.operators.chunking import pack_schedule
-    from farmrpg_etl_spark.operators.quality import (
-        dsir_log_ratio,
-        dsir_scored,
-        unimax_assemble,
-    )
+    from farmrpg_etl_spark.operators.quality import dsir_scored
     from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
     fz = _v7_frozen_globals(spark, docs)
-    surv_full = _v7_frozen_batch(
-        None, fz, include_text=True,
-        interior=fz["v7in_full"], nll=fz["nll_full"],
-    ).localCheckpoint()
-    target = docs.filter(F.col("doc_id") % 101 == 0).select(
-        "doc_id", F.col("text").alias("text_out")
+    surv_full, scored_full, ratio, keep = _v8_frozen_selection(
+        spark, docs, fz
     )
-    ratio = F.broadcast(
-        dsir_log_ratio(
-            surv_full, target, "text_out", "doc_id", n_buckets=4096
-        ).localCheckpoint()
-    )
-    scored_full = dsir_scored(
-        surv_full, None, "text_out", "doc_id", n_buckets=4096, ratio=ratio
-    )
-    floor_row = (
-        scored_full.orderBy(F.col("gkey").desc(), "doc_id")
-        .limit(50)
-        .orderBy(F.col("gkey").asc(), F.col("doc_id").desc())
-        .limit(1)
-        .collect()
-    )
-    if floor_row:
-        g50 = float(floor_row[0]["gkey"])
-        id50 = int(floor_row[0]["doc_id"])
-        keep = (F.col("gkey") > F.lit(g50)) | (
-            (F.col("gkey") == F.lit(g50)) & (F.col("doc_id") <= F.lit(id50))
-        )
-    else:
-        keep = F.lit(False)
     # --- the frozen snapshot plan: selection → leakage-safe train
     # split → UniMax epoch fills → packed offsets, all derived from
-    # the frozen leaves batch-side and checkpointed (selection-sized:
-    # ≤ k docs × ≤ max_epochs copies)
+    # the frozen leaves batch-side. `selected` is checkpointed (same
+    # reason as the batch interior: the split derivation and the
+    # train join would each re-run the DSIR scoring otherwise); the
+    # packed schedule is checkpointed too (selection-sized: ≤ k docs
+    # × ≤ max_epochs copies).
     selected = surv_full.join(
         scored_full.filter(keep).select("doc_id"), "doc_id"
-    )
-    pairs = dedup.minhash_lsh_pairs(
-        docs.select("doc_id", "text"), "text", "doc_id",
-        num_hashes=16, bands=4, threshold=0.3, shingle_k=3,
-    )
-    clusters = dedup.neardup_clusters(pairs)
-    splits = dedup.leakage_safe_splits(selected, "doc_id", clusters)
-    train = (
-        selected.select("doc_id", "text_out")
-        .join(
-            splits.filter(F.col("split") == "train").select("doc_id"),
-            "doc_id",
-        )
-        .join(docs.select("doc_id", "source"), "doc_id")
-    )
-    assembled = unimax_assemble(
-        train, "text_out", "doc_id", "source", budget_ratio=2, max_epochs=2
-    )
-    schedule = pack_schedule(
-        assembled, "doc_id", "source", seq_len=512
     ).localCheckpoint()
+    splits = dedup.leakage_safe_splits(
+        selected, "doc_id", _frozen_doc_clusters(docs)
+    )
+    schedule = _v9_pack_tail(docs, selected, splits).localCheckpoint()
 
     src_dir = scratch_dir("v9s")
     n_batches = 4

@@ -37,9 +37,12 @@ def test_logit_features_quantized_and_edge_rows(spark):
     assert r1.x_ntok == round(4 / 100.0, 6)
     assert r1.x_stop == 0.5  # 2 of 4 tokens are 'the'
     assert r1.x_dist == 0.75  # 3 distinct of 4
-    # empty/NULL text behaves like an empty document, ratios 0 not NULL
+    # empty/NULL text behaves like an empty document on EVERY
+    # feature, 0 not NULL — a NULL x_punct would NULL the z-score and
+    # silently drop the row's whole gradient contribution (r16 review)
     for i in (2, 3):
         assert out[i].n_tok == 0
+        assert out[i].x_punct == 0.0
         assert out[i].x_stop == 0.0 and out[i].x_dist == 0.0
 
 
