@@ -914,6 +914,18 @@ def token_budget_mixture(
 # Order: (bias, n_tok, punct_ratio, stopword_ratio, distinct_ratio).
 QUALITY_LOGIT_WEIGHTS = (-0.75, 0.00390625, -3.0, 2.0, 0.75)
 
+# Trained-classifier family shared constants (ADVICE r16: the feature
+# scale and teacher-rule thresholds were duplicated as literals on the
+# Spark side (queries._logit_labeled) and inside the oracle SQL
+# template, so a one-sided edit forked train/oracle silently). Both
+# sides now interpolate THESE. The rule gate is "≥ LOGIT_RULE_MIN_TOK
+# tokens and ≥ LOGIT_RULE_MIN_STOP English-stopword ratio"; the token
+# count is clamped at 1000 and divided by LOGIT_NTOK_SCALE so x_ntok
+# lives on the ratio features' order of magnitude.
+LOGIT_NTOK_SCALE = 100
+LOGIT_RULE_MIN_TOK = 50
+LOGIT_RULE_MIN_STOP = 0.03
+
 
 def _quality_raw_features(df, text_col: str, id_col: str):
     """The ONE definition of the quality-classifier raw feature math
@@ -990,7 +1002,7 @@ def logit_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    ntok_scale: int = 100,
+    ntok_scale: int = LOGIT_NTOK_SCALE,
 ) -> DataFrame:
     """The :func:`quality_logit` feature vector as a reusable relation
     — ``(id, n_tok, x_ntok, x_punct, x_stop, x_dist)`` with every

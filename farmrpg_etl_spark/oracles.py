@@ -6863,6 +6863,15 @@ FROM di_w{_DMI_ROUNDS}
 _LT_ROUNDS = 3
 _LT_ETA = 4.0
 
+# feature scale + teacher-rule thresholds: interpolated from the SAME
+# quality.py constants the Spark side uses (ADVICE r16 — duplicated
+# literals forked train/oracle silently on a one-sided edit)
+from farmrpg_etl_spark.operators.quality import (  # noqa: E402
+    LOGIT_NTOK_SCALE as _LT_NTOK_SCALE,
+    LOGIT_RULE_MIN_STOP as _LT_RULE_MIN_STOP,
+    LOGIT_RULE_MIN_TOK as _LT_RULE_MIN_TOK,
+)
+
 
 def _logit_train_chain(rounds: int, eta: float) -> str:
     ctes = [
@@ -6923,7 +6932,7 @@ f AS (
 ),
 lt_f AS (
   SELECT doc_id, n_tok,
-    round(least(n_tok, 1000) / 100.0, 6) AS x_ntok,
+    round(least(n_tok, 1000) / {_LT_NTOK_SCALE}.0, 6) AS x_ntok,
     round(praw, 6) AS x_punct,
     round(CASE WHEN n_tok = 0 THEN 0.0
           ELSE CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) END, 6)
@@ -6935,7 +6944,7 @@ lt_f AS (
 ),
 lt_lab AS (
   SELECT doc_id, n_tok, x_ntok, x_punct, x_stop, x_dist,
-    CAST(CASE WHEN n_tok >= 50 AND x_stop >= 0.03
+    CAST(CASE WHEN n_tok >= {_LT_RULE_MIN_TOK} AND x_stop >= {_LT_RULE_MIN_STOP}
               THEN 1 ELSE 0 END AS BIGINT) AS y,
     CAST(round(x_ntok * 1000000.0) AS BIGINT) AS xn_m,
     CAST(round(x_punct * 1000000.0) AS BIGINT) AS xp_m,

@@ -62,6 +62,25 @@ def _avg4(col):
     x = (_dec_sum(col).cast("double") / F.count(F.lit(1))) * F.lit(10000.0)
     return F.floor(x) / F.lit(10000.0)
 
+
+def _await_stream(q, timeout: int = 300) -> None:
+    """Drain an availableNow stream and FAIL LOUDLY on timeout.
+
+    ``awaitTermination(timeout)`` returns False when the clock ran out
+    with the query still running; the old ``awaitTermination; stop()``
+    pattern then stopped the query mid-run and returned a silently
+    PARTIAL sink as the row's result (ADVICE r16). Raising instead
+    turns a hung stream into a red row the checker can see."""
+    try:
+        finished = q.awaitTermination(timeout)
+    finally:
+        q.stop()
+    if not finished:
+        raise RuntimeError(
+            f"streaming query did not drain within {timeout}s; "
+            "its sink would be partial"
+        )
+
 # --------------------------------------------------------------------------
 # TPC-H-shaped relational core (scan → filter → join → agg → window)
 # --------------------------------------------------------------------------
@@ -2582,8 +2601,7 @@ def streaming_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     out = pairs_tbl.read()
     return out.select("id_a", "id_b", "jaccard")
 
@@ -2651,8 +2669,7 @@ def streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     return index_tbl.read().select(
         "vec_id", *[f"c{s}" for s in range(8)]
     )
@@ -2711,8 +2728,7 @@ def streaming_docstore_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     # batch partial-merge over the streamed docs (to_json drops the
     # null, so unflagged docs are untouched by json_patch)
     flags = load_table(spark, sf_dir, "events").select(
@@ -2820,8 +2836,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     return corpus.read().select("doc_id", "quality")
 
 
@@ -4826,14 +4841,12 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = topology.chat_pipeline_streaming(
         spark, landing, messages, docs, checkpoint_dir=ckpt, state_ttl_ms=None
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     p2.write.mode("append").parquet(landing)
     q = topology.chat_pipeline_streaming(
         spark, landing, messages, docs, checkpoint_dir=ckpt, state_ttl_ms=None
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     return _chat_e2e_result(messages, docs)
 
 
@@ -6607,8 +6620,7 @@ def streaming_ppl_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     lm.unpersist()
     return sink.read()
 
@@ -6664,8 +6676,7 @@ def streaming_kn5_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     LM.unpersist_kn_tables(tables)
     return sink.read()
 
@@ -7266,8 +7277,7 @@ def streaming_ccnet_per_lang_docs(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     LM.unpersist_kn_tables(tables)
     lang_rel.unpersist()
     return sink.read()
@@ -7413,8 +7423,7 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     return sink.read()
 
 
@@ -7617,8 +7626,7 @@ def streaming_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     from farmrpg_etl_spark.operators import langmodel as LM
 
     LM.unpersist_kn_tables(tables)
@@ -7754,7 +7762,7 @@ def _v7_frozen_batch(
     )
 
 
-def _v8_frozen_selection(spark: SparkSession, docs: DataFrame, fz: dict):
+def _v8_frozen_selection(docs: DataFrame, fz: dict):
     """The frozen DSIR calibration shared by the v8 and v9 twins (one
     definition so the twins cannot fork): the checkpointed full-
     corpus survivor pool, the broadcast add-one-smoothed bucket
@@ -7840,7 +7848,7 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source"
     )
     fz = _v7_frozen_globals(spark, docs)
-    _, _, ratio, keep = _v8_frozen_selection(spark, docs, fz)
+    _, _, ratio, keep = _v8_frozen_selection(docs, fz)
     src_dir = scratch_dir("v8s")
     n_batches = 4
     for i in range(n_batches):
@@ -7879,8 +7887,7 @@ def streaming_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     from farmrpg_etl_spark.operators import langmodel as LM
 
     LM.unpersist_kn_tables(fz["tables"])
@@ -8096,8 +8103,7 @@ def streaming_leakage_splits_docs(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     return sink.read()
 
 
@@ -8115,16 +8121,26 @@ def _logit_labeled(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
     """Quantized `quality.logit_features` + the teacher rule-gate
-    label ("≥ 50 tokens and ≥ 3% English stopwords")."""
-    from farmrpg_etl_spark.operators.quality import logit_features
+    label ("≥ LOGIT_RULE_MIN_TOK tokens and ≥ LOGIT_RULE_MIN_STOP
+    English stopwords" — the thresholds and the feature scale are the
+    shared `operators.quality` constants the oracle template also
+    interpolates, ADVICE r16)."""
+    from farmrpg_etl_spark.operators.quality import (
+        LOGIT_NTOK_SCALE,
+        LOGIT_RULE_MIN_STOP,
+        LOGIT_RULE_MIN_TOK,
+        logit_features,
+    )
 
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    feats = logit_features(docs, "text", "doc_id", ntok_scale=100)
+    feats = logit_features(docs, "text", "doc_id", ntok_scale=LOGIT_NTOK_SCALE)
     return feats.withColumn(
         "y",
         F.when(
-            (F.col("n_tok") >= 50) & (F.col("x_stop") >= 0.03), F.lit(1)
+            (F.col("n_tok") >= LOGIT_RULE_MIN_TOK)
+            & (F.col("x_stop") >= LOGIT_RULE_MIN_STOP),
+            F.lit(1),
         ).otherwise(F.lit(0)),
     )
 
@@ -8253,8 +8269,7 @@ def streaming_logit_filter_docs(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     return sink.read()
 
 
@@ -8286,9 +8301,7 @@ def streaming_pipeline_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source"
     )
     fz = _v7_frozen_globals(spark, docs)
-    surv_full, scored_full, ratio, keep = _v8_frozen_selection(
-        spark, docs, fz
-    )
+    surv_full, scored_full, ratio, keep = _v8_frozen_selection(docs, fz)
     # --- the frozen snapshot plan: selection → leakage-safe train
     # split → UniMax epoch fills → packed offsets, all derived from
     # the frozen leaves batch-side. `selected` is checkpointed (same
@@ -8338,8 +8351,7 @@ def streaming_pipeline_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_stream(q)
     from farmrpg_etl_spark.operators import langmodel as LM
 
     LM.unpersist_kn_tables(fz["tables"])
