@@ -8361,23 +8361,14 @@ def streaming_pipeline_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r16 DRIVER-COVERAGE ROTATION --------------------------------
-    # The driver verifies exactly the FIRST 50 entries per round.
-    # Head: streaming_cdc_tws (TWS rows run first — fresh session,
-    # r10-policy), then the 13 rows whose newest driver record is
-    # r9-era (the final r9 cohort: PQ/IVFPQ ANN + recall ledgers,
-    # hybrid retrieval, streaming PQ index, change-feed/SCD2 sinks,
-    # skew profile, quota sampling, span pipeline), then the 8 rows
-    # NEW this round (the v9 full-build artifact, its split-aware
-    # report card, iterated DoReMi, streaming split assignment, the
-    # trained quality classifier + its deployed filter + that
-    # filter's streaming twin, the streaming v9 twin), then the 28
-    # oldest r10-era rows. After this run no registry row's driver
-    # record predates r10. Below the cut rows stay stale-first
-    # (remaining 20 r10, then r12/r13/r14, then the r15-verified
-    # rows last) so future rotations just slide the window;
-    # cumulative map in docs/COVERAGE.md.
+# The registry. Dict-literal order is IRRELEVANT here: the driver-
+# visible order (and therefore the 50-row verified prefix) is derived
+# below from farmrpg_etl_spark.ledger — stalest driver record first,
+# never-verified rows ahead of everything, TWS rows pulled to the
+# prefix head (fresh-session policy). scripts/update_ledger.py
+# regenerates the ledger from the CORRECTNESS artifacts each round;
+# tests/test_registry.py pins QUERIES == the ledger-computed order.
+_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_cdc_tws": streaming_cdc_tws,
     "ann_topk_pq": ann_topk_pq,
     "ann_recall_pq": ann_recall_pq,
@@ -8428,7 +8419,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total_orders": running_total_orders,
     "window_panel_events": window_panel_events,
     "trailing_1h_sum_events": trailing_1h_sum_events,
-    # --- end of 50-entry prefix --------------------------------------
     "set_ops_events": set_ops_events,
     "sessionize_events": sessionize_events,
     "pivot_event_counts": pivot_event_counts,
@@ -8647,5 +8637,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_data_pipeline_v2": training_data_pipeline_v2,
     "cut_dup_span_fixpoint_docs": cut_dup_span_fixpoint_docs,
     "pq_encode_embeddings": pq_encode_embeddings,
+}
+
+from farmrpg_etl_spark.ledger import rotation_order as _rotation_order  # noqa: E402
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: _REGISTRY[name] for name in _rotation_order(_REGISTRY)
 }
 

@@ -2,23 +2,43 @@
 
 import re
 
+import farmrpg_etl_spark.ledger as L
 import farmrpg_etl_spark.oracles as O
 import farmrpg_etl_spark.queries as Q
 
 
-def test_prefix_is_exactly_50():
-    """The driver verifies exactly the FIRST 50 registry entries; a
-    registry edit that silently displaces rows past the marker (the
-    r5 incident: 52 rows above the cut, two rows never checked) must
-    fail loudly here instead."""
-    src = open(Q.__file__).read()
-    head = src.split("QUERIES:")[1].partition("# --- end of 50-entry prefix")[0]
-    names = re.findall(r'^    "([a-z0-9_]+)":', head, re.M)
-    assert len(names) == 50, f"prefix has {len(names)} rows, driver checks 50"
-    # the prefix names must be real, distinct registry entries
-    assert len(set(names)) == 50
-    for n in names:
-        assert n in Q.QUERIES, n
+def test_order_is_ledger_derived():
+    """The driver verifies the FIRST 50 registry entries, so iteration
+    order IS the coverage rotation. It must be computed from the
+    CORRECTNESS-artifact ledger, not hand-sorted (r16 verdict #7: a
+    mis-ordered edit could silently starve a row of re-verification
+    — the r5 incident left two rows unchecked for five rounds)."""
+    assert list(Q.QUERIES) == L.rotation_order(Q.QUERIES)
+
+
+def test_prefix_is_stalest_first():
+    """Every row in the verified prefix must be at least as stale as
+    every row below the cut — the property the rotation exists for."""
+    names = list(Q.QUERIES)
+    cur = max(L.LAST_VERIFIED.values())
+    rnd = lambda n: L.LAST_VERIFIED.get(n, 0)  # noqa: E731
+    oldest_below = min((rnd(n) for n in names[L.PREFIX_N:]), default=cur)
+    newest_above = max(rnd(n) for n in names[: L.PREFIX_N])
+    assert newest_above <= oldest_below
+
+
+def test_ledger_covers_registry():
+    """A registry row missing from the ledger is NEW and must sit in
+    the verified prefix of its debut round; a ledger row missing from
+    the registry is a deleted query whose record should be purged."""
+    names = list(Q.QUERIES)
+    never = [n for n in names if n not in L.LAST_VERIFIED]
+    assert set(never) <= set(names[: L.PREFIX_N]), (
+        f"never-verified rows below the driver cut: "
+        f"{sorted(set(never) - set(names[:L.PREFIX_N]))}"
+    )
+    orphans = [n for n in L.LAST_VERIFIED if n not in Q.QUERIES]
+    assert orphans == [], orphans
 
 
 def test_readme_registry_count_matches():
@@ -46,16 +66,18 @@ def test_no_orphan_oracles():
 
 
 def test_tws_rows_lead_any_prefix():
-    """TWS rows must run EARLY in the driver prefix (fresh session):
-    the r10 red row was a TWS driver-worker crash 50 rows deep. Policy
-    net: any prefix row using transformWithStateInPandas sits in the
-    first 10 positions."""
-    src = open(Q.__file__).read()
-    head = src.split("QUERIES:")[1].partition("# --- end of 50-entry prefix")[0]
-    names = re.findall(r'^    "([a-z0-9_]+)":', head, re.M)
+    """TWS rows must run FIRST in the driver prefix (fresh session):
+    the r10 red row was a TWS driver-worker crash 50 rows deep. Any
+    prefix row using transformWithStateInPandas sits at the head."""
+    names = list(Q.QUERIES)[: L.PREFIX_N]
+    tws_in = [n for n in names if n in L.TWS_ROWS]
+    assert names[: len(tws_in)] == tws_in
+    # and the TWS_ROWS list itself stays exhaustive: every registry row
+    # whose name marks it as transformWithStateInPandas is declared
     tws_markers = ("_tws_", "session_timeout")
-    late = [
-        n for i, n in enumerate(names)
-        if any(m in n for m in tws_markers) and i >= 10
+    undeclared = [
+        n
+        for n in Q.QUERIES
+        if any(m in n for m in tws_markers) and n not in L.TWS_ROWS
     ]
-    assert late == [], f"TWS rows too deep in the prefix: {late}"
+    assert undeclared == [], undeclared
