@@ -442,6 +442,49 @@ SELECT coalesce(e.c_custkey, inc.c_custkey) AS c_custkey,
 FROM c e FULL OUTER JOIN inc ON e.c_custkey = inc.c_custkey
 """
 
+# The login flow composed (reference api/auth.py:44-46 +
+# models/user.py:27-33): token uid -> user by unique firebase_uid ->
+# latest snapshot per user (ts DESC, event_id tiebreak) -> custom
+# claims (ranger wins over farmhand); unmatched tokens and
+# snapshot-less users carry NULL claims.
+ORACLES["auth_lookup_users"] = """
+WITH users AS (
+  SELECT c_custkey AS user_id,
+         md5('fb|' || CAST(c_custkey AS VARCHAR)) AS firebase_uid
+  FROM customer
+), tokens AS (
+  SELECT md5('fb|' || CAST(c_custkey AS VARCHAR)) AS uid
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT md5('nouser|' || CAST(c_custkey AS VARCHAR)) AS uid
+  FROM customer WHERE c_custkey < 10
+), matched AS (
+  SELECT t.uid, u.user_id
+  FROM users u JOIN tokens t ON u.firebase_uid = t.uid
+), snaps AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         'user_' || CAST(e.user_id AS VARCHAR) AS username,
+         e.value > 100 AS is_farmhand,
+         e.event_type = 'purchase' AS is_ranger
+  FROM events e
+  WHERE e.user_id IN (SELECT user_id FROM matched)
+), top AS (
+  SELECT user_id, username, is_farmhand, is_ranger
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM snaps)
+  WHERE rn = 1
+)
+SELECT m.uid, m.user_id, t.username,
+       CASE WHEN t.is_ranger THEN 'ranger'
+            WHEN t.is_farmhand THEN 'farmhand' END AS role
+FROM matched m LEFT JOIN top t USING (user_id)
+UNION ALL
+SELECT tk.uid, CAST(NULL AS BIGINT) AS user_id,
+       CAST(NULL AS VARCHAR) AS username, CAST(NULL AS VARCHAR) AS role
+FROM tokens tk WHERE tk.uid NOT IN (SELECT uid FROM matched)
+"""
+
 # --------------------------------------------------------------------------
 # scalar semantics on crafted literals (must mirror queries.SCALAR_ROWS)
 # --------------------------------------------------------------------------

@@ -542,6 +542,87 @@ def j4_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.upsert(c, incoming, ["c_custkey"], update_cols=["c_acctbal"])
 
 
+def auth_lookup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's login flow as ONE composed row (api/auth.py:44-46
+    + models/user.py:27-33): a token-shaped uid relation → equality
+    lookup of the user by its unique ``firebase_uid`` index (F4) →
+    latest snapshot per matched user (A1,
+    ``order_by("-ts").first(user__firebase_uid=uid)``) → the custom-
+    claims projection (username always; ``role`` = ranger when
+    ``is_ranger`` else farmhand when ``is_farmhand`` — ranger wins in
+    BOTH reference code paths). Unmatched tokens surface with NULL
+    claims (``user_snap is None`` → empty claims dict), matched users
+    with no snapshot likewise.
+
+    Relational model on the testdata: users = customers with a
+    deterministic ``md5('fb|'||custkey)`` firebase uid; snapshots =
+    events (``is_ranger`` = purchase event, ``is_farmhand`` = value >
+    100); tokens = the uids of every 7th customer plus 10 uids that
+    match no user.
+
+    Scale shape: the token relation is request-sized — it BROADCASTS
+    into the user scan (build side = tokens, one corpus-free pass over
+    users); the snapshot scan pre-filters by the broadcast matched-user
+    set before the A1 struct-max aggregate, so the big events relation
+    is reduced map-side and never shuffles beyond the token-sized key
+    set; the unmatched legs are token-sized anti joins."""
+    c = load_table(spark, sf_dir, "customer")
+    users = c.select(
+        F.col("c_custkey").alias("user_id"),
+        F.md5(F.concat(F.lit("fb|"), F.col("c_custkey").cast("string"))).alias(
+            "firebase_uid"
+        ),
+    )
+    tokens = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.md5(F.concat(F.lit("fb|"), F.col("c_custkey").cast("string"))).alias(
+            "uid"
+        )
+    ).unionByName(
+        c.filter(F.col("c_custkey") < 10).select(
+            F.md5(
+                F.concat(F.lit("nouser|"), F.col("c_custkey").cast("string"))
+            ).alias("uid")
+        )
+    )
+    matched = users.join(
+        F.broadcast(tokens), users["firebase_uid"] == tokens["uid"]
+    ).select("uid", "user_id")
+    snaps = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(matched.select("user_id")), "user_id", "left_semi")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias(
+                "username"
+            ),
+            (F.col("value") > 100).alias("is_farmhand"),
+            (F.col("event_type") == "purchase").alias("is_ranger"),
+        )
+    )
+    top = latest.latest_per_key_agg(
+        snaps, ["user_id"], "ts", tiebreak=["event_id"]
+    )
+    hydrated = matched.join(F.broadcast(top), "user_id", "left").select(
+        "uid",
+        "user_id",
+        "username",
+        F.when(F.col("is_ranger"), F.lit("ranger"))
+        .when(F.col("is_farmhand"), F.lit("farmhand"))
+        .alias("role"),
+    )
+    unmatched = tokens.join(
+        F.broadcast(matched.select("uid")), "uid", "left_anti"
+    ).select(
+        "uid",
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("string").alias("username"),
+        F.lit(None).cast("string").alias("role"),
+    )
+    return hydrated.unionByName(unmatched)
+
+
 # --------------------------------------------------------------------------
 # Scalar function parity on crafted literals (SURVEY §2.7)
 # --------------------------------------------------------------------------
@@ -8464,6 +8545,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_resolve_join": j1_resolve_join,
     "k1_insert_absent_sink": k1_insert_absent_sink,
     "j4_upsert": j4_upsert,
+    "auth_lookup_users": auth_lookup_users,
     "d1_message_cdc": d1_message_cdc,
     "k3_upsert_sink": k3_upsert_sink,
     "streaming_message_cdc": streaming_message_cdc,
