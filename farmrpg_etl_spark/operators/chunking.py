@@ -359,3 +359,78 @@ def content_defined_chunks(
             )
         ).alias("digest"),
     )
+
+
+def pack_token_ids(
+    sched: DataFrame,
+    enc: DataFrame,
+    id_col: str,
+    *,
+    seq_len: int = 512,
+) -> DataFrame:
+    """Materialize pack CONTENTS from a :func:`pack_schedule` layout
+    and a per-document token-id relation (``curation.bpe_encode``'s
+    ``(id, token_ids)``): every (document, copy) span is cut at pack
+    boundaries and each pack reassembles its segments in
+    stream-offset order — the packed shards now carry the actual
+    ``array<long>`` token sequences a training run consumes, not just
+    counts. Emits ``(pack_id, n_tokens, n_segs, token_ids)``; every
+    pack is exactly ``seq_len`` tokens except the stream's last.
+
+    ``sched.n_tok`` must equal ``size(enc.token_ids)`` per document
+    (build the schedule FROM the encoding — the registry row does).
+
+    Scale shape: the join to the id arrays is on the document key
+    (one shuffle, arrays ride the rows once per copy); the
+    pack-boundary explode is a narrow 1→≤(n_tok/seq_len + 1) flatMap;
+    the regroup shuffles each token id exactly once on the pack key.
+    Zero-token copies are excluded up front — they occupy no tokens,
+    and keeping them would put tied ``start_offset`` values into the
+    per-pack segment sort (cross-engine order would then depend on
+    array comparison instead of a unique key)."""
+    rows = sched.filter(F.col("n_tok") > 0).join(
+        enc.select(F.col(id_col), "token_ids"), id_col
+    )
+    spans = rows.select(
+        "start_offset",
+        "n_tok",
+        "token_ids",
+        F.explode(
+            F.sequence(F.col("first_pack"), F.col("last_pack"))
+        ).alias("pack_id"),
+    )
+    s = F.greatest(F.col("pack_id") * seq_len, F.col("start_offset"))
+    e = F.least(
+        (F.col("pack_id") + 1) * seq_len,
+        F.col("start_offset") + F.col("n_tok"),
+    )
+    segs = spans.select(
+        "pack_id",
+        "start_offset",
+        F.slice(
+            F.col("token_ids"),
+            (s - F.col("start_offset") + 1).cast("int"),
+            (e - s).cast("int"),
+        ).alias("seg"),
+    )
+    return (
+        segs.groupBy("pack_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("start_offset"), F.col("seg")))
+            ).alias("__segs")
+        )
+        .select(
+            "pack_id",
+            F.flatten(
+                F.transform(F.col("__segs"), lambda x: x["seg"])
+            ).alias("token_ids"),
+            F.size("__segs").cast("long").alias("n_segs"),
+        )
+        .select(
+            "pack_id",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            "n_segs",
+            "token_ids",
+        )
+    )

@@ -481,3 +481,127 @@ def bpe_token_counts(
         F.col("n_words").cast("long").alias("n_words"),
         F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )
+
+
+def _bpe_sym_ids(
+    df: DataFrame, text_col: str, merge_logs: list[DataFrame]
+) -> DataFrame:
+    """The ONE construction of the tokenizer id table ``(sym,
+    tok_id)`` from a corpus and its merge logs — shared by
+    :func:`bpe_vocab_ids` and :func:`bpe_encode` so the id assignment
+    cannot fork. Base single-character symbols get ids ``0..C-1`` in
+    lexicographic (binary-collation) order; merge round ``r``'s
+    symbol gets id ``C + r - 1`` (merge rank — the standard BPE vocab
+    layout). Two rounds can produce the SAME string (e.g. ``(a,bc)``
+    then ``(ab,c)`` → "abc"); the symbol relation is string-keyed, so
+    the string keeps its FIRST producer's id (min round) —
+    deterministic, and consistent with the string-keyed segmentation
+    :func:`_bpe_rounds` computes.
+
+    Scale: the global-order window runs over the base-character
+    alphabet (corpus-size-independent, the bpe_merge_candidates rank-
+    window safety argument) and the merge leg is ``n_merges`` rows —
+    the whole relation is broadcast-sized."""
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+    chars = F.expr(
+        "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"
+    )
+    base = (
+        df.select(F.explode(toks).alias("w"))
+        .select(F.explode(chars).alias("sym"))
+        .distinct()
+    )
+    w_sym = Window.orderBy(F.col("sym").asc())
+    base_ids = base.withColumn(
+        "tok_id", (F.row_number().over(w_sym) - F.lit(1)).cast("long")
+    )
+    n_base = base_ids.agg(F.count(F.lit(1)).alias("__nb"))
+    merges = merge_logs[0]
+    for m in merge_logs[1:]:
+        merges = merges.unionByName(m)
+    merge_ids = (
+        merges.crossJoin(F.broadcast(n_base))
+        .select(
+            F.concat(F.col("pair_a"), F.col("pair_b")).alias("sym"),
+            (F.col("__nb") + F.col("round") - F.lit(1))
+            .cast("long")
+            .alias("tok_id"),
+        )
+        .groupBy("sym")
+        .agg(F.min("tok_id").alias("tok_id"))
+    )
+    return base_ids.unionByName(merge_ids)
+
+
+def bpe_vocab_ids(
+    df: DataFrame, text_col: str, n_merges: int = 3
+) -> DataFrame:
+    """The trained tokenizer's id table — ``(sym, tok_id)``; see
+    :func:`_bpe_sym_ids` for the layout and determinism argument."""
+    merge_logs, _rows = _bpe_rounds(df, text_col, n_merges, rewrite_last=False)
+    return _bpe_sym_ids(df, text_col, merge_logs)
+
+
+def bpe_encode(
+    df: DataFrame, text_col: str, id_col: str, n_merges: int = 3
+) -> DataFrame:
+    """ENCODE the corpus with the trained tokenizer — the step
+    :func:`bpe_token_counts` stops short of: per document the ordered
+    ``array<long>`` of BPE token ids (base alphabet + merge-rank ids,
+    :func:`_bpe_sym_ids`). Emits ``(id, n_bpe_tokens, token_ids)``;
+    a NULL/empty document encodes to the empty array.
+
+    Scale shape: segmentation is still paid per VOCAB ENTRY — after
+    the merge rounds each vocab word's symbol sequence maps to its id
+    sequence once (vocab-sized join + per-word collect over ≤
+    word-length rows); the corpus then joins its (id, word-position,
+    word) instances to that id-sequence table on the word key (one
+    corpus shuffle) and reassembles per document (one groupBy). The
+    per-document collect is bounded by document length — exactly the
+    row a token-id shard ships, so the size is the payload, not an
+    artifact of the plan."""
+    merge_logs, rows = _bpe_rounds(df, text_col, n_merges)
+    sym_ids = _bpe_sym_ids(df, text_col, merge_logs)
+    # per-vocab-word id sequence, ordered by symbol position
+    wseq = (
+        rows.join(sym_ids, "sym")
+        .groupBy("w")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("p"), F.col("tok_id")))
+            ).alias("__ps")
+        )
+        .select(
+            "w",
+            F.transform(F.col("__ps"), lambda s: s["tok_id"]).alias("ids"),
+        )
+    )
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+    inst = df.select(
+        F.col(id_col), F.posexplode_outer(toks).alias("wpos", "w")
+    )
+    enc = (
+        inst.join(wseq, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("wpos"), F.col("ids")))
+            ).alias("__ws")
+        )
+        .select(
+            id_col,
+            F.flatten(
+                F.transform(
+                    F.filter(
+                        F.col("__ws"), lambda s: s["ids"].isNotNull()
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids"),
+        )
+    )
+    return enc.select(
+        id_col,
+        F.size("token_ids").cast("long").alias("n_bpe_tokens"),
+        "token_ids",
+    )

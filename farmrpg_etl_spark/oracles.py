@@ -4802,6 +4802,106 @@ ORACLES["bpe_merges_docs"] = _bpe_merges_sql(3)
 ORACLES["bpe_token_counts_docs"] = _bpe_token_counts_sql(3)
 
 
+def _bpe_encode_cte(n_merges: int = 3) -> str:
+    """The encode-to-ids CTE chain: the unrolled merge rounds, the
+    vocab id table (base alphabet 0..C-1 lexicographic, then one id
+    per merge in rank order, duplicate merge strings keep their first
+    producer's id — ``curation._bpe_sym_ids``), the per-vocab-word id
+    sequences, and per-document id arrays reassembled in word order.
+    Ends with an ``enc(doc_id, source, tid, n_tok)`` CTE."""
+    head = _bpe_merges_sql(n_merges)
+    head = head[: head.index("\nSELECT 1 AS round")]
+    final = n_merges + 1
+    merge_union = "\n    UNION ALL ".join(
+        f"SELECT {r} AS rnd, pa, pb FROM top{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""{head}
+, vchars AS (
+  SELECT DISTINCT w[i:i] AS sym
+  FROM v, unnest(generate_series(1, len(w))) AS t(i)),
+base_ids AS (
+  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tok_id
+  FROM vchars),
+nb AS (SELECT count(*) AS n FROM base_ids),
+merge_ids AS (
+  SELECT sym, min(tok_id) AS tok_id FROM (
+    SELECT pa || pb AS sym,
+           CAST((SELECT n FROM nb) + rnd - 1 AS BIGINT) AS tok_id
+    FROM ({merge_union}))
+  GROUP BY sym),
+sym_ids AS (SELECT * FROM base_ids UNION ALL SELECT * FROM merge_ids),
+wseq AS (
+  SELECT w, list(tok_id ORDER BY p) AS ids
+  FROM r{final} JOIN sym_ids USING (sym) GROUP BY w),
+dd AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+inst AS (
+  SELECT doc_id, i AS wpos, toks[i] AS w
+  FROM dd, unnest(generate_series(1, len(toks))) AS t(i)),
+denc AS (
+  SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS tid
+  FROM inst JOIN wseq USING (w) GROUP BY doc_id),
+enc AS (
+  SELECT dd.doc_id, dd.source,
+         coalesce(tid, CAST([] AS BIGINT[])) AS tid,
+         CAST(coalesce(len(tid), 0) AS BIGINT) AS n_tok
+  FROM dd LEFT JOIN denc USING (doc_id))"""
+
+
+ORACLES["bpe_encode_docs"] = (
+    _bpe_encode_cte(3)
+    + """
+SELECT doc_id, n_tok AS n_bpe_tokens, array_to_string(tid, ',') AS ids
+FROM enc
+"""
+)
+
+# Packed shards with real token sequences: replication schedule over
+# the encoded counts (n_copies = 1 + doc_id % 2), md5-shuffled stream
+# cumsum, spans cut at 64-token pack boundaries, per-pack segments
+# reassembled in stream-offset order (curation.bpe_encode →
+# chunking.pack_schedule → chunking.pack_token_ids).
+ORACLES["token_id_packs_docs"] = (
+    _bpe_encode_cte(3)
+    + """
+, asm AS (
+  SELECT doc_id, source, n_tok, tid, 1 + doc_id % 2 AS n_copies FROM enc),
+ex AS (
+  SELECT doc_id, source, n_tok, tid, copy
+  FROM asm, unnest(generate_series(1, n_copies)) AS t(copy)
+  WHERE n_copies > 0),
+okey AS (
+  SELECT *, md5(source || '|' || CAST(doc_id AS VARCHAR)
+                || '|' || CAST(copy AS VARCHAR)) AS ok
+  FROM ex),
+cum AS (
+  SELECT *, CAST(SUM(n_tok) OVER (
+      ORDER BY ok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS cum
+  FROM okey),
+spans AS (
+  SELECT doc_id, tid, cum - n_tok AS start_offset, n_tok,
+         (cum - n_tok) // 64 AS first_pack,
+         greatest(cum - 1, cum - n_tok) // 64 AS last_pack
+  FROM cum WHERE n_tok > 0),
+segs AS (
+  SELECT pack_id, start_offset,
+         tid[CAST(greatest(pack_id * 64, start_offset) - start_offset + 1
+                  AS BIGINT)
+             : CAST(least((pack_id + 1) * 64, start_offset + n_tok)
+                    - start_offset AS BIGINT)] AS seg
+  FROM spans, unnest(generate_series(first_pack, last_pack)) AS t(pack_id)),
+packs AS (
+  SELECT pack_id, flatten(list(seg ORDER BY start_offset)) AS tid,
+         CAST(count(*) AS BIGINT) AS n_segs
+  FROM segs GROUP BY pack_id)
+SELECT pack_id, CAST(len(tid) AS BIGINT) AS n_tokens, n_segs,
+       array_to_string(tid, ',') AS ids
+FROM packs
+"""
+)
+
+
 # pollsource: kh constants are md5-derived per room (same formula as
 # sources/pollsource.synth_poll_body), inlined at oracle-build time
 import hashlib as _hashlib

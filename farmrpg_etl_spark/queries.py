@@ -1064,6 +1064,68 @@ def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.bpe_token_counts(d, "text", "doc_id", n_merges=3)
 
 
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE-TO-IDS — the tokenizer loop's final artifact (r16
+    verdict #2): per document the ordered BPE token-ID sequence under
+    the 3-merge learned tokenizer (`curation.bpe_encode`). Vocab ids
+    are the standard layout — base alphabet 0..C-1 lexicographic,
+    then one id per merge in rank order; segmentation stays paid per
+    VOCAB ENTRY and the corpus joins its word instances to the
+    per-word id sequences (one shuffle) and reassembles per document.
+    The id string is comma-joined for the cross-engine hash (the
+    `minhash_signatures_docs` convention)."""
+    from farmrpg_etl_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    enc = curation.bpe_encode(d, "text", "doc_id", n_merges=3)
+    ids = F.concat_ws(
+        ",", F.transform(F.col("token_ids"), lambda v: v.cast("string"))
+    )
+    return enc.select("doc_id", "n_bpe_tokens", ids.alias("ids"))
+
+
+def token_id_packs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed training shards carrying REAL token sequences (r16
+    verdict #2's second half): BPE-encode the corpus
+    (`curation.bpe_encode`), build a replication schedule over the
+    encoded token counts (n_copies = 1 + doc_id % 2 — a deterministic
+    stand-in for an epoch-fill schedule), lay it out with
+    `chunking.pack_schedule` (md5-shuffled stream, distributed prefix
+    sum, 64-token packs), then materialize each pack's contents with
+    `chunking.pack_token_ids` — per pack the exact ``array<long>`` id
+    sequence a training run consumes. Every pack is 64 tokens except
+    the stream's last (pinned by pytest); the oracle replays
+    encode → schedule → cumsum → per-pack regroup in SQL.
+
+    Scale: encode as `bpe_encode_docs`; the schedule explode is a
+    narrow flatMap; offsets come from the bucketed prefix sum (no
+    single-task sort); the regroup shuffles each token id once on the
+    pack key."""
+    from farmrpg_etl_spark.operators import curation
+    from farmrpg_etl_spark.operators.chunking import (
+        pack_schedule,
+        pack_token_ids,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    enc = curation.bpe_encode(d, "text", "doc_id", n_merges=3).localCheckpoint()
+    assembled = enc.join(
+        d.select("doc_id", "source"), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_bpe_tokens").alias("n_tok"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("long").alias("n_copies"),
+        "token_ids",
+    )
+    sched = pack_schedule(assembled, "doc_id", "source", seq_len=64)
+    packs = pack_token_ids(sched, assembled, "doc_id", seq_len=64)
+    ids = F.concat_ws(
+        ",", F.transform(F.col("token_ids"), lambda v: v.cast("string"))
+    )
+    return packs.select("pack_id", "n_tokens", "n_segs", ids.alias("ids"))
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation: language-ID gate → quality
     threshold → exact near-dup removal → per-source corpus stats. The
@@ -8664,6 +8726,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cut_dup_span_docs": cut_dup_span_docs,
     "bpe_merges_docs": bpe_merges_docs,
     "bpe_token_counts_docs": bpe_token_counts_docs,
+    "bpe_encode_docs": bpe_encode_docs,
+    "token_id_packs_docs": token_id_packs_docs,
     "ann_recall_ivf_tuned": ann_recall_ivf_tuned,
     "training_data_pipeline": training_data_pipeline,
     "parse_profile_roundtrip": parse_profile_roundtrip,

@@ -236,3 +236,89 @@ def test_bpe_token_counts_matches_reference_encoder(spark):
     }
     assert got == expected
     assert got[3] == (0, 0)  # empty doc kept, zero counts
+
+
+def test_bpe_encode_ids_and_layout(spark):
+    """Merge-rank id stability: base alphabet 0..C-1 lexicographic,
+    merge r -> C + r - 1, encoding matches the hand-derived greedy
+    segmentation; NULL/empty docs encode to the empty array."""
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low new"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    vocab = {
+        r["sym"]: r["tok_id"]
+        for r in curation.bpe_vocab_ids(df, "text", 3).collect()
+    }
+    # base alphabet: e l n o r s t w -> 0..7; merges lo, low, lowe
+    assert vocab == {
+        "e": 0, "l": 1, "n": 2, "o": 3, "r": 4, "s": 5, "t": 6, "w": 7,
+        "lo": 8, "low": 9, "lowe": 10,
+    }
+    enc = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in curation.bpe_encode(df, "text", "doc_id", 3).collect()
+    }
+    assert enc == {
+        1: [9, 10, 4, 10, 5, 6],  # low | lowe r | lowe s t
+        2: [9, 9, 2, 0, 7],       # low | low | n e w
+        3: [],
+        4: [],
+    }
+
+
+def test_bpe_encode_counts_agree_with_token_counts(spark):
+    """size(bpe_encode.token_ids) == bpe_token_counts.n_bpe_tokens on
+    a multi-word corpus — the two views of the trained tokenizer
+    cannot fork."""
+    rows = [(i, f"ab ab{i % 3} ba abab " * (1 + i % 4)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in curation.bpe_encode(df, "text", "doc_id", 3).collect()
+    }
+    b = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in curation.bpe_token_counts(df, "text", "doc_id", 3).collect()
+    }
+    assert a == b
+
+
+def test_pack_token_ids_exact_packs(spark):
+    """Every pack is exactly seq_len tokens except the stream's last;
+    concatenating packs in pack_id order reproduces the scheduled
+    stream; n_segs counts the spanning documents."""
+    from farmrpg_etl_spark.operators.chunking import (
+        pack_schedule,
+        pack_token_ids,
+    )
+
+    rows = [(i, "s%d" % (i % 2), list(range(i * 100, i * 100 + 5 + i)))
+            for i in range(8)]
+    asm = spark.createDataFrame(
+        rows, "doc_id long, source string, token_ids array<long>"
+    ).select(
+        "doc_id",
+        "source",
+        F.size("token_ids").cast("long").alias("n_tok"),
+        F.lit(2).cast("long").alias("n_copies"),
+        "token_ids",
+    )
+    sched = pack_schedule(asm, "doc_id", "source", seq_len=16)
+    packs = pack_token_ids(sched, asm, "doc_id", seq_len=16).collect()
+    total = sum(5 + i for i in range(8)) * 2
+    by_id = {r["pack_id"]: r for r in packs}
+    n_packs = (total + 15) // 16
+    assert sorted(by_id) == list(range(n_packs))
+    for pid, r in by_id.items():
+        want = 16 if pid < n_packs - 1 else total - 16 * (n_packs - 1)
+        assert r["n_tokens"] == want == len(r["token_ids"])
+        assert r["n_segs"] >= 1
+    # the concatenated stream holds every copy's ids, in schedule order
+    stream = [t for pid in sorted(by_id) for t in by_id[pid]["token_ids"]]
+    sched_rows = sched.filter(F.col("n_tok") > 0).orderBy("start_offset")
+    expect = []
+    ids_by_doc = {r[0]: r[2] for r in rows}
+    for s in sched_rows.collect():
+        expect.extend(ids_by_doc[s["doc_id"]])
+    assert stream == expect
