@@ -1558,3 +1558,316 @@ def c4_fineweb_signals(
             & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
         ).alias("keep_gopher"),
     )
+
+
+# Hashed-feature classifier geometry (the DCLM/fastText shape: word +
+# word-bigram grams hashed into a fixed bucket space). Shared by the
+# Spark operators below and the oracle template — interpolate, don't
+# duplicate (the LOGIT_* constants' regime).
+HL_BUCKETS = 4096
+HL_TF_SCALE = 100
+# eta ~ 1/(active buckets per document): a ~100-gram document touches
+# ~100 buckets of x ~ HL_TF_SCALE/n_grams ~ 1, so the per-round logit
+# drift is ~ active_buckets * eta — eta 1/16 keeps it inside the hard
+# sigmoid's linear band (measured: eta 0.125+ oscillates and agreement
+# collapses to the base rate; 0.0625 climbs monotonically to ~0.70
+# teacher agreement by round 10 at sf0.01)
+HL_ETA = 0.0625
+HL_ROUNDS = 10
+
+
+def hashed_logit_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = HL_BUCKETS,
+) -> DataFrame:
+    """Sparse hashed bag-of-grams features — ``(id, bucket, x)``: the
+    document's words and word bigrams hash into ``n_buckets`` via the
+    portable md5-slice hash (``conv(substr(md5(g),1,8),16,10) %
+    n_buckets`` — bit-identical in Spark and DuckDB, the `_bloom_pos`
+    primitive), and ``x`` is the bucket's gram count normalized by
+    the document's total gram count, round-quantized to 6 decimals
+    (engine-portable doubles, the `logit_features` discipline). This
+    is how production quality classifiers actually featurize (DCLM's
+    fastText teacher: hashed word/bigram buckets), replacing the
+    4 hand-picked scalars of :func:`logit_features` with a
+    corpus-derived feature space.
+
+    A document with no grams emits NO rows (its score is bias-only);
+    NULL text behaves like the empty document.
+
+    Scale shape: one explode to gram instances (narrow), one
+    ``(id, bucket)`` count aggregate with map-side partial combine —
+    a single keyed shuffle; no UDF, no collect."""
+    if not (isinstance(n_buckets, int) and n_buckets >= 2):
+        raise ValueError(
+            f"n_buckets must be an int >= 2, got {n_buckets!r}"
+        )
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+    # returning empty — single-word docs must skip the bigram leg
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1), "
+            "i -> concat(element_at(__toks, i), ' ', "
+            "element_at(__toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(
+        F.col(id_col),
+        F.concat(F.col("__toks"), bigrams).alias("__g"),
+    )
+    inst = g.select(
+        F.col(id_col),
+        F.size("__g").cast("long").alias("__ng"),
+        F.explode("__g").alias("__gram"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % F.lit(n_buckets)
+    )
+    return (
+        inst.groupBy(F.col(id_col), F.col("__ng"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        .select(
+            id_col,
+            "bucket",
+            F.round(
+                F.lit(float(HL_TF_SCALE))
+                * F.col("__cnt").cast("double")
+                / F.col("__ng").cast("double"),
+                6,
+            ).alias("x"),
+        )
+    )
+
+
+def logit_train_hashed(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    label_col: str,
+    *,
+    eta: float = HL_ETA,
+    rounds: int = HL_ROUNDS,
+) -> DataFrame:
+    """Distributed full-batch GD over the SPARSE hashed feature
+    relation — :func:`logit_train` generalized from 4 dense columns
+    to thousands of hashed buckets, which is the production shape of
+    a trained quality filter (DCLM/fastText: hashed grams → linear
+    model). Weights live as a RELATION keyed by bucket (never a wide
+    row, never collected); the per-document logit is an exact integer
+    sum of ``w_micros · x_micros`` products (DECIMAL(38,0) — order-
+    independent, so the thousands-of-terms-per-document sum is
+    engine-portable where a double sum would not be), pushed through
+    the same hard-sigmoid / floor-to-micros residual as the dense
+    trainer; per-bucket gradients are ONE keyed aggregate per round.
+    Every round's weights round-quantize to 6 decimals, so the DuckDB
+    oracle replays the whole trajectory exactly.
+
+    ``labels`` must carry one NON-NULL 0/1 ``label_col`` row per
+    document (documents with no feature rows still train the bias).
+    Returns ``(step, bucket, w)`` for step 0..rounds, with bucket -1
+    carrying the bias.
+
+    Scale shape: per round — one broadcast join of the bucket-sized
+    weight relation into the feature scan, one id-keyed aggregate
+    (the logit), one id-keyed join back (residuals), one bucket-keyed
+    aggregate (gradients). K rounds = K passes over a checkpointed
+    skinny feature leaf; the honest full-batch cost, all map-side-
+    combining, no collect, no UDF."""
+    if not (isinstance(rounds, int) and rounds >= 1):
+        raise ValueError(f"rounds must be a positive int, got {rounds!r}")
+    if not (isinstance(eta, (int, float)) and eta > 0):
+        raise ValueError(f"eta must be a positive number, got {eta!r}")
+    from farmrpg_etl_spark.operators.iterate import truncate_lineage
+
+    f = feats.select(
+        F.col(id_col).alias("__id"),
+        "bucket",
+        F.round(F.col("x") * F.lit(1000000.0)).cast("long").alias("__xm"),
+    ).localCheckpoint()
+    lab = labels.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("long").alias("__y"),
+    ).localCheckpoint()
+    nrow = lab.agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1).cast("long")).alias("__n")
+    ).localCheckpoint()
+    w = truncate_lineage(
+        f.select("bucket").distinct().select(
+            "bucket", F.lit(0.0).alias("w")
+        )
+    )
+    bias = truncate_lineage(
+        lab.sparkSession.range(1).select(F.lit(0.0).alias("w_bias"))
+    )
+    out = w.select(F.lit(0).alias("step"), "bucket", "w").unionByName(
+        bias.select(
+            F.lit(0).alias("step"),
+            F.lit(-1).cast("long").alias("bucket"),
+            F.col("w_bias").alias("w"),
+        )
+    )
+    denom = F.col("__n").cast("double") * F.lit(1000000000000.0)
+    for t in range(1, rounds + 1):
+        zs = (
+            f.join(F.broadcast(w), "bucket")
+            .select(
+                "__id",
+                (
+                    F.round(F.col("w") * F.lit(1000000.0)).cast("long")
+                    * F.col("__xm")
+                ).cast("decimal(38,0)").alias("__zp"),
+            )
+            .groupBy("__id")
+            .agg(F.sum("__zp").alias("__zp"))
+        )
+        d = (
+            lab.join(zs, "__id", "left")
+            .crossJoin(F.broadcast(bias))
+        )
+        z = F.round(
+            F.coalesce(F.col("__zp").cast("double"), F.lit(0.0))
+            / F.lit(1000000000000.0)
+            + F.col("w_bias"),
+            6,
+        )
+        s = F.least(
+            F.greatest(F.lit(0.5) + z / F.lit(4.0), F.lit(0.0)), F.lit(1.0)
+        )
+        r = (
+            F.floor(s * F.lit(1000000.0)).cast("long")
+            - F.col("__y") * F.lit(1000000).cast("long")
+        )
+        res = d.select("__id", r.alias("__r")).localCheckpoint()
+        bagg = res.agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("__r") * F.lit(1000000).cast("long")).cast(
+                        "decimal(38,0)"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__g")
+        )
+        bias = truncate_lineage(
+            bias.crossJoin(bagg)
+            .crossJoin(F.broadcast(nrow))
+            .select(
+                (
+                    F.round(
+                        F.col("w_bias")
+                        - F.lit(float(eta))
+                        * (F.col("__g").cast("double") / denom),
+                        6,
+                    )
+                    + F.lit(0.0)  # normalize -0.0 (cross-engine hash)
+                ).alias("w_bias")
+            )
+        )
+        gb = (
+            f.join(res, "__id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    (F.col("__r") * F.col("__xm")).cast("decimal(38,0)")
+                ).alias("__g")
+            )
+        )
+        w = truncate_lineage(
+            w.join(gb, "bucket", "left")
+            .crossJoin(F.broadcast(nrow))
+            .select(
+                "bucket",
+                (
+                    F.round(
+                        F.col("w")
+                        - F.lit(float(eta))
+                        * (
+                            F.coalesce(
+                                F.col("__g"), F.lit(0).cast("decimal(38,0)")
+                            ).cast("double")
+                            / denom
+                        ),
+                        6,
+                    )
+                    + F.lit(0.0)  # normalize -0.0 (cross-engine hash)
+                ).alias("w"),
+            )
+        )
+        out = out.unionByName(
+            w.select(F.lit(t).alias("step"), "bucket", "w")
+        ).unionByName(
+            bias.select(
+                F.lit(t).alias("step"),
+                F.lit(-1).cast("long").alias("bucket"),
+                F.col("w_bias").alias("w"),
+            )
+        )
+    return out
+
+
+def hashed_logit_score(
+    feats: DataFrame,
+    labels: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Score documents against TRAINED hashed weights (the final
+    step's ``(bucket, w)`` rows, bucket -1 = bias): the logit is the
+    same exact integer ``w_micros · x_micros`` sum the trainer used,
+    so train-time and serve-time scores cannot diverge. Emits
+    ``(id, score, label, rule_y)`` — label is the quantized score's
+    sign, the teacher verdict rides along.
+
+    Scale: bucket-sized broadcast join + one id-keyed aggregate; the
+    per-document decision is stateless, which is what makes the
+    streaming twin a pure per-batch projection."""
+    wb = weights.filter(F.col("bucket") >= 0)
+    bias = weights.filter(F.col("bucket") == -1).select(
+        F.col("w").alias("w_bias")
+    )
+    f = feats.select(
+        F.col(id_col).alias("__id"),
+        "bucket",
+        F.round(F.col("x") * F.lit(1000000.0)).cast("long").alias("__xm"),
+    )
+    zs = (
+        f.join(F.broadcast(wb), "bucket")
+        .select(
+            "__id",
+            (
+                F.round(F.col("w") * F.lit(1000000.0)).cast("long")
+                * F.col("__xm")
+            ).cast("decimal(38,0)").alias("__zp"),
+        )
+        .groupBy("__id")
+        .agg(F.sum("__zp").alias("__zp"))
+    )
+    d = labels.join(
+        zs, labels[id_col] == zs["__id"], "left"
+    ).crossJoin(F.broadcast(bias))
+    score = (
+        F.round(
+            F.coalesce(F.col("__zp").cast("double"), F.lit(0.0))
+            / F.lit(1000000000000.0)
+            + F.col("w_bias"),
+            6,
+        )
+        + F.lit(0.0)  # normalize -0.0 (cross-engine hash)
+    )
+    return d.select(
+        id_col,
+        score.alias("score"),
+        F.when(score >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+        F.col("y").cast("long").alias("rule_y"),
+    )

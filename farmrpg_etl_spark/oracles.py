@@ -7138,3 +7138,126 @@ ORACLES["streaming_pipeline_v9"] = ORACLES["training_data_pipeline_v9"]
 # frozen 1-row weights — union over batches == the batch scoring, so
 # the shared oracle pins stream ≡ batch cross-engine.
 ORACLES["streaming_logit_filter_docs"] = ORACLES["logit_train_filter_docs"]
+
+# Hashed-feature classifier (DCLM/fastText shape): constants from the
+# SAME quality.py module the Spark side trains with.
+from farmrpg_etl_spark.operators.quality import (  # noqa: E402
+    HL_BUCKETS as _HL_BUCKETS,
+    HL_ETA as _HL_ETA,
+    HL_ROUNDS as _HL_ROUNDS,
+    HL_TF_SCALE as _HL_TF_SCALE,
+)
+
+
+def _hl_chain(rounds: float, eta: float) -> str:
+    """CTE chain for the hashed classifier: word+bigram grams hashed
+    into buckets (portable '0x'||md5-slice), tf features ×HL_TF_SCALE
+    quantized to micros, then ``rounds`` unrolled GD rounds with the
+    weights as a bucket-keyed relation — per-document logit = exact
+    DECIMAL(38,0) Σ w_micros·x_micros, hard sigmoid floor-quantized,
+    per-bucket gradient one keyed aggregate. Mirrors
+    ``quality.logit_train_hashed`` step for step; appends to the
+    ``_LT_FEATS`` chain (labels come from lt_lab). AS MATERIALIZED on
+    every multiply-referenced CTE — DuckDB re-inlines otherwise and
+    the K-round chain explodes (the KN5 lesson)."""
+    denom = (
+        "(CAST((SELECT n FROM hl_n) AS DOUBLE) * 1000000000000.0)"
+    )
+    parts = [
+        f"""
+hl_gr AS MATERIALIZED (
+  SELECT doc_id,
+         list_concat(toks, CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM d),
+hl_inst AS (
+  SELECT doc_id, len(grams) AS ng, unnest(grams) AS g FROM hl_gr),
+hl_f AS MATERIALIZED (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {_HL_BUCKETS}
+           AS bucket,
+         CAST(round(round(({_HL_TF_SCALE}.0 * CAST(count(*) AS DOUBLE))
+                          / CAST(ng AS DOUBLE), 6)
+                    * 1000000.0) AS BIGINT) AS xm
+  FROM hl_inst GROUP BY doc_id, ng, bucket),
+hl_n AS (SELECT greatest(count(*), 1) AS n FROM lt_lab),
+hw0 AS MATERIALIZED (
+  SELECT DISTINCT bucket, 0.0 AS w FROM hl_f),
+hb0 AS (SELECT 0.0 AS wb)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+hz{t} AS MATERIALIZED (
+  SELECT f.doc_id,
+         SUM(CAST(CAST(round(w.w * 1000000.0) AS BIGINT) * f.xm
+                  AS DECIMAL(38,0))) AS zp
+  FROM hl_f f JOIN hw{t - 1} w USING (bucket) GROUP BY f.doc_id),
+hr{t} AS MATERIALIZED (
+  SELECT l.doc_id,
+         CAST(floor(least(greatest(
+             0.5 + round(coalesce(CAST(zp AS DOUBLE), 0.0)
+                         / 1000000000000.0 + b.wb, 6) / 4.0,
+             0.0), 1.0) * 1000000.0) AS BIGINT)
+           - l.y * 1000000 AS r
+  FROM lt_lab l LEFT JOIN hz{t} USING (doc_id) CROSS JOIN hb{t - 1} b),
+hb{t} AS (
+  SELECT round(b.wb - {eta} * (
+      CAST(coalesce((SELECT SUM(CAST(r * 1000000 AS DECIMAL(38,0)))
+                     FROM hr{t}), 0) AS DOUBLE) / {denom}), 6) + 0.0 AS wb
+  FROM hb{t - 1} b),
+hg{t} AS (
+  SELECT f.bucket, SUM(CAST(r.r * f.xm AS DECIMAL(38,0))) AS g
+  FROM hl_f f JOIN hr{t} r USING (doc_id) GROUP BY f.bucket),
+hw{t} AS MATERIALIZED (
+  SELECT w.bucket, round(w.w - {eta} * (
+      CAST(coalesce(g.g, 0) AS DOUBLE) / {denom}), 6) + 0.0 AS w
+  FROM hw{t - 1} w LEFT JOIN hg{t} g USING (bucket))""")
+    return ",".join(parts)
+
+
+ORACLES["logit_train_hashed_docs"] = (
+    _LT_FEATS
+    + _hl_chain(_HL_ROUNDS, _HL_ETA)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS step, bucket, w FROM hw{t}"
+        f"\nUNION ALL SELECT CAST({t} AS INT) AS step,"
+        f" CAST(-1 AS BIGINT) AS bucket, wb AS w FROM hb{t}"
+        for t in range(_HL_ROUNDS + 1)
+    )
+    + "\n"
+)
+
+# Train -> deploy: score every document against the final round's
+# bucket-keyed weights with the same exact integer logit the trainer
+# used; label on the quantized score's sign, rule_y rides along.
+ORACLES["logit_hashed_filter_docs"] = (
+    _LT_FEATS
+    + _hl_chain(_HL_ROUNDS, _HL_ETA)
+    + f""",
+hzf AS (
+  SELECT f.doc_id,
+         SUM(CAST(CAST(round(w.w * 1000000.0) AS BIGINT) * f.xm
+                  AS DECIMAL(38,0))) AS zp
+  FROM hl_f f JOIN hw{_HL_ROUNDS} w USING (bucket) GROUP BY f.doc_id),
+hsc AS (
+  SELECT l.doc_id,
+         round(coalesce(CAST(zp AS DOUBLE), 0.0) / 1000000000000.0
+               + b.wb, 6) + 0.0 AS score,
+         l.y
+  FROM lt_lab l LEFT JOIN hzf USING (doc_id)
+  CROSS JOIN hb{_HL_ROUNDS} b)
+SELECT doc_id, score,
+       CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label,
+       y AS rule_y
+FROM hsc
+"""
+)
+
+# Frozen bucket-keyed weights + stateless per-document scoring: the
+# union over micro-batches IS the batch scoring.
+ORACLES["streaming_logit_hashed_filter_docs"] = ORACLES[
+    "logit_hashed_filter_docs"
+]

@@ -8416,6 +8416,131 @@ def streaming_logit_filter_docs(
     return sink.read()
 
 
+def _hashed_logit_trained(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(full hashed-weight trajectory, final-step (bucket, w) rows —
+    bucket -1 = bias). One definition shared by the trainer row, the
+    deployed filter, and the streaming twin (the `_logit_trained`
+    regime, so the family cannot fork from the oracle constants)."""
+    from farmrpg_etl_spark.operators.quality import (
+        HL_ROUNDS,
+        hashed_logit_features,
+        logit_train_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_logit_features(docs, "text", "doc_id")
+    lab = _logit_labeled(spark, sf_dir)
+    traj = logit_train_hashed(feats, lab, "doc_id", "y")
+    final = traj.filter(F.col("step") == HL_ROUNDS).select("bucket", "w")
+    return traj, final
+
+
+def logit_train_hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained quality classifier in its PRODUCTION feature shape
+    (r16 verdict #3 — the DCLM/fastText recipe): words + word bigrams
+    hash into 4096 buckets (`quality.hashed_logit_features`, portable
+    md5-slice hash, tf normalized ×100), and
+    `quality.logit_train_hashed` runs 10 rounds of full-batch hard-
+    sigmoid GD with the weights as a bucket-keyed RELATION — the
+    per-document logit is an exact integer Σ w_micros·x_micros
+    (DECIMAL(38,0), order-independent where a thousands-of-terms
+    double sum is not), per-bucket gradients are one keyed aggregate
+    per round, and every round quantizes back to 6 decimals. The
+    oracle replays ALL 10 rounds, pinning the whole (step, bucket, w)
+    trajectory — ~0.70 teacher-rule agreement by round 10 at sf0.01
+    (pinned by pytest).
+
+    Scale: per round one broadcast join of the bucket-sized weights
+    into the feature scan + two keyed aggregates; K passes over a
+    checkpointed skinny feature leaf — no collect, no UDF, no wide
+    row."""
+    traj, _ = _hashed_logit_trained(spark, sf_dir)
+    return traj
+
+
+def logit_hashed_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → DEPLOY for the hashed classifier: score every document
+    against the final round's bucket-keyed weights with the SAME
+    exact integer logit the trainer used (`quality.
+    hashed_logit_score` — train-time and serve-time scores cannot
+    diverge), label on the quantized score's sign, teacher verdict
+    riding along. Oracle recomputes the training chain AND the
+    scoring join.
+
+    Scale: bucket-sized broadcast join + one id-keyed aggregate over
+    the corpus — no keyed shuffle beyond the logit aggregate, no
+    collect, no UDF."""
+    from farmrpg_etl_spark.operators.quality import (
+        hashed_logit_features,
+        hashed_logit_score,
+    )
+
+    _, final = _hashed_logit_trained(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_logit_features(docs, "text", "doc_id")
+    lab = _logit_labeled(spark, sf_dir)
+    return hashed_logit_score(feats, lab, final, "doc_id")
+
+
+def streaming_logit_hashed_filter_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hashed classifier in its deployment regime (the frozen-
+    globals pattern, r16 verdict #6): training needs the whole-corpus
+    gradient so it runs batch-side per snapshot; the frozen artifact
+    is the BUCKET-KEYED weight relation (broadcast-sized by
+    construction — ≤ 4096 rows + bias), and each arriving micro-batch
+    featurizes and scores its own documents against it — a stateless
+    per-document decision, so the union over batches IS the batch
+    scoring and the row shares `logit_hashed_filter_docs`' oracle
+    verbatim (stream ≡ batch cross-engine).
+
+    Scale: per-trigger work is the batch's gram explode + one keyed
+    count + the broadcast scoring join — no state, no collect."""
+    from farmrpg_etl_spark.operators.quality import (
+        hashed_logit_features,
+        hashed_logit_score,
+    )
+    from farmrpg_etl_spark.sinks.writers import ParquetTable, insert_if_absent
+
+    _, final = _hashed_logit_trained(spark, sf_dir)
+    final = final.localCheckpoint()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    src_dir = scratch_dir("hlogit_s")
+    n_batches = 4
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = ParquetTable(spark, _sink_scratch("hlogitsink"))
+
+    def proc(batch_df: DataFrame, batch_id: int) -> None:
+        feats = hashed_logit_features(batch_df, "text", "doc_id")
+        lab = _logit_labeled(spark, sf_dir, docs=batch_df)
+        out = hashed_logit_score(feats, lab, final, "doc_id")
+        insert_if_absent(
+            sink, out, ["doc_id"], batch_id=batch_id, writer="hlogitstream"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(proc)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return sink.read()
+
+
 def streaming_pipeline_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v9 — the FULL BUILD — in its deployment regime, completing the
     frozen-globals twin ladder (v6 → v7 → v8 → splits → v9): per
@@ -8533,6 +8658,9 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logit_train_docs": logit_train_docs,
     "logit_train_filter_docs": logit_train_filter_docs,
     "streaming_logit_filter_docs": streaming_logit_filter_docs,
+    "logit_train_hashed_docs": logit_train_hashed_docs,
+    "logit_hashed_filter_docs": logit_hashed_filter_docs,
+    "streaming_logit_hashed_filter_docs": streaming_logit_hashed_filter_docs,
     "streaming_pipeline_v9": streaming_pipeline_v9,
     "bloom_bitmap_decontaminate_docs": bloom_bitmap_decontaminate_docs,
     "k_schema_evolve_sink": k_schema_evolve_sink,

@@ -180,3 +180,107 @@ def test_logit_train_validates_args(spark):
             "doc_id",
             ntok_scale=0,
         )
+
+
+def test_hashed_features_shape_and_quantization(spark):
+    from farmrpg_etl_spark.operators.quality import (
+        HL_TF_SCALE,
+        hashed_logit_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "solo"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = hashed_logit_features(df, "text", "doc_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: grams = aa bb aa + bigrams "aa bb" "bb aa" -> 5 grams,
+    # bucket for 'aa' holds 2 -> x = 100 * 2/5
+    xs = sorted(x.x for x in by_doc[1])
+    assert xs == sorted(
+        [round(HL_TF_SCALE * c / 5.0, 6) for c in (2, 1, 1, 1)]
+    )
+    # single-word doc: no bigram leg (Spark sequence(1,0) DESCENDS —
+    # the guard must keep it out), one gram
+    assert len(by_doc[2]) == 1 and by_doc[2][0].x == 100.0
+    # empty/NULL docs emit NO feature rows (bias-only scoring)
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_hashed_train_learns_marker_word(spark):
+    from farmrpg_etl_spark.operators.quality import (
+        HL_ROUNDS,
+        hashed_logit_features,
+        hashed_logit_score,
+        logit_train_hashed,
+    )
+
+    rows, labels = [], []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "goodword filler%d other" % (i % 5)))
+            labels.append((i, 1))
+        else:
+            rows.append((i, "badword filler%d other" % (i % 5)))
+            labels.append((i, 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = spark.createDataFrame(labels, "doc_id long, y int")
+    feats = hashed_logit_features(df, "text", "doc_id")
+    traj = logit_train_hashed(feats, lab, "doc_id", "y")
+    final = traj.filter(F.col("step") == HL_ROUNDS).select("bucket", "w")
+    out = hashed_logit_score(feats, lab, final, "doc_id")
+    acc = out.select(
+        F.avg(
+            ((F.col("label") == "keep").cast("int") == F.col("rule_y"))
+            .cast("double")
+        ).alias("a")
+    ).collect()[0].a
+    # linearly separable on the goodword/badword buckets — the
+    # trained gate must beat the 0.5 base rate decisively
+    assert acc >= 0.9, acc
+    # and the trajectory is monotone-stable, not oscillating: |w|_1
+    # grows every round (the eta-overshoot failure mode collapses it)
+    l1 = {
+        r.step: r.s
+        for r in traj.groupBy("step")
+        .agg(F.sum(F.abs(F.col("w"))).alias("s"))
+        .collect()
+    }
+    for t in range(1, HL_ROUNDS + 1):
+        assert l1[t] > l1[t - 1] - 1e-9, (t, l1)
+
+
+def test_hashed_train_empty_corpus_bias_only(spark):
+    from farmrpg_etl_spark.operators.quality import (
+        hashed_logit_features,
+        logit_train_hashed,
+    )
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    lab = spark.createDataFrame([], "doc_id long, y int")
+    feats = hashed_logit_features(df, "text", "doc_id")
+    rows = logit_train_hashed(feats, lab, "doc_id", "y", rounds=2).collect()
+    # no buckets: the trajectory is the bias rows alone, all zero
+    # (zero init + zero gradients under the empty-corpus guard)
+    assert sorted((r.step, r.bucket, r.w) for r in rows) == [
+        (0, -1, 0.0),
+        (1, -1, 0.0),
+        (2, -1, 0.0),
+    ]
+
+
+def test_hashed_filter_row_agrees_with_teacher_rule(spark):
+    # measured 0.698 at sf0.001 / 0.702 at sf0.01; pin a conservative
+    # floor — full-batch GD in 10 exact rounds, not fastText epochs
+    from farmrpg_etl_spark.queries import logit_hashed_filter_docs
+
+    out = logit_hashed_filter_docs(spark, "/root/testdata/sf0.001")
+    agree = out.select(
+        F.avg(
+            ((F.col("label") == "keep").cast("int")
+             == F.col("rule_y").cast("int")).cast("double")
+        ).alias("a")
+    ).collect()[0].a
+    assert agree >= 0.65, agree
