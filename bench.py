@@ -1013,6 +1013,40 @@ def main() -> None:
     out["queries"] = merged
     out["value"] = round(sum(merged.values()), 3)
 
+    # sf1-headline SECOND pass (r16 verdict #4 — the sf1 blocks get
+    # the same two-window contention defense the headline got in r12:
+    # the r16 14.97→24.35 s read on byte-identical plans was ambient,
+    # but only a pass-2 min makes that provable per artifact). The
+    # published sf1_headline / sf1_headline_total_sec become the
+    # element-wise min of the two passes; both raw passes stay in the
+    # detail artifact so a divergence is auditable.
+    if "sf1_headline" in out:
+        phase("sf1 headline pass 2 start")
+        stretch_dir = "/tmp/farmrpg_sf1_synth"
+        spark.catalog.clearCache()
+        sf1p2: dict[str, float] = {}
+        for name in HEADLINE:
+            QUERIES[name](spark, stretch_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # re-warm after the marathon
+            steady = []
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, stretch_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                steady.append(time.time() - t0)
+            sf1p2[name] = round(min(steady), 3)
+            spark.catalog.clearCache()
+        out["sf1_headline_pass1"] = dict(out["sf1_headline"])
+        out["sf1_headline_pass2"] = sf1p2
+        sf1m = {
+            n: round(min(out["sf1_headline"][n], sf1p2[n]), 3)
+            for n in out["sf1_headline"]
+        }
+        out["sf1_headline"] = sf1m
+        out["sf1_headline_total_sec"] = round(sum(sf1m.values()), 3)
+
     out["bench_wall_sec"] = round(time.time() - t_start, 1)
     phase("done")
     # Durable on-disk copy of the FULL detail: BENCH_r04/r05.json lost
