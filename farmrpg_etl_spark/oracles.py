@@ -4731,45 +4731,59 @@ FROM prs
 QUALIFY rank <= 50
 """
 
-def _bpe_merges_sql(n_merges: int = 3) -> str:
+def _bpe_merges_sql(
+    n_merges: int = 3, *, p: str = "", corpus: str | None = None
+) -> str:
     """Unrolled iterative-BPE rounds: per round a pair-count CTE, a
     deterministic argmax CTE, and a greedy left-to-right merge rewrite
     (run-group window discipline — identical relational steps to
-    ``curation.bpe_merges``)."""
+    ``curation.bpe_merges``). ``p`` prefixes every CTE name so the
+    chain composes into larger oracles without collisions; ``corpus``
+    overrides the tokenized source (a SQL body selecting
+    ``(doc_id, source, toks)``; default = the documents table)."""
+    if corpus is None:
+        corpus = f"SELECT doc_id, source, {_TOKS} AS toks FROM documents"
     parts = [
-        f"WITH v AS (SELECT w, count(*) AS wc FROM "
-        f"(SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w),",
-        "r1 AS (SELECT w, wc, i AS p, w[i:i] AS sym "
-        "FROM v, unnest(generate_series(1, len(w))) AS t(i))",
+        # MATERIALIZED on the hubs: src feeds the vocab, the word
+        # instances and the encode left-join, v feeds every merge
+        # round — when the corpus is itself a deep CTE chain (the v10
+        # composition), DuckDB's re-inlining would otherwise replay
+        # that chain per reference (the KN5 lesson)
+        f"WITH {p}src AS MATERIALIZED ({corpus}),",
+        f"{p}v AS MATERIALIZED (SELECT w, count(*) AS wc FROM "
+        f"(SELECT unnest(toks) AS w FROM {p}src) GROUP BY w),",
+        f"{p}r1 AS (SELECT w, wc, i AS p, w[i:i] AS sym "
+        f"FROM {p}v, unnest(generate_series(1, len(w))) AS t(i))",
     ]
     for r in range(1, n_merges + 1):
         parts.append(
-            f", pr{r} AS (SELECT w, wc, p, sym,"
-            f" lead(sym) OVER (PARTITION BY w ORDER BY p) AS nxt FROM r{r})"
-            f", cnt{r} AS (SELECT sym, nxt, CAST(SUM(wc) AS BIGINT) AS total"
-            f" FROM pr{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt)"
-            f", top{r} AS (SELECT sym AS pa, nxt AS pb, total FROM cnt{r}"
+            f", {p}pr{r} AS (SELECT w, wc, p, sym,"
+            f" lead(sym) OVER (PARTITION BY w ORDER BY p) AS nxt FROM {p}r{r})"
+            f", {p}cnt{r} AS (SELECT sym, nxt, CAST(SUM(wc) AS BIGINT) AS total"
+            f" FROM {p}pr{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt)"
+            f", {p}top{r} AS (SELECT sym AS pa, nxt AS pb, total FROM {p}cnt{r}"
             f" ORDER BY total DESC, sym ASC, nxt ASC LIMIT 1)"
-            f", cand{r} AS (SELECT pr{r}.w, pr{r}.p FROM pr{r}, top{r}"
-            f" WHERE pr{r}.sym = top{r}.pa AND pr{r}.nxt = top{r}.pb)"
-            f", taken{r} AS (SELECT w, p FROM ("
+            f", {p}cand{r} AS (SELECT {p}pr{r}.w, {p}pr{r}.p FROM {p}pr{r}, {p}top{r}"
+            f" WHERE {p}pr{r}.sym = {p}top{r}.pa AND {p}pr{r}.nxt = {p}top{r}.pb)"
+            f", {p}taken{r} AS (SELECT w, p FROM ("
             f"  SELECT w, p, p - min(p) OVER (PARTITION BY w, grp) AS off"
             f"  FROM (SELECT w, p, p - row_number() OVER"
-            f"   (PARTITION BY w ORDER BY p) AS grp FROM cand{r})"
+            f"   (PARTITION BY w ORDER BY p) AS grp FROM {p}cand{r})"
             f" ) WHERE off % 2 = 0)"
-            f", r{r + 1} AS ("
+            f", {p}r{r + 1} AS ("
             f" SELECT w, wc, row_number() OVER (PARTITION BY w ORDER BY p)"
             f"  AS p, sym FROM ("
             f"  SELECT pr.w, pr.wc, pr.p,"
             f"   CASE WHEN tk.p IS NOT NULL THEN t.pa || t.pb"
             f"        ELSE pr.sym END AS sym"
-            f"  FROM pr{r} pr LEFT JOIN top{r} t ON TRUE"
-            f"  LEFT JOIN taken{r} tk ON pr.w = tk.w AND pr.p = tk.p"
-            f"  LEFT JOIN taken{r} dr ON pr.w = dr.w AND pr.p = dr.p + 1"
+            f"  FROM {p}pr{r} pr LEFT JOIN {p}top{r} t ON TRUE"
+            f"  LEFT JOIN {p}taken{r} tk ON pr.w = tk.w AND pr.p = tk.p"
+            f"  LEFT JOIN {p}taken{r} dr ON pr.w = dr.w AND pr.p = dr.p + 1"
             f"  WHERE dr.p IS NULL))"
         )
     sel = "\nUNION ALL ".join(
-        f"SELECT {r} AS round, pa AS pair_a, pb AS pair_b, total FROM top{r}"
+        f"SELECT {r} AS round, pa AS pair_a, pb AS pair_b, total"
+        f" FROM {p}top{r}"
         for r in range(1, n_merges + 1)
     )
     return "\n".join(parts) + "\n" + sel
@@ -4784,17 +4798,16 @@ def _bpe_token_counts_sql(n_merges: int = 3) -> str:
     final = n_merges + 1
     return f"""{head}
 , wsym AS (SELECT w, count(*) AS n_sym FROM r{final} GROUP BY w),
-dd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-inst AS (SELECT doc_id, unnest(toks) AS w FROM dd),
+inst AS (SELECT doc_id, unnest(toks) AS w FROM src),
 cnt AS (
   SELECT doc_id, count(*) AS n_words,
          CAST(SUM(n_sym) AS BIGINT) AS n_bpe
   FROM inst JOIN wsym USING (w) GROUP BY doc_id
 )
-SELECT dd.doc_id,
+SELECT src.doc_id,
        CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
        CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
-FROM dd LEFT JOIN cnt USING (doc_id)
+FROM src LEFT JOIN cnt USING (doc_id)
 """
 
 
@@ -4802,50 +4815,52 @@ ORACLES["bpe_merges_docs"] = _bpe_merges_sql(3)
 ORACLES["bpe_token_counts_docs"] = _bpe_token_counts_sql(3)
 
 
-def _bpe_encode_cte(n_merges: int = 3) -> str:
+def _bpe_encode_cte(
+    n_merges: int = 3, *, p: str = "", corpus: str | None = None
+) -> str:
     """The encode-to-ids CTE chain: the unrolled merge rounds, the
     vocab id table (base alphabet 0..C-1 lexicographic, then one id
     per merge in rank order, duplicate merge strings keep their first
     producer's id — ``curation._bpe_sym_ids``), the per-vocab-word id
     sequences, and per-document id arrays reassembled in word order.
-    Ends with an ``enc(doc_id, source, tid, n_tok)`` CTE."""
-    head = _bpe_merges_sql(n_merges)
+    Ends with an ``{p}enc(doc_id, source, tid, n_tok)`` CTE; ``p``
+    and ``corpus`` as in :func:`_bpe_merges_sql`."""
+    head = _bpe_merges_sql(n_merges, p=p, corpus=corpus)
     head = head[: head.index("\nSELECT 1 AS round")]
     final = n_merges + 1
     merge_union = "\n    UNION ALL ".join(
-        f"SELECT {r} AS rnd, pa, pb FROM top{r}"
+        f"SELECT {r} AS rnd, pa, pb FROM {p}top{r}"
         for r in range(1, n_merges + 1)
     )
     return f"""{head}
-, vchars AS (
+, {p}vchars AS (
   SELECT DISTINCT w[i:i] AS sym
-  FROM v, unnest(generate_series(1, len(w))) AS t(i)),
-base_ids AS (
+  FROM {p}v, unnest(generate_series(1, len(w))) AS t(i)),
+{p}base_ids AS (
   SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tok_id
-  FROM vchars),
-nb AS (SELECT count(*) AS n FROM base_ids),
-merge_ids AS (
+  FROM {p}vchars),
+{p}nb AS (SELECT count(*) AS n FROM {p}base_ids),
+{p}merge_ids AS (
   SELECT sym, min(tok_id) AS tok_id FROM (
     SELECT pa || pb AS sym,
-           CAST((SELECT n FROM nb) + rnd - 1 AS BIGINT) AS tok_id
+           CAST((SELECT n FROM {p}nb) + rnd - 1 AS BIGINT) AS tok_id
     FROM ({merge_union}))
   GROUP BY sym),
-sym_ids AS (SELECT * FROM base_ids UNION ALL SELECT * FROM merge_ids),
-wseq AS (
+{p}sym_ids AS (SELECT * FROM {p}base_ids UNION ALL SELECT * FROM {p}merge_ids),
+{p}wseq AS MATERIALIZED (
   SELECT w, list(tok_id ORDER BY p) AS ids
-  FROM r{final} JOIN sym_ids USING (sym) GROUP BY w),
-dd AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
-inst AS (
+  FROM {p}r{final} JOIN {p}sym_ids USING (sym) GROUP BY w),
+{p}winst AS (
   SELECT doc_id, i AS wpos, toks[i] AS w
-  FROM dd, unnest(generate_series(1, len(toks))) AS t(i)),
-denc AS (
+  FROM {p}src, unnest(generate_series(1, len(toks))) AS t(i)),
+{p}denc AS (
   SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS tid
-  FROM inst JOIN wseq USING (w) GROUP BY doc_id),
-enc AS (
-  SELECT dd.doc_id, dd.source,
+  FROM {p}winst JOIN {p}wseq USING (w) GROUP BY doc_id),
+{p}enc AS MATERIALIZED (
+  SELECT {p}src.doc_id, {p}src.source,
          coalesce(tid, CAST([] AS BIGINT[])) AS tid,
          CAST(coalesce(len(tid), 0) AS BIGINT) AS n_tok
-  FROM dd LEFT JOIN denc USING (doc_id))"""
+  FROM {p}src LEFT JOIN {p}denc USING (doc_id))"""
 
 
 ORACLES["bpe_encode_docs"] = (
@@ -4856,49 +4871,61 @@ FROM enc
 """
 )
 
-# Packed shards with real token sequences: replication schedule over
-# the encoded counts (n_copies = 1 + doc_id % 2), md5-shuffled stream
-# cumsum, spans cut at 64-token pack boundaries, per-pack segments
-# reassembled in stream-offset order (curation.bpe_encode →
-# chunking.pack_schedule → chunking.pack_token_ids).
-ORACLES["token_id_packs_docs"] = (
-    _bpe_encode_cte(3)
-    + """
-, asm AS (
-  SELECT doc_id, source, n_tok, tid, 1 + doc_id % 2 AS n_copies FROM enc),
-ex AS (
-  SELECT doc_id, source, n_tok, tid, copy
-  FROM asm, unnest(generate_series(1, n_copies)) AS t(copy)
-  WHERE n_copies > 0),
-okey AS (
+# Pack-contents tail shared by token_id_packs_docs and the v10 build:
+# copy explode -> md5-shuffled stream cumsum -> spans cut at pack
+# boundaries -> per-pack segments reassembled in stream-offset order
+# (chunking.pack_schedule + chunking.pack_token_ids).
+def _pack_ids_tail(p: str, seq_len: int, copies: str, enc: str) -> str:
+    """``copies`` = SQL body selecting (doc_id, source, n_copies);
+    ``enc`` = a CTE name carrying (doc_id, tid, n_tok). Emits the
+    final SELECT (pack_id, n_tokens, n_segs, ids)."""
+    return f""",
+{p}cp AS ({copies}),
+{p}ex AS (
+  SELECT c.doc_id, c.source, e.n_tok AS n_tok, e.tid,
+         CAST(copy AS BIGINT) AS copy
+  FROM {p}cp c JOIN {enc} e ON e.doc_id = c.doc_id,
+       unnest(generate_series(1, c.n_copies)) AS t(copy)
+  WHERE c.n_copies > 0),
+{p}ord AS (
   SELECT *, md5(source || '|' || CAST(doc_id AS VARCHAR)
                 || '|' || CAST(copy AS VARCHAR)) AS ok
-  FROM ex),
-cum AS (
+  FROM {p}ex),
+{p}cum AS (
   SELECT *, CAST(SUM(n_tok) OVER (
       ORDER BY ok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     AS BIGINT) AS cum
-  FROM okey),
-spans AS (
+  FROM {p}ord),
+{p}spans AS (
   SELECT doc_id, tid, cum - n_tok AS start_offset, n_tok,
-         (cum - n_tok) // 64 AS first_pack,
-         greatest(cum - 1, cum - n_tok) // 64 AS last_pack
-  FROM cum WHERE n_tok > 0),
-segs AS (
+         (cum - n_tok) // {seq_len} AS first_pack,
+         greatest(cum - 1, cum - n_tok) // {seq_len} AS last_pack
+  FROM {p}cum WHERE n_tok > 0),
+{p}segs AS (
   SELECT pack_id, start_offset,
-         tid[CAST(greatest(pack_id * 64, start_offset) - start_offset + 1
-                  AS BIGINT)
-             : CAST(least((pack_id + 1) * 64, start_offset + n_tok)
+         tid[CAST(greatest(pack_id * {seq_len}, start_offset)
+                  - start_offset + 1 AS BIGINT)
+             : CAST(least((pack_id + 1) * {seq_len},
+                          start_offset + n_tok)
                     - start_offset AS BIGINT)] AS seg
-  FROM spans, unnest(generate_series(first_pack, last_pack)) AS t(pack_id)),
-packs AS (
+  FROM {p}spans,
+       unnest(generate_series(first_pack, last_pack)) AS t(pack_id)),
+{p}packs AS (
   SELECT pack_id, flatten(list(seg ORDER BY start_offset)) AS tid,
          CAST(count(*) AS BIGINT) AS n_segs
-  FROM segs GROUP BY pack_id)
+  FROM {p}segs GROUP BY pack_id)
 SELECT pack_id, CAST(len(tid) AS BIGINT) AS n_tokens, n_segs,
        array_to_string(tid, ',') AS ids
-FROM packs
+FROM {p}packs
 """
+
+
+# Packed shards with real token sequences: replication schedule over
+# the encoded counts (n_copies = 1 + doc_id % 2), laid out and
+# regrouped by the shared tail.
+ORACLES["token_id_packs_docs"] = _bpe_encode_cte(3) + _pack_ids_tail(
+    "tp_", 64, "SELECT doc_id, source, 1 + doc_id % 2 AS n_copies FROM enc",
+    "enc",
 )
 
 
@@ -6848,6 +6875,34 @@ SELECT doc_id, source, copy, n_tok,
        greatest(cum - 1, cum - n_tok) // 512 AS last_pack
 FROM v9cum
 """
+)
+
+# v10 — v9 with the tokenizer: the v9 chain up to the UniMax copy
+# relation (word-space epoch decisions), the unrolled BPE chain
+# trained on the selected train corpus's text_out (t10_ prefix, the
+# composable _bpe_encode_cte), and the layout re-expressed in REAL
+# token space: each (doc, copy) occupies len(token_ids) stream
+# positions, packs materialize via the shared contents tail.
+_V10_CORPUS = f"""SELECT v9sel.doc_id AS doc_id, documents.source AS source,
+         {_V9_TOKS} AS toks
+  FROM v9sel
+  JOIN v9sp ON v9sp.doc_id = v9sel.doc_id AND v9sp.split = 'train'
+  JOIN documents ON documents.doc_id = v9sel.doc_id"""
+
+ORACLES["training_data_pipeline_v10"] = (
+    ORACLES["training_data_pipeline_v9"][
+        : ORACLES["training_data_pipeline_v9"].index(
+            "\nSELECT doc_id, source, copy, n_tok,"
+        )
+    ]
+    + ",\n"
+    + _bpe_encode_cte(3, p="t10_", corpus=_V10_CORPUS)[len("WITH ") :]
+    + _pack_ids_tail(
+        "v10_",
+        512,
+        "SELECT doc_id, source, n_copies FROM v9_copies",
+        "t10_enc",
+    )
 )
 
 # Split-aware report card over the v9 build: the corpus_report_v7

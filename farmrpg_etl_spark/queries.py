@@ -8055,13 +8055,13 @@ def _frozen_doc_clusters(docs: DataFrame) -> DataFrame:
     return dedup.neardup_clusters(pairs)
 
 
-def _v9_pack_tail(
+def _v9_train_assembled(
     docs: DataFrame, selected: DataFrame, splits: DataFrame
-) -> DataFrame:
-    """The build tail shared by `training_data_pipeline_v9` and its
-    streaming twin (split-gate → UniMax epoch fills → packed
-    offsets), one definition so the two constructions cannot fork."""
-    from farmrpg_etl_spark.operators.chunking import pack_schedule
+) -> tuple[DataFrame, DataFrame]:
+    """(train relation, UniMax replication schedule) — the split-gate
+    → epoch-fill interior shared by `_v9_pack_tail` and the v10
+    token-id build, one definition so the constructions cannot
+    fork."""
     from farmrpg_etl_spark.operators.quality import unimax_assemble
 
     train = (
@@ -8075,6 +8075,18 @@ def _v9_pack_tail(
     assembled = unimax_assemble(
         train, "text_out", "doc_id", "source", budget_ratio=2, max_epochs=2
     )
+    return train, assembled
+
+
+def _v9_pack_tail(
+    docs: DataFrame, selected: DataFrame, splits: DataFrame
+) -> DataFrame:
+    """The build tail shared by `training_data_pipeline_v9` and its
+    streaming twin (split-gate → UniMax epoch fills → packed
+    offsets), one definition so the two constructions cannot fork."""
+    from farmrpg_etl_spark.operators.chunking import pack_schedule
+
+    _train, assembled = _v9_train_assembled(docs, selected, splits)
     return pack_schedule(assembled, "doc_id", "source", seq_len=512)
 
 
@@ -8132,6 +8144,61 @@ def training_data_pipeline_v9(
     selected, splits = _v9_selected_with_splits(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     return _v9_pack_tail(docs, selected, splits)
+
+
+def training_data_pipeline_v10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """v10 — v9 WITH THE TOKENIZER: the packed shards carry the
+    actual ``array<long>`` BPE token sequences a training run
+    consumes, not just counts (r16 verdict #2's endgame). The v9
+    interior is unchanged (v7 filter → v8 DSIR top-50 →
+    leakage-safe train split → UniMax epoch fills); then the BPE
+    tokenizer trains on the selected train corpus's rewritten text
+    (`curation.bpe_encode`, 3 merges — fit on the corpus you ship,
+    the production order), every train document encodes to its id
+    sequence, the layout re-expresses in REAL token space (each
+    (doc, copy) occupies ``len(token_ids)`` positions in the
+    md5-shuffled stream), and `chunking.pack_token_ids` materializes
+    each 512-token pack's contents in stream-offset order. UniMax's
+    epoch decisions (n_copies) stay in its own exact-integer word
+    space — the schedule decides WHAT repeats; the tokenizer decides
+    how it lays out.
+
+    One oracle replays the entire composition: the v9 recursive
+    chain + the unrolled BPE rounds + id assignment + encode +
+    schedule cumsum + per-pack regroup.
+
+    Scale: the train relation is k-sized (selection already
+    happened), so the BPE vocab, the encode join, and the pack
+    regroup are all k-bounded; the expensive corpus stages are the
+    shared v9 interior. No collect beyond v8's 1-row floor."""
+    from farmrpg_etl_spark.operators import curation
+    from farmrpg_etl_spark.operators.chunking import (
+        pack_schedule,
+        pack_token_ids,
+    )
+
+    selected, splits = _v9_selected_with_splits(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    train, assembled = _v9_train_assembled(docs, selected, splits)
+    enc = curation.bpe_encode(
+        train, "text_out", "doc_id", n_merges=3
+    ).localCheckpoint()
+    asm2 = assembled.drop("n_tok").join(
+        enc.select(
+            "doc_id",
+            F.col("n_bpe_tokens").alias("n_tok"),
+            "token_ids",
+        ),
+        "doc_id",
+    )
+    sched = pack_schedule(asm2, "doc_id", "source", seq_len=512)
+    packs = pack_token_ids(sched, asm2, "doc_id", seq_len=512)
+    ids = F.concat_ws(
+        ",", F.transform(F.col("token_ids"), lambda v: v.cast("string"))
+    )
+    return packs.select("pack_id", "n_tokens", "n_segs", ids.alias("ids"))
 
 
 def corpus_report_v9_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8652,6 +8719,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cut_span_pipeline_docs": cut_span_pipeline_docs,
     "k_scd2_sink": k_scd2_sink,
     "training_data_pipeline_v9": training_data_pipeline_v9,
+    "training_data_pipeline_v10": training_data_pipeline_v10,
     "corpus_report_v9_splits": corpus_report_v9_splits,
     "doremi_iterated_docs": doremi_iterated_docs,
     "streaming_leakage_splits_docs": streaming_leakage_splits_docs,
