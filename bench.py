@@ -252,6 +252,15 @@ def main() -> None:
         # interior + schedule (timed via the batch v9 row); the
         # trained classifier is its own new timing signal
         "logit_train_docs",
+        # round-17 additions (token_id_packs subsumes bpe_encode —
+        # it runs the identical train+encode chain plus the pack
+        # regroup; the hashed filter/streaming twin re-pay the
+        # trainer for the same timing signal; v10 re-pays v9's
+        # interior but its BPE+pack tail is the new flagship stage)
+        "token_id_packs_docs",
+        "logit_train_hashed_docs",
+        "training_data_pipeline_v10",
+        "auth_lookup_users",
     ]:
         run(name)  # warm: compile + cache effects paid here
         # ONE timed steady pass (the headline block keeps min-of-2;
