@@ -619,6 +619,25 @@ def main() -> None:
 
             return _Q["ccnet_per_lang_filter_docs"](spark, stretch_dir)
 
+        def stretch_token_id_packs():
+            # the full tokenizer loop at 10×: BPE vocab (Heaps-
+            # sublinear), per-vocab-entry segmentation + id join,
+            # schedule cumsum and per-pack regroup over the 10× id
+            # stream — the claim is the vocab-amortized encode, so the
+            # slope should sit well under linear
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["token_id_packs_docs"](spark, stretch_dir)
+
+        def stretch_hashed_logit():
+            # K=10 exact-integer GD passes over the 10× hashed feature
+            # leaf: the weight relation stays ≤4096 rows regardless of
+            # corpus size, so the slope measures the K corpus scans +
+            # bucket aggregates alone
+            from farmrpg_etl_spark.queries import QUERIES as _Q
+
+            return _Q["logit_train_hashed_docs"](spark, stretch_dir)
+
         phase("sf1 stretch start")
         stretch = {}
         for name, fn in [
@@ -643,6 +662,8 @@ def main() -> None:
             ("ccnet_per_lang_10x", stretch_ccnet_per_lang),
             ("ann_bruteforce_10x_arrow", stretch_ann("arrow")),
             ("ann_bruteforce_10x_catalyst", stretch_ann("catalyst")),
+            ("token_id_packs_10x", stretch_token_id_packs),
+            ("hashed_logit_train_10x", stretch_hashed_logit),
         ]:
             # same methodology as the headline set: report steady-state
             # (min-of-2 after a cold warm-up run) — a single cold run
