@@ -33,26 +33,49 @@ def words(text_col: Column) -> Column:
     )
 
 
+def let_(val: Column, body) -> Column:
+    """Bind ``val`` once and reference it many times inside ``body``.
+
+    ``transform(array(val), x -> body(x))[0]`` evaluates ``val`` exactly
+    once per row and hands it to ``body`` as a lambda variable —
+    expression-level common-subexpression elimination. Needed because
+    higher-order-function lambdas and when/otherwise branches are
+    exempt from codegen subexpression elimination, so an expensive
+    expression (a whole-text split) referenced k times inside them is
+    EVALUATED k times. Measured on the sf0.1 corpus scan (r17):
+    word_ngrams(text, 13) 2.6 s -> 0.8 s, shingles(text, 3)
+    0.8 s -> 0.5 s, byte-identical outputs."""
+    return F.transform(F.array(val), body)[0]
+
+
 def shingles(text_col: Column, k: int = 3) -> Column:
     """Word k-gram shingles as an array<string> (space-joined).
 
     Documents shorter than k words contribute their full token string
     as a single shingle so no document is silently dropped.
     """
-    toks = F.coalesce(words(text_col), F.array().cast("array<string>"))
-    n = F.size(toks)
-    # arrays_zip of k shifted slices (native codegen; O(1) transform
-    # work per shingle — the sequence+slice form re-slices per element,
-    # O(tokens²) interpreted). gram count m = n-k+1, clamped to 1 so a
-    # short-but-nonempty doc yields its full token string as ONE
-    # shingle: the zip pads missing tail slices with NULL and concat_ws
-    # skips NULLs. An empty doc yields [] (every slice is empty, so the
-    # zip's max input length is 0 regardless of m).
-    m = F.greatest(n - F.lit(k - 1), F.lit(1))
-    heads = [F.slice(toks, i + 1, m).alias(f"g{i}") for i in range(k)]
-    zipped = F.arrays_zip(*heads)
-    return F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)])
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        # arrays_zip of k shifted slices (native codegen; O(1) transform
+        # work per shingle — the sequence+slice form re-slices per
+        # element, O(tokens²) interpreted). gram count m = n-k+1,
+        # clamped to 1 so a short-but-nonempty doc yields its full token
+        # string as ONE shingle: the zip pads missing tail slices with
+        # NULL and concat_ws skips NULLs. An empty doc yields [] (every
+        # slice is empty, so the zip's max input length is 0 regardless
+        # of m).
+        m = F.greatest(n - F.lit(k - 1), F.lit(1))
+        heads = [F.slice(toks, i + 1, m).alias(f"g{i}") for i in range(k)]
+        zipped = F.arrays_zip(*heads)
+        return F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)])
+        )
+
+    # let-bound: the k slice heads each reference the token array, and
+    # an inline words() would be re-evaluated per reference (see let_)
+    return let_(
+        F.coalesce(words(text_col), F.array().cast("array<string>")), build
     )
 
 
@@ -69,9 +92,21 @@ def word_ngrams(text_col: Column, n: int) -> Column:
     ``transform(sequence(...), i -> concat_ws(slice(toks, i, n)))`` —
     re-slices per element: O(tokens²) interpreted per document, which
     measured ~20× slower across a corpus scan."""
-    # NULL text behaves like an empty document (slices of a NULL array
-    # would propagate NULL through the zip)
-    toks = F.coalesce(words(text_col), F.array().cast("array<string>"))
+    # let-bound: the n slice heads each reference the token array — an
+    # inline words() was re-evaluated n times (13x for the
+    # decontamination grams; see let_). NULL text behaves like an empty
+    # document (slices of a NULL array would propagate NULL through the
+    # zip).
+    return let_(
+        F.coalesce(words(text_col), F.array().cast("array<string>")),
+        lambda toks: ngrams_from_tokens(toks, n),
+    )
+
+
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """:func:`word_ngrams`'s gram builder over an ALREADY-BOUND token
+    array (a let_ variable or a staged column) — for callers that need
+    tokens and grams together without tokenizing twice."""
     cnt = F.size(toks)
     m = F.greatest(cnt - F.lit(n - 1), F.lit(0))  # gram count; 0 if short
     heads = [F.slice(toks, i + 1, m).alias(f"g{i}") for i in range(n)]

@@ -225,8 +225,15 @@ def _dsir_features(
     Features are word unigrams + bigrams (the DSIR paper's feature
     space) hashed to ``n_buckets`` via md5 — deterministic across
     engines, partitionings, and retries."""
-    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
-    grams = F.concat(toks, word_ngrams(F.col(text_col), 2))
+    from farmrpg_etl_spark.functions.hashing import let_, ngrams_from_tokens
+
+    # one tokenize pass: toks + bigrams share a let-bound token array
+    # (the inline form evaluated words() twice per row — see
+    # hashing.let_; r17)
+    grams = let_(
+        F.coalesce(words(F.col(text_col)), F.array().cast("array<string>")),
+        lambda toks: F.concat(toks, ngrams_from_tokens(toks, 2)),
+    )
     ex = df.select(F.col(id_col), F.explode(grams).alias("gram"))
     bucket = (
         F.conv(
@@ -1781,6 +1788,12 @@ def logit_train_hashed(
                 ).alias("__g")
             )
         )
+        # NOTE(r17): merging this cut and the bias cut into ONE
+        # union-checkpoint was tried and REGRESSED (5-round A/B:
+        # 3.1 s -> 6.1 s for the cut jobs) — the union serializes the
+        # two branches' broadcast sub-jobs into one execution; two
+        # small independent checkpoint jobs pipeline better. Kept as
+        # separate cuts deliberately.
         w = truncate_lineage(
             w.join(gb, "bucket", "left")
             .crossJoin(F.broadcast(nrow))

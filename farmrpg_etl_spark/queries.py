@@ -3301,18 +3301,30 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select("doc_id", F.explode(H.words(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = tf.join(df_, "term").crossJoin(F.broadcast(ndocs)).withColumn(
-        "score",
-        F.col("tf").cast("double")
-        * (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        ),
-    )
     from pyspark.sql import Window
 
+    # df as a window count over tf, NOT a groupBy+join: tf is lazy, so
+    # a `tf.groupBy("term")` join branch re-derives tf from scratch —
+    # the executed plan scanned and tokenized the corpus TWICE (two
+    # Generate+HashAggregate subtrees; no ReusedExchange fires because
+    # the df branch adds its own aggregates). The window computes the
+    # identical df over the single tf relation: one tokenize pass, one
+    # exchange on term instead of re-scan + agg + broadcast (guide
+    # §2.4). Measured 1.29 s -> 1.05 s at sf0.1; identical rows.
+    wdf = Window.partitionBy("term")
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
     )
@@ -5994,7 +6006,15 @@ def _docs_as_multiline(docs: DataFrame) -> DataFrame:
     derive them identically). Returns ``(doc_id, text_ml)``."""
     from farmrpg_etl_spark.functions.hashing import words
 
-    toks = F.coalesce(words(F.col("text")), F.array().cast("array<string>"))
+    # Staged as a named column: referenced from inside when/transform
+    # branches, where inline expressions are exempt from codegen
+    # subexpression elimination, the split+lower+trim would re-run per
+    # reference (see _docs_as_structured; measured 2.6x there, r17).
+    docs = docs.withColumn(
+        "__dm_toks",
+        F.coalesce(words(F.col("text")), F.array().cast("array<string>")),
+    )
+    toks = F.col("__dm_toks")
     n_win = F.ceil(F.size(toks).cast("double") / F.lit(8.0)).cast("int")
     lines_arr = F.when(
         F.size(toks) == 0, F.array().cast("array<string>")
@@ -6039,7 +6059,19 @@ def _docs_as_structured(docs: DataFrame) -> DataFrame:
     ``(doc_id, text_struct)``."""
     from farmrpg_etl_spark.functions.hashing import words
 
-    toks = F.coalesce(words(F.col("text")), F.array().cast("array<string>"))
+    # Stage the token array as a named projection column: referenced
+    # from inside when/transform branches below, the inline expression
+    # is exempt from codegen subexpression elimination and the
+    # split+lower+trim re-runs per reference (same lesson as
+    # functions/text.text_metrics). A named non-cheap alias is not
+    # inlined by CollapseProject, so it is computed exactly once per
+    # row. Measured 0.90 s -> 0.37 s for the structured-page build at
+    # sf0.1 (r17), byte-identical output.
+    docs = docs.withColumn(
+        "__ds_toks",
+        F.coalesce(words(F.col("text")), F.array().cast("array<string>")),
+    )
+    toks = F.col("__ds_toks")
     n_win = F.ceil(F.size(toks).cast("double") / F.lit(8.0)).cast("int")
     body = F.when(
         F.size(toks) == 0, F.array().cast("array<string>")

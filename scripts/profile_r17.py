@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--tag", default="before")
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--plan-only", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--steady", type=int, default=2)
     args = ap.parse_args()
@@ -49,7 +50,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = 0.0
-    for name in args.names:
+    for name in args.names if not args.plan_only else []:
         t0 = time.time()
         run(name)
         cold = time.time() - t0
@@ -61,18 +62,25 @@ def main() -> None:
         best = min(steady)
         total += best
         print(f"{best:8.3f}s (cold {cold:7.3f}s)  {name}", flush=True)
-        if not args.no_plan:
+        spark.catalog.clearCache()
+        import gc
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    print(f"{total:8.3f}s TOTAL (steady best)")
+
+    # Plan capture LAST: explainString re-builds each query (persisting
+    # operator intermediates and, for eager rows, executing them) —
+    # interleaving it with the timing loop poisoned later timings
+    # (minhash steady 14.2 s interleaved vs 1.8 s clean).
+    if not args.no_plan:
+        for name in args.names:
             df = QUERIES[name](spark, args.sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
             with open(os.path.join(plans_dir, f"{name}_{args.tag}.txt"), "w") as f:
                 f.write(plan)
-        spark.catalog.clearCache()
-        import gc
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-    print(f"{total:8.3f}s TOTAL (steady best)")
+            spark.catalog.clearCache()
 
 
 if __name__ == "__main__":
