@@ -163,13 +163,28 @@ def lang_id(text_col: Column) -> Column:
     chain re-evaluates the regex scores exponentially — measured 6×
     slower on the documents corpus.) ``array_position`` of the max
     returns the first (= alphabetically-first) language on ties,
-    matching the oracle's forward-order strictly-greater CASE chain."""
+    matching the oracle's forward-order strictly-greater CASE chain.
+
+    The scores array and its max are let_-bound (r17): referenced
+    from array_position AND the when-branch inside ONE expression
+    tree, the inline forms are exempt from codegen subexpression
+    elimination, so the whole marker-scan array was re-evaluated per
+    reference."""
+    from farmrpg_etl_spark.functions.hashing import let_
+
     langs = sorted(LANG_MARKERS)
     scores = F.array(*[_marker_hits(text_col, LANG_MARKERS[lang]) for lang in langs])
-    best = F.array_max(scores)
-    idx = F.array_position(scores, best).cast("int")
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
-    return F.when(best > 0, F.element_at(lang_arr, idx)).otherwise(F.lit("und"))
+    return let_(
+        scores,
+        lambda sc: let_(
+            F.array_max(sc),
+            lambda best: F.when(
+                best > 0,
+                F.element_at(lang_arr, F.array_position(sc, best).cast("int")),
+            ).otherwise(F.lit("und")),
+        ),
+    )
 
 
 # Character-trigram profiles for lang_id_ngram: per language, a small
@@ -218,16 +233,39 @@ def lang_id_ngram(text_col: Column) -> Column:
     alphabetical tie-break; 'und' when no profile trigram occurs.
     One pure-codegen projection: no shuffle, no UDF, ~40 string
     scans per row over a text column — embarrassingly parallel at
-    any scale."""
-    lowered = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    any scale.
+
+    let_-bound like :func:`lang_id` (r17): the lowered text, the
+    scores array and its max are each referenced several times inside
+    one expression tree, where inline forms are re-evaluated per
+    reference (the ~40 string scans ran up to 3x per row)."""
+    from farmrpg_etl_spark.functions.hashing import let_
+
     langs = sorted(LANG_TRIGRAM_PROFILES)
-    scores = F.array(
-        *[_trigram_score(lowered, LANG_TRIGRAM_PROFILES[lang]) for lang in langs]
-    )
-    best = F.array_max(scores)
-    idx = F.array_position(scores, best).cast("int")
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
-    return F.when(best > 0, F.element_at(lang_arr, idx)).otherwise(F.lit("und"))
+
+    def _score(lowered: Column) -> Column:
+        return let_(
+            F.array(
+                *[
+                    _trigram_score(lowered, LANG_TRIGRAM_PROFILES[lang])
+                    for lang in langs
+                ]
+            ),
+            lambda sc: let_(
+                F.array_max(sc),
+                lambda best: F.when(
+                    best > 0,
+                    F.element_at(
+                        lang_arr, F.array_position(sc, best).cast("int")
+                    ),
+                ).otherwise(F.lit("und")),
+            ),
+        )
+
+    return let_(
+        F.concat(F.lit(" "), F.lower(text_col), F.lit(" ")), _score
+    )
 
 
 # Codepoint ranges per script, engine-portable (\x{...} works in both
@@ -267,24 +305,44 @@ def lang_id_script(text_col: Column) -> Column:
     (best·5 ≥ n) — below that the text is substantially Latin and the
     trigram path decides. Same one-projection/no-shuffle/no-UDF shape
     as the trigram classifier; at 100 TB this is a handful of extra
-    regex scans per row, embarrassingly parallel."""
-    t = F.coalesce(text_col, F.lit(""))
-    n = F.length(F.regexp_replace(t, r"\s", ""))
-    c_kana = script_count(t, "kana")
-    c_han = script_count(t, "han")
-    scores = F.array(
-        script_count(t, "arabic"),  # ar
-        c_kana * F.lit(2),  # ja
-        script_count(t, "hangul"),  # ko
-        script_count(t, "cyrillic"),  # ru
-        F.greatest(c_han - c_kana * F.lit(2), F.lit(0)),  # zh
-    )
-    best = F.array_max(scores)
-    idx = F.array_position(scores, best).cast("int")
+    regex scans per row, embarrassingly parallel.
+
+    let_-bound (r17): the input text (an arbitrary caller expression,
+    referenced ~8 times), the kana count (referenced by ja AND zh)
+    and the scores array / max (argmax pattern) are each bound once —
+    the inline forms re-ran their regex scans per reference."""
+    from farmrpg_etl_spark.functions.hashing import let_
+
     lang_arr = F.array(*[F.lit(x) for x in ["ar", "ja", "ko", "ru", "zh"]])
-    return F.when(
-        (best > 0) & (best * 5 >= n), F.element_at(lang_arr, idx)
-    ).otherwise(lang_id_ngram(text_col))
+
+    def _decide(t: Column) -> Column:
+        n = F.length(F.regexp_replace(t, r"\s", ""))
+
+        def _with_kana(c_kana: Column) -> Column:
+            c_han = script_count(t, "han")
+            scores = F.array(
+                script_count(t, "arabic"),  # ar
+                c_kana * F.lit(2),  # ja
+                script_count(t, "hangul"),  # ko
+                script_count(t, "cyrillic"),  # ru
+                F.greatest(c_han - c_kana * F.lit(2), F.lit(0)),  # zh
+            )
+            return let_(
+                scores,
+                lambda sc: let_(
+                    F.array_max(sc),
+                    lambda best: F.when(
+                        (best > 0) & (best * 5 >= n),
+                        F.element_at(
+                            lang_arr, F.array_position(sc, best).cast("int")
+                        ),
+                    ).otherwise(lang_id_ngram(t)),
+                ),
+            )
+
+        return let_(script_count(t, "kana"), _with_kana)
+
+    return let_(F.coalesce(text_col, F.lit("")), _decide)
 
 
 def token_count(text_col: Column) -> Column:

@@ -517,12 +517,18 @@ def pq_encode(
     v = V.as_double(F.col(vec_col))
     out = df.select(F.col(id_col), v.alias("__v"))
     cols = [F.col(id_col)]
+    from farmrpg_etl_spark.functions.hashing import let_
+
     for s in range(m):
         darr = F.array(
             *[_pq_sub_dist(F.col("__v"), s, sub, books[s][k]) for k in range(ks)]
         )
+        # let_-bound (r17): array_position(darr, array_min(darr))
+        # references darr twice inside one expression tree, where
+        # inline forms are exempt from subexpression elimination — the
+        # ks x (dim/m) distance sums were evaluated twice per subspace.
         cols.append(
-            (F.array_position(darr, F.array_min(darr)) - 1)
+            let_(darr, lambda da: F.array_position(da, F.array_min(da)) - 1)
             .cast("int")
             .alias(f"c{s}")
         )
