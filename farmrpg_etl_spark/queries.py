@@ -7210,7 +7210,7 @@ def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     once feeding gate + dedup; the line shuffle sees only
     robots-allowed, gate-surviving, non-eval pages."""
     from farmrpg_etl_spark.functions import urls as U
-    from farmrpg_etl_spark.operators.crawl import robots_filter
+    from farmrpg_etl_spark.operators.crawl import robots_denied_ids
 
     docs = load_table(spark, sf_dir, "documents")
     # 1. robots gate — same URL synthesis and rules as robots_filter_docs
@@ -7247,16 +7247,12 @@ def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole_host = hosts.filter(F.col("host").rlike(r"^src\d*0\.")).select(
         "host", F.lit("/").alias("prefix"), F.lit(False).alias("allow")
     )
-    allowed = (
-        robots_filter(u, base.unionByName(whole_host))
-        .filter(F.col("allowed"))
-        .select("doc_id")
-    )
-    return _crawl_corpus_interior(docs, allowed)
+    denied = robots_denied_ids(u, base.unionByName(whole_host))
+    return _crawl_corpus_interior(docs, denied)
 
 
 def _crawl_survivors(
-    docs: DataFrame, allowed: DataFrame, materialize: bool = True
+    docs: DataFrame, denied: DataFrame, materialize: bool = True
 ) -> DataFrame:
     """Gate → eval-holdout → C4/Gopher page gate → surviving pages —
     ONE definition shared by `_crawl_corpus_interior` and the
@@ -7265,10 +7261,19 @@ def _crawl_survivors(
     exist once). ``materialize`` eagerly localCheckpoints the
     structured-pages relation (it feeds both the gate branch and the
     dedup branch; a persist here had no release path and leaked a
-    CacheManager entry per pipeline call — r14 review)."""
+    CacheManager entry per pipeline call — r14 review).
+
+    The robots gate consumes the DENIED id set (`crawl.
+    robots_denied_ids`) via left-anti join rather than the allowed set
+    via inner join (r17): allowed ≡ NOT denied by RFC 9309's
+    default-allow, the denied relation is rule-match-sized, and the
+    old form re-joined the full robots_filter output — one extra
+    corpus scan per pipeline. Survivors are byte-identical."""
     from farmrpg_etl_spark.operators.quality import c4_fineweb_signals
 
-    train = docs.join(allowed, "doc_id").filter(F.col("doc_id") % 101 != 0)
+    train = docs.join(denied, "doc_id", "left_anti").filter(
+        F.col("doc_id") % 101 != 0
+    )
     pages = _docs_as_structured(train)
     if materialize:
         pages = pages.localCheckpoint()
@@ -7282,7 +7287,7 @@ def _crawl_survivors(
 
 def _crawl_corpus_interior(
     docs: DataFrame,
-    allowed: DataFrame,
+    denied: DataFrame,
     boiler: DataFrame | None = None,
     eval_grams: DataFrame | None = None,
     persist_pages: bool = True,
@@ -7306,7 +7311,7 @@ def _crawl_corpus_interior(
     # 2.-4. gate -> holdout -> page gate -> survivors (shared chain),
     # then survivor-only line dedup
     survivors = _crawl_survivors(
-        docs, allowed, materialize=persist_pages
+        docs, denied, materialize=persist_pages
     )
     out = remove_frequent_lines(
         survivors, "text_struct", "doc_id", min_count=2, boiler=boiler
@@ -7362,19 +7367,15 @@ def training_data_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim with v5 (`_crawl_corpus_interior`), so the oracle
     differs from v5's ONLY in the gate arithmetic. Non-2xx robots
     fetches follow RFC 9309 §2.3.1 via `_live_robots_rules`."""
-    from farmrpg_etl_spark.operators.crawl import robots_filter
+    from farmrpg_etl_spark.operators.crawl import robots_denied_ids
 
     docs = load_table(spark, sf_dir, "documents")
     host = F.concat(F.col("source"), F.lit(".example.com"))
     rules = _live_robots_rules(
         spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
     )
-    allowed = (
-        robots_filter(_v6_urls(docs), rules)
-        .filter(F.col("allowed"))
-        .select("doc_id")
-    )
-    return _crawl_corpus_interior(docs, allowed)
+    denied = robots_denied_ids(_v6_urls(docs), rules)
+    return _crawl_corpus_interior(docs, denied)
 
 
 def streaming_ccnet_per_lang_docs(
@@ -7523,7 +7524,7 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: recalibrate the global models per snapshot, stream the
     crawl through them."""
 
-    from farmrpg_etl_spark.operators.crawl import robots_filter
+    from farmrpg_etl_spark.operators.crawl import robots_denied_ids
     from farmrpg_etl_spark.operators.linededup import (
         frequent_lines,
         split_lines,
@@ -7543,12 +7544,8 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     # frozen corpus-global models, built via the SAME survivor chain
     # as batch v6 (shared helper — byte-equivalence by construction)
-    allowed_full = (
-        robots_filter(_v6_urls(docs), rules)
-        .filter(F.col("allowed"))
-        .select("doc_id")
-    )
-    survivors = _crawl_survivors(docs, allowed_full, materialize=False)
+    denied_full = robots_denied_ids(_v6_urls(docs), rules)
+    survivors = _crawl_survivors(docs, denied_full, materialize=False)
     boiler = frequent_lines(
         split_lines(survivors, "text_struct", "doc_id"), 2
     ).localCheckpoint()
@@ -7579,13 +7576,9 @@ def streaming_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = ParquetTable(spark, _sink_scratch("v6ssink"))
 
     def proc(batch_df: DataFrame, batch_id: int) -> None:
-        allowed_b = (
-            robots_filter(_v6_urls(batch_df), rules)
-            .filter(F.col("allowed"))
-            .select("doc_id")
-        )
+        denied_b = robots_denied_ids(_v6_urls(batch_df), rules)
         out = _crawl_corpus_interior(
-            batch_df, allowed_b, boiler=boiler, eval_grams=eval_grams,
+            batch_df, denied_b, boiler=boiler, eval_grams=eval_grams,
             persist_pages=False,
         )
         insert_if_absent(
@@ -7616,20 +7609,16 @@ def _v7_interior_scored(
     relation is a localCheckpointed leaf: survivor-count-sized, and
     the keyed KN ladder above it embeds its source ~20×."""
     from farmrpg_etl_spark.operators import langmodel as LM
-    from farmrpg_etl_spark.operators.crawl import robots_filter
+    from farmrpg_etl_spark.operators.crawl import robots_denied_ids
 
     docs = load_table(spark, sf_dir, "documents")
     host = F.concat(F.col("source"), F.lit(".example.com"))
     rules = _live_robots_rules(
         spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
     )
-    allowed = (
-        robots_filter(_v6_urls(docs), rules)
-        .filter(F.col("allowed"))
-        .select("doc_id")
-    )
+    denied = robots_denied_ids(_v6_urls(docs), rules)
     v7in = _crawl_corpus_interior(
-        docs, allowed, include_text=True
+        docs, denied, include_text=True
     ).localCheckpoint()
     tables = LM.kn_ngram_tables(
         v7in, "text_out", "doc_id", order=5, key_cols=("lang",)
@@ -7821,7 +7810,7 @@ def _v7_frozen_globals(spark: SparkSession, docs: DataFrame) -> dict:
     against leaves instead of re-optimizing the training lineage."""
     from farmrpg_etl_spark.functions.hashing import word_ngrams
     from farmrpg_etl_spark.operators import langmodel as LM
-    from farmrpg_etl_spark.operators.crawl import robots_filter
+    from farmrpg_etl_spark.operators.crawl import robots_denied_ids
     from farmrpg_etl_spark.operators.linededup import (
         frequent_lines,
         split_lines,
@@ -7831,12 +7820,8 @@ def _v7_frozen_globals(spark: SparkSession, docs: DataFrame) -> dict:
     rules = _live_robots_rules(
         spark, docs.select(host.alias("key")).distinct(), "farmbot/1.0"
     ).localCheckpoint()
-    allowed_full = (
-        robots_filter(_v6_urls(docs), rules)
-        .filter(F.col("allowed"))
-        .select("doc_id")
-    )
-    survivors_full = _crawl_survivors(docs, allowed_full, materialize=False)
+    denied_full = robots_denied_ids(_v6_urls(docs), rules)
+    survivors_full = _crawl_survivors(docs, denied_full, materialize=False)
     boiler = frequent_lines(
         split_lines(survivors_full, "text_struct", "doc_id"), 2
     ).localCheckpoint()
@@ -7851,7 +7836,7 @@ def _v7_frozen_globals(spark: SparkSession, docs: DataFrame) -> dict:
         .localCheckpoint()
     )
     v7in_full = _crawl_corpus_interior(
-        docs, allowed_full, boiler=boiler, eval_grams=eval_grams,
+        docs, denied_full, boiler=boiler, eval_grams=eval_grams,
         persist_pages=False, include_text=True,
     ).localCheckpoint()
     tables = LM.freeze_kn_tables(
@@ -7891,16 +7876,12 @@ def _v7_frozen_batch(
     ``nll`` leaves to apply the same cut to the WHOLE snapshot
     without recomputing either (the v8 calibration path)."""
     from farmrpg_etl_spark.operators import langmodel as LM
-    from farmrpg_etl_spark.operators.crawl import robots_filter
+    from farmrpg_etl_spark.operators.crawl import robots_denied_ids
 
     if interior is None:
-        allowed_b = (
-            robots_filter(_v6_urls(batch_df), fz["rules"])
-            .filter(F.col("allowed"))
-            .select("doc_id")
-        )
+        denied_b = robots_denied_ids(_v6_urls(batch_df), fz["rules"])
         interior = _crawl_corpus_interior(
-            batch_df, allowed_b, boiler=fz["boiler"],
+            batch_df, denied_b, boiler=fz["boiler"],
             eval_grams=fz["eval_grams"], persist_pages=False,
             include_text=True,
         )

@@ -156,5 +156,12 @@ def serve_game_site(
     srv.record = record
     srv.fail_budget = 0
     srv.cookie = cookie
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    # poll_interval bounds shutdown() latency: the stdlib default 0.5 s
+    # poll made every srv.shutdown() block ~0.5 s — a constant sleep
+    # paid by EVERY live-crawl row (6+ bench rows start/stop a site
+    # per run; measured 0.48 s/teardown, r17). 20 polls/s when idle is
+    # negligible CPU.
+    threading.Thread(
+        target=lambda: srv.serve_forever(poll_interval=0.05), daemon=True
+    ).start()
     return srv
