@@ -46,69 +46,128 @@ def parse_robots_txt(
     ``User-agent`` line are ignored (no group); empty-pattern rules
     ("``Disallow:``") match nothing and are dropped, per §2.2.2.
 
-    Shape: fully relational — posexplode the lines, regexp the
-    directives, and derive the group id as a running count of
-    group-STARTING user-agent lines (a per-host window over the
-    file's own lines: bounded by file length, never corpus-wide).
-    Agents then join to their group's rules through an equi-join on
-    (host, group). At 100 TB robots bodies are dimension data (one
-    small file per host); the whole parse is host-partitioned and
-    output is broadcast-sized by construction."""
-    from pyspark.sql.window import Window
-
-    lines = docs.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+    Shape: ROW-LOCAL — one robots body is one row, so the whole
+    grammar (line split, comment strip, directive extraction, the
+    running group-id count, the agent x group-rule pairing) is a
+    single projection of higher-order array expressions followed by
+    ONE explode: zero shuffles, zero windows. The r12-r16 form
+    posexploded the lines and derived the group id with a per-host
+    window, then equi-joined agents to rules — 2 shuffles plus a
+    window sort that, on a dimension-sized bodies relation, were
+    pure stage overhead (~2-3 s per pipeline action at 20 hosts,
+    r17). The group-id scan is O(lines²) per host via index-slices,
+    bounded by robots-file length — never corpus-wide."""
+    pairs = _robots_pairs_expr(F.col(body_col))
+    return docs.select(
+        F.col(host_col).alias("host"), F.explode(pairs).alias("__r")
     ).select(
         "host",
-        "pos",
-        F.trim(F.regexp_replace(F.col("line"), "#.*$", "")).alias("line"),
+        F.col("__r.agent").alias("agent"),
+        F.col("__r.prefix").alias("prefix"),
+        F.col("__r.allow").alias("allow"),
     )
-    d = lines.filter(F.col("line") != "").select(
-        "host",
-        "pos",
-        F.lower(
-            F.regexp_extract(
-                F.col("line"), r"(?i)^(user-agent|allow|disallow)\s*:", 1
-            )
-        ).alias("directive"),
-        F.trim(
-            F.regexp_extract(
-                F.col("line"), r"(?i)^(?:user-agent|allow|disallow)\s*:(.*)$", 1
-            )
-        ).alias("value"),
-    ).filter(F.col("directive") != "")
-    w = Window.partitionBy("host").orderBy("pos")
-    grouped = (
-        d.withColumn("__ua", (F.col("directive") == "user-agent"))
-        .withColumn(
-            "__starts",
-            F.col("__ua")
-            & ~F.coalesce(F.lag("__ua").over(w), F.lit(False)),
-        )
-        .withColumn(
-            "grp",
-            F.sum(F.col("__starts").cast("int")).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def _robots_pairs_expr(body):
+    """``array<struct<agent,prefix,allow>>`` parsed from ONE robots.txt
+    body string — the row-local RFC 9309 §2.2 grammar shared by
+    :func:`parse_robots_txt`. Every intermediate is let_-bound (see
+    ``functions.hashing.let_``) so the line/directive arrays are
+    evaluated once per row."""
+    from farmrpg_etl_spark.functions.hashing import let_
+
+    lines = F.transform(
+        F.split(body, "\n"),
+        lambda ln: F.trim(F.regexp_replace(ln, "#.*$", "")),
+    )
+    dirs = F.filter(
+        F.transform(
+            F.filter(lines, lambda ln: ln != ""),
+            lambda ln: F.struct(
+                F.lower(
+                    F.regexp_extract(
+                        ln, r"(?i)^(user-agent|allow|disallow)\s*:", 1
+                    )
+                ).alias("directive"),
+                F.trim(
+                    F.regexp_extract(
+                        ln, r"(?i)^(?:user-agent|allow|disallow)\s*:(.*)$", 1
+                    )
+                ).alias("value"),
             ),
-        )
-        .filter(F.col("grp") > 0)  # pre-group rules are ignored
+        ),
+        lambda x: x["directive"] != "",
     )
-    # empty User-agent values (a bare "User-agent:" line) are dropped
-    # like empty rule patterns — an empty token would substring-match
-    # every crawler and hijack the host's scope (ADVICE r13)
-    agents = grouped.filter(F.col("__ua") & (F.col("value") != "")).select(
-        "host", "grp", F.lower(F.col("value")).alias("agent")
-    )
-    rules = grouped.filter(~F.col("__ua") & (F.col("value") != "")).select(
-        "host",
-        "grp",
-        F.col("value").alias("prefix"),
-        (F.col("directive") == "allow").alias("allow"),
-    )
-    return agents.join(rules, ["host", "grp"]).select(
-        "host", "agent", "prefix", "allow"
-    )
+
+    def _with_dirs(d):
+        uas = F.transform(d, lambda x: x["directive"] == F.lit("user-agent"))
+
+        def _with_uas(u):
+            # grp at 0-based index i = count of group-STARTING ua lines
+            # in [0..i]: ua at j whose previous directive-line is not ua
+            def grp_of(i):
+                return F.size(
+                    F.filter(
+                        F.sequence(F.lit(0), i),
+                        lambda j: F.element_at(u, j + 1)
+                        & F.when(j == 0, F.lit(True)).otherwise(
+                            ~F.element_at(u, j)
+                        ),
+                    )
+                )
+
+            elems = F.transform(
+                d,
+                lambda x, i: F.struct(
+                    x["directive"].alias("directive"),
+                    x["value"].alias("value"),
+                    grp_of(i).alias("grp"),
+                ),
+            )
+
+            def _with_elems(e):
+                # empty User-agent values (a bare "User-agent:" line)
+                # are dropped like empty rule patterns — an empty token
+                # would substring-match every crawler and hijack the
+                # host's scope (ADVICE r13)
+                agents = F.transform(
+                    F.filter(
+                        e,
+                        lambda x: (x["directive"] == "user-agent")
+                        & (x["value"] != ""),
+                    ),
+                    lambda x: F.struct(
+                        F.lower(x["value"]).alias("agent"),
+                        x["grp"].alias("grp"),
+                    ),
+                )
+                rules = F.filter(
+                    e,
+                    lambda x: (x["directive"] != "user-agent")
+                    & (x["value"] != ""),
+                )
+                # agent x same-group-rule pairing (the old equi-join on
+                # (host, grp)); pre-group rules (grp 0) pair with no
+                # agent and drop naturally
+                return F.flatten(
+                    F.transform(
+                        agents,
+                        lambda a: F.transform(
+                            F.filter(rules, lambda r: r["grp"] == a["grp"]),
+                            lambda r: F.struct(
+                                a["agent"].alias("agent"),
+                                r["value"].alias("prefix"),
+                                (r["directive"] == "allow").alias("allow"),
+                            ),
+                        ),
+                    )
+                )
+
+            return let_(elems, _with_elems)
+
+        return let_(uas, _with_uas)
+
+    return let_(dirs, _with_dirs)
 
 
 def rules_for_agent(parsed: DataFrame, agent: str) -> DataFrame:
@@ -135,35 +194,63 @@ def rules_for_agent(parsed: DataFrame, agent: str) -> DataFrame:
     Returns ``(host, prefix, allow)`` ready for :func:`robots_filter`.
     The matching predicate runs on the parsed RULES relation —
     dimension-sized — never on the URL corpus.
+
+    Shape (r17): ONE shuffle — collect each host's parsed rows into an
+    array, then the token match / longest-then-lexicographic winner /
+    star fallback / dedup are row-local array expressions. The old
+    form (filter → per-host groupBy → two joins → union → distinct)
+    was 3-4 shuffles of a dimension-sized relation: pure stage
+    overhead. Same output set by construction.
     """
+    from farmrpg_etl_spark.functions.hashing import let_
+
     a = agent.lower().split("/", 1)[0].strip()
-    matched = parsed.filter(
-        (F.col("agent") != "*")
-        & (F.length("agent") > 0)
-        & (F.instr(F.lit(a), F.col("agent")) > 0)
+    g = parsed.groupBy("host").agg(
+        F.collect_list(F.struct("agent", "prefix", "allow")).alias("__rs")
     )
-    # one winning token per host: longest, then lexicographically
-    # smallest (min over (-len, token) picks exactly that)
-    best = matched.groupBy(F.col("host").alias("__h")).agg(
-        F.min(
-            F.struct(
-                (-F.length("agent")).alias("nl"),
-                F.col("agent").alias("tok"),
+
+    def _pick(rs):
+        def _with_matched(m):
+            # one winning token per host: longest, then lexicographically
+            # smallest (min over (-len, token) picks exactly that)
+            def _with_best(b):
+                exact = F.filter(m, lambda x: x["agent"] == b["tok"])
+                star = F.filter(rs, lambda x: x["agent"] == "*")
+                sel = F.when(F.size(m) > 0, exact).otherwise(star)
+                return F.array_distinct(
+                    F.transform(
+                        sel,
+                        lambda x: F.struct(
+                            x["prefix"].alias("prefix"),
+                            x["allow"].alias("allow"),
+                        ),
+                    )
+                )
+
+            best = F.array_min(
+                F.transform(
+                    m,
+                    lambda x: F.struct(
+                        (-F.length(x["agent"])).alias("nl"),
+                        x["agent"].alias("tok"),
+                    ),
+                )
             )
-        ).alias("__b")
-    )
-    exact = matched.join(
-        best,
-        (F.col("host") == F.col("__h"))
-        & (F.col("agent") == F.col("__b.tok")),
-    )
-    star = parsed.filter(F.col("agent") == "*").join(
-        best.select(F.col("__h").alias("host")), "host", "left_anti"
-    )
-    return (
-        exact.select("host", "prefix", "allow")
-        .unionByName(star.select("host", "prefix", "allow"))
-        .distinct()
+            return let_(best, _with_best)
+
+        matched = F.filter(
+            rs,
+            lambda x: (x["agent"] != "*")
+            & (F.length(x["agent"]) > 0)
+            & (F.instr(F.lit(a), x["agent"]) > 0),
+        )
+        return let_(matched, _with_matched)
+
+    out = g.select("host", F.explode(_pick(F.col("__rs"))).alias("__p"))
+    return out.select(
+        "host",
+        F.col("__p.prefix").alias("prefix"),
+        F.col("__p.allow").alias("allow"),
     )
 
 
