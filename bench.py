@@ -152,6 +152,16 @@ def main() -> None:
     # separately so the headline total stays comparable across rounds
     phase("parse throughput done; extended block start")
     extended = {}
+    # Rows ADDED to the extended list THIS round (r17 verdict #3 /
+    # r18 item 3: `extended_total_sec` mixed inherited rows with new
+    # additions each round, so round-over-round totals were not
+    # comparable — r16→r17 read as a 45% regression until ~57 s of
+    # new rows was subtracted by hand). The one-line JSON now also
+    # publishes `extended_total_inherited_sec` (rows present in the
+    # PREVIOUS round's bench — directly diffable) and
+    # `extended_total_new_sec`. Rounds that add rows must list them
+    # here and move them to the main list the round after.
+    EXTENDED_NEW_THIS_ROUND: set = set()  # r18 adds no extended rows
     for name in [
         "q19_disjunctive_revenue",
         "q21_waiting_suppliers",
@@ -272,6 +282,14 @@ def main() -> None:
         spark.catalog.clearCache()  # same cross-query isolation as headline
     out["extended_queries"] = extended
     out["extended_total_sec"] = round(sum(extended.values()), 3)
+    out["extended_total_inherited_sec"] = round(
+        sum(v for k, v in extended.items()
+            if k not in EXTENDED_NEW_THIS_ROUND), 3
+    )
+    out["extended_total_new_sec"] = round(
+        sum(v for k, v in extended.items()
+            if k in EXTENDED_NEW_THIS_ROUND), 3
+    )
 
     # sf1 robustness stretch: a deterministic 10× synthesis of the sf0.1
     # corpus proving the scale guards hold an order of magnitude up:
@@ -1107,6 +1125,7 @@ def main() -> None:
         for k in (
             "metric", "value", "unit", "queries", "sf", "cold_total_sec",
             "parse_msgs_per_sec", "extended_total_sec",
+            "extended_total_inherited_sec", "extended_total_new_sec",
             "sf1_headline_total_sec", "bench_wall_sec",
         )
         if k in out

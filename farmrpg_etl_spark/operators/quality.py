@@ -1688,7 +1688,24 @@ def logit_train_hashed(
     (the logit), one id-keyed join back (residuals), one bucket-keyed
     aggregate (gradients). K rounds = K passes over a checkpointed
     skinny feature leaf; the honest full-batch cost, all map-side-
-    combining, no collect, no UDF."""
+    combining, no collect, no UDF.
+
+    Barrier shape (r18, VERDICT #2): the bias is FOLDED into the
+    weight relation as the reserved bucket id -1, backed by one
+    synthetic all-ones feature row per labeled document
+    (``x_micros = 1e6``), so each round's gradient is ONE bucket-keyed
+    aggregate over the augmented feature leaf and each round runs ONE
+    eager checkpoint (the updated weight relation) instead of three
+    (residuals + bias cut + weight cut — the r17 shape: 3 job
+    barriers × K rounds). The z/score arithmetic is untouched — the
+    bias still enters the logit as the separately-added ``w_bias``
+    double (folding it into the integer sum would change the IEEE
+    rounding of ``zp/1e12 + w_bias`` and fork the oracle-pinned
+    trajectory), and the bias gradient ``Σ r·1e6`` is an exact integer
+    either way, so the whole (step, bucket, w) trajectory is
+    bit-identical to the r17 form. The r17 union-checkpoint attempt
+    (REGRESSED 3.1 s -> 6.1 s) unioned two SEPARATE aggregates; this
+    fold has no second aggregate at all."""
     if not (isinstance(rounds, int) and rounds >= 1):
         raise ValueError(f"rounds must be a positive int, got {rounds!r}")
     if not (isinstance(eta, (int, float)) and eta > 0):
@@ -1707,23 +1724,39 @@ def logit_train_hashed(
     nrow = lab.agg(
         F.greatest(F.count(F.lit(1)), F.lit(1).cast("long")).alias("__n")
     ).localCheckpoint()
+    # the synthetic bias feature: one bucket -1 / x=1.0 row per labeled
+    # document (a union of two checkpointed leaves — no checkpoint of
+    # its own needed). Real buckets are >= 0 (md5 % n_buckets), so -1
+    # cannot collide.
+    f_aug = f.unionByName(
+        lab.select(
+            "__id",
+            F.lit(-1).cast("long").alias("bucket"),
+            F.lit(1000000).cast("long").alias("__xm"),
+        )
+    )
+    # init: one relation carrying every feature bucket AND the bias
+    # row; the explicit -1 leg (not a distinct over f_aug) keeps the
+    # bias row present when the corpus is empty.
     w = truncate_lineage(
         f.select("bucket").distinct().select(
             "bucket", F.lit(0.0).alias("w")
+        ).unionByName(
+            lab.sparkSession.range(1).select(
+                F.lit(-1).cast("long").alias("bucket"),
+                F.lit(0.0).alias("w"),
+            )
         )
     )
-    bias = truncate_lineage(
-        lab.sparkSession.range(1).select(F.lit(0.0).alias("w_bias"))
-    )
-    out = w.select(F.lit(0).alias("step"), "bucket", "w").unionByName(
-        bias.select(
-            F.lit(0).alias("step"),
-            F.lit(-1).cast("long").alias("bucket"),
-            F.col("w_bias").alias("w"),
-        )
-    )
+    out = w.select(F.lit(0).alias("step"), "bucket", "w")
     denom = F.col("__n").cast("double") * F.lit(1000000000000.0)
     for t in range(1, rounds + 1):
+        # z-side bias: the -1 row of the checkpointed weight leaf,
+        # added to the logit OUTSIDE the integer sum exactly as before
+        # (bucket -1 never matches a real feature row in the zs join)
+        bias = w.filter(F.col("bucket") == -1).select(
+            F.col("w").alias("w_bias")
+        )
         zs = (
             f.join(F.broadcast(w), "bucket")
             .select(
@@ -1753,34 +1786,13 @@ def logit_train_hashed(
             F.floor(s * F.lit(1000000.0)).cast("long")
             - F.col("__y") * F.lit(1000000).cast("long")
         )
-        res = d.select("__id", r.alias("__r")).localCheckpoint()
-        bagg = res.agg(
-            F.coalesce(
-                F.sum(
-                    (F.col("__r") * F.lit(1000000).cast("long")).cast(
-                        "decimal(38,0)"
-                    )
-                ),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("__g")
-        )
-        bias = truncate_lineage(
-            bias.crossJoin(bagg)
-            .crossJoin(F.broadcast(nrow))
-            .select(
-                (
-                    F.round(
-                        F.col("w_bias")
-                        - F.lit(float(eta))
-                        * (F.col("__g").cast("double") / denom),
-                        6,
-                    )
-                    + F.lit(0.0)  # normalize -0.0 (cross-engine hash)
-                ).alias("w_bias")
-            )
-        )
+        # residuals flow straight into the one gradient aggregate —
+        # they have exactly one consumer now, so the r17 residual
+        # checkpoint (needed when the bias and bucket aggregates each
+        # re-read them) is gone
+        res = d.select("__id", r.alias("__r"))
         gb = (
-            f.join(res, "__id")
+            f_aug.join(res, "__id")
             .groupBy("bucket")
             .agg(
                 F.sum(
@@ -1788,12 +1800,6 @@ def logit_train_hashed(
                 ).alias("__g")
             )
         )
-        # NOTE(r17): merging this cut and the bias cut into ONE
-        # union-checkpoint was tried and REGRESSED (5-round A/B:
-        # 3.1 s -> 6.1 s for the cut jobs) — the union serializes the
-        # two branches' broadcast sub-jobs into one execution; two
-        # small independent checkpoint jobs pipeline better. Kept as
-        # separate cuts deliberately.
         w = truncate_lineage(
             w.join(gb, "bucket", "left")
             .crossJoin(F.broadcast(nrow))
@@ -1817,12 +1823,6 @@ def logit_train_hashed(
         )
         out = out.unionByName(
             w.select(F.lit(t).alias("step"), "bucket", "w")
-        ).unionByName(
-            bias.select(
-                F.lit(t).alias("step"),
-                F.lit(-1).cast("long").alias("bucket"),
-                F.col("w_bias").alias("w"),
-            )
         )
     return out
 
