@@ -55,8 +55,11 @@ def parse_robots_txt(
     window, then equi-joined agents to rules — 2 shuffles plus a
     window sort that, on a dimension-sized bodies relation, were
     pure stage overhead (~2-3 s per pipeline action at 20 hosts,
-    r17). The group-id scan is O(lines²) per host via index-slices,
-    bounded by robots-file length — never corpus-wide."""
+    r17). The group-id scan is one pass building the group-start
+    index array plus an O(#groups) count per line (r18, ADVICE r17:
+    the index-slice form was O(lines²) per body, which matters for
+    real-world robots.txt files of tens of thousands of lines) —
+    bounded by robots-file length, never corpus-wide."""
     pairs = _robots_pairs_expr(F.col(body_col))
     return docs.select(
         F.col(host_col).alias("host"), F.explode(pairs).alias("__r")
@@ -104,66 +107,79 @@ def _robots_pairs_expr(body):
 
         def _with_uas(u):
             # grp at 0-based index i = count of group-STARTING ua lines
-            # in [0..i]: ua at j whose previous directive-line is not ua
-            def grp_of(i):
-                return F.size(
-                    F.filter(
-                        F.sequence(F.lit(0), i),
-                        lambda j: F.element_at(u, j + 1)
-                        & F.when(j == 0, F.lit(True)).otherwise(
-                            ~F.element_at(u, j)
-                        ),
-                    )
-                )
-
-            elems = F.transform(
-                d,
-                lambda x, i: F.struct(
-                    x["directive"].alias("directive"),
-                    x["value"].alias("value"),
-                    grp_of(i).alias("grp"),
+            # in [0..i] (ua at j whose previous directive-line is not
+            # ua). The start indices are computed ONCE into a
+            # groups-sized array, so each element's count is an
+            # O(#groups) scan — the r17 form materialized
+            # sequence(0, i) and re-tested the start condition per
+            # index, O(lines²) element allocations per body (ADVICE
+            # r17: real robots.txt files run to tens of thousands of
+            # lines).
+            starts = F.filter(
+                F.transform(d, lambda x, i: i),
+                lambda j: F.element_at(u, j + 1)
+                & F.when(j == 0, F.lit(True)).otherwise(
+                    ~F.element_at(u, j)
                 ),
             )
 
-            def _with_elems(e):
-                # empty User-agent values (a bare "User-agent:" line)
-                # are dropped like empty rule patterns — an empty token
-                # would substring-match every crawler and hijack the
-                # host's scope (ADVICE r13)
-                agents = F.transform(
-                    F.filter(
-                        e,
-                        lambda x: (x["directive"] == "user-agent")
-                        & (x["value"] != ""),
-                    ),
-                    lambda x: F.struct(
-                        F.lower(x["value"]).alias("agent"),
-                        x["grp"].alias("grp"),
-                    ),
-                )
-                rules = F.filter(
-                    e,
-                    lambda x: (x["directive"] != "user-agent")
-                    & (x["value"] != ""),
-                )
-                # agent x same-group-rule pairing (the old equi-join on
-                # (host, grp)); pre-group rules (grp 0) pair with no
-                # agent and drop naturally
-                return F.flatten(
-                    F.transform(
-                        agents,
-                        lambda a: F.transform(
-                            F.filter(rules, lambda r: r["grp"] == a["grp"]),
-                            lambda r: F.struct(
-                                a["agent"].alias("agent"),
-                                r["value"].alias("prefix"),
-                                (r["directive"] == "allow").alias("allow"),
-                            ),
+            def _with_starts(st):
+                elems = F.transform(
+                    d,
+                    lambda x, i: F.struct(
+                        x["directive"].alias("directive"),
+                        x["value"].alias("value"),
+                        F.size(F.filter(st, lambda s: s <= i)).alias(
+                            "grp"
                         ),
-                    )
+                    ),
                 )
 
-            return let_(elems, _with_elems)
+                def _with_elems(e):
+                    # empty User-agent values (a bare "User-agent:"
+                    # line) are dropped like empty rule patterns — an
+                    # empty token would substring-match every crawler
+                    # and hijack the host's scope (ADVICE r13)
+                    agents = F.transform(
+                        F.filter(
+                            e,
+                            lambda x: (x["directive"] == "user-agent")
+                            & (x["value"] != ""),
+                        ),
+                        lambda x: F.struct(
+                            F.lower(x["value"]).alias("agent"),
+                            x["grp"].alias("grp"),
+                        ),
+                    )
+                    rules = F.filter(
+                        e,
+                        lambda x: (x["directive"] != "user-agent")
+                        & (x["value"] != ""),
+                    )
+                    # agent x same-group-rule pairing (the old equi-join
+                    # on (host, grp)); pre-group rules (grp 0) pair with
+                    # no agent and drop naturally
+                    return F.flatten(
+                        F.transform(
+                            agents,
+                            lambda a: F.transform(
+                                F.filter(
+                                    rules, lambda r: r["grp"] == a["grp"]
+                                ),
+                                lambda r: F.struct(
+                                    a["agent"].alias("agent"),
+                                    r["value"].alias("prefix"),
+                                    (r["directive"] == "allow").alias(
+                                        "allow"
+                                    ),
+                                ),
+                            ),
+                        )
+                    )
+
+                return let_(elems, _with_elems)
+
+            return let_(starts, _with_starts)
 
         return let_(uas, _with_uas)
 
@@ -324,7 +340,16 @@ def robots_denied_ids(
     re-joining the full ``robots_filter`` output: the denied set is
     rule-match-sized (never corpus-sized) and the urls relation is
     scanned ONCE — measured 0.9-1.3 s -> 0.7-1.0 s for the v5-v10
-    pipelines' page-gate stage at sf0.1 (r17), identical survivors."""
+    pipelines' page-gate stage at sf0.1 (r17), identical survivors.
+
+    COVERAGE CONTRACT (ADVICE r17): the anti-join is equivalent to the
+    inner-join-on-allowed form only when the relation being gated
+    contains each doc id AT MOST ONCE AND every gated doc id appears
+    in ``urls`` — a doc id missing from ``urls`` has no winner row, so
+    the anti-join PASSES it (the RFC "no rule matched" default), where
+    the old inner join on the filtered output would have dropped it.
+    Callers must gate against the same one-row-per-id urls relation
+    they derived the ids from (all current call sites do)."""
     winner = _rule_winner(urls, rules, id_col, host_col, path_col)
     return winner.filter(~F.col("__w.a")).select(
         F.col("__id").alias(id_col)

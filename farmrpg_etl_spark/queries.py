@@ -3311,6 +3311,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical df over the single tf relation: one tokenize pass, one
     # exchange on term instead of re-scan + agg + broadcast (guide
     # §2.4). Measured 1.29 s -> 1.05 s at sf0.1; identical rows.
+    # SKEW trade-off (ADVICE r17): the unframed window buffers each
+    # term's rows in one task, so a stopword-like term present in most
+    # documents pins a straggler at corpus scale (AQE cannot split
+    # windows). tf here is (doc_id, term)-distinct counts over a
+    # deduplicated corpus — the hottest term is bounded by n_docs, the
+    # same bound the downstream per-doc window already carries. If
+    # this ever runs over a corpus where one term's tf rows dwarf the
+    # rest, switch to: tf.localCheckpoint() + groupBy("term") df +
+    # broadcast join back (one materialization instead of the skewed
+    # exchange; map-side-combining aggregate is skew-immune).
     wdf = Window.partitionBy("term")
     ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
