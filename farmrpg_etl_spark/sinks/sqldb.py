@@ -30,6 +30,18 @@ the per-partition transaction bounds memory at batch size; sqlite
 serializes concurrent writers via WAL + busy timeout, while a real
 Postgres deployment takes the same code path with true write
 concurrency.
+
+Negative result (r18, measured): rewriting the writers as
+``mapInArrow`` (Arrow batches across the boundary, rows rebuilt with
+``to_pylist``/zip for ``executemany``) LOST the same-session A/B on
+the k_sqldb workload — insert end-to-end 1.21 s -> 1.41 s, and even a
+pure drain (no SQLite) 1.23 s -> 1.49 s at 100k × 4 narrow columns.
+``executemany`` needs per-row Python tuples either way, so Arrow's
+columnar transfer only ADDS a to_pylist/transpose step on top of the
+same per-row tuple build, and the dominant cost is the SQLite write
+itself. ``foreachPartition`` + pickled rows is the measured-faster
+form here; revisit only if a sink ever accepts columnar input
+directly.
 """
 
 from __future__ import annotations
