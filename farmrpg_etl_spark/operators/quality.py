@@ -22,7 +22,7 @@ import json
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from farmrpg_etl_spark.functions.hashing import word_ngrams, words
+from farmrpg_etl_spark.functions.hashing import let_, word_ngrams, words
 
 
 def ngram_contamination(
@@ -1607,26 +1607,41 @@ def hashed_logit_features(
 
     Scale shape: one explode to gram instances (narrow), one
     ``(id, bucket)`` count aggregate with map-side partial combine —
-    a single keyed shuffle; no UDF, no collect."""
+    a single keyed shuffle; no UDF, no collect.
+
+    The gram array is ONE let_-bound expression (r18): the optimizer
+    copies a Generate's generator expression into an inferred
+    ``size(...) > 0`` Filter (InferFiltersFromGenerate) and collapses
+    staged projections into both, so the r17 staged-column form
+    re-ran the whitespace split ~6× per row inside an INTERPRETED
+    filter — measured 1.98 s -> 0.35 s for the sf0.1 featurization
+    (5.7×), byte-identical instances. Binding the token array as a
+    lambda variable caps every duplicated evaluation at one split."""
     if not (isinstance(n_buckets, int) and n_buckets >= 2):
         raise ValueError(
             f"n_buckets must be an int >= 2, got {n_buckets!r}"
         )
-    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
-    base = df.select(F.col(id_col), toks.alias("__toks"))
-    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
-    # returning empty — single-word docs must skip the bigram leg
-    bigrams = F.when(
-        F.size("__toks") >= 2,
-        F.expr(
-            "transform(sequence(1, size(__toks) - 1), "
-            "i -> concat(element_at(__toks, i), ' ', "
-            "element_at(__toks, i + 1)))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = base.select(
+
+    def _grams(tk: Column) -> Column:
+        # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+        # returning empty — single-word docs must skip the bigram leg
+        bg = F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat(
+                    F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(tk, bg)
+
+    g = df.select(
         F.col(id_col),
-        F.concat(F.col("__toks"), bigrams).alias("__g"),
+        let_(
+            F.coalesce(words(F.col(text_col)), F.array().cast("array<string>")),
+            _grams,
+        ).alias("__g"),
     )
     inst = g.select(
         F.col(id_col),
