@@ -284,3 +284,29 @@ def test_hashed_filter_row_agrees_with_teacher_rule(spark):
         ).alias("a")
     ).collect()[0].a
     assert agree >= 0.65, agree
+
+
+def test_hashed_train_featureless_doc_trains_bias_exactly(spark):
+    # A labeled document with NO feature rows (empty text) must still
+    # drive the bias — the r18 bias fold backs bucket -1 with one
+    # synthetic all-ones feature row per LABELED doc, so this edge is
+    # the fold's contract. Closed form for one featureless doc, y=1,
+    # eta=4: round 1 z=0 -> s=0.5 -> r=-500000 micros -> g=-5e11,
+    # w_bias = round(0 - 4*(-5e11/1e12), 6) = 2.0; round 2 z=2.0 ->
+    # hard sigmoid saturates at 1.0 -> r=0 -> w_bias stays 2.0.
+    from farmrpg_etl_spark.operators.quality import (
+        hashed_logit_features,
+        logit_train_hashed,
+    )
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    lab = spark.createDataFrame([(1, 1)], "doc_id long, y int")
+    feats = hashed_logit_features(df, "text", "doc_id")
+    rows = logit_train_hashed(
+        feats, lab, "doc_id", "y", eta=4.0, rounds=2
+    ).collect()
+    assert sorted((r.step, r.bucket, r.w) for r in rows) == [
+        (0, -1, 0.0),
+        (1, -1, 2.0),
+        (2, -1, 2.0),
+    ]

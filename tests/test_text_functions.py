@@ -206,3 +206,27 @@ def test_card_counts_separators_and_lookalikes(spark):
     r = df.select(n_cand.alias("c"), n_valid.alias("v")).first()
     assert r["c"] == 3  # the 6-digit order number is not a candidate
     assert r["v"] == 2  # the perturbed PAN fails Luhn
+
+
+def test_text_metrics_consecutive_marker_tokens(spark):
+    # r18: marker hits count over a staged token array. Consecutive
+    # equal marker tokens must each count ('the the the' = 3 hits, the
+    # case the r17 padded form's double-space normalization existed
+    # for), and stop_ratio divides by the same array's token count.
+    from farmrpg_etl_spark.functions.text import text_metrics
+
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "el que y"), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text_metrics(df).select(
+            "doc_id", "lang_pred", "n_tokens", "stop_ratio"
+        ).collect()
+    }
+    assert out[1].lang_pred == "en"
+    assert out[1].n_tokens == 3 and out[1].stop_ratio == 1.0
+    assert out[2].lang_pred == "es" and out[2].n_tokens == 3
+    assert out[3].lang_pred == "und" and out[3].n_tokens == 0
+    assert out[4].lang_pred == "und" and out[4].n_tokens == 0
